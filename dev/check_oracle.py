@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 dev/check_oracle.py [sfDir] [outDir]
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`.
+Dev-only tool; duckdb/pyarrow are driver-side deps, not part of the library.
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+import numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")  # unify int widths for compare
+    return df.reset_index(drop=True)
+
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    res_dir = f"{out_dir}/{name}"
+    files = glob.glob(f"{res_dir}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark result at {res_dir}")
+        n_fail += 1
+        continue
+    spark_df = canon(pq.read_table(files[0]).to_pandas())
+    try:
+        duck_df = canon(con.execute(oracle[name]).fetchdf())
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error: {e}")
+        n_fail += 1
+        continue
+    if list(spark_df.columns) != list(duck_df.columns):
+        print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+        n_fail += 1
+        continue
+    if len(spark_df) != len(duck_df):
+        print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+        n_fail += 1
+        continue
+    # exact-value compare (the driver hashes values, so approximate equality isn't enough)
+    bad = []
+    for c in spark_df.columns:
+        a, b = spark_df[c], duck_df[c]
+        if pd.api.types.is_float_dtype(a):
+            eq = (a.values == b.values) | (a.isna().values & b.isna().values)
+        else:
+            eq = (a.values == b.values) | (a.isna().values & b.isna().values) \
+                if a.isna().any() or b.isna().any() else (a.values == b.values)
+        if not eq.all():
+            idx = np.where(~eq)[0][:3]
+            bad.append((c, [(int(i), a.iloc[i], b.iloc[i]) for i in idx]))
+    if bad:
+        print(f"FAIL {name}: value mismatches:")
+        for c, rows in bad:
+            for i, av, dv in rows:
+                print(f"  col={c} row={i} spark={av!r} duck={dv!r}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(spark_df)} rows)")
+        n_pass += 1
+
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch main for local exploration; not part of the library contract. */
+object Dev {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val entry = SparkEntry.entry(spark)
+    println(s"ENTRY rows=${entry.count()}")
+    entry.show(3, truncate = false)
+    println(s"QUERIES n=${SparkEntry.queries.size} ORACLE n=${SparkEntry.oracleSql.size}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage over the star schema: scan, filter, project,
+  * hash-aggregate, shuffle/broadcast joins (inner/semi/anti), window
+  * functions, sort/limit (top-k), set ops, rollup.
+  *
+  * Determinism rules for the DuckDB oracle:
+  *   - every double SUM goes through DECIMAL (order-independent, exact) and
+  *     is cast back to double, so Spark's 32-partition partial aggregation
+  *     and DuckDB's sequential sum agree bit-for-bit;
+  *   - every output is ORDER BY'd on a unique key (ties broken explicitly);
+  *   - AVG is expressed as decimal-SUM / COUNT.
+  *
+  * Scale notes (100 TB design): all joins here are either broadcast-able
+  * dims (nation/region/supplier — Spark AQE broadcasts them automatically)
+  * or key-partitioned shuffles on the join key; aggregations are partial
+  * (map-side combine) by construction since they're plain `groupBy.agg`.
+  */
+object RelationalQueries {
+
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 flavor: single-pass hash aggregate with derived measures.
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3 flavor: 3-way join + agg + top-k by revenue.
+    "q3_join_topk" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 flavor: 5-way join through the dimension chain; the dims are
+    // broadcast by AQE, lineitem⋈orders is the only real shuffle.
+    "q5_join5" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Window functions: top-3 orders per customer by totalprice.
+    "window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Global sort + limit (distributed top-k via TakeOrderedAndProject).
+    "orders_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)),
+
+    // Anti join: customers with no high-value order, counted per nation.
+    "join_anti" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Semi join: nations having at least one high-value open order.
+    "join_semi" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    }),
+
+    // Set ops: INTERSECT and EXCEPT over projected key sets.
+    "set_ops" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val f = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val o = ord.filter(col("o_orderstatus") === "O").select("o_custkey")
+      f.intersect(o).withColumn("op", lit("both"))
+        .unionByName(f.except(o).withColumn("op", lit("f_only")))
+        .orderBy("op", "o_custkey")
+    }),
+
+    // Exact distinct aggregation (expands to two-phase agg in Spark).
+    "distinct_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("n_suppliers"),
+          countDistinct("l_partkey").as("n_parts"))
+        .orderBy("l_returnflag")),
+
+    // Rollup (grouping sets): order counts by status × priority.
+    "rollup_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum("o_totalprice").as("total_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_topk" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_join5" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "orders_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O' AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_ops" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_custkey, 'both' AS op FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' AS op FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+        |ORDER BY op, o_custkey""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |  COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's whole relational surface — Scan → Filter → Project
+  * (CaseWhen/Floor/Round/Cast) → sink — as composable DataFrame transforms.
+  * One function per SURVEY.md §2 operator row:
+  *
+  *   F1 [[dropAllNullMeasures]]  /root/reference/scripts/process_sales.py:38-40
+  *   P1 [[imputeQuantity]]       /root/reference/scripts/process_sales.py:42-45
+  *   P2 [[imputeTotal]]          /root/reference/scripts/process_sales.py:46-49
+  *   P3 [[stampProcessedAt]]     /root/reference/scripts/process_sales.py:50-51
+  *   P4 [[castFinal]]            /root/reference/scripts/process_sales.py:55-63
+  *
+  * Each stage is a pure `DataFrame => DataFrame`, so the whole pipeline stays
+  * one narrow whole-stage-codegen span: no shuffle anywhere, scales linearly
+  * with input splits at any data size.
+  */
+object SalesClean {
+
+  /** Input CSV schema, exactly as the reference declares it
+    * (/root/reference/scripts/process_sales.py:25-32): all nullable.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("product", StringType),
+    StructField("price", DoubleType),
+    StructField("quantity", IntegerType),
+    StructField("total", DoubleType),
+    StructField("ordered_at", TimestampType),
+    StructField("delivery_at", TimestampType)))
+
+  /** S1: header CSV scan with the explicit schema, PERMISSIVE (malformed
+    * cells → null), matching /root/reference/scripts/process_sales.py:35.
+    */
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** F1: drop rows where quantity, price AND total are all NULL. */
+  def dropAllNullMeasures(df: DataFrame): DataFrame =
+    df.filter(!(col("quantity").isNull && col("price").isNull && col("total").isNull))
+
+  /** P1: quantity := floor(total / price) when quantity is NULL. */
+  def imputeQuantity(df: DataFrame): DataFrame =
+    df.withColumn("quantity",
+      when(col("quantity").isNull, floor(col("total") / col("price")))
+        .otherwise(col("quantity")))
+
+  /** P2: total := round(price * quantity, 2) when total is NULL (HALF_UP). */
+  def imputeTotal(df: DataFrame): DataFrame =
+    df.withColumn("total",
+      when(col("total").isNull, round(col("price") * col("quantity"), 2))
+        .otherwise(col("total")))
+
+  /** P3: audit column; current_timestamp() is folded to one per-query value
+    * by Catalyst's ComputeCurrentTime, same as the reference's behavior.
+    */
+  def stampProcessedAt(df: DataFrame): DataFrame =
+    df.withColumn("processed_at", current_timestamp())
+
+  /** P4: ordered projection with the narrowing casts the BigQuery schema
+    * demands (price/total double→float, quantity →int).
+    */
+  def castFinal(df: DataFrame): DataFrame =
+    df.select(
+      col("product"),
+      col("price").cast("float").as("price"),
+      col("quantity").cast("int").as("quantity"),
+      col("total").cast("float").as("total"),
+      col("ordered_at").cast("timestamp").as("ordered_at"),
+      col("delivery_at").cast("timestamp").as("delivery_at"),
+      col("processed_at"))
+
+  /** Full pipeline F1→P1→P2→P3→P4 (the reference job end-to-end). */
+  def clean(df: DataFrame): DataFrame =
+    castFinal(stampProcessedAt(imputeTotal(imputeQuantity(dropAllNullMeasures(df)))))
+
+  /** Oracle-facing variant: same pipeline minus the wall-clock
+    * `processed_at` column (non-deterministic, excluded from hash compare).
+    */
+  def cleanDeterministic(df: DataFrame): DataFrame =
+    imputeTotal(imputeQuantity(dropAllNullMeasures(df)))
+      .select(
+        col("product"),
+        col("price").cast("float").as("price"),
+        col("quantity").cast("int").as("quantity"),
+        col("total").cast("float").as("total"),
+        col("ordered_at").cast("timestamp").as("ordered_at"),
+        col("delivery_at").cast("timestamp").as("delivery_at"))
+}
