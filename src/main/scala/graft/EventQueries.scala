@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream queries over `events` (event_id, ts, user_id, event_type,
+  * value, props JSON): JSON extraction, event-time bucketing, and gap-based
+  * sessionization. These are the batch twins of the streaming operators in
+  * graft.streaming — identical column logic, so stream/batch parity is
+  * testable.
+  *
+  * The oracle sees ts at nanosecond precision while Spark sees micros
+  * (Tables.events truncates); every output therefore buckets time at hour
+  * or second granularity where both engines agree exactly.
+  */
+object EventQueries {
+
+  /** JSON prop extraction by pattern — portable across engines; the repo's
+    * canonical JSON path (from_json) is exercised in eventsPropsTyped below.
+    */
+  private def propK = regexp_extract(col("props"), "\"k\"\\s*:\\s*(\\d+)", 1).cast("long")
+
+  /** from_json-based typed extraction (Spark-native path, no SQL twin). */
+  def propsTyped(events: DataFrame): DataFrame =
+    events.withColumn("props_struct",
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))))
+      .withColumn("k", col("props_struct.k"))
+      .drop("props_struct")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON extraction + aggregate per event type.
+    "events_json_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), propK.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("k").as("sum_k"),
+          sum(col("k").cast("decimal(18,2)")).cast("double")
+            ./(count(lit(1))).as("avg_k"))
+        .orderBy("event_type")),
+
+    // Event-time bucketing: hourly counts + value sums (decimal-routed).
+    "events_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // Gap-based sessionization (30-min inactivity closes a session).
+    "events_sessionize" -> ((s, dir) => {
+      val secs = col("ts").cast("long")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gap = secs - lag(secs, 1).over(w)
+      Tables.events(s, dir)
+        .withColumn("new_session",
+          when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("new_session").as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    // from_json typed extraction — Spark-native JSON path; value must agree
+    // with the regexp-extracted k, so the oracle uses the regexp form.
+    "events_props_typed" -> ((s, dir) =>
+      propsTyped(Tables.events(s, dir))
+        .select(col("event_id"), col("k"))
+        .orderBy("event_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_json_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS secs,
+        |    LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_secs
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  SUM(CASE WHEN prev_secs IS NULL OR secs - prev_secs > 1800
+        |           THEN 1 ELSE 0 END) AS n_sessions
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_props_typed" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -21,8 +21,12 @@ object SparkEntry {
     SalesClean.clean(SalesFixture.fromLineitem(spark, "/root/testdata/sf0.001"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SalesQueries.queries ++ RelationalQueries.queries
+    SalesQueries.queries ++ RelationalQueries.queries ++
+      TextQueries.queries ++ EventQueries.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries
 
   def oracleSql: Map[String, String] =
-    SalesQueries.oracle ++ RelationalQueries.oracle
+    SalesQueries.oracle ++ RelationalQueries.oracle ++
+      TextQueries.oracle ++ EventQueries.oracle ++
+      DedupQueries.oracle ++ SimilarityQueries.oracle
 }

@@ -32,8 +32,9 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // session read nanos as long (spark.sql.legacy.parquet.nanosAsLong)
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // session read nanos as long (spark.sql.legacy.parquet.nanosAsLong);
+        // integer `div`, not `/` — double division loses ulps at 1e18 nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Text-analysis queries over `documents`, with DuckDB oracle twins.
+  * Counts are cast to BIGINT on the Spark side to match DuckDB's natural
+  * integer width (its len()/COUNT return BIGINT).
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace + BPE-ish regex segmentation + vocab size.
+    "text_stats" -> ((s, dir) => {
+      TextAnalysis.stats(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          col("len_chars").cast("long").as("len_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_bpeish_tokens").cast("long").as("n_bpeish_tokens"),
+          col("n_distinct_tokens").cast("long").as("n_distinct_tokens"),
+          col("distinct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic (marker-token argmax).
+    "text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("lang_declared"),
+          TextAnalysis.langId(col("text")).as("lang_predicted"))
+        .orderBy("doc_id")),
+
+    // Quality scoring (length/diversity/marker components).
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Global term frequency, top 20.
+    "text_termfreq" -> ((s, dir) =>
+      TextAnalysis.termFrequency(Tables.documents(s, dir), 20)),
+
+    // Content fingerprint (md5 of normalized text) — exact-dup key.
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy("doc_id")),
+
+    // Rolling-hash fingerprint — order-sensitive; no SQL twin (xxhash64 is
+    // Spark-specific), driver records a rows-only check; ScalaTest covers it.
+    "text_fingerprint_rolling" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintRolling(col("text")).as("fp_roll"))
+        .orderBy("doc_id"))
+  )
+
+  private val bpeRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  // DuckDB marker scores per language, mirroring TextAnalysis.langMarkers.
+  private def markerSql(lang: String): String = {
+    val ms = TextAnalysis.langMarkers.toMap.apply(lang)
+      .map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($ms)))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  length(text) AS len_chars,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(regexp_extract_all(text, '$bpeRegex')) AS n_bpeish_tokens,
+         |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS distinct_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS lang_declared,
+         |    ${markerSql("en")} AS s_en, ${markerSql("es")} AS s_es,
+         |    ${markerSql("de")} AS s_de, ${markerSql("fr")} AS s_fr,
+         |    ${markerSql("zh")} AS s_zh
+         |  FROM documents)
+         |SELECT doc_id, lang_declared,
+         |  CASE WHEN s_zh > GREATEST(s_en, s_es, s_de, s_fr) THEN 'zh'
+         |       WHEN s_fr > GREATEST(s_en, s_es, s_de) THEN 'fr'
+         |       WHEN s_de > GREATEST(s_en, s_es) THEN 'de'
+         |       WHEN s_es > s_en THEN 'es'
+         |       ELSE 'en' END AS lang_predicted
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score_raw,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS diversity_raw,
+         |    LEAST(CAST(${markerSql("en")} AS DOUBLE)
+         |      / len(string_split(text, ' ')) * 5.0, 1.0) AS stop_score_raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  FLOOR(len_score_raw * 10000.0 + 0.5) / 10000.0 AS len_score,
+         |  FLOOR(diversity_raw * 10000.0 + 0.5) / 10000.0 AS diversity,
+         |  FLOOR(stop_score_raw * 10000.0 + 0.5) / 10000.0 AS stop_score,
+         |  FLOOR((len_score_raw * 0.4 + diversity_raw * 0.3 + stop_score_raw * 0.3)
+         |    * 10000.0 + 0.5) / 10000.0 AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_termfreq" ->
+      """SELECT token, COUNT(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY freq DESC, token
+        |LIMIT 20""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

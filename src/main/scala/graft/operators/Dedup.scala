@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Deduplication operators for LLM-data pipelines, in increasing
+  * sophistication: exact (hash groupBy), n-gram-shingle Jaccard (exact
+  * pairwise ground truth), MinHash+LSH (the 100 TB path), SimHash banding,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design notes:
+  *  - exact dedup is a single hash shuffle on the content key;
+  *  - the exact Jaccard pair join shuffles on *shingle* — correct but
+  *    O(docs²) within hot shingles, so it's the small-scale oracle only;
+  *  - MinHash/LSH replaces that with a shuffle on (band, bucket): cost is
+  *    linear in corpus size × band count, the textbook web-dedup layout;
+  *  - candidate verification re-checks true Jaccard inside buckets only.
+  */
+object Dedup {
+
+  /** Exact dedup on a derived content key: keeps the smallest doc_id per
+    * distinct key (deterministic winner, unlike dropDuplicates whose
+    * survivor is partition-order dependent).
+    */
+  def exactByKey(df: DataFrame, key: Column, idCol: String): DataFrame =
+    df.groupBy(key.as("content_key"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct n-gram word shingles of `text` (default n=3), the unit of
+    * near-dup comparison.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    // guard: sequence(0, x) with x<0 counts DOWN in Spark — short docs
+    // (< n tokens) must yield an empty shingle set, not a reversed range
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact shingle-Jaccard near-dup pairs (ground truth): inverted-index
+    * self-join on shingle, count common shingles per pair, then
+    * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Emits (doc_a < doc_b, jaccard).
+    */
+  def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val docs = documents.select(col("doc_id"),
+      shingles(col("text"), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("s"))
+    val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
+    a.join(b, "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** Deterministic (a, b) parameters for the k permutation hashes
+    * h_i(x) = (a_i·x + b_i) mod p, p = 2^31−1. Seeded so signatures are
+    * stable across runs and sessions.
+    */
+  private def hashParams(k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val p = 2147483647L
+    val a = Array.fill(k)(1L + (rnd.nextLong().abs % (p - 1)))
+    val b = Array.fill(k)(rnd.nextLong().abs % p)
+    (a, b)
+  }
+
+  private val P31 = 2147483647L
+
+  /** MinHash signature (length k) of a shingle array column: for each of k
+    * seeded linear permutations, the min over shingles of
+    * (a_i·xxhash64(s) + b_i) mod p. Pure per-row expression — no shuffle.
+    */
+  def minhashSignature(sh: Column, k: Int = 128): Column = {
+    val (as, bs) = hashParams(k)
+    val aArr = array(as.map(lit(_)): _*)
+    val bArr = array(bs.map(lit(_)): _*)
+    // base hash per shingle, reduced mod p once so a·h fits in a long
+    val hs = transform(sh, s => pmod(xxhash64(s), lit(P31)))
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hs,
+        h => pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(P31)))))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of r rows, hash
+    * each band to a bucket key. Returns (doc_id, band, bucket) rows —
+    * `bands × docs` rows total; the downstream groupBy shuffles on
+    * (band, bucket), which is the linear-cost step that replaces the
+    * quadratic pair join at scale.
+    */
+  def lshBuckets(docs: DataFrame, idCol: String, sigCol: String,
+                 bands: Int, k: Int = 128): DataFrame = {
+    val r = k / bands
+    docs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          j => aggregate(slice(col(sigCol), j * r + 1, lit(r)),
+            j.cast("long"), (acc, x) => xxhash64(acc, x))))
+      .as(Seq("band", "bucket")))
+  }
+
+  /** Candidate pairs from LSH buckets: docs sharing any (band, bucket).
+    * Pairs are generated inside each bucket via index-windowed transforms
+    * (sorted ids, i<j), then deduped across bands.
+    */
+  def lshCandidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val ids = col("ids")
+    buckets.groupBy("band", "bucket")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(flatten(
+        transform(ids, (x, i) =>
+          transform(slice(ids, i + 2, size(ids)),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("pair"))
+      .select(col("pair.doc_a"), col("pair.doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature → bands → candidate
+    * pairs → exact Jaccard verification (computed only on candidates).
+    */
+  def minhashPairs(documents: DataFrame, threshold: Double,
+                   n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val cands = lshCandidatePairs(
+      lshBuckets(docs.select("doc_id", "sig"), "doc_id", "sig", bands, k), "doc_id")
+    val sh = docs.select(col("doc_id"), col("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash of the token multiset: bit b is 1 iff the sum over
+    * tokens of ±1 (sign of hash bit b) is positive. Expressed in SQL via
+    * expr() because shift amounts must be columns (the DSL's shiftright
+    * takes only literal amounts). Expects a column `th` holding the token
+    * hash array; see [[withSimhash]].
+    */
+  private val simhashExpr: String =
+    """aggregate(
+      |  transform(sequence(0, 63), b ->
+      |    shiftleft(CASE WHEN
+      |      aggregate(th, 0L, (acc, h) ->
+      |        acc + CAST((shiftright(h, b) & 1) * 2 - 1 AS BIGINT)) > 0
+      |      THEN 1L ELSE 0L END, b)),
+      |  0L, (acc, x) -> acc | x)""".stripMargin
+
+  /** Adds `simhash: long` computed from whitespace tokens of `text`. */
+  def withSimhash(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("th", transform(split(col("text"), " "), t => xxhash64(t)))
+      .withColumn("simhash", expr(simhashExpr))
+      .drop("th")
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3 by
+    * default). Pigeonhole banding: a 64-bit key split into 4 16-bit chunks —
+    * any pair within distance 3 shares at least one chunk, so the join on
+    * (chunk index, chunk value) finds all of them with linear shuffle cost;
+    * bit_count(xor) verifies exactly.
+    */
+  def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = withSimhash(documents).select("doc_id", "simhash")
+    // 16-bit chunks, shifted down so values stay small positive longs
+    val chunks = array((0 until 4).map(j =>
+      shiftright(col("simhash"), 16 * j).bitwiseAND(lit(65535L))): _*)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(chunks).as(Seq("chunk", "cval")))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"),
+      col("chunk"), col("cval"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"),
+      col("chunk"), col("cval"))
+    a.join(b, Seq("chunk", "cval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("h_a ^ h_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- Embedding near-dup ----
+
+  /** Embedding-cosine near-dup pairs ≥ threshold, brute force (exact).
+    * O(n²) — ground truth / small-corpus path; at scale use the hyperplane
+    * LSH in Similarity to prune candidates first.
+    */
+  def embeddingPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorOps.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps
+
+/** Similarity search over `embeddings` (vec_id, embedding array<float>,
+  * label).
+  *
+  * Two paths, as a 100 TB engine needs both:
+  *  - brute force (exact): one pass over the corpus per query batch —
+  *    correct at any scale but O(corpus × queries); used as ground truth
+  *    and for small query sets (it's a broadcast join + TakeOrdered, no
+  *    shuffle of the corpus);
+  *  - hyperplane LSH (approximate): deterministic random projections bucket
+  *    the corpus once (linear), queries probe only matching buckets across
+  *    L tables, then exact re-rank of candidates. Corpus bucketing is
+  *    reusable across queries (write it out / cache it in practice).
+  */
+object Similarity {
+
+  val dim = 64
+
+  /** Exact top-k cosine neighbors of one stored vector. */
+  def topK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .select("vec_id", "cosine")
+      .limit(k)
+  }
+
+  /** Exact kNN join: top-k neighbors for every query row (broadcast the
+    * query set, window-rank per query). Query set must be driver-small;
+    * for corpus×corpus kNN use the LSH path instead.
+    */
+  def knnJoin(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    embeddings.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+
+  // ---- Hyperplane LSH (approximate, the scale path) ----
+
+  /** Deterministic pseudo-random hyperplanes: `tables × bits` planes of
+    * `dim` doubles, fixed seed so buckets are stable across sessions.
+    */
+  private def planes(tables: Int, bits: Int, seed: Long = 7L): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def planeCol(p: Array[Double]): Column = array(p.map(lit(_)): _*)
+
+  /** Bucket id of a vector in one table: sign bits of `bits` projections. */
+  private def bucketId(v: Column, tablePlanes: Array[Array[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (p, i) =>
+      when(VectorOps.dot(v, planeCol(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (vec_id, table, bucket) rows: `tables` rows per vector. This is the
+    * one-off linear indexing pass; the shuffle key (table, bucket) is what
+    * replaces the quadratic scan at scale.
+    */
+  def lshIndex(embeddings: DataFrame, tables: Int = 8, bits: Int = 4): DataFrame = {
+    val ps = planes(tables, bits)
+    val buckets = array((0 until tables).map(l =>
+      bucketId(col("embedding"), ps(l))): _*)
+    embeddings.select(col("vec_id"), col("embedding"),
+      posexplode(buckets).as(Seq("table", "bucket")))
+  }
+
+  /** Approximate top-k via LSH: probe the query's bucket in each table,
+    * union candidates, exact re-rank. Recall depends on (tables, bits);
+    * verified against [[topK]] in the spec.
+    */
+  def annTopKLsh(embeddings: DataFrame, queryVecId: Long, k: Int,
+                 tables: Int = 8, bits: Int = 4): DataFrame = {
+    val idx = lshIndex(embeddings, tables, bits)
+    val qBuckets = idx.filter(col("vec_id") === queryVecId)
+      .select(col("table"), col("bucket"))
+    val candidates = idx.join(broadcast(qBuckets), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select("vec_id", "embedding").distinct()
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    candidates.crossJoin(broadcast(q))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .select("vec_id", "cosine")
+      .limit(k)
+  }
+}

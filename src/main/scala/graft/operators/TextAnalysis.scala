@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines over the `documents` table
+  * (doc_id, text, lang, source, n_chars). All are per-row scalar transforms
+  * (no shuffle) built from codegen'd built-ins, so they stream through a
+  * single whole-stage-codegen span at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; the fixture corpus is space-separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, or single
+    * non-space symbols — the classic pre-tokenizer regex.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** Per-language marker (stopword) sets for the cheap lang-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** Language-ID by marker-token ratio: argmax over [[langMarkers]], ties
+    * broken by list order (scores strictly compared left to right).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
+    // left-fold argmax: keep current winner unless a later lang scores strictly higher
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Per-document stats: token counts (whitespace + BPE-ish), char length,
+    * vocabulary size, mean token length.
+    */
+  def stats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      size(toks).as("n_tokens"),
+      size(bpeishTokens(col("text"))).as("n_bpeish_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio"))
+  }
+
+  /** Explicit 4-dp rounding (floor(x·10⁴+0.5)/10⁴): identical IEEE-double
+    * steps in any engine, unlike library `round` whose tie rule varies.
+    */
+  def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  /** Heuristic quality score in [0,1]:
+    *   0.4 · length saturation (chars/500 capped at 1)
+    * + 0.3 · vocabulary diversity (distinct/total tokens)
+    * + 0.3 · marker-word presence (5× en-marker ratio capped at 1)
+    * Deterministic double arithmetic, rounded to 4 dp for cross-engine hashing.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
+    val diversity = size(array_distinct(toks)).cast("double") / size(toks)
+    val stopRatio = markerHits(toks, langMarkers.head._2).cast("double") / size(toks)
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    documents.select(
+      col("doc_id"),
+      r4(lenScore).as("len_score"),
+      r4(diversity).as("diversity"),
+      r4(stopScore).as("stop_score"),
+      r4(lenScore * 0.4 + diversity * 0.3 + stopScore * 0.3).as("quality"))
+  }
+
+  /** Global term frequency: explode → two-phase hash aggregate. The explode
+    * multiplies rows but partial aggregation collapses them map-side, so the
+    * shuffle carries only (token, count) pairs — safe at 100 TB.
+    */
+  def termFrequency(documents: DataFrame, topK: Int): DataFrame =
+    documents.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token"))
+      .limit(topK)
+
+  /** Content fingerprint (md5 of normalized text) — exact-dup key that's
+    * stable across engines. Normalization: lowercase + collapse whitespace.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Polynomial rolling hash over tokens (base 1000003, mod 2^31-1), computed
+    * as a left fold — order-sensitive, so token permutations get different
+    * fingerprints (unlike the md5 of a token *set*). The Mersenne-31 modulus
+    * keeps acc·base ≤ 2^51, inside exact long arithmetic.
+    */
+  def fingerprintRolling(text: Column): Column = {
+    val mod = lit(2147483647L) // 2^31 - 1
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), mod), mod))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), docSchema)
+
+  test("shingles: 3-grams, distinct, empty for short docs") {
+    val out = docs((1L, "a b c d"), (2L, "a b"), (3L, "x y z x y z x y z"))
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) === Seq("a b c", "b c d"))
+    assert(out(2L) === Seq.empty)
+    assert(out(3L).toSet === Set("x y z", "y z x", "z x y")) // distinct-ed
+  }
+
+  test("jaccardPairs: identical docs → 1.0, disjoint docs → absent") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words in this one here now"))
+    val pairs = Dedup.jaccardPairs(d, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhashPairs equals exact jaccardPairs on the corpus (recall check)") {
+    val d = Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardPairs(d, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(d, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty) // the corpus plants near-dups; a vacuous pass hides bugs
+    assert(lsh === exact)
+  }
+
+  test("simhash banding finds exactly the brute-force hamming<=3 pairs") {
+    val d = Tables.documents(spark, sfDir)
+    val sh = Dedup.withSimhash(d).select("doc_id", "simhash")
+    val a = sh.select($"doc_id".as("doc_a"), $"simhash".as("h_a"))
+    val b = sh.select($"doc_id".as("doc_b"), $"simhash".as("h_b"))
+    val brute = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .withColumn("hamming", bit_count(expr("h_a ^ h_b")))
+      .filter($"hamming" <= 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashPairs(d, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute) // pigeonhole guarantee: banding loses nothing at dist<=3
+  }
+
+  test("simhash: identical texts collide, near-identical texts are close") {
+    val d = docs(
+      (1L, "spark is a unified analytics engine for large scale data"),
+      (2L, "spark is a unified analytics engine for large scale data"),
+      (3L, "spark is a unified analytics engine for large scale work"))
+    val h = Dedup.withSimhash(d).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 16) // one-token change
+  }
+
+  test("exactByKey keeps min id and counts copies") {
+    val d = docs((5L, "same text"), (9L, "same text"), (7L, "other text"))
+    val out = Dedup.exactByKey(d,
+        graft.operators.TextAnalysis.fingerprintMd5($"text"), "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out === Map(5L -> 2L, 7L -> 1L))
+  }
+
+  test("embeddingPairs is symmetric-free and thresholded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = Dedup.embeddingPairs(emb, 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, c) => a < b && c >= 0.4 && c <= 1.0 })
+  }
+}
