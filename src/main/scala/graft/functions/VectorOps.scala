@@ -3,23 +3,20 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from Spark's
-  * higher-order functions. All folds are left-associative ascending-index,
-  * which makes results bit-identical to a sequential C loop (and to the
-  * DuckDB oracle's generated term chains).
-  *
-  * Floats are widened to double before any arithmetic: float×float would
-  * accumulate error engine-dependently, double ops are IEEE-exact and
-  * portable.
+/** Vector math over `array<float>` embedding columns. The dot-product
+  * kernel is the native codegen expression [[graft.plans.VecDot]]; its
+  * accumulation is left-associative ascending-index in double, which makes
+  * results bit-identical to a sequential C loop, to the equivalent
+  * `aggregate(zip_with(...))` fold, and to the DuckDB oracle's generated
+  * term chains.
   */
 object VectorOps {
 
   /** array<float> → array<double>, exact widening. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product: fold of zip_with products, left-assoc from 0.0. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+  /** Dot product in double (float inputs widened exactly per element). */
+  def dot(a: Column, b: Column): Column = graft.plans.NativeKernels.vecDot(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -68,7 +68,7 @@ object Dedup {
     * h_i(x) = (a_i·x + b_i) mod p, p = 2^31−1. Seeded so signatures are
     * stable across runs and sessions.
     */
-  private def hashParams(k: Int): (Array[Long], Array[Long]) = {
+  private[graft] def hashParams(k: Int): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(42)
     val p = 2147483647L
     val a = Array.fill(k)(1L + (rnd.nextLong().abs % (p - 1)))
@@ -80,17 +80,14 @@ object Dedup {
 
   /** MinHash signature (length k) of a shingle array column: for each of k
     * seeded linear permutations, the min over shingles of
-    * (a_i·xxhash64(s) + b_i) mod p. Pure per-row expression — no shuffle.
+    * (a_i·xxhash64(s) + b_i) mod p. Pure per-row expression, fused into a
+    * native codegen loop ([[graft.plans.MinHashSig]]) — the interpreted HOF
+    * formulation was ~40× slower at k=128.
     */
   def minhashSignature(sh: Column, k: Int = 128): Column = {
     val (as, bs) = hashParams(k)
-    val aArr = array(as.map(lit(_)): _*)
-    val bArr = array(bs.map(lit(_)): _*)
-    // base hash per shingle, reduced mod p once so a·h fits in a long
-    val hs = transform(sh, s => pmod(xxhash64(s), lit(P31)))
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(hs,
-        h => pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(P31)))))
+    graft.plans.NativeKernels.minhashSig(
+      transform(sh, s => xxhash64(s)), as, bs)
   }
 
   /** LSH banding: split the signature into `bands` bands of r rows, hash
@@ -149,27 +146,13 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash of the token multiset: bit b is 1 iff the sum over
-    * tokens of ±1 (sign of hash bit b) is positive. Expressed in SQL via
-    * expr() because shift amounts must be columns (the DSL's shiftright
-    * takes only literal amounts). Expects a column `th` holding the token
-    * hash array; see [[withSimhash]].
+  /** Adds `simhash: long` computed from whitespace tokens of `text`
+    * (native codegen kernel [[graft.plans.SimHash64]]).
     */
-  private val simhashExpr: String =
-    """aggregate(
-      |  transform(sequence(0, 63), b ->
-      |    shiftleft(CASE WHEN
-      |      aggregate(th, 0L, (acc, h) ->
-      |        acc + CAST((shiftright(h, b) & 1) * 2 - 1 AS BIGINT)) > 0
-      |      THEN 1L ELSE 0L END, b)),
-      |  0L, (acc, x) -> acc | x)""".stripMargin
-
-  /** Adds `simhash: long` computed from whitespace tokens of `text`. */
   def withSimhash(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("th", transform(split(col("text"), " "), t => xxhash64(t)))
-      .withColumn("simhash", expr(simhashExpr))
-      .drop("th")
+    documents.withColumn("simhash",
+      graft.plans.NativeKernels.simhash64(
+        transform(split(col("text"), " "), t => xxhash64(t))))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3 by
     * default). Pigeonhole banding: a 64-bit key split into 4 16-bit chunks —

@@ -1,0 +1,235 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the engine's hot per-row kernels.
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) are
+  * interpreted closure-by-closure — fine for occasional use, but the MinHash
+  * signature evaluates k·|shingles| hash steps per row and the interpreted
+  * form measured ~40× slower than a fused loop (21 s for 500 docs at
+  * k=128). These expressions generate straight-line Java inside whole-stage
+  * codegen (with an equivalent interpreted eval as fallback), which is the
+  * idiomatic Spark escape hatch when built-ins can't express a kernel
+  * efficiently.
+  *
+  * Numeric contracts (bit-exactness matters — the DuckDB oracle reproduces
+  * them):
+  *  - [[VecDot]] accumulates products left-to-right in double, identical to
+  *    a sequential C loop and to `aggregate(zip_with(...))`.
+  *  - [[MinHashSig]] uses h_i(x) = (a_i·x + b_i) mod (2³¹−1) over inputs
+  *    pre-reduced into [0, p); all intermediates fit in a long.
+  *  - [[SimHash64]] bit b = sign of Σ(±1) over token hashes' bit b, ties → 0.
+  */
+object NativeKernels {
+  val P31: Long = 2147483647L // 2^31 - 1
+
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minhashSig(hashes: Column, a: Array[Long], b: Array[Long]): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), a, b))
+
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+}
+
+/** Dot product of two numeric arrays (float or double elements) as double.
+  * Null if either array is null; elements are assumed non-null (embedding
+  * vectors). Lengths must match — extra elements on the longer side are
+  * ignored (min length), mirroring zip_with.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private def elemIsDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<float|double> inputs, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val lDouble = elemIsDouble(left)
+    val rDouble = elemIsDouble(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (rDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsDouble(left)) "getDouble" else "getFloat"
+    val rGet = if (elemIsDouble(right)) "getDouble" else "getFloat"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature of an array<long> of element hashes: for each of k
+  * seeded linear permutations h_i(x) = (a_i·x + b_i) mod p, the min over
+  * elements. Empty input yields the all-p signature (no nulls).
+  */
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+  require(a.length == b.length, "a/b parameter arrays must have equal length")
+
+  private val k = a.length
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(k)(NativeKernels.P31)
+    var s = 0
+    while (s < n) {
+      var h = hs.getLong(s) % NativeKernels.P31
+      if (h < 0) h += NativeKernels.P31
+      var i = 0
+      while (i < k) {
+        val v = (a(i) * h + b(i)) % NativeKernels.P31
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val sig = ctx.freshName("sig")
+      val p = NativeKernels.P31
+      s"""
+         |int $n = $c.numElements();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, ${p}L);
+         |for (int $s = 0; $s < $n; $s++) {
+         |  long $h = $c.getLong($s) % ${p}L;
+         |  if ($h < 0) $h += ${p}L;
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $v = ($aRef[$i] * $h + $bRef[$i]) % ${p}L;
+         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of an array<long> of token hashes: bit b is set iff the
+  * sum over tokens of ±1 (by the token hash's bit b) is positive.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](64)
+    var s = 0
+    while (s < n) {
+      val h = hs.getLong(s)
+      var b = 0
+      while (b < 64) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      s += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $counts = new int[64];
+         |for (int $s = 0; $s < $n; $s++) {
+         |  long $h = $c.getLong($s);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    $counts[$i] += (((($h >>> $i) & 1L) == 1L) ? 1 : -1);
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($counts[$i] > 0) $sig |= (1L << $i);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.NativeKernels
+import graft.operators.Dedup
+
+class NativeKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("VecDot matches the HOF fold bit-for-bit on the corpus") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val hof = aggregate(
+      zip_with(transform($"embedding", _.cast("double")),
+        transform($"embedding", _.cast("double")), _ * _),
+      lit(0.0), _ + _)
+    val diff = emb.select(
+        (NativeKernels.vecDot($"embedding", $"embedding") - hof).as("d"))
+      .filter($"d" =!= 0.0)
+    assert(diff.count() === 0) // identical fold order ⇒ identical bits
+  }
+
+  test("VecDot handles mixed float/double arrays and nulls") {
+    val out = spark.sql(
+      """SELECT CAST(array(1.0, 2.0) AS ARRAY<FLOAT>) AS f,
+        |       array(3.0D, 4.0D) AS d""".stripMargin)
+      .select(NativeKernels.vecDot($"f", $"d").as("x"),
+        NativeKernels.vecDot(lit(null).cast("array<float>"), $"f").as("n"))
+      .as[(Option[Double], Option[Double])].head()
+    assert(out._1 === Some(11.0))
+    assert(out._2 === None)
+  }
+
+  test("MinHashSig: interpreted eval equals codegen path") {
+    val (a, b) = Dedup.hashParams(16)
+    val df = Seq(Seq(1L, 2L, 3L), Seq.empty[Long], Seq(-5L))
+      .toDF("hs")
+    val fromCodegen = df.select(
+      NativeKernels.minhashSig($"hs", a, b).as("sig"))
+      .as[Seq[Long]].collect()
+    // reference reimplementation in Scala
+    def ref(hs: Seq[Long]): Seq[Long] = {
+      val p = NativeKernels.P31
+      (0 until 16).map { i =>
+        if (hs.isEmpty) p
+        else hs.map { h0 =>
+          val h = ((h0 % p) + p) % p
+          (a(i) * h + b(i)) % p
+        }.min
+      }
+    }
+    assert(fromCodegen(0) === ref(Seq(1L, 2L, 3L)))
+    assert(fromCodegen(1) === ref(Seq.empty))
+    assert(fromCodegen(2) === ref(Seq(-5L)))
+  }
+
+  test("SQL registration via GraftExtensions works") {
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(dot === 11.0)
+    val sh = spark.sql(
+      "SELECT simhash64(array(xxhash64('a'), xxhash64('b'))) AS s")
+      .as[Long].head()
+    val shApi = Seq("a b").toDF("text")
+    val expected = Dedup.withSimhash(shApi).select("simhash").as[Long].head()
+    assert(sh === expected)
+    val sig = spark.sql(
+      "SELECT minhash_sig(array(xxhash64('x')), 8) AS s")
+      .as[Seq[Long]].head()
+    assert(sig.length === 8)
+  }
+}
