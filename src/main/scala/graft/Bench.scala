@@ -24,6 +24,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: pay one-time session costs (codegen compiler, noop sink
+    // registration, parquet footer reads) before the clock starts, so the
+    // alphabetically-first query isn't charged ~5s of constant overhead.
+    Tables.names.foreach { t =>
+      try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -23,11 +23,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // Language-ID heuristic (marker-token argmax).
+    // Language-ID heuristic (marker-token argmax). Tokens are projected in a
+    // separate select so the 5 per-language scores share one split() — the
+    // score filters are CodegenFallback and would otherwise each re-split.
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang").as("lang_declared"),
-          TextAnalysis.langId(col("text")).as("lang_predicted"))
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang_declared"),
+          TextAnalysis.langIdFromTokens(col("toks")).as("lang_predicted"))
         .orderBy("doc_id")),
 
     // Quality scoring (length/diversity/marker components).

@@ -40,15 +40,31 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
+  /** Hashed distinct shingles (array<long>) straight from `text` — the
+    * native fused kernel (split once, hash each n-gram window, dedupe).
+    * Same set as xxhash64 over [[shingles]] strings; see
+    * [[graft.plans.HashedShingles]].
+    */
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    graft.plans.NativeKernels.hashedShingles(split(text, " "), n)
+
   /** Exact shingle-Jaccard near-dup pairs (ground truth): inverted-index
     * self-join on shingle, count common shingles per pair, then
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Emits (doc_a < doc_b, jaccard).
+    *
+    * The join key is xxhash64(shingle), not the shingle string: the shuffle
+    * carries 8-byte longs instead of ~20-byte strings and the join compares
+    * longs — same jaccard values unless two distinct shingles collide in
+    * 64-bit space (P ≈ m²/2⁶⁴, negligible at any realistic vocabulary).
     */
   def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     val docs = documents.select(col("doc_id"),
-      shingles(col("text"), n).as("sh"))
+      hashedShingles(col("text"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+    // persist: both join sides consume the inverted index — without it the
+    // scan + shingle HOFs (interpreted, the expensive part) run twice
     val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("s"))
     val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
     a.join(b, "s")
@@ -84,10 +100,15 @@ object Dedup {
     * native codegen loop ([[graft.plans.MinHashSig]]) — the interpreted HOF
     * formulation was ~40× slower at k=128.
     */
-  def minhashSignature(sh: Column, k: Int = 128): Column = {
+  def minhashSignature(sh: Column, k: Int = 128): Column =
+    minhashSignatureFromHashes(transform(sh, s => xxhash64(s)), k)
+
+  /** Same, over pre-hashed shingles (array<long>) — used when the caller
+    * already hashed shingles for the verification set-ops.
+    */
+  def minhashSignatureFromHashes(hs: Column, k: Int = 128): Column = {
     val (as, bs) = hashParams(k)
-    graft.plans.NativeKernels.minhashSig(
-      transform(sh, s => xxhash64(s)), as, bs)
+    graft.plans.NativeKernels.minhashSig(hs, as, bs)
   }
 
   /** LSH banding: split the signature into `bands` bands of r rows, hash
@@ -128,9 +149,16 @@ object Dedup {
     */
   def minhashPairs(documents: DataFrame, threshold: Double,
                    n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
+    // shingles hashed to longs once; both the signature kernel and the
+    // verification set-ops run on array<long> (same jaccard as on strings
+    // modulo 64-bit collisions — see jaccardPairs scaladoc).
+    // persist: this subtree feeds three consumers (bucketing + both sides of
+    // the verification join) — without it Spark recomputes shingles 3×. At
+    // warehouse scale this is the materialized signature table.
     val docs = documents
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(
       lshBuckets(docs.select("doc_id", "sig"), "doc_id", "sig", bands, k), "doc_id")
     val sh = docs.select(col("doc_id"), col("sh"))

@@ -32,16 +32,23 @@ object TextAnalysis {
 
   /** Language-ID by marker-token ratio: argmax over [[langMarkers]], ties
     * broken by list order (scores strictly compared left to right).
+    *
+    * Built from a pre-tokenized column (see [[langIdFromTokens]]): the HOF
+    * `filter` is CodegenFallback, so embedding `split(text)` inside each
+    * language's score would re-evaluate the split per language in the
+    * interpreted path — callers should project tokens once below this.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** [[langId]] over an existing token-array column. */
+  def langIdFromTokens(toks: Column): Column = {
     val scored = langMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
-    // left-fold argmax: keep current winner unless a later lang scores strictly higher
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-          when(score > bestScore, score).otherwise(bestScore))
-    }._1
+    // argmax via array_max over (score, priority, lang) structs: each score
+    // is evaluated exactly once, priority breaks ties toward list order
+    val entries = scored.zipWithIndex.map { case ((lang, score), i) =>
+      struct(score.as("score"), lit(-i).as("prio"), lit(lang).as("lang"))
+    }
+    array_max(array(entries: _*)).getField("lang")
   }
 
   /** Per-document stats: token counts (whitespace + BPE-ish), char length,

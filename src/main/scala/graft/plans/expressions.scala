@@ -39,6 +39,9 @@ object NativeKernels {
 
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  def hashedShingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(HashedShingles(ColumnBridge.expression(tokens), n))
 }
 
 /** Dot product of two numeric arrays (float or double elements) as double.
@@ -171,6 +174,84 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** Distinct hashed n-gram shingles of a token array, fused into one pass:
+  * for each window of n consecutive tokens, XXH64 (seed 42 — Spark's
+  * xxhash64) over the UTF8 bytes of the space-joined n-gram; first-seen
+  * distinct hashes in order. Bit-identical to
+  * `array_distinct(transform(ngrams, s => xxhash64(concat_ws(" ", s))))`
+  * but without the interpreted HOF tax (that chain re-evaluates split and
+  * allocates a string per shingle; this copies token bytes into one
+  * reusable buffer). Fewer than n tokens → empty array.
+  */
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashed_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<string>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HashedShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashedShingles.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+object HashedShingles {
+  /** Kernel shared by eval and codegen (codegen emits a call, so the loop is
+    * one JIT-compiled method either way).
+    */
+  def compute(toks: ArrayData, n: Int): GenericArrayData = {
+    val ntok = toks.numElements()
+    if (ntok < n) return new GenericArrayData(Array.emptyLongArray)
+    val tokens = new Array[org.apache.spark.unsafe.types.UTF8String](ntok)
+    var i = 0
+    while (i < ntok) {
+      val t = toks.getUTF8String(i)
+      tokens(i) = if (t == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else t
+      i += 1
+    }
+    var buf = new Array[Byte](64)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](ntok - n + 1)
+    var m = 0
+    var w = 0
+    while (w <= ntok - n) {
+      var len = n - 1 // separators
+      var j = 0
+      while (j < n) { len += tokens(w + j).numBytes(); j += 1 }
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var off = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(off) = ' '; off += 1 }
+        val t = tokens(w + j)
+        t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+        off += t.numBytes()
+        j += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
 }
 
 /** 64-bit SimHash of an array<long> of token hashes: bit b is set iff the

@@ -53,6 +53,22 @@ class NativeKernelsSpec extends SparkSpec {
     assert(fromCodegen(2) === ref(Seq(-5L)))
   }
 
+  test("HashedShingles equals the HOF xxhash64-over-string-shingles chain") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val hof = array_distinct(transform(
+      Dedup.shingles($"text", 3), s => xxhash64(s)))
+    val diff = docs.select(
+        NativeKernels.hashedShingles(split($"text", " "), 3).as("a"),
+        hof.as("b"))
+      .filter($"a" =!= $"b")
+    assert(diff.count() === 0)
+    // short doc (< n tokens) → empty, not reversed-range garbage
+    val short = Seq("one two").toDF("text")
+      .select(NativeKernels.hashedShingles(split($"text", " "), 3).as("a"))
+      .as[Seq[Long]].head()
+    assert(short === Seq.empty)
+  }
+
   test("SQL registration via GraftExtensions works") {
     val dot = spark.sql(
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
