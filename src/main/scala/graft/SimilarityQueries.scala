@@ -25,7 +25,12 @@ object SimilarityQueries {
     // LSH-bucketed approximate top-10 for vec_id 0 — rows-only check here;
     // recall vs the exact path is asserted in SimilaritySpec.
     "ann_topk_lsh" -> ((s, dir) =>
-      Similarity.annTopKLsh(Tables.embeddings(s, dir), 0L, 10))
+      Similarity.annTopKLsh(Tables.embeddings(s, dir), 0L, 10)),
+
+    // IVF (centroid-list) approximate top-10 — rows-only check; exhaustive-
+    // probe equality and partial-probe recall are asserted in IvfSpec.
+    "ann_topk_ivf" -> ((s, dir) =>
+      operators.Ivf.topKIvf(Tables.embeddings(s, dir), 0L, 10))
   )
 
   val oracle: Map[String, String] = Map(

@@ -23,10 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SalesQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ EventQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     SalesQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ EventQueries.oracle ++
-      DedupQueries.oracle ++ SimilarityQueries.oracle
+      DedupQueries.oracle ++ SimilarityQueries.oracle ++
+      MultimodalQueries.oracle
 }

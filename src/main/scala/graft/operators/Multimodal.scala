@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns for LLM-data pipelines.
+  *
+  * Model: media are opaque `binary` columns alongside *typed metadata*
+  * columns, parquet-backed. Parquet is columnar, so metadata-only queries
+  * never read the blob pages — the schema itself is the optimization; keep
+  * blobs and metadata in the same row but never force a blob scan for a
+  * meta predicate.
+  *
+  * The decode step is a clearly-marked deterministic STUB (this container
+  * ships no image/audio codecs): [[MultimodalStub.decode]] computes byte
+  * statistics where a real codec would produce pixels/samples. Everything
+  * around the stub — schema, batched per-partition execution, explode
+  * shapes, feature vectors feeding the ANN path — is real engine plumbing
+  * and is what the specs cover.
+  *
+  * Scale notes: decode/feature-extract run as `mapPartitions` over the
+  * typed Dataset — the Scala analog of batched pandas UDFs: one iterator
+  * per partition, no per-row lambda dispatch, no driver involvement. Blob
+  * partition sizing is governed by `spark.sql.files.maxPartitionBytes`, and
+  * the operators never collect() or shuffle blobs (only ids + features).
+  */
+object Multimodal {
+
+  /** A media asset row: blob + typed metadata. */
+  case class Asset(asset_id: Long, kind: String, content: Array[Byte],
+    width: Int, height: Int, duration_ms: Int)
+
+  /** Stub decode output: byte statistics standing in for decoded content. */
+  case class Decoded(asset_id: Long, kind: String, n_bytes: Long,
+    mean_byte: Double, min_byte: Int, max_byte: Int)
+
+  /** A fixed-width feature vector per asset (hash-projected from bytes) —
+    * the bridge from media to the similarity/dedup operators.
+    */
+  case class AssetFeatures(asset_id: Long, features: Array[Float])
+
+  /** Deterministic asset table derived from `documents`: the text's UTF-8
+    * bytes are the blob (a stand-in payload with realistic variable sizes),
+    * kind cycles image/audio/video by doc_id, metadata is a pure function
+    * of doc_id and length. Mirrors into SQL for the DuckDB oracle
+    * (MultimodalQueries).
+    */
+  def assetsFromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("asset_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("kind"),
+      col("text").cast("binary").as("content"),
+      (pmod(col("doc_id"), lit(8)).cast("int") * 64 + 64).as("width"),
+      (pmod(col("doc_id"), lit(4)).cast("int") * 64 + 64).as("height"),
+      (length(col("text")) * 10).cast("int").as("duration_ms"))
+
+  /** Metadata-only projection — reads zero blob bytes from parquet (column
+    * pruning; asserted by plan in the spec).
+    */
+  def meta(assets: DataFrame): DataFrame =
+    assets.select(col("asset_id"), col("kind"),
+      length(col("content")).cast("long").as("n_bytes"),
+      col("width"), col("height"), col("duration_ms"))
+
+  /** Batched stub decode: one [[Decoded]] row per asset via mapPartitions.
+    * Swap [[MultimodalStub.decode]] for a real codec call per batch in
+    * production; the Spark plumbing (typed Dataset in, typed Dataset out,
+    * per-partition batching) is final.
+    */
+  def decode(assets: Dataset[Asset]): Dataset[Decoded] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(MultimodalStub.decode))
+  }
+
+  /** Stub resize: blob → blob of exactly `w*h` bytes + updated metadata,
+    * same row count (a real impl calls an image library per batch).
+    */
+  def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(a =>
+      a.copy(content = MultimodalStub.resize(a.content, w * h),
+        width = w, height = h)))
+  }
+
+  /** Frame sampling for video assets: every `everyN`-th fixed-size chunk of
+    * the blob becomes a "frame" row (asset_id, frame_no, frame binary) —
+    * the row-explosion shape a real frame sampler produces. Non-video rows
+    * are dropped.
+    */
+  def sampleFrames(assets: Dataset[Asset], everyN: Int,
+                   frameBytes: Int = 256): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video")
+      .flatMap { a =>
+        MultimodalStub.frames(a.content, frameBytes).zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case (f, i) => (a.asset_id, i, f) }
+      }
+      .toDF("asset_id", "frame_no", "frame")
+  }
+
+  /** Hash-projected feature vector per asset (deterministic stand-in for a
+    * real encoder's embedding). Output plugs straight into
+    * [[Similarity]]/[[Ivf]]/[[Dedup.embeddingPairs]].
+    */
+  def features(assets: Dataset[Asset], dim: Int = 16): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(a =>
+      AssetFeatures(a.asset_id, MultimodalStub.features(a.content, dim))))
+  }
+}
+
+/** The stubbed kernels — every function here would call a real codec in
+  * production (STUB: no image/audio libraries in this environment). All are
+  * deterministic pure functions of the input bytes so tests and oracles are
+  * stable.
+  */
+object MultimodalStub {
+
+  def decode(a: Multimodal.Asset): Multimodal.Decoded = {
+    val bs = a.content
+    var sum = 0L; var mn = 255; var mx = 0
+    var i = 0
+    while (i < bs.length) {
+      val v = bs(i) & 0xff
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    val mean = if (bs.length == 0) 0.0 else sum.toDouble / bs.length
+    Multimodal.Decoded(a.asset_id, a.kind, bs.length.toLong, mean,
+      if (bs.length == 0) 0 else mn, mx)
+  }
+
+  /** Truncate-or-cycle bytes to exactly `n` — stands in for pixel resampling. */
+  def resize(bs: Array[Byte], n: Int): Array[Byte] = {
+    if (bs.isEmpty) new Array[Byte](n)
+    else Array.tabulate(n)(i => bs(i % bs.length))
+  }
+
+  /** Fixed-size chunks of the blob — stands in for container demuxing. */
+  def frames(bs: Array[Byte], frameBytes: Int): Seq[Array[Byte]] =
+    bs.grouped(frameBytes).toSeq
+
+  /** dim XXH64 hashes of the blob under different seeds, scaled to
+    * [-1, 1] floats — stands in for an encoder forward pass.
+    */
+  def features(bs: Array[Byte], dim: Int): Array[Float] =
+    Array.tabulate(dim) { d =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bs, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bs.length, d.toLong)
+      (h.toDouble / Long.MaxValue).toFloat
+    }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, Similarity}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("centroid training is deterministic") {
+    val a = Ivf.trainCentroids(emb, 8, iters = 1)
+    val b = Ivf.trainCentroids(emb, 8, iters = 1)
+    assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
+    assert(a.zip(b).forall { case ((_, x), (_, y)) => x.toSeq == y.toSeq })
+  }
+
+  test("every vector lands in exactly one list, lists cover the corpus") {
+    val cents = Ivf.trainCentroids(emb, 8)
+    val idx = Ivf.index(emb, cents)
+    assert(idx.count() === emb.count())
+    val lists = idx.select("list").distinct().as[Int].collect().toSet
+    assert(lists.subsetOf(cents.map(_._1).toSet))
+  }
+
+  test("nprobe = nlist is exhaustive and equals brute-force top-k") {
+    val exact = Similarity.topK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val ivf = Ivf.topKIvf(emb, 0L, 10, nlist = 8, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf === exact)
+  }
+
+  test("partial probing keeps useful recall on the corpus") {
+    val exact = Similarity.topK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Ivf.topKIvf(emb, 0L, 10, nlist = 8, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@nprobe=3 was $recall")
+  }
+}
