@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.SalesClean
+import graft.sources.SalesFixture
+
+/** Physical-plan assertions for the scale-critical properties: these are the
+  * "would it survive 100 TB" checks — pushdown, pruning, broadcastability,
+  * partial aggregation, shuffle-free narrow pipelines — pinned so a future
+  * refactor can't silently regress a plan.
+  */
+class PlansSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def optimized(df: DataFrame): String = df.queryExecution.optimizedPlan.toString
+
+  test("parquet scan pushes filters and prunes columns") {
+    val df = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"),
+      s"filter not pushed to scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("flagship clean pipeline has no shuffle — one narrow codegen span") {
+    val p = plan(SalesClean.cleanDeterministic(
+      SalesFixture.fromLineitem(spark, sfDir).drop("sales_id")))
+    assert(!p.contains("Exchange"), s"unexpected shuffle in narrow pipeline:\n$p")
+    // "*(n)" node prefixes mark whole-stage-codegen stages in toString
+    assert(p.contains("*(1)"), s"codegen missing:\n$p")
+  }
+
+  test("dimension joins broadcast (q5 join chain)") {
+    val p = plan(SparkEntry.queries("q5_join5")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q5:\n$p")
+  }
+
+  test("aggregations are partial (map-side combine before the shuffle)") {
+    val df = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val p = plan(df)
+    // two HashAggregates around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("global top-k runs as TakeOrderedAndProject, not a full sort") {
+    val p = plan(SparkEntry.queries("orders_topk")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is a full sort:\n$p")
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level") {
+    assert(plan(SparkEntry.queries("join_semi")(spark, sfDir)).contains("LeftSemi"))
+    assert(plan(SparkEntry.queries("join_anti")(spark, sfDir)).contains("LeftAnti"))
+  }
+
+  test("events JSON path prunes to the referenced fields") {
+    // from_json with a 1-field schema must not carry the whole props string
+    // past the projection; the scan should read only event_id + props
+    val df = EventQueries.propsTyped(Tables.events(spark, sfDir))
+      .select("event_id", "k")
+    val p = plan(df)
+    assert(p.contains("ReadSchema") && !p.contains("user_id"),
+      s"scan reads unreferenced columns:\n$p")
+  }
+
+  test("native kernels stay inside whole-stage codegen") {
+    val df = Tables.documents(spark, sfDir)
+      .select(graft.plans.NativeKernels.hashedShingles(
+        split(col("text"), " "), 3).as("sh"))
+    val p = plan(df)
+    assert(p.contains("*(1)"), s"kernel fell out of codegen:\n$p")
+    assert(!p.toLowerCase.contains("codegenfallback"), p)
+  }
+}
