@@ -24,11 +24,11 @@ object SparkEntry {
     SalesQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ EventQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     SalesQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ EventQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++ CurationQueries.oracle
 }

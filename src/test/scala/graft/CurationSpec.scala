@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("split is exhaustive, disjoint, and key-stable") {
+    val s = Curation.trainValTest(docs, col("doc_id"))
+    assert(s.count() === docs.count())
+    assert(s.filter(!col("split").isin("train", "val", "test")).count() === 0)
+    // stability: same key ⇒ same split on re-computation
+    val a = s.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Curation.trainValTest(docs, col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a === b)
+    // rough proportions (md5 is uniform; 500 docs → generous bounds)
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("hash sample is a subset and matches the split buckets") {
+    val sample = Curation.hashSample(docs, col("doc_id"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(sample.subsetOf(all))
+    assert(sample.size < all.size / 5) // ≈10%, generous upper bound
+  }
+
+  test("redactPii replaces emails, cards, and phones, leaves clean text") {
+    val out = Seq(
+      "mail me at a.b+c@example.co.uk today",
+      "card 4111 1111 1111 1111 ok",
+      "call +1 555-0199 now",
+      "clean text with no pii at all")
+      .toDF("text")
+      .select(Curation.redactPii($"text").as("r")).as[String].collect()
+    assert(out(0) === "mail me at <EMAIL> today")
+    assert(out(1) === "card <CARD> ok")
+    assert(out(2) === "call <PHONE> now")
+    assert(out(3) === "clean text with no pii at all")
+  }
+
+  test("chunking covers every token with the declared stride and overlap") {
+    val df = Seq((1L, (1 to 150).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Curation.chunk(df, 64, 8)
+      .orderBy("chunk_no")
+      .select("chunk_no", "n_chunk_tokens", "chunk_text")
+      .as[(Int, Int, String)].collect()
+    // 150 tokens, stride 56: chunks at 0, 56, 112 → sizes 64, 64, 38
+    assert(chunks.map(_._1).toSeq === Seq(0, 1, 2))
+    assert(chunks.map(_._2).toSeq === Seq(64, 64, 38))
+    assert(chunks(0)._3.startsWith("t1 ") && chunks(1)._3.startsWith("t57 ") &&
+      chunks(2)._3.startsWith("t113 "))
+    // overlap: last 8 tokens of chunk 0 are the first 8 of chunk 1
+    val c0 = chunks(0)._3.split(" ").takeRight(8).toSeq
+    val c1 = chunks(1)._3.split(" ").take(8).toSeq
+    assert(c0 === c1)
+  }
+
+  test("short docs yield exactly one chunk equal to the document") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.chunk(df, 64, 8).select("chunk_no", "chunk_text")
+      .as[(Int, String)].collect()
+    assert(out.toSeq === Seq((0, "a b c")))
+  }
+}
