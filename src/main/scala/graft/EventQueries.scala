@@ -69,7 +69,26 @@ object EventQueries {
     "events_props_typed" -> ((s, dir) =>
       propsTyped(Tables.events(s, dir))
         .select(col("event_id"), col("k"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // As-of join: each purchase matched to the user's latest click at or
+    // before it (null if none) — union+window operator, one shuffle; the
+    // oracle is DuckDB's native ASOF LEFT JOIN. (user_id, ts) is unique in
+    // the fixture, so no right-side pre-aggregation is needed.
+    "events_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      operators.AsofJoin.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("ts_sec"),
+          col("click_id"), col("click_value"))
+        .orderBy("event_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -101,6 +120,15 @@ object EventQueries {
     "events_props_typed" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "events_asof" ->
+      """SELECT v.event_id, v.user_id,
+        |  CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS ts_sec,
+        |  c.event_id AS click_id, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND v.ts >= c.ts
+        |ORDER BY v.event_id""".stripMargin
   )
 }

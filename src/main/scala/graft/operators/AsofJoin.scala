@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join — for every left row, the latest right row with
+  * `right.ts <= left.ts` within the same `by` key. Spark has no built-in
+  * as-of; the naive range join explodes to |L|·|R| per key. This is the
+  * scalable union+window formulation:
+  *
+  *   1. tag both inputs and union them (right payload columns are null on
+  *      left rows and vice versa);
+  *   2. one shuffle: window partitioned by the key, ordered by
+  *      (ts, side) with side ordering right-before-left so an equal
+  *      timestamp matches (<= semantics, same as DuckDB's ASOF JOIN);
+  *   3. `last(payload, ignoreNulls)` over rows unbounded-preceding..current
+  *      carries the most recent right payload forward;
+  *   4. keep the left rows.
+  *
+  * Cost: exactly one hash shuffle of |L|+|R| rows on the by-key and a
+  * streaming window — no pair explosion, skew handled by AQE like any
+  * other window. Right rows must be unique per (by, ts) for deterministic
+  * payloads; pre-aggregate if not (see EventQueries.asofViewClick).
+  */
+object AsofJoin {
+
+  /** @param rightPayload right columns to carry; every other right column
+    *                     is dropped. Left keeps all its columns.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               byCol: String, tsCol: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+    val r = right.select(
+      (Seq(byCol, tsCol).map(col) :+ lit(0).as("_side")) ++
+        rightPayload.map(c => col(c).as(s"_r_$c")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(byCol)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(u) { (df, c) =>
+      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .drop("_side")
+      .withColumnsRenamed(rightPayload.map(c => s"_r_$c" -> c).toMap)
+  }
+}
