@@ -33,7 +33,10 @@ object Ivf {
     * steps. Returns (centroidId, unit-normalized centroid), driver-side.
     */
   def trainCentroids(embeddings: DataFrame, nlist: Int, iters: Int = 2): Array[(Int, Array[Double])] = {
+    // persist: seeds + each Lloyd iteration re-scan this — without it the
+    // parquet scan and the per-row normalization run iters+1 times
     val emb = embeddings.select(col("vec_id"), normalized(col("embedding")).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val seedIds = emb.select(col("vec_id"),
         pmod(xxhash64(col("vec_id")), lit(nlist)).as("bucket"))
@@ -64,6 +67,7 @@ object Ivf {
         .sortBy(_._1)
       cents = next
     }
+    emb.unpersist()
     cents
   }
 

@@ -65,6 +65,18 @@ object Streams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup on a key column: keeps the first arrival of each
+    * key, with state bounded by the event-time watermark
+    * (dropDuplicatesWithinWatermark) — keys older than the watermark are
+    * evicted, so state is O(keys inside the watermark window), not O(stream
+    * length). The batch twin is Dedup.exactByKey; parity on in-window data
+    * is asserted in StreamingSpec.
+    */
+  def dedupStream(df: DataFrame, keyCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Per-user session state for [[sessionize]]: count of events and sessions
     * seen so far, and the last event time (epoch seconds).
     */

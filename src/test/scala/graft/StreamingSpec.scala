@@ -100,6 +100,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming dedup keeps one row per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    input.addData(Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("b", Timestamp.valueOf("2024-01-01 00:01:00")),
+      ("a", Timestamp.valueOf("2024-01-01 00:02:00")))) // dup in-batch
+    val q = Streams.dedupStream(
+        input.toDF().toDF("k", "ts"), "k", "ts")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:03:00")), // dup across batches
+      ("c", Timestamp.valueOf("2024-01-01 00:04:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_stream").select("k").as[String]
+      .collect().sorted
+    assert(keys.toSeq === Seq("a", "b", "c"))
+  }
+
   test("stateful sessionize matches the batch window sessionization") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
