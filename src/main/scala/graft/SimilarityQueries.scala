@@ -30,8 +30,33 @@ object SimilarityQueries {
     // IVF (centroid-list) approximate top-10 — rows-only check; exhaustive-
     // probe equality and partial-probe recall are asserted in IvfSpec.
     "ann_topk_ivf" -> ((s, dir) =>
-      operators.Ivf.topKIvf(Tables.embeddings(s, dir), 0L, 10))
+      operators.Ivf.topKIvf(Tables.embeddings(s, dir), 0L, 10)),
+
+    // Same contract as ann_knn_join through the k-bounded TopK aggregator
+    // (shuffle ships ≤k rows/partition/query instead of all candidates) —
+    // shares the window formulation's oracle.
+    "ann_knn_agg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnJoinAgg(emb, emb.filter(col("vec_id") < 10), 3)
+        .orderBy("query_id", "rn")
+    })
   )
+
+  // shared by the window (ann_knn_join) and aggregator (ann_knn_agg)
+  // formulations — same contract, two physical strategies
+  private val knnSql: String =
+    s"""WITH s AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    (${dotSql("e.embedding", "q.embedding")})
+       |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |         * sqrt(${dotSql("q.embedding", "q.embedding")})) AS cosine
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+       |SELECT query_id, neighbor_id, cosine, rn FROM r
+       |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ann_topk" ->
@@ -45,18 +70,7 @@ object SimilarityQueries {
          |ORDER BY cosine DESC, e.vec_id
          |LIMIT 10""".stripMargin,
 
-    "ann_knn_join" ->
-      s"""WITH s AS (
-         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         |    (${dotSql("e.embedding", "q.embedding")})
-         |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
-         |         * sqrt(${dotSql("q.embedding", "q.embedding")})) AS cosine
-         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 10),
-         |r AS (SELECT query_id, neighbor_id, cosine,
-         |  ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
-         |SELECT query_id, neighbor_id, cosine, rn FROM r
-         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+    "ann_knn_join" -> knnSql,
+    "ann_knn_agg" -> knnSql
   )
 }

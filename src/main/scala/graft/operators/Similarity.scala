@@ -50,6 +50,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rn")
   }
 
+  /** [[knnJoin]] with the k-bounded [[graft.functions.TopK]] aggregate in
+    * place of the window: identical output, but the shuffle carries at most
+    * k rows per partition per query instead of every scored candidate —
+    * the corpus-scale formulation (oracle-shared with knnJoin).
+    */
+  def knnJoinAgg(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    embeddings.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topK(k)(
+        col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rn"))
+  }
+
   // ---- Hyperplane LSH (approximate, the scale path) ----
 
   /** Deterministic pseudo-random hyperplanes: `tables × bits` planes of

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities. AQE's skew-join handling covers joins at
+  * runtime; these cover the aggregation side, where one hot key can pin a
+  * whole stage on a single task.
+  *
+  * Salted two-phase aggregation: groupBy(key, salt) first — the hot key's
+  * rows spread over `salts` tasks and combine map-side — then a second,
+  * tiny aggregation over the per-salt partials merges them. Works for any
+  * algebraic aggregate (sum/count/min/max and anything decomposable into
+  * partial + merge).
+  *
+  * The salt is a hash of deterministic row content, NOT rand(): same data
+  * ⇒ same salted plan ⇒ reproducible results and retriable tasks (a
+  * rand() salt breaks task retry idempotence).
+  */
+object Skew {
+
+  /** Deterministic salt in [0, salts) from arbitrary content columns. */
+  def salt(salts: Int, content: Column*): Column =
+    pmod(xxhash64(content: _*), lit(salts))
+
+  /** Salted count+sum per key — the two-phase shape. `saltContent` must be
+    * deterministic per row (e.g. the row's unique id), never rand().
+    */
+  def saltedAgg(df: DataFrame, key: Column, value: Column,
+                saltContent: Column, salts: Int = 16): DataFrame =
+    df.groupBy(key.as("key"), salt(salts, saltContent).as("_salt"))
+      .agg(count(lit(1)).as("_n"),
+        sum(value.cast("decimal(18,2)")).as("_s"))
+      .groupBy(col("key"))
+      .agg(sum("_n").as("n"), sum("_s").cast("double").as("total"))
+}
