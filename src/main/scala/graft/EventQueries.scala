@@ -71,6 +71,19 @@ object EventQueries {
         .select(col("event_id"), col("k"))
         .orderBy("event_id")),
 
+    // Native session windows (session_window merges events whose [ts,
+    // ts+gap) windows overlap — an event exactly gap later starts a NEW
+    // session, hence the >= split in the oracle's gaps-and-islands form).
+    "events_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          col("sw.start").cast("long").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+
     // As-of join: each purchase matched to the user's latest click at or
     // before it (null if none) — union+window operator, one shuffle; the
     // oracle is DuckDB's native ASOF LEFT JOIN. (user_id, ts) is unique in
@@ -121,6 +134,25 @@ object EventQueries {
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "events_session_window" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t)
+        |SELECT user_id,
+        |  CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "events_asof" ->
       """SELECT v.event_id, v.user_id,

@@ -32,6 +32,13 @@ object SimilarityQueries {
     "ann_topk_ivf" -> ((s, dir) =>
       operators.Ivf.topKIvf(Tables.embeddings(s, dir), 0L, 10)),
 
+    // Corpus×corpus kNN through LSH buckets + TopK aggregate — the linear
+    // layout for all-pairs similarity. Rows-only check (probabilistic);
+    // recall vs exact kNN asserted in SimilaritySpec.
+    "ann_knn_lsh_all" -> ((s, dir) =>
+      Similarity.knnJoinLsh(Tables.embeddings(s, dir), 3)
+        .orderBy("query_id", "rn")),
+
     // Same contract as ann_knn_join through the k-bounded TopK aggregator
     // (shuffle ships ≤k rows/partition/query instead of all candidates) —
     // shares the window formulation's oracle.

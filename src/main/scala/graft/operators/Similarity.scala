@@ -99,6 +99,34 @@ object Similarity {
       posexplode(buckets).as(Seq("table", "bucket")))
   }
 
+  /** Corpus×corpus approximate kNN — top-k neighbors for EVERY vector.
+    * The brute-force all-pairs is O(n²) in compute and shuffle; this is
+    * the linear-cost layout: bucket every vector once per LSH table
+    * (`tables` rows each), self-join on (table, bucket) to get candidate
+    * pairs, dedupe, exact re-rank, then the k-bounded TopK aggregate.
+    * Shuffle cost ∼ Σ bucket², governed by (tables, bits) — at scale,
+    * raise `bits` to keep buckets small and `tables` to keep recall.
+    * Recall vs the exact kNN join is asserted in SimilaritySpec.
+    */
+  def knnJoinLsh(embeddings: DataFrame, k: Int,
+                 tables: Int = 8, bits: Int = 4): DataFrame = {
+    val idx = lshIndex(embeddings, tables, bits).select("vec_id", "table", "bucket")
+    val pairs = idx.select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+      .join(idx.select(col("vec_id").as("neighbor_id"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val q = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val n = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    pairs.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("n_emb")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topK(k)(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rn"))
+  }
+
   /** Approximate top-k via LSH: probe the query's bucket in each table,
     * union candidates, exact re-rank. Recall depends on (tables, bits);
     * verified against [[topK]] in the spec.

@@ -43,6 +43,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2) // random-vector corpus: a conservative floor
   }
 
+  test("corpus-wide LSH kNN: true cosines, useful mean recall vs exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.knnJoin(emb, emb, 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val approx = Similarity.knnJoinLsh(emb, 3)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    // spot-check scores are exact cosines for query 0
+    val exactAll = Similarity.topK(emb, 0L, 499).as[(Long, Double)].collect().toMap
+    approx.filter(_._1 == 0L).foreach { case (_, id, c) =>
+      assert(math.abs(exactAll(id) - c) < 1e-12)
+    }
+    val byQuery = approx.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exact.map { case (q, ex) =>
+      byQuery.get(q).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"corpus kNN mean recall@3 = $mean (tables=8, bits=4)")
+    assert(mean >= 0.3) // random-vector corpus floor; planted dups score ~1
+  }
+
   test("LSH index is deterministic across invocations") {
     val emb = Tables.embeddings(spark, sfDir)
     val a = Similarity.lshIndex(emb).select("vec_id", "table", "bucket")
