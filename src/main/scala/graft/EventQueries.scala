@@ -84,6 +84,25 @@ object EventQueries {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")),
 
+    // Bucketed range join: clicks landing inside each purchase's 1-hour
+    // follow-up window, counted per purchase. The operator explodes windows
+    // into hour buckets and equi-joins — linear shuffle — and the oracle is
+    // the naive range join, proving bucket+filter ≡ BETWEEN semantics.
+    "events_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"),
+          col("event_id").as("purchase_id"))
+      operators.RangeJoin.pointInInterval(clicks, purchases,
+          "user_id", "ts", "w_start", "w_end", Seq("purchase_id"))
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("purchase_id")
+    }),
+
     // As-of join: each purchase matched to the user's latest click at or
     // before it (null if none) — union+window operator, one shuffle; the
     // oracle is DuckDB's native ASOF LEFT JOIN. (user_id, ts) is unique in
@@ -153,6 +172,14 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "events_range_join" ->
+      """SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_asof" ->
       """SELECT v.event_id, v.user_id,
