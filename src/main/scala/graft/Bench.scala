@@ -37,7 +37,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // queries persist() intermediates (signature tables, inverted
+      // indexes); drop them so one query's cache doesn't GC-tax the next
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
