@@ -136,7 +136,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           dsum("o_totalprice").as("total_price"))
         .orderBy(asc_nulls_first("o_orderstatus"),
-          asc_nulls_first("o_orderpriority")))
+          asc_nulls_first("o_orderpriority"))),
+
+    // Full cube over the same pair — all four grouping sets.
+    "cube_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))),
+
+    // Exact quantiles (sort-based interpolated percentile): Spark's
+    // percentile == DuckDB's quantile_cont, both (n-1)p linear interp.
+    "quantiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        .orderBy("l_returnflag"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -225,6 +245,22 @@ object RelationalQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

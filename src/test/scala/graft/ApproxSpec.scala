@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.TopK
+
+/** Approximate/sketch aggregates (HLL distinct, approx quantiles) — no SQL
+  * oracle possible (engine-specific sketches), so these are tolerance-bound
+  * against the exact answers; plus randomized TopK-vs-sort properties.
+  */
+class ApproxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct within 5% of exact on the corpus") {
+    val li = Tables.lineitem(spark, sfDir)
+    val (approx, exact) = li.agg(
+        approx_count_distinct("l_partkey", 0.02).as("a"),
+        countDistinct("l_partkey").as("e"))
+      .as[(Long, Long)].head()
+    val err = math.abs(approx - exact).toDouble / exact
+    info(s"HLL err = $err (approx=$approx exact=$exact)")
+    assert(err <= 0.05)
+  }
+
+  test("approx_percentile brackets the exact percentile") {
+    val li = Tables.lineitem(spark, sfDir)
+    val (approx, lo, hi) = li.agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a"),
+        expr("percentile(l_extendedprice, 0.45)").as("lo"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi"))
+      .as[(Double, Double, Double)].head()
+    assert(approx >= lo && approx <= hi,
+      s"approx p50 $approx outside [$lo, $hi]")
+  }
+
+  test("TopK aggregator equals sort-take on random inputs (property)") {
+    val gen = Gen.listOfN(200, for {
+      id <- Gen.choose(0L, 50L) // small id space forces score ties
+      s <- Gen.choose(0, 20).map(_ / 10.0) // coarse grid forces ties too
+    } yield TopK.Scored(id, s))
+    for (seed <- 1L to 8L) {
+      val xs = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      val agg = new TopK.TopKAggregator(5)
+      // random split points exercise merge associativity
+      val cut1 = (seed * 37 % 200).toInt
+      val (a, rest) = xs.splitAt(cut1)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      def fold(part: Seq[TopK.Scored]) = part.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(agg.merge(fold(a), fold(b)), fold(c))
+      // duplicates count separately, exactly as window row_number would
+      val reference = xs.sortBy(x => (-x.score, x.id)).take(5)
+      assert(merged === reference, s"seed=$seed")
+    }
+  }
+}
