@@ -100,6 +100,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming session_window agg equals the batch session grouping") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val evts = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0), // same session
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 4.0), // gap > 30m → new
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00"), 8.0))
+    input.addData(evts)
+    val q = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n"), col("v"))
+      .writeStream.format("memory").queryName("sess_win_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(Seq((9L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0)))
+    q.processAllAvailable() // watermark passes, all sessions emit
+    q.stop()
+
+    val streamed = spark.table("sess_win_stream").filter($"user_id" =!= 9L)
+    val batch = evts.toDF("user_id", "ts", "value")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n"), col("v"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() === 3) // user1 × 2 sessions + user2 × 1
+  }
+
   test("streaming dedup keeps one row per key within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
