@@ -24,6 +24,14 @@ object CurationQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Stratified mixing: downsample en to 20%, keep 80% of es/de, drop
+    // the rest — the domain-reweighting primitive, key-stable like cur_split.
+    "cur_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(Tables.documents(s, dir), col("doc_id"),
+          col("lang"), Map("en" -> 20, "es" -> 80, "de" -> 80))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
     // PII redaction parity: inject synthetic PII (the corpus has none),
     // redact, fingerprint the result. Proves Java-regex vs RE2 agreement
     // on the exact patterns shipped.
@@ -61,6 +69,12 @@ object CurationQueries {
     "cur_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $bucket < 10 ORDER BY doc_id""".stripMargin,
+
+    "cur_stratified" ->
+      s"""SELECT lang, COUNT(*) AS n_docs FROM documents
+         |WHERE $bucket < CASE lang WHEN 'en' THEN 20
+         |  WHEN 'es' THEN 80 WHEN 'de' THEN 80 ELSE 0 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "cur_redact" ->
       """WITH dirty AS (

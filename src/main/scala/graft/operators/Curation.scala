@@ -44,6 +44,19 @@ object Curation {
   def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key, 100) < pct)
 
+  /** Stratified deterministic sampling: per-stratum percentage rates
+    * (e.g. downsample dominant languages, keep all of rare ones) — the
+    * domain-mixing primitive of training-data pipelines. Strata absent
+    * from `rates` are dropped. Same md5-bucket law as [[hashSample]].
+    */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+                       rates: Map[String, Int]): DataFrame = {
+    val rate = rates.foldLeft(lit(0)) { case (acc, (s, pct)) =>
+      when(strata === s, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, 100) < rate)
+  }
+
   /** PII redaction: emails, then phone-shaped digit runs, then 16-digit
     * card-shaped runs, replaced with typed placeholder tags. Order matters
     * (emails contain digit runs); each pass is one codegen'd
