@@ -42,6 +42,15 @@ object TextQueries {
     "text_termfreq" -> ((s, dir) =>
       TextAnalysis.termFrequency(Tables.documents(s, dir), 20)),
 
+    // Intra-document repetition: share of 3-gram occurrences that repeat
+    // an earlier 3-gram (Gopher-style boilerplate signal).
+    "text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.r4(TextAnalysis.repetitionRatio(col("text"), 3))
+            .as("rep_ratio"))
+        .orderBy("doc_id")),
+
     // Content fingerprint (md5 of normalized text) — exact-dup key.
     "text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -120,6 +129,22 @@ object TextQueries {
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    GREATEST(len(toks) - 2, 0) AS total,
+        |    len(list_distinct(list_transform(
+        |      range(1, GREATEST(len(toks) - 2, 0) + 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS dn
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN total = 0 THEN 0.0
+        |       ELSE FLOOR(CAST(total - dn AS DOUBLE) / total * 10000.0 + 0.5)
+        |            / 10000.0 END AS rep_ratio
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

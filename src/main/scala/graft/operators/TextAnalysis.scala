@@ -100,6 +100,19 @@ object TextAnalysis {
       .orderBy(desc("freq"), col("token"))
       .limit(topK)
 
+  /** Repetition ratio — fraction of n-gram occurrences that are repeats of
+    * an earlier n-gram in the same document (0 = no repetition). The
+    * intra-document twin of corpus-level dedup: high values flag boilerplate
+    * and degenerate generations in training data.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    val total = greatest(size(toks) - (n - 1), lit(0))
+    val distinctN = size(graft.plans.NativeKernels.hashedShingles(toks, n))
+    when(total === 0, 0.0)
+      .otherwise((total - distinctN).cast("double") / total)
+  }
+
   /** Content fingerprint (md5 of normalized text) — exact-dup key that's
     * stable across engines. Normalization: lowercase + collapse whitespace.
     */

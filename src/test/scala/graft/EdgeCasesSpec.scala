@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Degenerate-input behavior: empty tables, single rows, all-duplicate
+  * corpora. At 100 TB some partition is always empty or degenerate — these
+  * pin that no operator throws or mis-counts on the boundary.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup operators on an empty corpus return empty, not errors") {
+    assert(Dedup.exactByKey(emptyDocs,
+      graft.operators.TextAnalysis.fingerprintMd5(col("text")), "doc_id").count() === 0)
+    assert(Dedup.jaccardPairs(emptyDocs, 0.5).count() === 0)
+    assert(Dedup.minhashPairs(emptyDocs, 0.5).count() === 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() === 0)
+  }
+
+  test("an all-duplicate corpus collapses to one survivor and all pairs") {
+    val docs = (1L to 5L).map(i => (i, "same exact text here repeated"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.exactByKey(docs,
+      graft.operators.TextAnalysis.fingerprintMd5(col("text")), "doc_id")
+      .select($"doc_id", $"n_copies").as[(Long, Long)].collect()
+    assert(exact.toSeq === Seq((1L, 5L))) // min doc_id survives, 5 copies
+    // every unordered pair appears once with jaccard 1.0
+    val pairs = Dedup.jaccardPairs(docs, 0.99).count()
+    assert(pairs === 10) // C(5,2)
+  }
+
+  test("repetition ratio: 0 on unique trigram text, ~1 on degenerate text") {
+    val out = Seq(
+      (1L, "a b c d e f"),            // all trigrams unique → 0
+      (2L, "x x x x x x x x x x"),    // one distinct trigram of 8 → 7/8
+      (3L, "ab"))                     // < n tokens → 0 by definition
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.repetitionRatio($"text", 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) === 0.0)
+    assert(math.abs(out(2L) - 7.0 / 8.0) < 1e-12)
+    assert(out(3L) === 0.0)
+  }
+
+  test("chunking and stats survive an empty corpus and empty text") {
+    assert(Curation.chunk(emptyDocs, 64, 8).count() === 0)
+    val one = Seq((1L, "")).toDF("doc_id", "text")
+    // empty string splits to [""]: one token, one 1-token chunk
+    val c = Curation.chunk(one, 64, 8).select("n_chunk_tokens").as[Int].collect()
+    assert(c.toSeq === Seq(1))
+    assert(TextAnalysis.stats(one).count() === 1)
+  }
+
+  test("as-of and range joins with empty right side keep/drop left correctly") {
+    val left = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 10L))
+      .toDF("user_id", "ts", "event_id")
+    val rightEmpty = Seq.empty[(Long, Timestamp, Long)]
+      .toDF("user_id", "ts", "click_id")
+    val asof = AsofJoin.asofJoin(left, rightEmpty, "user_id", "ts", Seq("click_id"))
+    assert(asof.count() === 1) // left join semantics: row kept, null payload
+    assert(asof.filter($"click_id".isNull).count() === 1)
+
+    val rightEmptyIv = Seq.empty[(Long, Timestamp, Timestamp, Long)]
+      .toDF("user_id", "w_start", "w_end", "purchase_id")
+    val rj = RangeJoin.pointInInterval(left, rightEmptyIv,
+      "user_id", "ts", "w_start", "w_end", Seq("purchase_id"))
+    assert(rj.count() === 0) // inner join semantics: no intervals, no rows
+  }
+
+  test("similarity on a single-vector corpus yields no neighbors") {
+    val one = Seq((0L, Array.fill(Similarity.dim)(0.5f), "x"))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.topK(one, 0L, 5).count() === 0)
+    assert(Dedup.embeddingPairs(one, 0.0).count() === 0)
+  }
+}
