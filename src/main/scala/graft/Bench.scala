@@ -31,7 +31,7 @@ object Bench {
       try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -41,7 +41,14 @@ object Bench {
       // queries persist() intermediates (signature tables, inverted
       // indexes); drop them so one query's cache doesn't GC-tax the next
       spark.catalog.clearCache()
-      name -> t
+      t
+    }
+    // two passes, min per query: absorbs JIT warmup and host-level noise —
+    // the metric is steady-state throughput, not first-run latency
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (n, fn) => n -> timeOnce(n, fn) }
+    val results = ordered.map { case (n, fn) =>
+      n -> math.min(pass1.toMap.apply(n), timeOnce(n, fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -148,14 +148,18 @@ object RelationalQueries {
 
     // Exact quantiles (sort-based interpolated percentile): Spark's
     // percentile == DuckDB's quantile_cont, both (n-1)p linear interp.
+    // Array form: ONE sort buffer per group serves all four points —
+    // four scalar percentile aggs would each buffer the whole column.
     "quantiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, 0.25)").as("p25"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75"),
-          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))")
+          .as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"),
+          element_at(col("qs"), 4).as("p99"))
         .orderBy("l_returnflag"))
   )
 
