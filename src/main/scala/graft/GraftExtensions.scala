@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.plans.{MinHashSig, SimHash64, VecDot}
+import graft.plans.{HashedShingles, MinHashSig, SimHash64, VecDot}
 
 /** SparkSessionExtensions hook exposing the native kernels to SQL:
   *
@@ -28,6 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShingles].getName, "hashed_shingles"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hashed_shingles(tokens, n): n must be an integer literal, got $other")
+        }
+        HashedShingles(children.head, n)
+      }))
 
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),

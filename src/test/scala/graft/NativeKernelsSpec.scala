@@ -84,5 +84,12 @@ class NativeKernelsSpec extends SparkSpec {
       "SELECT minhash_sig(array(xxhash64('x')), 8) AS s")
       .as[Seq[Long]].head()
     assert(sig.length === 8)
+    val hs = spark.sql(
+      "SELECT hashed_shingles(array('a','b','c','d'), 3) AS h")
+      .as[Seq[Long]].head()
+    assert(hs === Seq(xxhash64OfString("a b c"), xxhash64OfString("b c d")))
   }
+
+  private def xxhash64OfString(s: String): Long =
+    Seq(s).toDF("t").select(xxhash64($"t")).as[Long].head()
 }
