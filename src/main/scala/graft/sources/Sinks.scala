@@ -24,6 +24,18 @@ object Sinks {
   def partitionedParquet(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Range-partitioned, internally-sorted parquet: every output file owns a
+    * disjoint range of `sortCol`, so parquet row-group min/max statistics
+    * let a selective scan skip whole files (data skipping — the scan-side
+    * complement to partition pruning when the column is too fine-grained
+    * to partition by, e.g. timestamps).
+    */
+  def sortedParquet(df: DataFrame, path: String, sortCol: String,
+                    files: Int = 8): Unit =
+    df.repartitionByRange(files, df.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Bucketed + sorted managed table (bucketBy requires the table catalog).
     * Joining two tables bucketed identically on the join key is
     * shuffle-free; sortBy additionally enables sort-merge without a sort.

@@ -25,6 +25,24 @@ class SinksSpec extends SparkSpec {
     assert(n === expected)
   }
 
+  test("range-sorted layout gives files disjoint min/max ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    Sinks.sortedParquet(Tables.orders(spark, sfDir), dir, "o_orderdate", 4)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      .select("lo", "hi")
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].collect()
+      .sortBy(_._1.getTime)
+    assert(ranges.length >= 2)
+    // each file's min is at or after the previous file's max → a predicate
+    // on o_orderdate overlaps at most ceil(selectivity·files)+1 files
+    ranges.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(!loB.before(hiA), s"overlapping file ranges: $hiA vs $loB")
+    }
+    assert(spark.read.parquet(dir).count() === Tables.orders(spark, sfDir).count())
+  }
+
   test("co-bucketed tables join without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
