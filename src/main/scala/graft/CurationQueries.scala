@@ -44,6 +44,18 @@ object CurationQueries {
           md5(Curation.redactPii(col("dirty"))).as("fp_redacted"))
         .orderBy("doc_id")),
 
+    // Best-docs-under-budget: highest-quality documents until 10k tokens.
+    "cur_budget" -> ((s, dir) => {
+      val scored = graft.operators.TextAnalysis
+        .qualityScore(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("quality"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Curation.selectUnderBudget(scored, col("quality"), col("doc_id"),
+          col("n_tokens"), 10000L)
+        .orderBy("doc_id")
+    }),
+
     // Context-window chunking: 64-token windows, 8-token overlap.
     "cur_chunks" -> ((s, dir) =>
       Curation.chunk(Tables.documents(s, dir), 64, 8)
@@ -91,6 +103,26 @@ object CurationQueries {
         |    '(?:\+\d{1,3}[ -])?(?:\(\d{2,4}\)[ -]?)?\b\d{3}[ -]\d{3,4}(?:[ -]\d{3,4})?\b',
         |    '<PHONE>', 'g')) AS fp_redacted
         |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    "cur_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    FLOOR((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 0.3
+        |      + LEAST(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3)
+        |      * 10000.0 + 0.5) / 10000.0 AS quality,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS running
+        |  FROM q)
+        |SELECT doc_id, quality, n_tokens FROM r
+        |WHERE running <= 10000 ORDER BY doc_id""".stripMargin,
 
     "cur_chunks" ->
       """WITH t AS (

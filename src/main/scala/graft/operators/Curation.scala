@@ -74,6 +74,24 @@ object Curation {
       "<PHONE>")
   }
 
+  /** Budget-capped selection: rank rows by `rank` (desc, ties by `key`
+    * asc) and keep the prefix whose running `cost` total stays within
+    * `budget` — "give me the best documents up to N tokens", the data-
+    * selection primitive of training-set construction. One window over the
+    * rank order; at warehouse scale pre-aggregate per rank-bucket first if
+    * a single ordered window becomes the bottleneck.
+    */
+  def selectUnderBudget(df: DataFrame, rank: Column, key: Column,
+                        cost: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(rank.desc, key.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("_running_cost", sum(cost).over(w))
+      .filter(col("_running_cost") <= budget)
+      .drop("_running_cost")
+  }
+
   /** Context-window chunking: whitespace tokens packed into windows of
     * `chunkTokens` with `overlap` tokens carried between consecutive
     * chunks. Emits (…, chunk_no, chunk_text, n_chunk_tokens). Stride =
