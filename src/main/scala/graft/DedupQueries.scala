@@ -49,7 +49,16 @@ object DedupQueries {
     // Embedding-cosine near-dup pairs (exact, ≥ 0.4).
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.embeddings(s, dir), 0.4)
-        .orderBy("vec_a", "vec_b"))
+        .orderBy("vec_a", "vec_b")),
+
+    // Corpus duplication-rate KPI: docs vs distinct fingerprints, 4-dp.
+    "dedup_rate" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprintMd5(col("text"))).as("n_distinct"))
+        .select(col("n_docs"), col("n_distinct"),
+          (floor((col("n_docs") - col("n_distinct")).cast("double")
+            / col("n_docs") * 10000.0 + 0.5) / 10000.0).as("dup_rate")))
   )
 
   private val jaccardSql: String =
@@ -83,6 +92,13 @@ object DedupQueries {
 
     "dedup_jaccard_pairs" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
+
+    "dedup_rate" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct,
+        |  FLOOR(CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS DOUBLE)
+        |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS dup_rate
+        |FROM documents""".stripMargin,
 
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
