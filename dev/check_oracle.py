@@ -25,6 +25,24 @@ for t in TABLES:
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+def kinds(df):
+    """Dtype kind per column BEFORE canonicalization — the driver hashes raw
+    values, so an int64 (Spark) vs float64 (DuckDB HUGEINT via pandas)
+    mismatch breaks its hash even when the numbers are equal."""
+    out = {}
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            out[c] = "t"
+        elif pd.api.types.is_float_dtype(df[c]):
+            out[c] = "f"
+        elif pd.api.types.is_integer_dtype(df[c]):
+            out[c] = "i"
+        elif pd.api.types.is_bool_dtype(df[c]):
+            out[c] = "b"
+        else:
+            out[c] = "o"
+    return out
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -45,9 +63,11 @@ for name in sorted(oracle):
         print(f"FAIL {name}: no spark result at {res_dir}")
         n_fail += 1
         continue
-    spark_df = canon(pq.read_table(files[0]).to_pandas())
+    spark_raw = pq.read_table(files[0]).to_pandas()
+    spark_df = canon(spark_raw)
     try:
-        duck_df = canon(con.execute(oracle[name]).fetchdf())
+        duck_raw = con.execute(oracle[name]).fetchdf()
+        duck_df = canon(duck_raw)
     except Exception as e:
         print(f"FAIL {name}: duckdb error: {e}")
         n_fail += 1
@@ -58,6 +78,18 @@ for name in sorted(oracle):
         continue
     if len(spark_df) != len(duck_df):
         print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+        n_fail += 1
+        continue
+    # dtype-kind parity (the driver hashes raw values; int64 vs float64 with
+    # equal numbers still hash-mismatches — e.g. DuckDB HUGEINT sums)
+    sk, dk = kinds(spark_raw), kinds(duck_raw)
+    kind_bad = [(c, sk[c], dk[c]) for c in spark_df.columns
+                if sk[c] != dk[c]
+                and not (spark_raw[c].isna().any() or duck_raw[c].isna().any())]
+    if kind_bad:
+        print(f"FAIL {name}: dtype-kind mismatches (driver hash would differ):")
+        for c, a, b in kind_bad:
+            print(f"  col={c} spark_kind={a} duck_kind={b}")
         n_fail += 1
         continue
     # exact-value compare (the driver hashes values, so approximate equality isn't enough)

@@ -126,7 +126,7 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "events_json_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(SUM(CAST(CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE)
         |    / COUNT(*) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -145,8 +145,8 @@ object EventQueries {
         |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_secs
         |  FROM events)
         |SELECT user_id, COUNT(*) AS n_events,
-        |  SUM(CASE WHEN prev_secs IS NULL OR secs - prev_secs > 1800
-        |           THEN 1 ELSE 0 END) AS n_sessions
+        |  CAST(SUM(CASE WHEN prev_secs IS NULL OR secs - prev_secs > 1800
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_props_typed" ->

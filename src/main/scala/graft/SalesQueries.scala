@@ -134,7 +134,7 @@ object SalesQueries {
          |         ELSE total END AS total
          |  FROM p1)
          |SELECT product, COUNT(*) AS n_sales,
-         |  SUM(CAST(quantity AS BIGINT)) AS sum_quantity,
+         |  CAST(SUM(CAST(quantity AS BIGINT)) AS BIGINT) AS sum_quantity,
          |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          |FROM p2 GROUP BY product ORDER BY product""".stripMargin
   )
