@@ -31,15 +31,20 @@ object Bench {
       try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        // a failed query must NOT masquerade as a fast success — record it
+        // in the JSON "errors" list so regressions surface in bench history
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val t = (System.nanoTime() - t0) / 1e9
       // queries persist() intermediates (signature tables, inverted
       // indexes); drop them so one query's cache doesn't GC-tax the next
+      CacheScope.global.release()
       spark.catalog.clearCache()
       t
     }
@@ -52,8 +57,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

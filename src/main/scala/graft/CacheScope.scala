@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Tracks DataFrames persisted inside composite operators (MinHash
+  * signature tables, inverted indexes) so callers can release exactly those
+  * blocks once the operator's result is materialized — instead of relying
+  * on `spark.catalog.clearCache()`, which nukes every cached table in the
+  * session including the caller's own.
+  *
+  * Operators that cache take a `scope: CacheScope = CacheScope.global`
+  * parameter. Library users embedding graft alongside their own cached
+  * tables should pass a fresh scope and `release()` it after the action:
+  *
+  * {{{
+  * val scope = new CacheScope
+  * val pairs = Dedup.minhashPairs(docs, 0.8, scope = scope)
+  * pairs.write.parquet(out)   // materialize first — the result is lazy
+  * scope.release()
+  * }}}
+  */
+final class CacheScope {
+  private val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private[graft] def persist(df: DataFrame): DataFrame = synchronized {
+    handles += df
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Unpersist every DataFrame acquired in this scope (non-blocking) and
+    * forget the handles. Safe to call repeatedly; only affects blocks this
+    * scope acquired.
+    */
+  def release(): Unit = synchronized {
+    handles.foreach(_.unpersist(blocking = false))
+    handles.clear()
+  }
+
+  /** Number of currently-held handles (diagnostics/tests). */
+  def size: Int = synchronized(handles.size)
+}
+
+object CacheScope {
+  /** Default scope for callers that don't manage one. Harness entry points
+    * (Verify, Bench) release it between queries; long-lived applications
+    * should prefer a scope per job and release it deterministically.
+    */
+  val global = new CacheScope
+}

@@ -24,6 +24,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop query-local persisted intermediates (see Bench for rationale)
+      CacheScope.global.release()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
   * as-of; the naive range join explodes to |L|·|R| per key. This is the
   * scalable union+window formulation:
   *
-  *   1. tag both inputs and union them (right payload columns are null on
-  *      left rows and vice versa);
+  *   1. tag both inputs and union them; the right side contributes ONE
+  *      struct column `_rpay` holding all payload columns (null on left
+  *      rows — `allowMissingColumns` fills it);
   *   2. one shuffle: window partitioned by the key, ordered by
   *      (ts, side) with side ordering right-before-left so an equal
   *      timestamp matches (<= semantics, same as DuckDB's ASOF JOIN);
-  *   3. `last(payload, ignoreNulls)` over rows unbounded-preceding..current
-  *      carries the most recent right payload forward;
-  *   4. keep the left rows.
+  *   3. `last(_rpay, ignoreNulls)` over rows unbounded-preceding..current
+  *      carries the most recent right payload forward — as one atomic
+  *      struct, so every payload column comes from the SAME matched right
+  *      row and a NULL inside that row's payload stays NULL (carrying each
+  *      column independently would resurrect values from older rows);
+  *   4. keep the left rows and unpack the struct.
   *
   * Cost: exactly one hash shuffle of |L|+|R| rows on the by-key and a
   * streaming window — no pair explosion, skew handled by AQE like any
@@ -32,18 +36,15 @@ object AsofJoin {
                byCol: String, tsCol: String,
                rightPayload: Seq[String]): DataFrame = {
     val l = left.withColumn("_side", lit(1))
-    val r = right.select(
-      (Seq(byCol, tsCol).map(col) :+ lit(0).as("_side")) ++
-        rightPayload.map(c => col(c).as(s"_r_$c")): _*)
+    val r = right.select(col(byCol), col(tsCol), lit(0).as("_side"),
+      struct(rightPayload.map(col): _*).as("_rpay"))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(byCol)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(u) { (df, c) =>
-      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
-      .drop("_side")
-      .withColumnsRenamed(rightPayload.map(c => s"_r_$c" -> c).toMap)
+    u.withColumn("_rpay", last(col("_rpay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.map(col).toSeq ++
+        rightPayload.map(c => col("_rpay").getField(c).as(c)): _*)
   }
 }

@@ -57,14 +57,16 @@ object Dedup {
     * longs — same jaccard values unless two distinct shingles collide in
     * 64-bit space (P ≈ m²/2⁶⁴, negligible at any realistic vocabulary).
     */
-  def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+  def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3,
+                   scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
     val docs = documents.select(col("doc_id"),
       hashedShingles(col("text"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     // persist: both join sides consume the inverted index — without it the
-    // scan + shingle HOFs (interpreted, the expensive part) run twice
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scan + shingle kernels (the expensive part) run twice. Held by the
+    // caller's CacheScope; release() it after materializing the result.
+    val inv = scope.persist(
+      docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s")))
     val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("s"))
     val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
     a.join(b, "s")
@@ -119,6 +121,10 @@ object Dedup {
     */
   def lshBuckets(docs: DataFrame, idCol: String, sigCol: String,
                  bands: Int, k: Int = 128): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"bands=$bands must divide signature length k=$k exactly; otherwise " +
+        s"the trailing ${if (bands > 0) k % bands else k} signature " +
+        "positions would be silently ignored, lowering recall")
     val r = k / bands
     docs.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -148,17 +154,18 @@ object Dedup {
     * pairs → exact Jaccard verification (computed only on candidates).
     */
   def minhashPairs(documents: DataFrame, threshold: Double,
-                   n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
+                   n: Int = 3, k: Int = 128, bands: Int = 32,
+                   scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
     // shingles hashed to longs once; both the signature kernel and the
     // verification set-ops run on array<long> (same jaccard as on strings
     // modulo 64-bit collisions — see jaccardPairs scaladoc).
     // persist: this subtree feeds three consumers (bucketing + both sides of
     // the verification join) — without it Spark recomputes shingles 3×. At
-    // warehouse scale this is the materialized signature table.
-    val docs = documents
+    // warehouse scale this is the materialized signature table. Held by the
+    // caller's CacheScope; release() it after materializing the result.
+    val docs = scope.persist(documents
       .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
-      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k)))
     val cands = lshCandidatePairs(
       lshBuckets(docs.select("doc_id", "sig"), "doc_id", "sig", bands, k), "doc_id")
     val sh = docs.select(col("doc_id"), col("sh"))
@@ -189,6 +196,10 @@ object Dedup {
     * bit_count(xor) verifies exactly.
     */
   def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist out of range: 4-chunk pigeonhole banding is only " +
+        "complete for Hamming distance <= 3 (a distance-4 pair can differ " +
+        "in every chunk and never share a join key)")
     val sh = withSimhash(documents).select("doc_id", "simhash")
     // 16-bit chunks, shifted down so values stay small positive longs
     val chunks = array((0 until 4).map(j =>

@@ -37,6 +37,25 @@ class AsofJoinSpec extends SparkSpec {
       (104L, None, None)))
   }
 
+  test("NULL payload values in the matched right row stay NULL (atomic struct carry)") {
+    // user 1: the as-of match at 09:00 has click_value NULL; an older click
+    // at 08:00 has 7.0. Per-column carry would resurrect the 7.0 and pair it
+    // with the 09:00 click_id — the whole payload must come from ONE row.
+    val left = Seq((100L, 1L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), Some(11L), Some(7.0)),
+      (1L, ts("2024-01-01 09:00:00"), Some(12L), None: Option[Double]))
+      .toDF("user_id", "ts", "click_id", "click_value")
+
+    val out = AsofJoin.asofJoin(left, right, "user_id", "ts",
+        Seq("click_id", "click_value"))
+      .select("event_id", "click_id", "click_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+
+    assert(out.toSeq === Seq((100L, Some(12L), None)))
+  }
+
   test("left columns survive untouched and row count equals the left side") {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")

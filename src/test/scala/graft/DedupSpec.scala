@@ -84,4 +84,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b, c) => a < b && c >= 0.4 && c <= 1.0 })
   }
+
+  test("misconfiguration fails loudly: bands must divide k, maxDist <= 3") {
+    val d = docs((1L, "a b c d"))
+    val sigs = d.select($"doc_id",
+      Dedup.minhashSignature(Dedup.shingles($"text")).as("sig"))
+    // 128 % 24 != 0 → trailing signature rows would be silently dropped
+    intercept[IllegalArgumentException] {
+      Dedup.lshBuckets(sigs, "doc_id", "sig", bands = 24)
+    }
+    // pigeonhole banding is only complete through Hamming distance 3
+    intercept[IllegalArgumentException] { Dedup.simhashPairs(d, maxDist = 4) }
+  }
+
+  test("CacheScope releases exactly the operator's persisted intermediates") {
+    // earlier tests in this suite cached via the global scope; start clean
+    graft.CacheScope.global.release()
+    spark.catalog.clearCache()
+    val scope = new graft.CacheScope
+    val d = docs((1L, "a b c d e"), (2L, "a b c d e"))
+    Dedup.minhashPairs(d, 0.5, scope = scope).collect()
+    assert(scope.size === 1) // the signature table
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    scope.release()
+    assert(scope.size === 0)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
