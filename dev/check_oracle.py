@@ -25,23 +25,12 @@ for t in TABLES:
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
-def kinds(df):
-    """Dtype kind per column BEFORE canonicalization — the driver hashes raw
-    values, so an int64 (Spark) vs float64 (DuckDB HUGEINT via pandas)
-    mismatch breaks its hash even when the numbers are equal."""
-    out = {}
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            out[c] = "t"
-        elif pd.api.types.is_float_dtype(df[c]):
-            out[c] = "f"
-        elif pd.api.types.is_integer_dtype(df[c]):
-            out[c] = "i"
-        elif pd.api.types.is_bool_dtype(df[c]):
-            out[c] = "b"
-        else:
-            out[c] = "o"
-    return out
+def dtypes_exact(df):
+    """Exact dtype name per column BEFORE canonicalization — the driver
+    hashes raw values, so int32 vs int64, datetime units, or int64 vs
+    float64 (DuckDB HUGEINT via pandas) all break its hash even when the
+    numbers are equal. Coarse 'kind' letters hid the width/unit cases."""
+    return {c: df[c].dtype.name for c in df.columns}
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -80,16 +69,45 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
         n_fail += 1
         continue
-    # dtype-kind parity (the driver hashes raw values; int64 vs float64 with
-    # equal numbers still hash-mismatches — e.g. DuckDB HUGEINT sums)
-    sk, dk = kinds(spark_raw), kinds(duck_raw)
-    kind_bad = [(c, sk[c], dk[c]) for c in spark_df.columns
-                if sk[c] != dk[c]
-                and not (spark_raw[c].isna().any() or duck_raw[c].isna().any())]
-    if kind_bad:
-        print(f"FAIL {name}: dtype-kind mismatches (driver hash would differ):")
-        for c, a, b in kind_bad:
-            print(f"  col={c} spark_kind={a} duck_kind={b}")
+    # Dtype parity. Cross-family mismatches (int vs float — e.g. DuckDB
+    # HUGEINT sums arriving as float64) FAIL: they are exactly what broke
+    # the driver hash in round 2. Same-family width/unit differences
+    # (int32 vs int64, datetime ns vs us) only WARN: empirically the
+    # driver canonicalizes those (round-2 queries with int32-vs-int64
+    # columns hash-matched), but they're worth a human eye. NULL-bearing
+    # columns are no longer silently skipped — they WARN too (pandas
+    # widens int→float around NULLs, so a mismatch there may be a pandas
+    # artifact rather than an engine one).
+    def family(dtype_name):
+        if dtype_name.startswith("datetime"):
+            return "t"
+        if dtype_name.startswith("float"):
+            return "f"
+        if dtype_name.startswith(("int", "uint")):
+            return "i"
+        if dtype_name == "bool":
+            return "b"
+        return "o"
+    sk, dk = dtypes_exact(spark_raw), dtypes_exact(duck_raw)
+    dtype_bad, dtype_warn = [], []
+    for c in spark_df.columns:
+        if sk[c] == dk[c]:
+            continue
+        has_null = spark_raw[c].isna().any() or duck_raw[c].isna().any()
+        if family(sk[c]) != family(dk[c]) and not has_null:
+            dtype_bad.append((c, sk[c], dk[c]))
+        elif has_null:
+            dtype_warn.append((c, sk[c], dk[c],
+                               "NULL-bearing; may be a pandas NULL-widening artifact"))
+        else:
+            dtype_warn.append((c, sk[c], dk[c],
+                               "same family; driver canonicalizes width/unit"))
+    for c, a, b, why in dtype_warn:
+        print(f"WARN {name}: col={c} dtype spark={a} duck={b} ({why})")
+    if dtype_bad:
+        print(f"FAIL {name}: dtype mismatches (driver hash would differ):")
+        for c, a, b in dtype_bad:
+            print(f"  col={c} spark_dtype={a} duck_dtype={b}")
         n_fail += 1
         continue
     # exact-value compare (the driver hashes values, so approximate equality isn't enough)

@@ -32,33 +32,38 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // None on failure: a failed query's fast elapsed time must not feed the
+    // min() or the total, where it would mask a slow success in history
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // a failed query must NOT masquerade as a fast success — record it
-        // in the JSON "errors" list so regressions surface in bench history
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val t = (System.nanoTime() - t0) / 1e9
       // queries persist() intermediates (signature tables, inverted
       // indexes); drop them so one query's cache doesn't GC-tax the next
       CacheScope.global.release()
       spark.catalog.clearCache()
-      t
+      if (ok) Some(t) else None
     }
     // two passes, min per query: absorbs JIT warmup and host-level noise —
-    // the metric is steady-state throughput, not first-run latency
+    // the metric is steady-state throughput, not first-run latency. Only
+    // successful passes count; a query that failed both passes reports null
+    // and is excluded from the total (its name is in "errors").
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (n, fn) => n -> timeOnce(n, fn) }
+    val pass1 = ordered.map { case (n, fn) => n -> timeOnce(n, fn) }.toMap
     val results = ordered.map { case (n, fn) =>
-      n -> math.min(pass1.toMap.apply(n), timeOnce(n, fn))
+      n -> (pass1(n).toSeq ++ timeOnce(n, fn).toSeq).minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -22,9 +22,17 @@ import org.apache.spark.storage.StorageLevel
   */
 final class CacheScope {
   private val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private var warned = false
 
   private[graft] def persist(df: DataFrame): DataFrame = synchronized {
     handles += df
+    if (handles.size > CacheScope.warnThreshold && !warned) {
+      warned = true
+      System.err.println(
+        s"[graft] CacheScope holds ${handles.size} persisted DataFrames — " +
+          "a long-lived caller is probably missing release() (see " +
+          "CacheScope.global scaladoc)")
+    }
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -45,6 +53,20 @@ object CacheScope {
   /** Default scope for callers that don't manage one. Harness entry points
     * (Verify, Bench) release it between queries; long-lived applications
     * should prefer a scope per job and release it deterministically.
+    *
+    * SINGLE-JOB ASSUMPTION: `global` is a process-wide mutable singleton.
+    * Two concurrent jobs sharing it would unpersist each other's
+    * intermediates on release(), and callers that never release() leak
+    * handles and cached blocks. It is safe for sequential drivers (Verify,
+    * Bench, one-query-at-a-time embedding); anything running graft operators
+    * concurrently MUST pass an explicit `new CacheScope` per job. As a
+    * leak tripwire, persist() warns once if the handle count exceeds
+    * [[warnThreshold]].
     */
   val global = new CacheScope
+
+  /** Handle count above which [[global]] warns about a likely missing
+    * release() (libraries shouldn't hard-fail on a soft leak).
+    */
+  val warnThreshold = 64
 }

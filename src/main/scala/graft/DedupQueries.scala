@@ -22,10 +22,22 @@ object DedupQueries {
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
 
+  /** SQL twin of [[Tables.documentsWithClones]] — the planted-duplicate
+    * corpus that keeps the exact-dedup checks non-vacuous.
+    */
+  val clonedDocsCte: String =
+    """WITH documents2 AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 150000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup on normalized-content fingerprint; deterministic survivor.
+    // Runs on the planted-clone corpus so the collapse path has positive
+    // cases (n_copies > 1) — the raw fixture has no exact duplicates.
     "dedup_exact" -> ((s, dir) =>
-      Dedup.exactByKey(Tables.documents(s, dir),
+      Dedup.exactByKey(Tables.documentsWithClones(s, dir),
           TextAnalysis.fingerprintMd5(col("text")), "doc_id")
         .orderBy("doc_id")),
 
@@ -40,10 +52,11 @@ object DedupQueries {
       Dedup.minhashPairs(Tables.documents(s, dir), 0.5)
         .orderBy("doc_a", "doc_b")),
 
-    // SimHash near-dup (hamming ≤ 3 over 64-bit signatures) — Spark-hash
-    // based, no SQL twin; rows-only check + spec coverage.
+    // SimHash near-dup (hamming ≤ 3 over 64-bit signatures) over the
+    // md5-derived portable token hash, so DuckDB reproduces the signatures
+    // bit-for-bit (xor + bit_count verify the hamming distances).
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), 3)
+      Dedup.simhashPairs(Tables.documents(s, dir), 3, portable = true)
         .orderBy("doc_a", "doc_b")),
 
     // Embedding-cosine near-dup pairs (exact, ≥ 0.4).
@@ -51,9 +64,10 @@ object DedupQueries {
       Dedup.embeddingPairs(Tables.embeddings(s, dir), 0.4)
         .orderBy("vec_a", "vec_b")),
 
-    // Corpus duplication-rate KPI: docs vs distinct fingerprints, 4-dp.
+    // Corpus duplication-rate KPI: docs vs distinct fingerprints, 4-dp —
+    // on the planted-clone corpus so the rate is provably > 0.
     "dedup_rate" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      Tables.documentsWithClones(s, dir)
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(TextAnalysis.fingerprintMd5(col("text"))).as("n_distinct"))
         .select(col("n_docs"), col("n_distinct"),
@@ -83,22 +97,58 @@ object DedupQueries {
       |WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // DuckDB twin of Dedup.md5Hash64: two 32-bit md5 halves recombined into a
+  // signed 64-bit value (same no-overflow construction as the Scala side).
+  private def md5Hash64Sql(t: String): String =
+    s"""((('0x'||substring(md5($t),1,8))::BIGINT
+       |   - CASE WHEN ('0x'||substring(md5($t),1,8))::BIGINT >= 2147483648
+       |          THEN 4294967296 ELSE 0 END) * 4294967296
+       | + ('0x'||substring(md5($t),9,8))::BIGINT)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
-      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_key,
+      s"""$clonedDocsCte
+        |SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
         |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        |FROM documents
+        |FROM documents2
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
 
+    // SimHash: rebuild every 64-bit signature from the portable md5 token
+    // hash (bit b = sign of Σ±1 over token-hash bits, ties → 0 — matching
+    // graft.plans.SimHash64), then verify hamming via xor + bit_count.
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |h AS (
+         |  SELECT doc_id, ${md5Hash64Sql("t")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
+         |  GROUP BY doc_id, j),
+         |sig AS (
+         |  SELECT doc_id, CAST(SUM(
+         |    CASE WHEN s > 0 THEN
+         |      CASE WHEN j = 63 THEN -9223372036854775807 - 1
+         |           ELSE (1::BIGINT << CAST(j AS INT)) END
+         |    ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_rate" ->
-      """SELECT COUNT(*) AS n_docs,
-        |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct,
-        |  FLOOR(CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS DOUBLE)
+      s"""$clonedDocsCte
+        |SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_distinct,
+        |  FLOOR(CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS DOUBLE)
         |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS dup_rate
-        |FROM documents""".stripMargin,
+        |FROM documents2""".stripMargin,
 
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -48,10 +48,15 @@ object MultimodalQueries {
 
     // Hash-projected features feeding the embedding dedup operator: assets
     // whose stub features are near-identical (trivially, exact dups of the
-    // underlying bytes). Rows-only check; determinism in MultimodalSpec.
+    // underlying bytes). Runs on the planted-clone corpus
+    // (Tables.documentsWithClones) so duplicate pairs actually exist —
+    // on the raw fixture this returned 0 rows and verified nothing.
+    // Rows-only check; determinism in MultimodalSpec.
     "mm_feature_dups" -> ((s, dir) => {
       import s.implicits._
-      val feats = Multimodal.features(typedAssets(s, dir), 16).toDF()
+      val cloned = Multimodal.assetsFromDocuments(
+        Tables.documentsWithClones(s, dir)).as[Multimodal.Asset]
+      val feats = Multimodal.features(cloned, 16).toDF()
         .select(col("asset_id").as("vec_id"), col("features").as("embedding"))
       operators.Dedup.embeddingPairs(feats, 0.999999)
         .orderBy("vec_a", "vec_b")

@@ -25,6 +25,21 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** `documents` plus deterministic exact clones: every 50th doc re-keyed to
+    * doc_id + 150000. The fixture corpus has no exact duplicates, so the
+    * collapse behavior of exact-dedup operators would pass vacuously on it;
+    * this derivation gives them positive cases. 150000 ≡ 0 (mod 3, 4, 8,
+    * 50), so every doc_id-mod-derived attribute (e.g. the multimodal asset
+    * kind/width/height) is identical between clone and original, and the
+    * offset is far above any fixture doc_id. SQL twin:
+    * [[DedupQueries.clonedDocsCte]].
+    */
+  def documentsWithClones(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    d.unionByName(d.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 150000L))
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS); normalized here so downstream
     * operators always see a micros TimestampType `ts` column.
     */

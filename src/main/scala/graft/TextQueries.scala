@@ -58,8 +58,8 @@ object TextQueries {
           TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
 
-    // Rolling-hash fingerprint — order-sensitive; no SQL twin (xxhash64 is
-    // Spark-specific), driver records a rows-only check; ScalaTest covers it.
+    // Rolling-hash fingerprint — order-sensitive; md5-based token hash makes
+    // the fold reproducible in DuckDB (list_reduce twin below).
     "text_fingerprint_rolling" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -129,6 +129,17 @@ object TextQueries {
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Exact twin of TextAnalysis.fingerprintRolling: same left fold, same
+    // md5-derived token hash, pure BIGINT arithmetic in both engines.
+    "text_fingerprint_rolling" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ' '),
+        |        t -> ('0x' || substring(md5(t), 1, 8))::BIGINT % 2147483647)),
+        |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->

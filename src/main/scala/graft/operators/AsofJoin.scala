@@ -35,6 +35,16 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame,
                byCol: String, tsCol: String,
                rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.nonEmpty,
+      "rightPayload must name at least one right column to carry")
+    // the internal tag columns would silently collide with real input
+    // columns: withColumn overwrites a left `_side`, unionByName merges a
+    // left `_rpay` — corrupting results with no error
+    val clash = (left.columns ++ right.columns).toSet
+      .intersect(Set("_side", "_rpay"))
+    require(clash.isEmpty,
+      s"asofJoin reserves internal column names ${clash.mkString(", ")}; " +
+        "rename them on the inputs first")
     val l = left.withColumn("_side", lit(1))
     val r = right.select(col(byCol), col(tsCol), lit(0).as("_side"),
       struct(rightPayload.map(col): _*).as("_rpay"))

@@ -77,19 +77,73 @@ object Curation {
   /** Budget-capped selection: rank rows by `rank` (desc, ties by `key`
     * asc) and keep the prefix whose running `cost` total stays within
     * `budget` — "give me the best documents up to N tokens", the data-
-    * selection primitive of training-set construction. One window over the
-    * rank order; at warehouse scale pre-aggregate per rank-bucket first if
-    * a single ordered window becomes the bottleneck.
+    * selection primitive of training-set construction.
+    *
+    * Scale-safe two-phase prefix sum (a global `Window.orderBy` would move
+    * the whole corpus to ONE partition for the sort):
+    *
+    *   1. range-bucket every row by its rank value into `buckets` width
+    *     buckets (monotone in rank, so bucket order = rank order and ties
+    *     never straddle a boundary);
+    *   2. per-bucket cost totals, collected to the driver (≤ `buckets`
+    *     longs — bounded like an IVF quantizer) and prefix-summed into
+    *     cumulative offsets;
+    *   3. classify: buckets whose offset + total ≤ budget pass whole (no
+    *     sort at all); buckets whose offset > budget are dropped by a
+    *     filter; that leaves AT MOST ONE frontier bucket (offsets are
+    *     nondecreasing), which gets the running-sum window — partitioned
+    *     by bucket, so the sort covers ~1/buckets of the corpus, not all
+    *     of it.
+    *
+    * Costs are summed as longs (token/byte counts — the operator's
+    * contract); rank is bucketed via its double cast, which is monotone,
+    * while the in-bucket ordering uses the exact rank expression. The
+    * result set is identical to the single-window formulation (same
+    * oracle).
     */
   def selectUnderBudget(df: DataFrame, rank: Column, key: Column,
-                        cost: Column, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(rank.desc, key.asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("_running_cost", sum(cost).over(w))
-      .filter(col("_running_cost") <= budget)
-      .drop("_running_cost")
+                        cost: Column, budget: Long, buckets: Int = 64,
+                        scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val outCols = df.columns.toSeq.map(col)
+    // persist: phases 1-3 each rescan the bucketed projection
+    val base = scope.persist(df
+      .withColumn("_rank_d", rank.cast("double"))
+      .withColumn("_cost_l", cost.cast("long")))
+    val mm = base.agg(min("_rank_d"), max("_rank_d")).collect()(0)
+    if (mm.isNullAt(0)) return df.filter(lit(false))
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    // best rank → bucket 0, monotone non-increasing in rank
+    val bucketCol =
+      if (hi == lo) lit(0)
+      else least(lit(buckets - 1),
+        floor((lit(hi) - col("_rank_d")) / ((hi - lo) / buckets)).cast("int"))
+    val bucketed = base.withColumn("_bucket", bucketCol)
+    val totals = bucketed.groupBy("_bucket").agg(sum("_cost_l").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // offsets(b) = total cost of all better-ranked buckets (< b)
+    val offsets = (0 until buckets)
+      .scanLeft(0L)((acc, b) => acc + totals.getOrElse(b, 0L))
+    val lastAllPass = (0 until buckets)
+      .filter(b => offsets(b) + totals.getOrElse(b, 0L) <= budget)
+      .lastOption.getOrElse(-1)
+    val frontier = (0 until buckets)
+      .find(b => offsets(b) <= budget && offsets(b) + totals.getOrElse(b, 0L) > budget)
+    val whole = bucketed.filter(col("_bucket") <= lastAllPass)
+    val out = frontier match {
+      case None => whole
+      case Some(fb) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("_bucket")
+          .orderBy(rank.desc, key.asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val edge = bucketed.filter(col("_bucket") === fb)
+          .withColumn("_running", sum(col("_cost_l")).over(w) + offsets(fb))
+          .filter(col("_running") <= budget)
+          .drop("_running")
+        whole.unionByName(edge)
+    }
+    out.select(outCols: _*)
   }
 
   /** Context-window chunking: whitespace tokens packed into windows of

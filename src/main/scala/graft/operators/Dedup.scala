@@ -189,18 +189,43 @@ object Dedup {
       graft.plans.NativeKernels.simhash64(
         transform(split(col("text"), " "), t => xxhash64(t))))
 
+  /** Engine-portable 64-bit token hash from md5: two 32-bit halves of the
+    * digest recombined into a signed long. Used by [[withSimhashPortable]]
+    * so a SQL oracle can reproduce the SimHash bit-for-bit (xxhash64 is
+    * Spark-specific). The arithmetic stays in signed-64 range by
+    * construction: (h1 − 2³²·[h1 ≥ 2³¹])·2³² ∈ [−2⁶³, 2⁶³−2³²], plus
+    * h2 ∈ [0, 2³²) never overflows.
+    */
+  def md5Hash64(t: Column): Column = {
+    val h1 = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(md5(t), 9, 8), 16, 10).cast("long")
+    (h1 - when(h1 >= 2147483648L, 4294967296L).otherwise(0L)) * 4294967296L + h2
+  }
+
+  /** [[withSimhash]] over the md5-derived portable token hash — identical
+    * banding/verification semantics, but reproducible in any engine with
+    * md5 (DuckDB oracle in DedupQueries). xxhash64 remains the faster
+    * production default; this variant is the cross-engine-checkable one.
+    */
+  def withSimhashPortable(documents: DataFrame): DataFrame =
+    documents.withColumn("simhash",
+      graft.plans.NativeKernels.simhash64(
+        transform(split(col("text"), " "), t => md5Hash64(t))))
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3 by
     * default). Pigeonhole banding: a 64-bit key split into 4 16-bit chunks —
     * any pair within distance 3 shares at least one chunk, so the join on
     * (chunk index, chunk value) finds all of them with linear shuffle cost;
     * bit_count(xor) verifies exactly.
     */
-  def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxDist: Int = 3,
+                   portable: Boolean = false): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist=$maxDist out of range: 4-chunk pigeonhole banding is only " +
         "complete for Hamming distance <= 3 (a distance-4 pair can differ " +
         "in every chunk and never share a join key)")
-    val sh = withSimhash(documents).select("doc_id", "simhash")
+    val withSig = if (portable) withSimhashPortable(documents) else withSimhash(documents)
+    val sh = withSig.select("doc_id", "simhash")
     // 16-bit chunks, shifted down so values stay small positive longs
     val chunks = array((0 until 4).map(j =>
       shiftright(col("simhash"), 16 * j).bitwiseAND(lit(65535L))): _*)

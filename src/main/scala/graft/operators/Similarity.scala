@@ -109,8 +109,15 @@ object Similarity {
     * Recall vs the exact kNN join is asserted in SimilaritySpec.
     */
   def knnJoinLsh(embeddings: DataFrame, k: Int,
-                 tables: Int = 8, bits: Int = 4): DataFrame = {
-    val idx = lshIndex(embeddings, tables, bits).select("vec_id", "table", "bucket")
+                 tables: Int = 8, bits: Int = 4,
+                 scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    // persist: the (vec_id, table, bucket) index feeds BOTH sides of the
+    // bucket self-join — without it the hyperplane projection pass (tables ×
+    // bits dot products per vector) and the parquet scan run twice. Held by
+    // the caller's CacheScope; release() after materializing the result
+    // (same contract as Dedup.minhashPairs).
+    val idx = scope.persist(
+      lshIndex(embeddings, tables, bits).select("vec_id", "table", "bucket"))
     val pairs = idx.select(col("vec_id").as("query_id"), col("table"), col("bucket"))
       .join(idx.select(col("vec_id").as("neighbor_id"), col("table"), col("bucket")),
         Seq("table", "bucket"))
@@ -132,8 +139,11 @@ object Similarity {
     * verified against [[topK]] in the spec.
     */
   def annTopKLsh(embeddings: DataFrame, queryVecId: Long, k: Int,
-                 tables: Int = 8, bits: Int = 4): DataFrame = {
-    val idx = lshIndex(embeddings, tables, bits)
+                 tables: Int = 8, bits: Int = 4,
+                 scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    // persist: the index feeds the query-bucket lookup AND the candidate
+    // join — unpersisted, the whole projection pass runs twice.
+    val idx = scope.persist(lshIndex(embeddings, tables, bits))
     val qBuckets = idx.filter(col("vec_id") === queryVecId)
       .select(col("table"), col("bucket"))
     val candidates = idx.join(broadcast(qBuckets), Seq("table", "bucket"))

@@ -122,13 +122,18 @@ object TextAnalysis {
   /** Polynomial rolling hash over tokens (base 1000003, mod 2^31-1), computed
     * as a left fold — order-sensitive, so token permutations get different
     * fingerprints (unlike the md5 of a token *set*). The Mersenne-31 modulus
-    * keeps acc·base ≤ 2^51, inside exact long arithmetic.
+    * keeps acc·base ≤ 2^51, inside exact long arithmetic. The per-token hash
+    * is the first 32 bits of md5 (not xxhash64) so any engine with md5 can
+    * reproduce the fold bit-for-bit — the DuckDB `list_reduce` twin in
+    * TextQueries is the oracle.
     */
   def fingerprintRolling(text: Column): Column = {
     val mod = lit(2147483647L) // 2^31 - 1
+    val tokenHash = (t: Column) =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long")
     aggregate(
       tokens(text),
       lit(0L),
-      (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), mod), mod))
+      (acc, t) => pmod(acc * 1000003L + pmod(tokenHash(t), mod), mod))
   }
 }
