@@ -53,6 +53,16 @@ object SalesQueries {
     // driver records a rows-only check.
     "sales_clean_full" -> ((s, dir) => SalesClean.clean(sales(s, dir))),
 
+    // S1 end-to-end through the ACTUAL CSV entry point (header + explicit
+    // schema + PERMISSIVE empty-cell nulls) over a committed fixture, then
+    // F1→P1→P2→P4 — the reference job's true front door, oracle-checked
+    // via DuckDB read_csv on the same file. ordered_at is unique per row
+    // by construction, so it is the deterministic sort key.
+    "sales_clean_csv" -> ((s, _) =>
+      SalesClean.cleanDeterministic(
+        SalesClean.readCsv(s, "/root/repo/fixtures/sales_dirty.csv"))
+        .orderBy("ordered_at")),
+
     // Per-product rollup of the cleaned table: exercises groupBy over the
     // cleaned output (decimal-sum for cross-engine determinism).
     "sales_by_product" -> ((s, dir) => {
@@ -118,6 +128,25 @@ object SalesQueries {
          |            ELSE total END AS REAL) AS total,
          |  ordered_at, delivery_at
          |FROM p1 ORDER BY sales_id""".stripMargin,
+
+    "sales_clean_csv" ->
+      """WITH src AS (
+        |  SELECT * FROM read_csv('/root/repo/fixtures/sales_dirty.csv',
+        |    header=true,
+        |    columns={'product':'VARCHAR','price':'DOUBLE','quantity':'INTEGER',
+        |             'total':'DOUBLE','ordered_at':'TIMESTAMP','delivery_at':'TIMESTAMP'})),
+        |p1 AS (
+        |  SELECT product, price,
+        |    CAST(CASE WHEN quantity IS NULL THEN FLOOR(total / price)
+        |              ELSE quantity END AS INT) AS quantity,
+        |    total, ordered_at, delivery_at
+        |  FROM src
+        |  WHERE NOT (quantity IS NULL AND price IS NULL AND total IS NULL))
+        |SELECT product, CAST(price AS REAL) AS price, quantity,
+        |  CAST(CASE WHEN total IS NULL THEN ROUND(price * quantity, 2)
+        |            ELSE total END AS REAL) AS total,
+        |  ordered_at, delivery_at
+        |FROM p1 ORDER BY ordered_at""".stripMargin,
 
     "sales_by_product" ->
       s"""$oracleCte,

@@ -84,33 +84,57 @@ object Streams {
 
   /** Stateful gap sessionization via mapGroupsWithState — the streaming twin
     * of EventQueries "events_sessionize" (30-min inactivity gap). Input rows
-    * must be (user_id, secs) sorted within group is NOT guaranteed by Spark,
+    * must be (user_id, ts) — sorted within group is NOT guaranteed by Spark,
     * so each batch's rows are sorted in the group function — correct as long
     * as a user's events arrive in-order across batches (true for the fixture
     * replay; out-of-order across batches would need flatMapGroupsWithState
     * with event buffering keyed by watermark).
     *
-    * State is one small case class per active user — O(users), bounded by
-    * ProcessingTimeTimeout in production use.
+    * State is one small case class per user, WATERMARK-BOUNDED like
+    * [[dedupStream]]: each update arms an event-time timeout at
+    * lastEvent + gap, so once the watermark passes the point where no
+    * future event could extend the user's last session, the state emits a
+    * final snapshot and is removed — state size is O(users active inside
+    * the watermark window), not O(all users ever seen). A user re-appearing
+    * after expiry starts fresh counters (the contract of bounded state;
+    * lifetime totals belong in a downstream aggregation over the emitted
+    * snapshots).
     */
-  def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+  def sessionize(events: DataFrame, gapSec: Long = 1800,
+                 watermark: String = "2 hours"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id").cast("long"), col("ts").cast("long").as("secs"))
-      .as[(Long, Long)]
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[UserSessions, UserSessions](GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[UserSessions]) =>
-          val sorted = rows.map(_._2).toArray.sorted
-          val init = state.getOption.getOrElse(UserSessions(userId, 0L, 0L, Long.MinValue))
-          val next = sorted.foldLeft(init) { (s, sec) =>
-            val newSession = s.lastSec == Long.MinValue || sec - s.lastSec > gapSec
-            UserSessions(userId, s.nEvents + 1,
-              s.nSessions + (if (newSession) 1 else 0), sec)
+      .mapGroupsWithState[UserSessions, UserSessions](GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[UserSessions]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastSec + gap: nothing can extend the last
+            // session — emit the final snapshot and drop the state
+            val s = state.get
+            state.remove()
+            s
+          } else {
+            val sorted = rows.map(_._2.getTime / 1000).toArray.sorted
+            val init = state.getOption.getOrElse(UserSessions(userId, 0L, 0L, Long.MinValue))
+            val next = sorted.foldLeft(init) { (s, sec) =>
+              val newSession = s.lastSec == Long.MinValue || sec - s.lastSec > gapSec
+              UserSessions(userId, s.nEvents + 1,
+                s.nSessions + (if (newSession) 1 else 0), sec)
+            }
+            state.update(next)
+            // expire when the watermark passes the session-gap horizon;
+            // must stay strictly above the current watermark or Spark
+            // rejects the timestamp (late-arriving final events)
+            val horizon = (next.lastSec + gapSec) * 1000
+            state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1))
+            next
           }
-          state.update(next)
-          next
       }
       .toDF()
       .select(col("userId").as("user_id"), col("nEvents").as("n_events"),

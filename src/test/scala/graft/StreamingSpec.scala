@@ -181,4 +181,39 @@ class StreamingSpec extends SparkSpec {
       .map { case (u, e, s) => u -> ((e, s)) }.toMap
     assert(finalRows === Map(1L -> ((3L, 2L)), 2L -> ((1L, 1L))))
   }
+
+  test("sessionize state is watermark-bounded (event-time timeout evicts)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    input.addData(Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"))))
+
+    // 30-min gap, 1-hour watermark delay: user 1's state expires once the
+    // watermark passes 00:30
+    val q = Streams.sessionize(
+      input.toDF().toDF("user_id", "ts"), gapSec = 1800, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // advance the watermark far past user 1's horizon (10:00 − 1h = 09:00),
+    // then one more batch so the timeout trigger actually fires
+    input.addData(Seq((2L, Timestamp.valueOf("2024-01-01 10:00:00"))))
+    q.processAllAvailable()
+    input.addData(Seq((2L, Timestamp.valueOf("2024-01-01 10:05:00"))))
+    q.processAllAvailable()
+    // user 1 re-appears AFTER expiry: state was removed, so counters restart
+    // at 1 — this is the observable proof the state was evicted (NoTimeout
+    // would have carried n_events to 2)
+    input.addData(Seq((1L, Timestamp.valueOf("2024-01-01 10:30:00"))))
+    q.processAllAvailable()
+    q.stop()
+
+    val user1Last = spark.table("sess_timeout")
+      .filter($"user_id" === 1L)
+      .orderBy($"n_events") // updates in arrival order: (1,1) then reset (1,1)
+      .as[(Long, Long, Long)].collect()
+    // every user-1 row has n_events = 1: the pre-expiry session never grew,
+    // and the post-expiry row restarted from scratch rather than resuming
+    assert(user1Last.nonEmpty && user1Last.forall { case (_, e, s) => e == 1L && s == 1L })
+    assert(user1Last.length >= 2) // initial update + post-expiry restart
+  }
 }
