@@ -119,19 +119,26 @@ object Dedup {
     * (band, bucket), which is the linear-cost step that replaces the
     * quadratic pair join at scale.
     */
-  def lshBuckets(docs: DataFrame, idCol: String, sigCol: String,
-                 bands: Int, k: Int = 128): DataFrame = {
+  /** Array of `bands` bucket keys for a signature column (band j's key is
+    * the xxhash64 fold of its r = k/bands signature positions, seeded with
+    * j so identical sub-signatures in different bands never collide).
+    * Shared by the batch [[lshBuckets]] and the streaming near-dup path.
+    */
+  def bandBucketsCol(sigCol: Column, bands: Int, k: Int = 128): Column = {
     require(bands > 0 && k % bands == 0,
       s"bands=$bands must divide signature length k=$k exactly; otherwise " +
         s"the trailing ${if (bands > 0) k % bands else k} signature " +
         "positions would be silently ignored, lowering recall")
     val r = k / bands
-    docs.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          j => aggregate(slice(col(sigCol), j * r + 1, lit(r)),
-            j.cast("long"), (acc, x) => xxhash64(acc, x))))
-      .as(Seq("band", "bucket")))
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => aggregate(slice(sigCol, j * r + 1, lit(r)),
+        j.cast("long"), (acc, x) => xxhash64(acc, x)))
   }
+
+  def lshBuckets(docs: DataFrame, idCol: String, sigCol: String,
+                 bands: Int, k: Int = 128): DataFrame =
+    docs.select(col(idCol),
+      posexplode(bandBucketsCol(col(sigCol), bands, k)).as(Seq("band", "bucket")))
 
   /** Candidate pairs from LSH buckets: docs sharing any (band, bucket).
     * Pairs are generated inside each bucket via index-windowed transforms

@@ -77,6 +77,48 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming MinHash near-dup novelty filter — the stream twin of
+    * [[graft.operators.Dedup.minhashPairs]], built from the SAME codegen
+    * kernels (HashedShingles → MinHashSig → band buckets):
+    *
+    *   1. per document: signature → `bands` bucket keys (narrow, per-row);
+    *   2. explode to (doc_id, ts, band, bucket) and
+    *      `dropDuplicatesWithinWatermark(band, bucket)` — the FIRST document
+    *      to claim each bucket keeps the row, later claimants are dropped
+    *      (state: one entry per distinct in-watermark bucket, evicted by
+    *      the watermark — O(in-window buckets), not O(stream));
+    *   3. windowed count of claims per document: a doc is emitted as NOVEL
+    *      iff it claimed ALL of its `bands` buckets — i.e. no in-window
+    *      earlier document shared even one LSH band with it.
+    *
+    * This is the standard streaming web-dedup layout: linear shuffle on
+    * (band, bucket), no pair joins, watermark-bounded state at any scale.
+    * Approximation contract (same math as the batch LSH): a true near-dup
+    * at jaccard j collides on a given band with probability j^(k/bands), on
+    * ANY band with 1−(1−j^r)^bands (≈ 1 for j ≥ 0.9 at k=128/32 bands);
+    * an unrelated doc collides only via hash accident, so "claimed every
+    * bucket" ⇒ novel with high probability. Emission is append-mode: novel
+    * docs surface once their event-time window closes.
+    */
+  def nearDupNovelStream(docs: DataFrame, watermark: String = "1 hour",
+                         windowDur: String = "10 minutes",
+                         n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
+    import graft.operators.Dedup
+    val sig = Dedup.minhashSignatureFromHashes(
+      Dedup.hashedShingles(col("text"), n), k)
+    docs
+      .withColumn("sig", sig)
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        posexplode(Dedup.bandBucketsCol(col("sig"), bands, k))
+          .as(Seq("band", "bucket")))
+      .dropDuplicatesWithinWatermark("band", "bucket")
+      .groupBy(window(col("ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_claimed"))
+      .filter(col("n_claimed") === bands)
+      .select(col("window.start").as("w_start"), col("doc_id"))
+  }
+
   /** Per-user session state for [[sessionize]]: count of events and sessions
     * seen so far, and the last event time (epoch seconds).
     */

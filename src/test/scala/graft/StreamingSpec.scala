@@ -182,6 +182,38 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows === Map(1L -> ((3L, 2L)), 2L -> ((1L, 1L))))
   }
 
+  test("streaming minhash near-dup: exact and near copies are dropped, novel docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val textA = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val textANear = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+    val textB = "completely different content about distributed query engines and shuffle plans"
+
+    input.addData(Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), textA)))
+    val q = Streams.nearDupNovelStream(
+      input.toDF().toDF("doc_id", "ts", "text"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // doc 2 = exact copy, doc 3 = near copy (1 token changed, jaccard ≈ 0.85):
+    // both collide with doc 1's in-state buckets → not novel
+    input.addData(Seq(
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00"), textA),
+      (3L, Timestamp.valueOf("2024-01-01 00:07:00"), textANear)))
+    q.processAllAvailable()
+    // doc 4 is genuinely new → novel
+    input.addData(Seq((4L, Timestamp.valueOf("2024-01-01 00:11:00"), textB)))
+    q.processAllAvailable()
+    // advance the watermark past every window end so append-mode emits
+    input.addData(Seq((9L, Timestamp.valueOf("2024-01-01 09:00:00"), "watermark pusher row")))
+    q.processAllAvailable()
+    q.stop()
+
+    val novel = spark.table("neardup_stream")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(novel === Seq(1L, 4L))
+  }
+
   test("sessionize state is watermark-bounded (event-time timeout evicts)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
