@@ -197,11 +197,12 @@ object Dedup {
         transform(split(col("text"), " "), t => xxhash64(t))))
 
   /** Engine-portable 64-bit token hash from md5: two 32-bit halves of the
-    * digest recombined into a signed long. Used by [[withSimhashPortable]]
-    * so a SQL oracle can reproduce the SimHash bit-for-bit (xxhash64 is
-    * Spark-specific). The arithmetic stays in signed-64 range by
-    * construction: (h1 − 2³²·[h1 ≥ 2³¹])·2³² ∈ [−2⁶³, 2⁶³−2³²], plus
-    * h2 ∈ [0, 2³²) never overflows.
+    * digest recombined into a signed long — the HOF reference form of the
+    * [[graft.plans.Md5Hash64]] kernel (bit-parity asserted in
+    * NativeKernelsSpec; production callers use the kernel, which computes
+    * one digest per token instead of one per half). The arithmetic stays in
+    * signed-64 range by construction: (h1 − 2³²·[h1 ≥ 2³¹])·2³² ∈
+    * [−2⁶³, 2⁶³−2³²], plus h2 ∈ [0, 2³²) never overflows.
     */
   def md5Hash64(t: Column): Column = {
     val h1 = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
@@ -217,7 +218,7 @@ object Dedup {
   def withSimhashPortable(documents: DataFrame): DataFrame =
     documents.withColumn("simhash",
       graft.plans.NativeKernels.simhash64(
-        transform(split(col("text"), " "), t => md5Hash64(t))))
+        graft.plans.NativeKernels.md5Hash64(split(col("text"), " "))))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3 by
     * default). Pigeonhole banding: a 64-bit key split into 4 16-bit chunks —

@@ -129,11 +129,12 @@ object TextAnalysis {
     */
   def fingerprintRolling(text: Column): Column = {
     val mod = lit(2147483647L) // 2^31 - 1
-    val tokenHash = (t: Column) =>
-      conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    // per-token 32-bit hash = high half of the Md5Hash64 kernel output
+    // (== first 8 md5 hex chars as an unsigned int, the DuckDB twin's form);
+    // the kernel hashes all tokens in one fused pass, the fold stays a HOF
     aggregate(
-      tokens(text),
+      graft.plans.NativeKernels.md5Hash64(tokens(text)),
       lit(0L),
-      (acc, t) => pmod(acc * 1000003L + pmod(tokenHash(t), mod), mod))
+      (acc, h) => pmod(acc * 1000003L + pmod(shiftrightunsigned(h, 32), mod), mod))
   }
 }

@@ -30,6 +30,22 @@ class NativeKernelsSpec extends SparkSpec {
     assert(out._2 === None)
   }
 
+  test("Md5Hash64 kernel matches the two-half HOF form bit-for-bit") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val toks = split($"text", " ")
+    val hof = transform(toks, t => Dedup.md5Hash64(t))
+    val diff = docs.select(
+        NativeKernels.md5Hash64(toks).as("k"), hof.as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(diff.count() === 0)
+    // empty token and unicode both hash like their UTF-8 bytes
+    val edge = Seq(Seq("", "héllo", "a")).toDF("toks")
+      .select(NativeKernels.md5Hash64($"toks").as("k"),
+        transform($"toks", t => Dedup.md5Hash64(t)).as("h"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(edge._1 === edge._2)
+  }
+
   test("MinHashSig: interpreted eval equals codegen path") {
     val (a, b) = Dedup.hashParams(16)
     val df = Seq(Seq(1L, 2L, 3L), Seq.empty[Long], Seq(-5L))
