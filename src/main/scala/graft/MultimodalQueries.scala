@@ -27,7 +27,11 @@ object MultimodalQueries {
     "mm_meta" -> ((s, dir) =>
       Multimodal.meta(assets(s, dir)).orderBy("asset_id")),
 
-    // Batched stub decode (mapPartitions) — byte stats per asset.
+    // Batched stub decode (mapPartitions) — byte stats per asset. Oracle:
+    // the corpus is pure ASCII (verified across all SFs), so per-character
+    // code points equal UTF-8 bytes and DuckDB can rebuild the exact stats
+    // (integer byte sums are exact in both engines, so the 4-dp mean is
+    // bit-identical).
     "mm_decode" -> ((s, dir) => {
       import s.implicits._
       Multimodal.decode(typedAssets(s, dir)).toDF()
@@ -51,7 +55,11 @@ object MultimodalQueries {
     // underlying bytes). Runs on the planted-clone corpus
     // (Tables.documentsWithClones) so duplicate pairs actually exist —
     // on the raw fixture this returned 0 rows and verified nothing.
-    // Rows-only check; determinism in MultimodalSpec.
+    // Oracle: identical bytes ⇒ identical features ⇒ cosine ≈ 1, and
+    // 16-way-hash feature collisions from DIFFERENT bytes don't occur, so
+    // the pair set equals "equal-content asset pairs" — which DuckDB states
+    // directly as text equality. The cosine value itself is excluded
+    // (sqrt(d)·sqrt(d) isn't bit-stable); the pair set is the contract.
     "mm_feature_dups" -> ((s, dir) => {
       import s.implicits._
       val cloned = Multimodal.assetsFromDocuments(
@@ -59,6 +67,7 @@ object MultimodalQueries {
       val feats = Multimodal.features(cloned, 16).toDF()
         .select(col("asset_id").as("vec_id"), col("features").as("embedding"))
       operators.Dedup.embeddingPairs(feats, 0.999999)
+        .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     })
   )
@@ -76,10 +85,44 @@ object MultimodalQueries {
       |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Equal-content asset pairs on the planted-clone corpus — see the
+    // mm_feature_dups query comment for why text equality is the exact twin.
+    "mm_feature_dups" ->
+      s"""${DedupQueries.clonedDocsCte}
+         |SELECT a.doc_id AS vec_a, b.doc_id AS vec_b
+         |FROM documents2 a JOIN documents2 b
+         |  ON a.doc_id < b.doc_id AND a.text = b.text
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
     "mm_meta" ->
       s"""$assetCte
          |SELECT asset_id, kind, n_bytes, width, height, duration_ms
          |FROM assets ORDER BY asset_id""".stripMargin,
+
+    // Byte stats via per-character code points (ASCII corpus ⇒ code point
+    // == UTF-8 byte). The stub's integer byte sum is exact in both engines,
+    // so mean = CAST(sum AS DOUBLE)/n matches Spark's division bit-for-bit.
+    "mm_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    text, octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |idx AS (
+        |  SELECT asset_id, text, unnest(range(1, length(text) + 1)) AS i FROM a),
+        |bytes AS (
+        |  SELECT asset_id, ascii(substring(text, CAST(i AS INT), 1)) AS b FROM idx),
+        |stats AS (
+        |  SELECT asset_id, SUM(b) AS s, MIN(b) AS mn, MAX(b) AS mx
+        |  FROM bytes GROUP BY asset_id)
+        |SELECT a.asset_id, a.kind, CAST(a.n_bytes AS BIGINT) AS n_bytes,
+        |  CASE WHEN a.n_bytes = 0 THEN 0.0
+        |       ELSE FLOOR(CAST(st.s AS DOUBLE) / a.n_bytes * 10000.0 + 0.5)
+        |            / 10000.0 END AS mean_byte,
+        |  COALESCE(st.mn, 0) AS min_byte, COALESCE(st.mx, 0) AS max_byte
+        |FROM a LEFT JOIN stats st USING (asset_id)
+        |ORDER BY asset_id""".stripMargin,
 
     // chunks = ceil(bytes/256); sampled = indices 0,4,8,… = ceil(chunks/4);
     // all sampled frames are full 256 B except a possibly-short last chunk,

@@ -22,8 +22,9 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     }),
 
-    // LSH-bucketed approximate top-10 for vec_id 0 — rows-only check here;
-    // recall vs the exact path is asserted in SimilaritySpec.
+    // LSH-bucketed approximate top-10 for vec_id 0 — hash-checked against a
+    // DuckDB twin that inlines the hyperplane constants (bucketSql below);
+    // recall vs the exact path is additionally asserted in SimilaritySpec.
     "ann_topk_lsh" -> ((s, dir) =>
       Similarity.annTopKLsh(Tables.embeddings(s, dir), 0L, 10)),
 
@@ -38,8 +39,8 @@ object SimilarityQueries {
     }),
 
     // Corpus×corpus kNN through LSH buckets + TopK aggregate — the linear
-    // layout for all-pairs similarity. Rows-only check (probabilistic);
-    // recall vs exact kNN asserted in SimilaritySpec.
+    // layout for all-pairs similarity. Hash-checked against the inlined-
+    // hyperplane DuckDB twin; recall vs exact kNN asserted in SimilaritySpec.
     "ann_knn_lsh_all" -> ((s, dir) =>
       Similarity.knnJoinLsh(Tables.embeddings(s, dir), 3)
         .orderBy("query_id", "rn")),
@@ -70,7 +71,74 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, cosine, rn FROM r
        |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
 
+  // ---- LSH oracle machinery ----
+  //
+  // The hyperplanes are deterministic driver-side constants, so the whole
+  // LSH pipeline is SQL-expressible by inlining them: per table t, bucket
+  // b_t(v) = Σ_i 2^i · [dot(v, plane_{t,i}) > 0]. Double literals are
+  // emitted via toString (shortest round-trip form), and every dot product
+  // is the same left-to-right index-order sum as the VecDot kernel, so the
+  // sign tests — and therefore the buckets — agree bit-for-bit.
+
+  private def planeDotSql(e: String, p: Array[Double]): String =
+    p.zipWithIndex.map { case (w, i) => s"CAST($e[${i + 1}] AS DOUBLE)*($w)" }
+      .mkString(" + ")
+
+  /** SQL for one table's bucket id of vector column `e`. */
+  private def bucketSql(e: String, tablePlanes: Array[Array[Double]]): String =
+    tablePlanes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN (${planeDotSql(e, p)}) > 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** CTE assigning all `tables` bucket ids to every vector. */
+  private def lshCte(tables: Int = 8, bits: Int = 4): String = {
+    val ps = Similarity.planes(tables, bits)
+    val cols = (0 until tables)
+      .map(t => s"    ${bucketSql("embedding", ps(t))} AS b$t")
+      .mkString(",\n")
+    s"WITH b AS (\n  SELECT vec_id, embedding,\n$cols\n  FROM embeddings)"
+  }
+
+  private def anyBandEq(a: String, c: String, tables: Int = 8): String =
+    (0 until tables).map(t => s"$a.b$t = $c.b$t").mkString(" OR ")
+
   val oracle: Map[String, String] = Map(
+    "ann_topk_lsh" ->
+      s"""${lshCte()},
+         |q AS (SELECT * FROM b WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id
+         |  FROM b c, q
+         |  WHERE c.vec_id <> 0 AND (${anyBandEq("c", "q")})),
+         |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  (${dotSql("e.embedding", "q.qe")})
+         |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+         |FROM cand JOIN embeddings e USING (vec_id), qe q
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+
+    "ann_knn_lsh_all" ->
+      s"""${lshCte()},
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM b a JOIN b c
+         |    ON a.vec_id <> c.vec_id AND (${anyBandEq("a", "c")})),
+         |s AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    (${dotSql("q.embedding", "n.embedding")})
+         |      / (sqrt(${dotSql("q.embedding", "q.embedding")})
+         |         * sqrt(${dotSql("n.embedding", "n.embedding")})) AS cosine
+         |  FROM pairs p
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN embeddings n ON n.vec_id = p.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+         |SELECT query_id, neighbor_id, cosine, rn FROM r
+         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+
     "ann_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,

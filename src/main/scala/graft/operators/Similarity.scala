@@ -72,9 +72,11 @@ object Similarity {
   // ---- Hyperplane LSH (approximate, the scale path) ----
 
   /** Deterministic pseudo-random hyperplanes: `tables × bits` planes of
-    * `dim` doubles, fixed seed so buckets are stable across sessions.
+    * `dim` doubles, fixed seed so buckets are stable across sessions (and
+    * reproducible in the DuckDB oracle, which inlines these constants —
+    * SimilarityQueries.bucketSql).
     */
-  private def planes(tables: Int, bits: Int, seed: Long = 7L): Array[Array[Array[Double]]] = {
+  private[graft] def planes(tables: Int, bits: Int, seed: Long = 7L): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
