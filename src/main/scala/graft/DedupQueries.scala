@@ -59,6 +59,13 @@ object DedupQueries {
       Dedup.simhashPairs(Tables.documents(s, dir), 3, portable = true)
         .orderBy("doc_a", "doc_b")),
 
+    // Near-dup clusters: transitive closure of the exact-Jaccard pair graph
+    // (min-doc_id label per component) — the "keep one per duplicate
+    // cluster" primitive; oracle = DuckDB recursive CTE over the same pairs.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(Dedup.jaccardPairs(Tables.documents(s, dir), 0.5))
+        .orderBy("doc_id")),
+
     // Embedding-cosine near-dup pairs (exact, ≥ 0.4).
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.embeddings(s, dir), 0.4)
@@ -75,8 +82,11 @@ object DedupQueries {
             / col("n_docs") * 10000.0 + 0.5) / 10000.0).as("dup_rate")))
   )
 
-  private val jaccardSql: String =
-    """WITH w AS (
+  // Shared CTE chain ending in jac(doc_a, doc_b, jaccard) — the exact
+  // 3-shingle Jaccard pair table; reused by the pair queries and the
+  // cluster oracle's recursive closure.
+  private val jaccardBase: String =
+    """w AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
       |      i -> string_split(text, ' ')[i] || ' ' ||
@@ -88,13 +98,18 @@ object DedupQueries {
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
-      |FROM pairs
-      |JOIN n na ON na.doc_id = doc_a
-      |JOIN n nb ON nb.doc_id = doc_b
-      |WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.5
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
+      |  FROM pairs
+      |  JOIN n na ON na.doc_id = doc_a
+      |  JOIN n nb ON nb.doc_id = doc_b)""".stripMargin
+
+  private val jaccardSql: String =
+    s"""WITH $jaccardBase
+      |SELECT doc_a, doc_b, jaccard FROM jac
+      |WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // DuckDB twin of Dedup.md5Hash64: two 32-bit md5 halves recombined into a
@@ -115,6 +130,22 @@ object DedupQueries {
 
     "dedup_jaccard_pairs" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
+
+    // Min-reachable-id per component via recursive label walk over the
+    // thresholded jaccard pairs (both edge directions + self seed).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardBase,
+        |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM jp
+        |  UNION ALL
+        |  SELECT doc_b AS s, doc_a AS d FROM jp),
+        |walk(id, label) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, w2.label FROM edges e JOIN walk w2 ON w2.id = e.d)
+        |SELECT id AS doc_id, MIN(label) AS cluster_id
+        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // SimHash: rebuild every 64-bit signature from the portable md5 token
     // hash (bit b = sign of Σ±1 over token-hash bits, ties → 0 — matching

@@ -58,6 +58,11 @@ object TextQueries {
           TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
 
+    // Per-document top-5 TF-IDF terms (corpus-relative keyword extraction).
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 5)
+        .orderBy("doc_id", "rn")),
+
     // Rolling-hash fingerprint — order-sensitive; md5-based token hash makes
     // the fold reproducible in DuckDB (list_reduce twin below).
     "text_fingerprint_rolling" -> ((s, dir) =>
@@ -118,6 +123,29 @@ object TextQueries {
          |  FLOOR((len_score_raw * 0.4 + diversity_raw * 0.3 + stop_score_raw * 0.3)
          |    * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // ln() is IEEE-double in both engines for these vocab-limited arguments;
+    // the 4-dp floor happens BEFORE ranking so ties break identically.
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+        |df AS (
+        |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    FLOOR(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 10000.0 + 0.5)
+        |      / 10000.0 AS tfidf
+        |  FROM tf JOIN df USING (token), n),
+        |r AS (
+        |  SELECT doc_id, token, tf, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, token) AS rn
+        |  FROM s)
+        |SELECT doc_id, token, tf, tfidf, rn FROM r
+        |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
 
     "text_termfreq" ->
       """SELECT token, COUNT(*) AS freq

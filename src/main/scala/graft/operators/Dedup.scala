@@ -186,6 +186,59 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ---- Near-dup clustering ----
+
+  /** Connected components over a near-dup pair graph — the step between
+    * pair detection and "keep one document per duplicate cluster": pairs
+    * only say A~B and B~C; the cluster {A,B,C} is their transitive
+    * closure. Returns (doc_id, cluster_id) for every document appearing in
+    * `pairs`, with cluster_id = the smallest doc_id in the component (the
+    * deterministic survivor, matching [[exactByKey]]'s min-id rule).
+    *
+    * Algorithm: iterative min-label propagation — each round, every node
+    * takes min(own label, neighbors' labels); converges in at most the
+    * component diameter rounds. Each round is one shuffle join + keyed agg
+    * (no global ordering anywhere); the driver loop's only action is the
+    * convergence count, and near-dup clusters in real corpora have tiny
+    * diameters (clones of a common source), so rounds ≈ 2-3. Fails loudly
+    * if maxIter rounds don't converge rather than returning partial labels.
+    */
+  def nearDupClusters(pairs: DataFrame, idA: String = "doc_a",
+                      idB: String = "doc_b", maxIter: Int = 20,
+                      scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    // both directions: propagation is symmetric. persist: rescanned every round
+    val edges = scope.persist(
+      pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+        .unionByName(
+          pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))))
+    // each round's labels are persisted via the scope (the final round's
+    // cache backs the returned DataFrame); superseded rounds are unpersisted
+    // eagerly so at most two label tables are ever cached
+    var labels = scope.persist(
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge in $maxIter rounds — component " +
+            "diameter exceeds the bound; raise maxIter")
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy("src").agg(min("dlabel").as("nmin"))
+        .withColumnRenamed("src", "id")
+      val next = scope.persist(labels.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("label")))
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next.select("id", "label") // reads next's cache; drop `old`
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash ----
 
   /** Adds `simhash: long` computed from whitespace tokens of `text`

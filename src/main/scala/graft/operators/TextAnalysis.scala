@@ -113,6 +113,36 @@ object TextAnalysis {
       .otherwise((total - distinctN).cast("double") / total)
   }
 
+  /** Per-document top-k TF-IDF terms — the classic relevance/keyword
+    * primitive: tf = in-doc term count, idf = ln(N / df) with df = number
+    * of documents containing the term. Emits (doc_id, token, tf, tfidf,
+    * rn ≤ k) ranked by (tfidf desc, token asc).
+    *
+    * Scale design: explode → (doc, token) partial-agg (map-side combine);
+    * df is a second partial agg over the tf table; the tf⋈df join shuffles
+    * on token (vocab-sized sides, no broadcast assumption); the corpus
+    * count N arrives via a broadcast 1-row cross join, not a driver
+    * collect. The per-doc rank window is partitioned by doc_id — keyed,
+    * never global. tfidf is ranked on its 4-dp-rounded value so the
+    * (tfidf, token) tie-break is identical cross-engine.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        r4(col("tf") * log(col("n").cast("double") / col("df"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("doc_id", "token", "tf", "tfidf", "rn")
+  }
+
   /** Content fingerprint (md5 of normalized text) — exact-dup key that's
     * stable across engines. Normalization: lowercase + collapse whitespace.
     */

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Write-side layouts. The reference's only sink is a BigQuery append
   * (/root/reference/scripts/process_sales.py:66-69); the engine keeps that
@@ -35,6 +36,42 @@ object Sinks {
     df.repartitionByRange(files, df.col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
+
+  /** Interleave the low 16 bits of `v` into even bit positions (Morton
+    * spread): bit b → bit 2b. Pure long arithmetic, codegen-friendly.
+    */
+  private def spreadBits16(v: Column): Column =
+    (0 until 16).map(b =>
+      shiftleft(shiftright(v, b).bitwiseAND(lit(1L)), 2 * b))
+      .reduce(_ bitwiseOR _)
+
+  /** Z-ordered (Morton-curve) parquet layout over TWO columns — the
+    * multi-dimensional generalization of [[sortedParquet]]: each column is
+    * scaled to a 16-bit rank (min/max collected once — two doubles, the
+    * same bounded-driver-state contract as IVF centroids) and the ranks'
+    * bits are interleaved into one sort key. Files then own compact
+    * rectangles in (colA, colB) space instead of slabs along a single
+    * column, so parquet min/max statistics skip files for selective
+    * predicates on EITHER column — the layout answer to "we filter this
+    * table by time AND by user". A single-column sort gives perfect
+    * skipping on one dimension and none on the other; Z-order trades a
+    * little of each for skipping on both (≈ √files reduction per dim).
+    */
+  def zOrderedParquet(df: DataFrame, path: String, colA: String,
+                      colB: String, files: Int = 8): Unit = {
+    val mm = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).collect()(0)
+    def rank16(c: String, lo: Double, hi: Double): Column =
+      if (lo == hi || mm.anyNull) lit(0L)
+      else least(lit(65535L),
+        floor((col(c).cast("double") - lo) / ((hi - lo) / 65536.0)).cast("long"))
+    val z = spreadBits16(rank16(colA, mm.getDouble(0), mm.getDouble(1)))
+      .bitwiseOR(shiftleft(spreadBits16(rank16(colB, mm.getDouble(2), mm.getDouble(3))), 1))
+    df.repartitionByRange(files, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Bucketed + sorted managed table (bucketBy requires the table catalog).
     * Joining two tables bucketed identically on the join key is

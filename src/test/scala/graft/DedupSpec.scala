@@ -77,6 +77,15 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(5L -> 2L, 7L -> 1L))
   }
 
+  test("nearDupClusters: transitive closure with min-id labels") {
+    // chain 1-2, 2-3 (one component, closure needed: 1 and 3 never pair
+    // directly) + isolated pair 10-11; labels = component minimum
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("embeddingPairs is symmetric-free and thresholded") {
     val emb = Tables.embeddings(spark, sfDir)
     val pairs = Dedup.embeddingPairs(emb, 0.4)

@@ -25,6 +25,32 @@ class SinksSpec extends SparkSpec {
     assert(n === expected)
   }
 
+  test("z-ordered layout bounds per-file ranges on BOTH columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // uniform 64×64 grid: a single-column sort would give every file the
+    // FULL range of the other column; z-order must bound both
+    val grid = spark.range(4096)
+      .select(($"id" % 64).cast("long").as("a"), ($"id" / 64).cast("long").as("b"))
+    Sinks.zOrderedParquet(grid, dir, "a", "b", files = 8)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("a") - min("a")).as("ra"), (max("b") - min("b")).as("rb"))
+      .select("ra", "rb").as[(Long, Long)].collect()
+    assert(ranges.length >= 4)
+    // a single-column sort pins one dim and leaves the other at the full
+    // 0..63 range in EVERY file; z-order must bound both dims on average
+    // (a file straddling a z-prefix boundary may span one dim — but then
+    // it is tight in the other, so per-file min(ra, rb) stays small)
+    val avgA = ranges.map(_._1).sum.toDouble / ranges.length
+    val avgB = ranges.map(_._2).sum.toDouble / ranges.length
+    assert(avgA <= 44 && avgB <= 44,
+      s"average per-file range too wide: avgA=$avgA avgB=$avgB ${ranges.mkString(", ")}")
+    assert(ranges.forall { case (ra, rb) => math.min(ra, rb) <= 40 },
+      s"a file is wide in BOTH dims: ${ranges.mkString(", ")}")
+    // and the data round-trips
+    assert(spark.read.parquet(dir).count() === 4096)
+  }
+
   test("range-sorted layout gives files disjoint min/max ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
     Sinks.sortedParquet(Tables.orders(spark, sfDir), dir, "o_orderdate", 4)
