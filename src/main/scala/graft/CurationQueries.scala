@@ -56,6 +56,14 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing: chunks → 256-token training bins across 8 shards.
+    "cur_pack" -> ((s, dir) =>
+      Curation.packSequences(
+          Curation.chunk(Tables.documents(s, dir), 64, 8), 256, 8)
+        .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+          col("shard"), col("bin"), col("bin_tokens_before"))
+        .orderBy("doc_id", "chunk_no")),
+
     // Context-window chunking: 64-token windows, 8-token overlap.
     "cur_chunks" -> ((s, dir) =>
       Curation.chunk(Tables.documents(s, dir), 64, 8)
@@ -65,9 +73,11 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_no"))
   )
 
-  // DuckDB twin of Curation.hashBucket(doc_id, 100).
+  // DuckDB twin of Curation.hashBucket(doc_id, 100) / (doc_id, 8).
   private val bucket =
     "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+  private val bucket8 =
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8)"
 
   val oracle: Map[String, String] = Map(
     "cur_split" ->
@@ -123,6 +133,36 @@ object CurationQueries {
         |  FROM q)
         |SELECT doc_id, quality, n_tokens FROM r
         |WHERE running <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // Same chunk derivation as cur_chunks, then the shard-partitioned
+    // running sum (CAST to BIGINT: DuckDB window SUM yields HUGEINT).
+    "cur_pack" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE CAST(CEIL((n - 64) / 56.0) AS INT) + 1 END AS n_chunks
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_no FROM c),
+        |ch AS (
+        |  SELECT doc_id, chunk_no,
+        |    len(list_slice(toks, chunk_no * 56 + 1, chunk_no * 56 + 64)) AS n_tok,
+        |    $bucket8 AS shard
+        |  FROM e),
+        |p AS (
+        |  SELECT doc_id, chunk_no, shard,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard
+        |      ORDER BY doc_id, chunk_no ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      - n_tok AS prefix
+        |  FROM ch)
+        |SELECT doc_id, chunk_no, shard,
+        |  CAST(FLOOR(CAST(prefix AS DOUBLE) / 256.0) AS BIGINT) AS bin,
+        |  prefix % 256 AS bin_tokens_before
+        |FROM p ORDER BY doc_id, chunk_no""".stripMargin,
 
     "cur_chunks" ->
       """WITH t AS (

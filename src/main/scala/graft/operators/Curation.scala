@@ -146,6 +146,42 @@ object Curation {
     out.select(outCols: _*)
   }
 
+  /** Sequence packing: assign chunk rows to fixed-capacity token bins —
+    * the step after [[chunk]] that builds training sequences ("pack these
+    * chunks into 4k-token windows"). Rows are first sharded by key hash
+    * (`shards` ≈ parallelism), then packed greedily in (doc_id, chunk_no)
+    * order within their shard: bin = floor(prefix_tokens / binTokens),
+    * where prefix_tokens is the running total EXCLUDING the current row —
+    * so a row that straddles a boundary starts the next bin's count but is
+    * assigned to the bin its first token lands in (fixed-boundary packing;
+    * bins can overhang by < one chunk, the standard concat-then-split
+    * layout).
+    *
+    * Scale design: the only window is partitioned BY SHARD — the global
+    * packing order is (shard, doc, chunk), so no global sort ever happens
+    * and shard packing is embarrassingly parallel, which is exactly how a
+    * distributed trainer shards its data anyway. Deterministic: md5-hash
+    * sharding ([[hashBucket]]), no rand().
+    *
+    * Emits (…input columns…, shard, bin, bin_tokens_before).
+    */
+  def packSequences(chunks: DataFrame, binTokens: Int, shards: Int,
+                    tokenCol: String = "n_chunk_tokens"): DataFrame = {
+    require(binTokens > 0 && shards > 0, "binTokens and shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard")
+      .orderBy(col("doc_id").asc, col("chunk_no").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    chunks
+      .withColumn("shard", hashBucket(col("doc_id"), shards))
+      .withColumn("_prefix",
+        sum(col(tokenCol).cast("long")).over(w) - col(tokenCol).cast("long"))
+      .withColumn("bin", (col("_prefix") / binTokens).cast("long"))
+      .withColumn("bin_tokens_before", pmod(col("_prefix"), lit(binTokens.toLong)))
+      .drop("_prefix")
+  }
+
   /** Context-window chunking: whitespace tokens packed into windows of
     * `chunkTokens` with `overlap` tokens carried between consecutive
     * chunks. Emits (…, chunk_no, chunk_text, n_chunk_tokens). Stride =

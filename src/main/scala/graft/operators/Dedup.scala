@@ -206,11 +206,14 @@ object Dedup {
   def nearDupClusters(pairs: DataFrame, idA: String = "doc_a",
                       idB: String = "doc_b", maxIter: Int = 20,
                       scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    // persist the pair table FIRST: the two union branches below would each
+    // re-evaluate the (possibly expensive) pair-producing subtree otherwise
+    val p = scope.persist(
+      pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b")))
     // both directions: propagation is symmetric. persist: rescanned every round
     val edges = scope.persist(
-      pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-        .unionByName(
-          pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))))
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst"))))
     // each round's labels are persisted via the scope (the final round's
     // cache backs the returned DataFrame); superseded rounds are unpersisted
     // eagerly so at most two label tables are ever cached

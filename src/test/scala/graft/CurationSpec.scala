@@ -22,6 +22,38 @@ class CurationSpec extends SparkSpec {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
   }
 
+  test("selectUnderBudget equals the naive single-window formulation") {
+    // deterministic but scrambled ranks/costs; several duplicate ranks so
+    // the (rank desc, key asc) tie-break is exercised across bucket math
+    val rows = (1L to 200L).map(i => (i, (i * 37 % 50).toDouble, i % 13 + 1))
+    val df = rows.toDF("k", "r", "c")
+    def naive(budget: Long): Set[Long] = {
+      val sorted = rows.sortBy { case (k, r, _) => (-r, k) }
+      val sel = scala.collection.mutable.Set.empty[Long]
+      var run = 0L
+      sorted.foreach { case (k, _, c) => run += c; if (run <= budget) sel += k }
+      sel.toSet
+    }
+    for (budget <- Seq(0L, 5L, 100L, 700L, 100000L)) {
+      val got = Curation.selectUnderBudget(df, col("r"), col("k"), col("c"), budget)
+        .select("k").as[Long].collect().toSet
+      assert(got === naive(budget), s"budget=$budget")
+    }
+  }
+
+  test("selectUnderBudget edge cases: empty input, zero-cost rows at cutoff") {
+    val empty = Seq.empty[(Long, Double, Long)].toDF("k", "r", "c")
+    assert(Curation.selectUnderBudget(empty, col("r"), col("k"), col("c"), 10L)
+      .count() === 0)
+    // zero-cost rows never exceed the budget, even when the running total
+    // sits exactly at it
+    val z = Seq((1L, 9.0, 10L), (2L, 8.0, 0L), (3L, 7.0, 0L), (4L, 6.0, 1L))
+      .toDF("k", "r", "c")
+    val got = Curation.selectUnderBudget(z, col("r"), col("k"), col("c"), 10L)
+      .select("k").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L))
+  }
+
   test("hash sample is a subset and matches the split buckets") {
     val sample = Curation.hashSample(docs, col("doc_id"), 10)
       .select("doc_id").as[Long].collect().toSet
