@@ -120,10 +120,33 @@ object EventQueries {
           col("ts").cast("long").as("ts_sec"),
           col("click_id"), col("click_value"))
         .orderBy("event_id")
+    }),
+
+    // Salted fact⋈dim join on the (skew-prone) user key, then per-type
+    // rollup. The salting is invisible in the result, so the oracle is the
+    // PLAIN join — that equality is the point: same answer, no hot task.
+    "events_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+      operators.Skew.saltedJoin(
+          ev.select("event_id", "user_id", "event_type"), dim,
+          "user_id", col("event_id"), 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("user_events").as("sum_user_events"))
+        .orderBy("event_type")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "events_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(d.user_events) AS BIGINT) AS sum_user_events
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
+
     "events_json_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

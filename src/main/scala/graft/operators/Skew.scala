@@ -33,4 +33,24 @@ object Skew {
         sum(value.cast("decimal(18,2)")).as("_s"))
       .groupBy(col("key"))
       .agg(sum("_n").as("n"), sum("_s").cast("double").as("total"))
+
+  /** Salted equi-join for a skewed LEFT side: each left row gets a
+    * deterministic salt, the right side is replicated once per salt value
+    * (explode), and the join key becomes (key, salt) — a hot key's rows
+    * spread over `salts` tasks instead of pinning one. Result is exactly
+    * the plain inner join (asserted in SkewTopKSpec). Cost model: right
+    * shuffle volume × salts — use when the right side is modest but too
+    * big to broadcast and AQE's runtime skew split isn't available (e.g.
+    * a statically-planned pipeline). Both inputs must not already contain
+    * `_salt`.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltContent: Column, salts: Int = 16): DataFrame = {
+    require(!(left.columns ++ right.columns).contains("_salt"),
+      "saltedJoin reserves the internal column name _salt")
+    val l = left.withColumn("_salt", salt(salts, saltContent))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
 }

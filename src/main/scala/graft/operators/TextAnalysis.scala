@@ -126,10 +126,14 @@ object TextAnalysis {
     * never global. tfidf is ranked on its 4-dp-rounded value so the
     * (tfidf, token) tie-break is identical cross-engine.
     */
-  def tfidfTopTerms(documents: DataFrame, k: Int): DataFrame = {
+  def tfidfTopTerms(documents: DataFrame, k: Int,
+                    scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
     val toks = documents.select(col("doc_id"),
       explode(tokens(col("text"))).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // persist: tf feeds both the join's left side and the df aggregation —
+    // without it the explode+agg pass over the corpus runs twice
+    val tf = scope.persist(
+      toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window

@@ -21,6 +21,26 @@ class SkewTopKSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted join equals the plain inner join on a skewed dataset") {
+    // 90% of fact rows share one hot key
+    val fact = spark.range(2000)
+      .select($"id".as("fid"), when($"id" % 10 === 0, $"id" % 5 + 1)
+        .otherwise(lit(0L)).as("k"))
+    val dim = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "label")
+    val salted = Skew.saltedJoin(fact, dim, "k", col("fid"), salts = 8)
+      .select("fid", "k", "label")
+      .as[(Long, Long, String)].collect().toSet
+    val plain = fact.join(dim, "k").select("fid", "k", "label")
+      .as[(Long, Long, String)].collect().toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+    // reserved-name collision fails loudly
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact.withColumn("_salt", lit(1)), dim, "k", col("fid"))
+    }
+  }
+
   test("salted agg plan has two aggregation exchanges (salt then key)") {
     val p = Skew.saltedAgg(Tables.lineitem(spark, sfDir),
         col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
