@@ -58,6 +58,14 @@ object TextQueries {
           TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
 
+    // Decontamination scan: every 100th doc plays the held-out benchmark;
+    // n_hits = how many of a doc's shingles appear in that probe set.
+    "text_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contaminationHits(docs, docs.filter(col("doc_id") % 100 === 0))
+        .orderBy("doc_id")
+    }),
+
     // Per-document top-5 TF-IDF terms (corpus-relative keyword extraction).
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 5)
@@ -123,6 +131,22 @@ object TextQueries {
          |  FLOOR((len_score_raw * 0.4 + diversity_raw * 0.3 + stop_score_raw * 0.3)
          |    * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // String-shingle twin of the hashed-shingle join (same sets modulo
+    // 64-bit hash collisions — the jaccardPairs argument).
+    "text_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS shs
+        |  FROM documents),
+        |probe AS (SELECT DISTINCT unnest(shs) AS s FROM w WHERE doc_id % 100 = 0),
+        |d AS (SELECT doc_id, unnest(shs) AS s FROM w)
+        |SELECT doc_id, COUNT(*) AS n_hits
+        |FROM d JOIN probe USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // ln() is IEEE-double in both engines for these vocab-limited arguments;
     // the 4-dp floor happens BEFORE ranking so ties break identically.

@@ -147,6 +147,29 @@ object TextAnalysis {
       .select("doc_id", "token", "tf", "tfidf", "rn")
   }
 
+  /** Benchmark-decontamination hits: for each document, how many of its
+    * distinct n-gram shingles appear in the probe (benchmark/test-set)
+    * corpus — the standard "is my training data contaminated with eval
+    * data" check. Emits (doc_id, n_hits) for documents with ≥ 1 hit.
+    *
+    * Scale design: both sides shingle via the fused
+    * [[graft.operators.Dedup.hashedShingles]] kernel and join on the
+    * 8-byte hash (same negligible-collision argument as jaccardPairs —
+    * the oracle joins on shingle strings and agrees). The probe set is
+    * benchmark-sized, so Catalyst broadcasts it; the document side is one
+    * explode + keyed partial agg — linear, no corpus self-join.
+    */
+  def contaminationHits(documents: DataFrame, probeDocs: DataFrame,
+                        n: Int = 3): DataFrame = {
+    val sh = (d: DataFrame) =>
+      d.select(col("doc_id"),
+        explode(graft.operators.Dedup.hashedShingles(col("text"), n)).as("h"))
+    val probe = sh(probeDocs).select("h").distinct()
+    sh(documents)
+      .join(probe, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — exact-dup key that's
     * stable across engines. Normalization: lowercase + collapse whitespace.
     */
