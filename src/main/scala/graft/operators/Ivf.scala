@@ -82,7 +82,7 @@ object Ivf {
   private def assignUdfFree(unitVec: Column, cents: Array[(Int, Array[Double])]): Column = {
     val entries = cents.map { case (cid, c) =>
       struct((lit(0.0) - graft.plans.NativeKernels.vecDot(
-        unitVec, array(c.map(lit(_)): _*))).as("negdot"),
+        unitVec, array(c.toIndexedSeq.map(lit(_)): _*))).as("negdot"),
         lit(cid).as("cid"))
     }
     array_min(array(entries.toIndexedSeq: _*)).getField("cid")

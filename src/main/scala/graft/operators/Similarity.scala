@@ -81,7 +81,8 @@ object Similarity {
     Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def planeCol(p: Array[Double]): Column = array(p.map(lit(_)): _*)
+  private def planeCol(p: Array[Double]): Column =
+    array(p.toIndexedSeq.map(lit(_)): _*)
 
   /** Bucket id of a vector in one table: sign bits of `bits` projections. */
   private def bucketId(v: Column, tablePlanes: Array[Array[Double]]): Column =

@@ -34,6 +34,28 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"codegen missing:\n$p")
   }
 
+  test("NO registered query plans a partitionless (single-task) window") {
+    // the one scale-killer class the engine has shipped before (cur_budget
+    // round 2): a Window with an empty partitionSpec sorts the whole input
+    // on ONE task. Sweep every query's physical plan — none may contain one.
+    // (Building a plan may run bounded driver work — IVF training, budget
+    // bucket stats — but never executes the full query.)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan
+      val bad = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      spark.catalog.clearCache()
+      CacheScope.global.release()
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with a global-sort window: ${offenders.mkString(", ")}")
+  }
+
   test("dimension joins broadcast (q5 join chain)") {
     val p = plan(SparkEntry.queries("q5_join5")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q5:\n$p")
