@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.plans.{HashedShingles, MinHashSig, SimHash64, VecDot}
+import graft.plans.{HashedShingles, Md5Hash64, MinHashSig, SimHash64, VecDot}
 
 /** SparkSessionExtensions hook exposing the native kernels to SQL:
   *
@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HashedShingles(children.head, n)
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("md5_hash64"),
+      new ExpressionInfo(classOf[Md5Hash64].getName, "md5_hash64"),
+      (children: Seq[Expression]) => Md5Hash64(children.head)))
 
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),

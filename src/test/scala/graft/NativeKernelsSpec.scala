@@ -104,6 +104,10 @@ class NativeKernelsSpec extends SparkSpec {
       "SELECT hashed_shingles(array('a','b','c','d'), 3) AS h")
       .as[Seq[Long]].head()
     assert(hs === Seq(xxhash64OfString("a b c"), xxhash64OfString("b c d")))
+    val m5 = spark.sql("SELECT md5_hash64(array('a')) AS h").as[Seq[Long]].head()
+    val m5Api = Seq(Seq("a")).toDF("t")
+      .select(graft.plans.NativeKernels.md5Hash64($"t")).as[Seq[Long]].head()
+    assert(m5 === m5Api)
   }
 
   private def xxhash64OfString(s: String): Long =
