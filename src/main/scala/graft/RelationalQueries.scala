@@ -150,6 +150,24 @@ object RelationalQueries {
     // percentile == DuckDB's quantile_cont, both (n-1)p linear interp.
     // Array form: ONE sort buffer per group serves all four points —
     // four scalar percentile aggs would each buffer the whole column.
+    // Upsert compaction: orders is the base snapshot (version 0), every
+    // 10th key gets an update batch row (version 1, doubled price, status
+    // U); keep-latest must surface exactly the updates for those keys and
+    // the base rows elsewhere. ×2 is exponent-exact in IEEE, so the oracle
+    // hash-matches without decimal routing.
+    "orders_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val base = o.withColumn("version", lit(0L))
+      val upd = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("version", lit(1L))
+      operators.Upsert.keepLatest(
+          base.unionByName(upd), Seq("o_orderkey"), "version")
+        .orderBy("o_orderkey")
+    }),
+
     "quantiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
@@ -256,6 +274,23 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "orders_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |    CAST(0 AS BIGINT) AS version
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+        |    'U' AS o_orderstatus, CAST(1 AS BIGINT) AS version
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC) AS rn
+        |  FROM u)
+        |SELECT o_orderkey, o_totalprice, o_orderstatus, version
+        |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
 
     "quantiles" ->
       """SELECT l_returnflag,

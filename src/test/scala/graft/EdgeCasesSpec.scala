@@ -77,4 +77,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.topK(one, 0L, 5).count() === 0)
     assert(Dedup.embeddingPairs(one, 0.0).count() === 0)
   }
+
+  test("keepLatest: highest version wins, untouched keys pass through") {
+    val rows = Seq(
+      (1L, "a", 0L), (1L, "b", 2L), (1L, "c", 1L), // three versions: b wins
+      (2L, "x", 0L),                               // never updated
+      (3L, "m", 5L), (3L, "n", 5L))                // version tie → tieCols
+      .toDF("k", "v", "version")
+    val got = graft.operators.Upsert
+      .keepLatest(rows, Seq("k"), "version", tieCols = Seq("v"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "b", 2L), (2L, "x", 0L), (3L, "n", 5L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Upsert.keepLatest(rows, Nil, "version")
+    }
+  }
 }
