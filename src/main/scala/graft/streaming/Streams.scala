@@ -119,6 +119,34 @@ object Streams {
       .select(col("window.start").as("w_start"), col("doc_id"))
   }
 
+  /** Stream-stream interval join: every (click, purchase) pair for the same
+    * user with the click inside [purchase − window, purchase] — the
+    * streaming twin of the batch range join
+    * (EventQueries "events_range_join" / RangeJoin.pointInInterval).
+    *
+    * Both sides are genuinely streaming: Spark buffers each side's rows in
+    * join state, and the watermark PLUS the time-bound condition let it
+    * evict state older than (watermark − window) — bounded state on both
+    * sides, the canonical watermarked stream-stream join. Output is
+    * append-mode; a pair is emitted as soon as both rows have arrived.
+    *
+    * Inputs need (user_id, ts, click_id) / (user_id, ts, purchase_id).
+    */
+  def clickPurchaseJoinStream(clicks: DataFrame, purchases: DataFrame,
+                              watermark: String = "2 hours",
+                              windowDur: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("click_id"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    c.join(p, expr(
+      s"c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL $windowDur AND p_ts"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Per-user session state for [[sessionize]]: count of events and sessions
     * seen so far, and the last event time (epoch seconds).
     */

@@ -182,6 +182,51 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows === Map(1L -> ((3L, 2L)), 2L -> ((1L, 1L))))
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    // user 7: clicks at 00:10 and 00:50, purchase at 01:00 → both inside
+    // the 1h window; click at 02:30 is outside any purchase window;
+    // user 8: click after its purchase → excluded (c_ts <= p_ts)
+    clicks.addData(Seq(
+      (7L, Timestamp.valueOf("2024-01-01 00:10:00"), 101L),
+      (7L, Timestamp.valueOf("2024-01-01 00:50:00"), 102L),
+      (8L, Timestamp.valueOf("2024-01-01 03:00:00"), 103L)))
+    purchases.addData(Seq(
+      (7L, Timestamp.valueOf("2024-01-01 01:00:00"), 201L),
+      (8L, Timestamp.valueOf("2024-01-01 02:00:00"), 202L)))
+    val q = Streams.clickPurchaseJoinStream(
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      purchases.toDF().toDF("user_id", "ts", "purchase_id"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    clicks.addData(Seq((7L, Timestamp.valueOf("2024-01-01 02:30:00"), 104L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ss_join")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    // batch twin over the same rows
+    val bc = Seq((7L, Timestamp.valueOf("2024-01-01 00:10:00"), 101L),
+      (7L, Timestamp.valueOf("2024-01-01 00:50:00"), 102L),
+      (8L, Timestamp.valueOf("2024-01-01 03:00:00"), 103L),
+      (7L, Timestamp.valueOf("2024-01-01 02:30:00"), 104L))
+      .toDF("user_id", "ts", "click_id")
+    val bp = Seq((7L, Timestamp.valueOf("2024-01-01 01:00:00"), 201L),
+      (8L, Timestamp.valueOf("2024-01-01 02:00:00"), 202L))
+      .toDF("user_id", "pts", "purchase_id")
+      // rebuild the [p_ts - 1h, p_ts] interval frame for pointInInterval
+      .select(col("user_id"), (col("pts") - expr("INTERVAL 1 HOUR")).as("w_start"),
+        col("pts").as("w_end"), col("purchase_id"))
+    val batch = graft.operators.RangeJoin.pointInInterval(
+        bc, bp, "user_id", "ts", "w_start", "w_end", Seq("purchase_id"))
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(got === batch)
+    assert(got === Set((101L, 201L), (102L, 201L)))
+  }
+
   test("streaming minhash near-dup: exact and near copies are dropped, novel docs pass") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
