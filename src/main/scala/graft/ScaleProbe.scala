@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: empirical scaling probe for the flagship corpus operators.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe 1 10"
+  *
+  * Blows the documents corpus up by each multiplier (re-keyed copies whose
+  * tokens are salted with a per-copy prefix, so copies are NOT near-dups of
+  * each other and the pair structure stays per-copy — a genuine corpus-size
+  * scale-up rather than a duplicate explosion), times the linear-cost
+  * operators, and prints seconds plus the per-doc rate. A scale-safe
+  * operator's rate should stay roughly flat as the multiplier grows; a
+  * super-linear plan shows up as a rising per-doc cost.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
+
+    def blowUp(mult: Int): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+      (0 until mult).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          // salt every token with a per-copy prefix: all shingles differ
+          // across copies, so copies never near-dup each other
+          .withColumn("text", regexp_replace(col("text"), "(^| )", s"$$1c$i"))
+      }.reduce(_ unionByName _)
+    }
+
+    def time(name: String, mult: Int, df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      CacheScope.global.release()
+      spark.catalog.clearCache()
+      println(f"PROBE $name%-18s mult=$mult%-3d ${sec}%8.2f s  ${sec / mult}%8.3f s/unit")
+    }
+
+    for (m <- mults) {
+      val corpus = blowUp(m)
+      time("minhash_lsh", m, operators.Dedup.minhashPairs(corpus, 0.5))
+      time("exact_dedup", m, operators.Dedup.exactByKey(corpus,
+        operators.TextAnalysis.fingerprintMd5(col("text")), "doc_id"))
+      time("simhash", m, operators.Dedup.simhashPairs(corpus, 3))
+      time("text_quality", m, operators.TextAnalysis.qualityScore(corpus))
+      time("tfidf_top5", m, operators.TextAnalysis.tfidfTopTerms(corpus, 5))
+    }
+    spark.stop()
+  }
+}
