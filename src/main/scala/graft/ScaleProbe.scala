@@ -28,7 +28,9 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
+    val annMode = args.headOption.contains("ann")
+    val mults =
+      if (annMode || args.isEmpty) Seq(1, 10) else args.toSeq.map(_.toInt)
 
     def blowUp(mult: Int): DataFrame = {
       val docs = Tables.documents(spark, dir)
@@ -49,14 +51,37 @@ object ScaleProbe {
       println(f"PROBE $name%-18s mult=$mult%-3d ${sec}%8.2f s  ${sec / mult}%8.3f s/unit")
     }
 
-    for (m <- mults) {
-      val corpus = blowUp(m)
-      time("minhash_lsh", m, operators.Dedup.minhashPairs(corpus, 0.5))
-      time("exact_dedup", m, operators.Dedup.exactByKey(corpus,
-        operators.TextAnalysis.fingerprintMd5(col("text")), "doc_id"))
-      time("simhash", m, operators.Dedup.simhashPairs(corpus, 3))
-      time("text_quality", m, operators.TextAnalysis.qualityScore(corpus))
-      time("tfidf_top5", m, operators.TextAnalysis.tfidfTopTerms(corpus, 5))
+    /** Blown-up embeddings: copies are re-keyed and element-wise perturbed
+      * by a deterministic per-copy factor so they are distinct vectors, not
+      * degenerate exact duplicates.
+      */
+    def blowUpVecs(mult: Int): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      (0 until mult).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+          .withColumn("embedding", transform(col("embedding"), (x, j) =>
+            (x * (lit(0.8) + pmod(xxhash64(col("vec_id") + j, lit(i)), lit(400))
+              .cast("double") / 1000.0)).cast("float")))
+      }.reduce(_ unionByName _)
+    }
+
+    if (annMode) {
+      // the (tables, bits) knob: at fixed bits the bucket self-join cost is
+      // Σ|bucket|² and grows quadratically with corpus size; raising bits
+      // keeps buckets constant-sized and the cost linear — demonstrate both
+      for ((m, bits) <- Seq((1, 4), (5, 4), (5, 7)))
+        time(s"knn_lsh_bits$bits", m,
+          operators.Similarity.knnJoinLsh(blowUpVecs(m), 3, tables = 8, bits = bits))
+    } else {
+      for (m <- mults) {
+        val corpus = blowUp(m)
+        time("minhash_lsh", m, operators.Dedup.minhashPairs(corpus, 0.5))
+        time("exact_dedup", m, operators.Dedup.exactByKey(corpus,
+          operators.TextAnalysis.fingerprintMd5(col("text")), "doc_id"))
+        time("simhash", m, operators.Dedup.simhashPairs(corpus, 3))
+        time("text_quality", m, operators.TextAnalysis.qualityScore(corpus))
+        time("tfidf_top5", m, operators.TextAnalysis.tfidfTopTerms(corpus, 5))
+      }
     }
     spark.stop()
   }
