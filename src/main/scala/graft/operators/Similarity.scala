@@ -119,6 +119,11 @@ object Similarity {
     // bits dot products per vector) and the parquet scan run twice. Held by
     // the caller's CacheScope; release() after materializing the result
     // (same contract as Dedup.minhashPairs).
+    // pair generation: bucket self-join, not collect_list+pair-explode —
+    // the explode variant (Dedup.lshCandidatePairs shape) was measured
+    // equal-or-slower here (interpreted nested transforms offset the saved
+    // shuffle), and the join keeps pairs streaming instead of buffering
+    // per-bucket arrays
     val idx = scope.persist(
       lshIndex(embeddings, tables, bits).select("vec_id", "table", "bucket"))
     val pairs = idx.select(col("vec_id").as("query_id"), col("table"), col("bucket"))
