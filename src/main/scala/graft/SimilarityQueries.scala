@@ -45,6 +45,12 @@ object SimilarityQueries {
       Similarity.knnJoinLsh(Tables.embeddings(s, dir), 3)
         .orderBy("query_id", "rn")),
 
+    // Per-label class centroids, exploded to scalar rows (exact integer
+    // sums — see labelCentroids scaladoc).
+    "ann_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir))
+        .orderBy("label", "dim")),
+
     // Same contract as ann_knn_join through the k-bounded TopK aggregator
     // (shuffle ships ≤k rows/partition/query instead of all candidates) —
     // shares the window formulation's oracle.
@@ -151,6 +157,26 @@ object SimilarityQueries {
          |LIMIT 10""".stripMargin,
 
     "ann_knn_join" -> knnSql,
-    "ann_knn_agg" -> knnSql
+    "ann_knn_agg" -> knnSql,
+
+    // range-unnest index twin (this DuckDB lacks WITH ORDINALITY); CAST the
+    // integer SUM back to BIGINT (DuckDB SUM → HUGEINT) and mirror the
+    // division order exactly.
+    "ann_centroids" ->
+      """WITH idx AS (
+        |  SELECT label, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM idx)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  FLOOR(CAST(CAST(SUM(vq) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS centroid_v,
+        |  COUNT(*) AS n_vectors
+        |FROM q GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin
   )
 }

@@ -69,6 +69,34 @@ object Similarity {
         col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rn"))
   }
 
+  /** Per-label centroid of the embedding column, emitted EXPLODED as
+    * (label, dim, value) rows with the mean rounded to 4 dp — scalar rows
+    * so the result is hash-comparable cross-engine (array columns are
+    * not). The shuffle carries (label, dim, partial-sum) triples with
+    * map-side combine — the same linear layout as an IVF Lloyd step; one
+    * row group per (label, dim), never a whole-corpus collect.
+    *
+    * Determinism: a plain `avg` over doubles is partition-order-dependent
+    * (float addition isn't associative), so elements are first quantized
+    * to 1e-6-scaled longs — integer sums are exact and order-free, and
+    * the single double division afterwards is reproduced verbatim by the
+    * oracle (the repo's decimal-routing rule, integer form).
+    *
+    * This is the class-centroid primitive: nearest-centroid classification,
+    * per-domain mean vectors for corpus mixing, IVF seeding.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vq",
+        floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long"))
+      .groupBy("label", "dim")
+      .agg(sum("vq").as("s"), count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        (floor(col("s").cast("double") / 1000000.0 / col("n_vectors")
+          * 10000.0 + 0.5) / 10000.0).as("centroid_v"),
+        col("n_vectors"))
+
   // ---- Hyperplane LSH (approximate, the scale path) ----
 
   /** Deterministic pseudo-random hyperplanes: `tables × bits` planes of
