@@ -51,6 +51,12 @@ object SimilarityQueries {
       Similarity.labelCentroids(Tables.embeddings(s, dir))
         .orderBy("label", "dim")),
 
+    // Nearest-centroid classification confusion matrix (integer-quantized
+    // scoring — see nearestCentroidConfusion scaladoc).
+    "ann_centroid_classify" -> ((s, dir) =>
+      Similarity.nearestCentroidConfusion(Tables.embeddings(s, dir))
+        .orderBy("label_true", "label_pred")),
+
     // Same contract as ann_knn_join through the k-bounded TopK aggregator
     // (shuffle ships ≤k rows/partition/query instead of all candidates) —
     // shares the window formulation's oracle.
@@ -177,6 +183,53 @@ object SimilarityQueries {
         |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS centroid_v,
         |  COUNT(*) AS n_vectors
         |FROM q GROUP BY label, dim
-        |ORDER BY label, dim""".stripMargin
+        |ORDER BY label, dim""".stripMargin,
+
+    // Full replication of the integer-quantized scoring pipeline: centroid
+    // derivation (as ann_centroids), exact cvq/pq integer sums, one double
+    // division + sqrt, argmax with label tie-break.
+    "ann_centroid_classify" ->
+      """WITH idx AS (
+        |  SELECT vec_id, label, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM idx),
+        |cents AS (
+        |  SELECT label AS label_pred, dim,
+        |    FLOOR(CAST(CAST(SUM(vq) AS BIGINT) AS DOUBLE) / 1000000.0
+        |      / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS centroid_v
+        |  FROM q GROUP BY label, dim),
+        |c2 AS (
+        |  SELECT label_pred, dim, centroid_v,
+        |    CAST(FLOOR(centroid_v * 10000.0 + 0.5) AS BIGINT) AS cvq
+        |  FROM cents),
+        |norms AS (
+        |  SELECT label_pred, CAST(SUM(cvq * cvq) AS BIGINT) AS norm2q
+        |  FROM c2 GROUP BY label_pred),
+        |vd AS (
+        |  SELECT vec_id, label AS label_true, i - 1 AS dim,
+        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |  FROM idx),
+        |sc AS (
+        |  SELECT vd.vec_id, vd.label_true, c2.label_pred,
+        |    CAST(SUM(CAST(FLOOR(vd.v * c2.centroid_v * 1000000000.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS sq
+        |  FROM vd JOIN c2 ON vd.dim = c2.dim
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT sc.*, CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE)) AS score
+        |  FROM sc JOIN norms USING (label_pred)),
+        |r AS (
+        |  SELECT vec_id, label_true, label_pred,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, label_pred) AS rn
+        |  FROM scored)
+        |SELECT label_true, label_pred, COUNT(*) AS n_vectors
+        |FROM r WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY label_true, label_pred""".stripMargin
   )
 }

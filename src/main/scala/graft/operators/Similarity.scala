@@ -97,6 +97,46 @@ object Similarity {
           * 10000.0 + 0.5) / 10000.0).as("centroid_v"),
         col("n_vectors"))
 
+  /** Nearest-centroid classification confusion matrix: every vector is
+    * scored against each label centroid ([[labelCentroids]]' 4-dp values)
+    * by norm-scaled dot product and assigned to the best label; output is
+    * (label_true, label_pred, n_vectors).
+    *
+    * Determinism (the whole pipeline is cross-engine hash-stable):
+    * per-element products are quantized to 1e-9-scaled longs before the
+    * distributed sum (double sums are partition-order-dependent; integer
+    * sums are exact), centroid norms come from the exact 1e-4 grid the
+    * centroids live on, and the argmax breaks score ties by label. Scale:
+    * the score join is (corpus dims) × labels with map-side combine —
+    * linear in corpus × labels, no collect.
+    */
+  def nearestCentroidConfusion(embeddings: DataFrame): DataFrame = {
+    val cents = labelCentroids(embeddings)
+      .select(col("label").as("label_pred"), col("dim"),
+        col("centroid_v"),
+        // centroid values are on the 1e-4 grid: recover the exact integer
+        floor(col("centroid_v") * 10000.0 + 0.5).cast("long").as("cvq"))
+    val norms = cents.groupBy("label_pred")
+      .agg(sum(col("cvq") * col("cvq")).as("norm2q")) // exact long
+    val vdims = embeddings.select(col("vec_id"), col("label").as("label_true"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("dim", col("dim").cast("long"))
+    val scored = vdims.join(cents, "dim")
+      .withColumn("pq", floor(col("v").cast("double") * col("centroid_v")
+        * 1000000000.0 + 0.5).cast("long"))
+      .groupBy("vec_id", "label_true", "label_pred")
+      .agg(sum("pq").as("sq"))
+      .join(norms, "label_pred")
+      .withColumn("score",
+        col("sq").cast("double") / sqrt(col("norm2q").cast("double")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(desc("score"), col("label_pred"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("label_true", "label_pred")
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
   // ---- Hyperplane LSH (approximate, the scale path) ----
 
   /** Deterministic pseudo-random hyperplanes: `tables × bits` planes of
