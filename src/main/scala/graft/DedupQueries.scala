@@ -59,11 +59,15 @@ object DedupQueries {
       Dedup.simhashPairs(Tables.documents(s, dir), 3, portable = true)
         .orderBy("doc_a", "doc_b")),
 
-    // Near-dup clusters: transitive closure of the exact-Jaccard pair graph
+    // Near-dup clusters: transitive closure of the near-dup pair graph
     // (min-doc_id label per component) — the "keep one per duplicate
-    // cluster" primitive; oracle = DuckDB recursive CTE over the same pairs.
+    // cluster" primitive. Pairs come from the LINEAR minhash path (the
+    // layout clusters would use at scale); the oracle's recursive CTE
+    // closes over the exact-Jaccard pairs, which equal the minhash pairs
+    // on this corpus for the same reason dedup_minhash_lsh shares the
+    // jaccard oracle (planted near-dups sit at j ≥ 0.9).
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(Dedup.jaccardPairs(Tables.documents(s, dir), 0.5))
+      Dedup.nearDupClusters(Dedup.minhashPairs(Tables.documents(s, dir), 0.5))
         .orderBy("doc_id")),
 
     // Embedding-cosine near-dup pairs (exact, ≥ 0.4).
