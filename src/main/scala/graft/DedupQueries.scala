@@ -70,6 +70,15 @@ object DedupQueries {
       Dedup.nearDupClusters(Dedup.minhashPairs(Tables.documents(s, dir), 0.5))
         .orderBy("doc_id")),
 
+    // End-to-end corpus dedup: minhash pairs → clusters → keep the longest
+    // doc per cluster (ties → min doc_id), unclustered docs untouched.
+    "dedup_collapse" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.collapseNearDups(docs, Dedup.minhashPairs(docs, 0.5), col("n_chars"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup pairs (exact, ≥ 0.4).
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.embeddings(s, dir), 0.4)
@@ -176,6 +185,32 @@ object DedupQueries {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Clusters via the recursive closure, then keep-longest per cluster;
+    // singleton clusters come from the left join's COALESCE.
+    "dedup_collapse" ->
+      s"""WITH RECURSIVE $jaccardBase,
+        |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM jp
+        |  UNION ALL
+        |  SELECT doc_b AS s, doc_a AS d FROM jp),
+        |walk(id, label) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, w2.label FROM edges e JOIN walk w2 ON w2.id = e.d),
+        |cl AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+        |d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    COALESCE(cl.cluster_id, doc_id) AS clid
+        |  FROM documents LEFT JOIN cl ON cl.id = documents.doc_id),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY clid
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_rate" ->
       s"""$clonedDocsCte

@@ -242,6 +242,34 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** End-to-end near-dup collapse: given the corpus and its near-dup
+    * pairs, keep ONE document per duplicate cluster — the best by `rank`
+    * (ties → smallest doc_id) — and every unclustered document unchanged.
+    * This is the full "dedup the corpus" operation: pair detection
+    * ([[minhashPairs]] at scale) → clustering ([[nearDupClusters]]) →
+    * survivor selection, returning the deduplicated corpus.
+    *
+    * Scale: one left join of the corpus against the (pair-sized) cluster
+    * table, then a window keyed by cluster — unclustered docs form
+    * singleton clusters via coalesce, so the window never sees a giant
+    * partition unless a genuinely giant duplicate cluster exists.
+    */
+  def collapseNearDups(documents: DataFrame, pairs: DataFrame, rank: Column,
+                       scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    require(!documents.columns.exists(Set("_cl", "_rn")),
+      "collapseNearDups reserves the internal column names _cl and _rn")
+    val clusters = nearDupClusters(pairs, scope = scope)
+      .withColumnRenamed("doc_id", "_cdoc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_cl").orderBy(rank.desc, col("doc_id").asc)
+    documents
+      .join(clusters, col("doc_id") === col("_cdoc"), "left")
+      .withColumn("_cl", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(documents.columns.toSeq.map(col): _*)
+  }
+
   // ---- SimHash ----
 
   /** Adds `simhash: long` computed from whitespace tokens of `text`

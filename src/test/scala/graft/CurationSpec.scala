@@ -54,6 +54,22 @@ class CurationSpec extends SparkSpec {
     assert(got === Set(1L, 2L, 3L))
   }
 
+  test("packSequences invariants: total assignment, in-shard bin contiguity") {
+    val chunks = Curation.chunk(docs, 64, 8)
+    val packed = Curation.packSequences(chunks, 256, 8)
+    // every chunk gets exactly one (shard, bin); no rows lost or duplicated
+    assert(packed.count() === chunks.count())
+    // bins are contiguous prefixes within a shard: bin ids per shard form
+    // 0..maxBin with no gaps
+    val gaps = packed.groupBy("shard")
+      .agg(countDistinct("bin").as("n_bins"), max("bin").as("max_bin"))
+      .filter(col("n_bins") =!= col("max_bin") + 1)
+    assert(gaps.count() === 0)
+    // a bin never holds more than binTokens of STARTED tokens, i.e. every
+    // row's in-bin offset is < binTokens
+    assert(packed.filter(col("bin_tokens_before") >= 256).count() === 0)
+  }
+
   test("hash sample is a subset and matches the split buckets") {
     val sample = Curation.hashSample(docs, col("doc_id"), 10)
       .select("doc_id").as[Long].collect().toSet
