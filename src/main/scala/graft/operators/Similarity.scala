@@ -110,12 +110,15 @@ object Similarity {
     * the score join is (corpus dims) × labels with map-side combine —
     * linear in corpus × labels, no collect.
     */
-  def nearestCentroidConfusion(embeddings: DataFrame): DataFrame = {
-    val cents = labelCentroids(embeddings)
+  def nearestCentroidConfusion(embeddings: DataFrame,
+                               scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    // persist: the centroid table feeds both the score join and the norm
+    // aggregation — without it the explode+agg centroid pass runs twice
+    val cents = scope.persist(labelCentroids(embeddings)
       .select(col("label").as("label_pred"), col("dim"),
         col("centroid_v"),
         // centroid values are on the 1e-4 grid: recover the exact integer
-        floor(col("centroid_v") * 10000.0 + 0.5).cast("long").as("cvq"))
+        floor(col("centroid_v") * 10000.0 + 0.5).cast("long").as("cvq")))
     val norms = cents.groupBy("label_pred")
       .agg(sum(col("cvq") * col("cvq")).as("norm2q")) // exact long
     val vdims = embeddings.select(col("vec_id"), col("label").as("label_true"),
