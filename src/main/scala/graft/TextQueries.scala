@@ -58,6 +58,11 @@ object TextQueries {
           TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
 
+    // Corpus-self-trained bigram LM quality score (CCNet-style filter).
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // Decontamination scan: every 100th doc plays the held-out benchmark;
     // n_hits = how many of a doc's shingles appear in that probe set.
     "text_contamination" -> ((s, dir) => {
@@ -131,6 +136,33 @@ object TextQueries {
          |  FLOOR((len_score_raw * 0.4 + diversity_raw * 0.3 + stop_score_raw * 0.3)
          |    * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Bigram LM twin: same add-one smoothing, same 1e-9 ln quantization,
+    // CAST the integer SUM back to BIGINT (DuckDB SUM → HUGEINT).
+    "text_lm_score" ->
+      """WITH occ AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1])) AS b
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |o2 AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM occ),
+        |c2 AS (SELECT b, COUNT(*) AS c2 FROM o2 GROUP BY b),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM o2 GROUP BY w1),
+        |v AS (
+        |  SELECT COUNT(DISTINCT t) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        |s AS (
+        |  SELECT o2.doc_id,
+        |    CAST(FLOOR(ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+        |        / (CAST(c1.c1 AS DOUBLE) + v.v)) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS lnpq
+        |  FROM o2 JOIN c2 USING (b) JOIN c1 USING (w1), v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  FLOOR(CAST(CAST(SUM(lnpq) AS BIGINT) AS DOUBLE) / 1000000000.0
+        |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS lm_score
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // String-shingle twin of the hashed-shingle join (same sets modulo
     // 64-bit hash collisions — the jaccardPairs argument).

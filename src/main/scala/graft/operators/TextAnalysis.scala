@@ -170,6 +170,56 @@ object TextAnalysis {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Non-distinct bigram occurrences of `text` (order preserved, repeats
+    * kept — unlike [[graft.operators.Dedup.shingles]], counts matter here).
+    */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+  }
+
+  /** Corpus-self-trained bigram language-model score per document — the
+    * CCNet-style LM quality filter: documents whose word transitions are
+    * improbable under the corpus's own bigram statistics (boilerplate,
+    * shuffled text, gibberish) score low.
+    *
+    * Model: add-one-smoothed bigram probabilities
+    * P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V), with V = distinct-token count.
+    * Score = mean over the doc's bigram OCCURRENCES of ln P, rounded 4 dp.
+    * Docs with < 2 tokens get no row.
+    *
+    * Determinism: each bigram's ln P is quantized to a 1e-9-scaled long
+    * before the per-doc mean (distributed double sums are partition-order-
+    * dependent; integer sums are exact) — the DuckDB twin replays the
+    * arithmetic bit-for-bit. Scale: two corpus-count tables (bigram and
+    * prefix counts, both partial-agg'd), two vocab-keyed shuffle joins, one
+    * keyed mean — linear, the same shape as [[tfidfTopTerms]].
+    */
+  def lmScore(documents: DataFrame,
+              scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    // (doc_id, bigram b, prefix word w1) occurrences; persist: feeds the
+    // two count tables AND the scoring join
+    val occ = scope.persist(documents
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1)))
+    val c2 = occ.groupBy("b").agg(count(lit(1)).as("c2"))
+    val c1 = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = documents.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct("t").as("v"))
+    occ.join(c2, "b").join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .withColumn("lnpq", floor(
+        log((col("c2").cast("double") + 1.0) / (col("c1").cast("double") + col("v")))
+          * 1000000000.0 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lnpq").as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("sq").cast("double") / 1000000000.0 / col("n_bigrams")
+          * 10000.0 + 0.5) / 10000.0).as("lm_score"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — exact-dup key that's
     * stable across engines. Normalization: lowercase + collapse whitespace.
     */
