@@ -64,6 +64,42 @@ object CurationQueries {
           col("shard"), col("bin"), col("bin_tokens_before"))
         .orderBy("doc_id", "chunk_no")),
 
+    // End-to-end quality gate: the "does this document enter the training
+    // set" decision, composing five independently-oracled signals — length/
+    // diversity quality, n-gram repetition, lang-ID agreement, benchmark
+    // contamination, and the bigram LM score. Emits per-doc keep/drop with
+    // a deterministic comma-joined reason list.
+    "cur_quality_gate" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+      val rep = docs.select(col("doc_id"),
+        TextAnalysis.r4(TextAnalysis.repetitionRatio(col("text"), 3)).as("rep"))
+      val lid = docs
+        .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"))
+      val cont = TextAnalysis.contaminationHits(docs,
+        docs.filter(col("doc_id") % 100 === 0))
+      val lm = TextAnalysis.lmScore(docs).select(col("doc_id"), col("lm_score"))
+      q.join(rep, "doc_id").join(lid, "doc_id")
+        .join(cont, Seq("doc_id"), "left").join(lm, Seq("doc_id"), "left")
+        .withColumn("r_quality", col("quality") < 0.5)
+        .withColumn("r_repeat", col("rep") > 0.2)
+        .withColumn("r_lang", col("lang_pred") =!= col("lang"))
+        .withColumn("r_contam", coalesce(col("n_hits"), lit(0L)) > 0L)
+        .withColumn("r_lm", coalesce(col("lm_score"), lit(0.0)) < -7.5)
+        .withColumn("keep",
+          !(col("r_quality") || col("r_repeat") || col("r_lang") ||
+            col("r_contam") || col("r_lm")))
+        .withColumn("reasons", concat_ws(",",
+          when(col("r_quality"), "quality"), when(col("r_repeat"), "repeat"),
+          when(col("r_lang"), "lang"), when(col("r_contam"), "contam"),
+          when(col("r_lm"), "lm")))
+        .select("doc_id", "keep", "reasons")
+        .orderBy("doc_id")
+    }),
+
     // Context-window chunking: 64-token windows, 8-token overlap.
     "cur_chunks" -> ((s, dir) =>
       Curation.chunk(Tables.documents(s, dir), 64, 8)
@@ -80,6 +116,99 @@ object CurationQueries {
     "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8)"
 
   val oracle: Map[String, String] = Map(
+    // Composition of the five already-oracled signal derivations (quality,
+    // repetition, lang-ID, contamination, bigram LM) + the gate logic.
+    // concat_ws skips NULL reason slots in both engines.
+    "cur_quality_gate" ->
+      s"""WITH qs AS (
+         |  SELECT doc_id,
+         |    FLOOR((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) * 0.3
+         |      + LEAST(CAST(len(list_filter(string_split(text, ' '),
+         |          t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3)
+         |      * 10000.0 + 0.5) / 10000.0 AS quality
+         |  FROM documents),
+         |reps AS (
+         |  SELECT doc_id,
+         |    CASE WHEN GREATEST(len(string_split(text, ' ')) - 2, 0) = 0 THEN 0.0
+         |         ELSE FLOOR(CAST(GREATEST(len(string_split(text, ' ')) - 2, 0)
+         |           - len(list_distinct(list_transform(
+         |               range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
+         |               i -> string_split(text, ' ')[i] || ' ' ||
+         |                    string_split(text, ' ')[i+1] || ' ' ||
+         |                    string_split(text, ' ')[i+2]))) AS DOUBLE)
+         |           / GREATEST(len(string_split(text, ' ')) - 2, 0)
+         |           * 10000.0 + 0.5) / 10000.0 END AS rep
+         |  FROM documents),
+         |lids AS (
+         |  SELECT doc_id, lang,
+         |    ${TextQueries.markerSql("en")} AS s_en, ${TextQueries.markerSql("es")} AS s_es,
+         |    ${TextQueries.markerSql("de")} AS s_de, ${TextQueries.markerSql("fr")} AS s_fr,
+         |    ${TextQueries.markerSql("zh")} AS s_zh
+         |  FROM documents),
+         |lid AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN s_zh > GREATEST(s_en, s_es, s_de, s_fr) THEN 'zh'
+         |         WHEN s_fr > GREATEST(s_en, s_es, s_de) THEN 'fr'
+         |         WHEN s_de > GREATEST(s_en, s_es) THEN 'de'
+         |         WHEN s_es > s_en THEN 'es'
+         |         ELSE 'en' END AS lang_pred
+         |  FROM lids),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+         |      i -> string_split(text, ' ')[i] || ' ' ||
+         |           string_split(text, ' ')[i+1] || ' ' ||
+         |           string_split(text, ' ')[i+2])) AS shs
+         |  FROM documents),
+         |probe AS (SELECT DISTINCT unnest(shs) AS sgl FROM w WHERE doc_id % 100 = 0),
+         |dsh AS (SELECT doc_id, unnest(shs) AS sgl FROM w),
+         |cont AS (
+         |  SELECT doc_id, COUNT(*) AS n_hits
+         |  FROM dsh JOIN probe USING (sgl) GROUP BY doc_id),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+         |      i -> string_split(text, ' ')[i] || ' ' ||
+         |           string_split(text, ' ')[i+1])) AS b
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |o2 AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM occ),
+         |c2 AS (SELECT b, COUNT(*) AS c2 FROM o2 GROUP BY b),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM o2 GROUP BY w1),
+         |v AS (
+         |  SELECT COUNT(DISTINCT t) AS v
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         |lms AS (
+         |  SELECT o2.doc_id,
+         |    CAST(FLOOR(ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+         |        / (CAST(c1.c1 AS DOUBLE) + v.v)) * 1000000000.0 + 0.5)
+         |      AS BIGINT) AS lnpq
+         |  FROM o2 JOIN c2 USING (b) JOIN c1 USING (w1), v),
+         |lm AS (
+         |  SELECT doc_id,
+         |    FLOOR(CAST(CAST(SUM(lnpq) AS BIGINT) AS DOUBLE) / 1000000000.0
+         |      / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS lm_score
+         |  FROM lms GROUP BY doc_id),
+         |j AS (
+         |  SELECT qs.doc_id, quality, rep, lang, lang_pred,
+         |    COALESCE(cont.n_hits, 0) AS n_hits,
+         |    COALESCE(lm.lm_score, 0.0) AS lm_score
+         |  FROM qs JOIN reps USING (doc_id) JOIN lid USING (doc_id)
+         |  LEFT JOIN cont USING (doc_id) LEFT JOIN lm USING (doc_id))
+         |SELECT doc_id,
+         |  NOT (quality < 0.5 OR rep > 0.2 OR lang_pred <> lang
+         |       OR n_hits > 0 OR lm_score < -7.5) AS keep,
+         |  concat_ws(',',
+         |    CASE WHEN quality < 0.5 THEN 'quality' END,
+         |    CASE WHEN rep > 0.2 THEN 'repeat' END,
+         |    CASE WHEN lang_pred <> lang THEN 'lang' END,
+         |    CASE WHEN n_hits > 0 THEN 'contam' END,
+         |    CASE WHEN lm_score < -7.5 THEN 'lm' END) AS reasons
+         |FROM j ORDER BY doc_id""".stripMargin,
+
     "cur_split" ->
       s"""SELECT CASE WHEN $bucket < 80 THEN 'train'
          |            WHEN $bucket < 90 THEN 'val'

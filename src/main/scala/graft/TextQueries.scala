@@ -87,8 +87,9 @@ object TextQueries {
 
   private val bpeRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
-  // DuckDB marker scores per language, mirroring TextAnalysis.langMarkers.
-  private def markerSql(lang: String): String = {
+  // DuckDB marker scores per language, mirroring TextAnalysis.langMarkers
+  // (shared with CurationQueries' composite quality gate).
+  private[graft] def markerSql(lang: String): String = {
     val ms = TextAnalysis.langMarkers.toMap.apply(lang)
       .map(m => s"'$m'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), t -> t IN ($ms)))"
