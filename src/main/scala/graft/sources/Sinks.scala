@@ -21,6 +21,27 @@ object Sinks {
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** JSON-lines interchange (one object per line) — the lingua franca of
+    * web-corpus distribution. Write for export; read with an EXPLICIT
+    * schema (schema inference costs a full extra pass over 100 TB and
+    * silently widens types).
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC round-trip — the other columnar format warehouses hand over;
+    * same pushdown/pruning machinery as parquet in Spark.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Hive-style partitioned layout: `path/col=value/part-*.parquet`. */
   def partitionedParquet(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)

@@ -25,6 +25,23 @@ class SinksSpec extends SparkSpec {
     assert(n === expected)
   }
 
+  test("jsonl and orc round-trip the documents table exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val jd = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    Sinks.writeJsonl(docs, jd)
+    val backJ = Sinks.readJsonl(spark, jd, docs.schema)
+    assert(backJ.schema === docs.schema)
+    assert(backJ.exceptAll(docs).count() === 0 && docs.exceptAll(backJ).count() === 0)
+
+    val od = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    Sinks.writeOrc(docs, od)
+    val backO = Sinks.readOrc(spark, od)
+    assert(backO.exceptAll(docs).count() === 0 && docs.exceptAll(backO).count() === 0)
+    // ORC scans get predicate pushdown like parquet
+    val p = backO.filter($"doc_id" === 42L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("doc_id"), p)
+  }
+
   test("z-ordered layout bounds per-file ranges on BOTH columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     // uniform 64×64 grid: a single-column sort would give every file the
