@@ -112,6 +112,20 @@ object RelationalQueries {
     }),
 
     // Set ops: INTERSECT and EXCEPT over projected key sets.
+    // Full outer join with genuine orphans on BOTH sides (customers
+    // filtered to even keys; odd-key order groups lose their parent).
+    // Null sort order pinned explicitly — Spark defaults NULLS FIRST,
+    // DuckDB NULLS LAST.
+    "join_outer" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val ords = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      cust.join(ords, cust("c_custkey") === ords("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_custkey"), col("n_orders"))
+        .orderBy(col("c_custkey").asc_nulls_last, col("o_custkey").asc_nulls_last)
+    }),
+
     "set_ops" -> ((s, dir) => {
       val ord = Tables.orders(s, dir)
       val f = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
@@ -245,6 +259,15 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O' AND o_totalprice > 100000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "join_outer" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+        |ords AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, o_custkey, n_orders
+        |FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS LAST, o_custkey NULLS LAST""".stripMargin,
 
     "set_ops" ->
       """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
