@@ -182,6 +182,39 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows === Map(1L -> ((3L, 2L)), 2L -> ((1L, 1L))))
   }
 
+  test("file sink + checkpoint: restart processes new data exactly once") {
+    val in = java.nio.file.Files.createTempDirectory("graft-eo-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-eo-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-eo-ckpt").toString
+    val header = "product,price,quantity,total,ordered_at,delivery_at"
+    def drop(name: String, rows: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        (header +: rows).mkString("\n").getBytes)
+
+    drop("b1.csv",
+      "Laptops,1000.0,1,1000.0,2023-01-01 00:00:00,2023-01-02 00:00:00",
+      "Tablets,500.0,2,1000.0,2023-01-01 01:00:00,2023-01-03 00:00:00")
+    val q1 = Streams.salesSink(
+      Streams.cleanStream(Streams.readSalesCsvStream(spark, in)), out, ckpt).start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+
+    // second batch lands while no query is running; a NEW query instance
+    // resumes from the same checkpoint — batch 1 must NOT be re-emitted
+    drop("b2.csv",
+      "Headphones,200.0,3,600.0,2023-01-02 00:00:00,2023-01-04 00:00:00")
+    val q2 = Streams.salesSink(
+      Streams.cleanStream(Streams.readSalesCsvStream(spark, in)), out, ckpt).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 3) // 2 + 1, exactly once across the restart
+    assert(rows.select("product").as[String].collect().sorted.toSeq ===
+      Seq("Headphones", "Laptops", "Tablets"))
+  }
+
   test("stream-stream interval join equals the batch range join") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
