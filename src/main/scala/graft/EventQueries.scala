@@ -122,6 +122,45 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Cohort retention: users bucketed by first-activity week, active-user
+    // counts per (cohort, week offset) — the classic product-analytics
+    // matrix. Two keyed aggregations + one join; offsets are exact day
+    // multiples of 7 (week-truncated timestamps), so the division is
+    // cross-engine exact.
+    "events_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val cohort = ev.groupBy("user_id")
+        .agg(min(date_trunc("week", col("ts"))).as("cohort_ts"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week_ts"))
+        .distinct()
+      active.join(cohort, "user_id")
+        .withColumn("week_offset",
+          floor(datediff(col("week_ts"), col("cohort_ts")) / 7.0).cast("long"))
+        .groupBy(col("cohort_ts").as("cohort"), col("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "week_offset")
+    }),
+
+    // Ordered funnel: view → first click at-or-after the first view →
+    // first purchase at-or-after that click, per user; one row of stage
+    // conversion counts. Three keyed aggregations chained by broadcast-able
+    // per-user stage tables — no window over the raw stream, no explosion.
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val v1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v1"))
+      val c1 = ev.filter(col("event_type") === "click")
+        .join(v1, "user_id").filter(col("ts") >= col("v1"))
+        .groupBy("user_id").agg(min("ts").as("c1"))
+      val p1 = ev.filter(col("event_type") === "purchase")
+        .join(c1, "user_id").filter(col("ts") >= col("c1"))
+        .groupBy("user_id").agg(min("ts").as("p1"))
+      v1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c1.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(p1.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
     // Salted fact⋈dim join on the (skew-prone) user key, then per-type
     // rollup. The salting is invisible in the result, so the oracle is the
     // PLAIN join — that equality is the point: same answer, no hot task.
@@ -139,6 +178,38 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_cohort_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_ts
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week_ts
+        |  FROM events)
+        |SELECT cohort_ts AS cohort,
+        |  CAST(FLOOR(date_diff('day', cohort_ts, week_ts) / 7.0) AS BIGINT)
+        |    AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
+    "events_funnel" ->
+      """WITH v1 AS (
+        |  SELECT user_id, MIN(ts) AS v1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c1 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c1
+        |  FROM events e JOIN v1 ON e.user_id = v1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v1.v1
+        |  GROUP BY e.user_id),
+        |p1 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p1
+        |  FROM events e JOIN c1 ON e.user_id = c1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c1.c1
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v1) AS n_view,
+        |  (SELECT COUNT(*) FROM c1) AS n_click_after,
+        |  (SELECT COUNT(*) FROM p1) AS n_purchase_after""".stripMargin,
+
     "events_salted_join" ->
       """WITH dim AS (
         |  SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id)
