@@ -83,10 +83,17 @@ object Sinks {
     val mm = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).collect()(0)
+    if (mm.anyNull) {
+      // empty input or an all-null column: no rank space to interleave —
+      // degrade to a plain write instead of NPE-ing on the null bounds
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def rank16(c: String, lo: Double, hi: Double): Column =
-      if (lo == hi || mm.anyNull) lit(0L)
+      if (lo == hi) lit(0L)
       else least(lit(65535L),
-        floor((col(c).cast("double") - lo) / ((hi - lo) / 65536.0)).cast("long"))
+        floor((coalesce(col(c).cast("double"), lit(lo)) - lo)
+          / ((hi - lo) / 65536.0)).cast("long"))
     val z = spreadBits16(rank16(colA, mm.getDouble(0), mm.getDouble(1)))
       .bitwiseOR(shiftleft(spreadBits16(rank16(colB, mm.getDouble(2), mm.getDouble(3))), 1))
     df.repartitionByRange(files, z)

@@ -66,6 +66,15 @@ class SinksSpec extends SparkSpec {
       s"a file is wide in BOTH dims: ${ranges.mkString(", ")}")
     // and the data round-trips
     assert(spark.read.parquet(dir).count() === 4096)
+
+    // degenerate inputs degrade to a plain write instead of failing
+    val empty = java.nio.file.Files.createTempDirectory("graft-zorder-e").toString
+    Sinks.zOrderedParquet(grid.filter(lit(false)), empty, "a", "b")
+    assert(spark.read.parquet(empty).count() === 0)
+    val nulls = java.nio.file.Files.createTempDirectory("graft-zorder-n").toString
+    Sinks.zOrderedParquet(
+      grid.withColumn("a", lit(null).cast("long")), nulls, "a", "b")
+    assert(spark.read.parquet(nulls).count() === 4096)
   }
 
   test("range-sorted layout gives files disjoint min/max ranges") {
