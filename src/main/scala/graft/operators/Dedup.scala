@@ -202,6 +202,13 @@ object Dedup {
     * convergence count, and near-dup clusters in real corpora have tiny
     * diameters (clones of a common source), so rounds ≈ 2-3. Fails loudly
     * if maxIter rounds don't converge rather than returning partial labels.
+    *
+    * Lineage note: the returned labels are cache-backed; their logical
+    * lineage chains through every round, so if the final cache were
+    * evicted, recompute cascades (each round's input is itself cached,
+    * bounding the cascade to one round under normal memory pressure). In
+    * a long-lived pipeline, write the labels out and re-read them before
+    * releasing the scope.
     */
   def nearDupClusters(pairs: DataFrame, idA: String = "doc_a",
                       idB: String = "doc_b", maxIter: Int = 20,

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * Scale design: one keyed window (partitionBy the key — never global),
   * ≤ 1 row out per key; at warehouse scale this is the standard
   * "merge-on-read" query, run either ad hoc or to rewrite the compacted
-  * snapshot. Determinism: version ties are broken by `tieCols`; if ties
-  * can reach identical (version, tieCols) the caller's data model is
-  * ambiguous and the require below forces an explicit choice.
+  * snapshot. Determinism contract: (versionCol, tieCols) must be unique
+  * within a key — rows tied on the full ordering get an ARBITRARY
+  * (partition-order-dependent) survivor, the same contract as
+  * dropDuplicates. Pass a unique tie-break (ingest id, file offset) when
+  * versions alone can collide.
   */
 object Upsert {
 
