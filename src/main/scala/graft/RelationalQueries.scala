@@ -169,6 +169,28 @@ object RelationalQueries {
     // U); keep-latest must surface exactly the updates for those keys and
     // the base rows elsewhere. ×2 is exponent-exact in IEEE, so the oracle
     // hash-matches without decimal routing.
+    // Pivot: status columns per priority (fixed pivot values ⇒ stable
+    // schema; the oracle states them as conditional counts).
+    "pivot_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy("o_orderpriority")),
+
+    // Explicit GROUPING SETS ((flag, status), (flag), ()) — the general
+    // form rollup/cube specialize; null ordering pinned for the oracle.
+    "grouping_sets_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_last,
+          col("l_linestatus").asc_nulls_last)),
+
     "orders_upsert" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
@@ -297,6 +319,21 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "grouping_sets_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
 
     "orders_upsert" ->
       """WITH base AS (
