@@ -81,6 +81,9 @@ object ScaleProbe {
         time("simhash", m, operators.Dedup.simhashPairs(corpus, 3))
         time("text_quality", m, operators.TextAnalysis.qualityScore(corpus))
         time("tfidf_top5", m, operators.TextAnalysis.tfidfTopTerms(corpus, 5))
+        time("clusters", m, operators.Dedup.nearDupClusters(
+          operators.Dedup.minhashPairs(corpus, 0.5)))
+        time("lm_score", m, operators.TextAnalysis.lmScore(corpus))
       }
     }
     spark.stop()
