@@ -58,6 +58,27 @@ object TextQueries {
           TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
 
+    // Corpus-composition report per (source, lang): doc counts, token and
+    // char volume, mean 4-dp quality — the mixing dashboard a data team
+    // reads before reweighting sources. Integer token/char sums are exact;
+    // the quality mean reuses the exact-integer-mean trick (quality is on
+    // the 1e-4 grid).
+    "text_source_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+      docs.join(q, "doc_id")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(floor(col("quality") * 10000.0 + 0.5).cast("long")).as("q_sum"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"),
+          (floor(col("q_sum").cast("double") / col("n_docs") + 0.5) / 10000.0)
+            .as("mean_quality"))
+        .orderBy("source", "lang")
+    }),
+
     // Corpus-self-trained bigram LM quality score (CCNet-style filter).
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir))
@@ -137,6 +158,25 @@ object TextQueries {
          |  FLOOR((len_score_raw * 0.4 + diversity_raw * 0.3 + stop_score_raw * 0.3)
          |    * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_source_mix" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    FLOOR((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) * 0.3
+         |      + LEAST(CAST(len(list_filter(string_split(text, ' '),
+         |          t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3)
+         |      * 10000.0 + 0.5) / 10000.0 AS quality
+         |  FROM documents)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  FLOOR(CAST(CAST(SUM(CAST(FLOOR(quality * 10000.0 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS DOUBLE) / COUNT(*) + 0.5) / 10000.0 AS mean_quality
+         |FROM documents JOIN q USING (doc_id)
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     // Bigram LM twin: same add-one smoothing, same 1e-9 ln quantization,
     // CAST the integer SUM back to BIGINT (DuckDB SUM → HUGEINT).
