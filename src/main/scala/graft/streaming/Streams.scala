@@ -119,6 +119,24 @@ object Streams {
       .select(col("window.start").as("w_start"), col("doc_id"))
   }
 
+  /** Windowed trending terms on a document stream: per event-time window,
+    * token occurrence counts — the streaming twin of
+    * [[graft.operators.TextAnalysis.termFrequency]]. The explode multiplies
+    * rows but the windowed aggregation combines map-side, so the shuffle
+    * carries (window, token, partial count); the watermark closes windows
+    * and bounds state to O(open windows × in-window vocabulary). Top-k
+    * selection is left to the consumer (a per-window sort on the emitted
+    * closed windows — batch-side, tiny).
+    */
+  def trendingTermsStream(docs: DataFrame, windowDur: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(window(col("ts"), windowDur).as("w"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .select(col("w.start").as("w_start"), col("token"), col("freq"))
+
   /** Stream-stream interval join: every (click, purchase) pair for the same
     * user with the click inside [purchase − window, purchase] — the
     * streaming twin of the batch range join

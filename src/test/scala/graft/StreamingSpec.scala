@@ -182,6 +182,36 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows === Map(1L -> ((3L, 2L)), 2L -> ((1L, 1L))))
   }
 
+  test("streaming trending terms equals batch windowed term counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 00:05:00"), "spark spark shuffle"),
+      (Timestamp.valueOf("2024-01-01 00:40:00"), "spark codegen"),
+      (Timestamp.valueOf("2024-01-01 01:10:00"), "shuffle shuffle plan"))
+    input.addData(rows)
+    val q = Streams.trendingTermsStream(input.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("trend_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // close both windows
+    input.addData(Seq((Timestamp.valueOf("2024-01-01 09:00:00"), "closer")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("trend_stream")
+      .select("w_start", "token", "freq")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batch = rows.toDF("ts", "text")
+      .select($"ts", explode(split($"text", " ")).as("token"))
+      .groupBy(window($"ts", "1 hour").as("w"), $"token")
+      .agg(count(lit(1)).as("freq"))
+      .select($"w.start", $"token", $"freq")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got === batch)
+    assert(got.contains((Timestamp.valueOf("2024-01-01 00:00:00"), "spark", 3L)))
+  }
+
   test("file sink + checkpoint: restart processes new data exactly once") {
     val in = java.nio.file.Files.createTempDirectory("graft-eo-in").toString
     val out = java.nio.file.Files.createTempDirectory("graft-eo-out").toString
