@@ -28,11 +28,15 @@ object SimilarityQueries {
     "ann_topk_lsh" -> ((s, dir) =>
       Similarity.annTopKLsh(Tables.embeddings(s, dir), 0L, 10)),
 
-    // IVF (centroid-list) approximate top-10 — rows-only check; exhaustive-
-    // probe equality and partial-probe recall are asserted in IvfSpec.
-    // Build/probe split: the quantizer is trained once per corpus dir
-    // (memoized IvfModel) and every probe reuses it — the index-build cost
-    // is paid once, as in a real IVF deployment.
+    // IVF (centroid-list) approximate top-10 — hash-checked against a DuckDB
+    // twin that replays the ENTIRE pipeline (md5-bucket seeding, two exact
+    // integer-grid Lloyd steps, quantized-score probe selection, pruned-list
+    // candidate set, exact re-rank) as CTEs; exhaustive-probe equality,
+    // partial-probe recall, and the pruned physical scan are asserted in
+    // IvfSpec. Build/probe split: training + the list-partitioned index
+    // write run once per corpus dir (memoized IvfModel) and every probe
+    // reuses it — the index-build cost is paid once, as in a real IVF
+    // deployment.
     "ann_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       operators.Ivf.probe(operators.Ivf.buildIndex(dir, emb), emb, 0L, 10)
@@ -114,7 +118,114 @@ object SimilarityQueries {
   private def anyBandEq(a: String, c: String, tables: Int = 8): String =
     (0 until tables).map(t => s"$a.b$t = $c.b$t").mkString(" OR ")
 
+  // ---- IVF oracle machinery ----
+  //
+  // The whole IVF pipeline is exact-integer decisions (see Ivf scaladoc), so
+  // the oracle replays it end-to-end in SQL: quantize vectors to the 1e-6
+  // long grid, seed centroids from md5 buckets (Curation.hashBucket twin),
+  // run the Lloyd steps with exact long sums and the floor(Σvq/n + 0.5)
+  // re-grid, assign by the quantized score sq/√norm2q (every term
+  // floor(v·cq·1e3 + 0.5) — the QuantDot kernel's contract), pick the
+  // nprobe best lists for the query by the same score, and exact-re-rank
+  // the candidates (the ann_topk cosine twin). Every double op is a
+  // correctly-rounded function of exact integers, so both engines agree
+  // bit-for-bit.
+
+  /** One Lloyd step: centroid CTE `prev` → assignment CTE `asg` →
+    * re-gridded mean CTE `next` (all over the quantized-vector CTE `vd`).
+    */
+  private def lloydStep(prev: String, asg: String, next: String): String =
+    s"""n$prev AS (
+       |  SELECT cid, CAST(SUM(cq * cq) AS BIGINT) AS norm2q
+       |  FROM $prev GROUP BY cid),
+       |s$prev AS (
+       |  SELECT vd.vec_id, $prev.cid,
+       |    CAST(SUM(CAST(FLOOR(vd.v * $prev.cq * 1000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS sq
+       |  FROM vd JOIN $prev USING (dim) GROUP BY 1, 2),
+       |$asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT s$prev.vec_id, s$prev.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s$prev.vec_id
+       |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+       |          DESC, s$prev.cid) AS rn
+       |    FROM s$prev JOIN n$prev USING (cid))
+       |  WHERE rn = 1),
+       |$next AS (
+       |  SELECT $asg.cid, vd.dim,
+       |    CAST(FLOOR(CAST(CAST(SUM(vd.vq) AS BIGINT) AS DOUBLE) / COUNT(*)
+       |      + 0.5) AS BIGINT) AS cq
+       |  FROM $asg JOIN vd USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  /** Scoring of every vector against centroid CTE `c` plus the final
+    * assignment CTE `asg` (same shape as inside [[lloydStep]]).
+    */
+  private def assignCte(c: String, asg: String): String =
+    s"""n$c AS (
+       |  SELECT cid, CAST(SUM(cq * cq) AS BIGINT) AS norm2q
+       |  FROM $c GROUP BY cid),
+       |s$c AS (
+       |  SELECT vd.vec_id, $c.cid,
+       |    CAST(SUM(CAST(FLOOR(vd.v * $c.cq * 1000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS sq
+       |  FROM vd JOIN $c USING (dim) GROUP BY 1, 2),
+       |$asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT s$c.vec_id, s$c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s$c.vec_id
+       |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+       |          DESC, s$c.cid) AS rn
+       |    FROM s$c JOIN n$c USING (cid))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Full DuckDB twin of Ivf.buildIndex(nlist=16, iters=2) +
+    * probe(queryVecId=0, k=10, nprobe=4).
+    */
+  private def ivfSql(nlist: Int = 16, nprobe: Int = 4, k: Int = 10): String =
+    s"""WITH idx AS (
+       |  SELECT vec_id, embedding,
+       |    unnest(range(1, len(embedding) + 1)) AS i
+       |  FROM embeddings),
+       |vd AS (
+       |  SELECT vec_id, i - 1 AS dim,
+       |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v,
+       |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS vq
+       |  FROM idx),
+       |seed AS (
+       |  SELECT (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % $nlist) AS cid,
+       |    MIN(vec_id) AS svid
+       |  FROM embeddings GROUP BY 1),
+       |c0 AS (
+       |  SELECT s.cid, v.dim, v.vq AS cq
+       |  FROM seed s JOIN vd v ON v.vec_id = s.svid),
+       |${lloydStep("c0", "a0", "c1")},
+       |${lloydStep("c1", "a1", "c2")},
+       |${assignCte("c2", "a2")},
+       |probe AS (
+       |  SELECT cid FROM (
+       |    SELECT sc2.cid,
+       |      ROW_NUMBER() OVER (
+       |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+       |          DESC, sc2.cid) AS rn
+       |    FROM sc2 JOIN nc2 USING (cid) WHERE sc2.vec_id = 0)
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT a2.vec_id FROM a2 JOIN probe USING (cid)
+       |  WHERE a2.vec_id <> 0),
+       |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |  (${dotSql("e.embedding", "q.qe")})
+       |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+       |FROM cand JOIN embeddings e USING (vec_id), qe q
+       |ORDER BY cosine DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_topk_ivf" -> ivfSql(),
+
     "ann_topk_lsh" ->
       s"""${lshCte()},
          |q AS (SELECT * FROM b WHERE vec_id = 0),

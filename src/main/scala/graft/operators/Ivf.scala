@@ -9,127 +9,182 @@ import graft.functions.VectorOps
   * [[Similarity]]:
   *
   *  1. BUILD ([[buildIndex]]): train a coarse quantizer — `nlist` centroids,
-  *     hash-seeded deterministically, refined with Lloyd iterations run as
-  *     DataFrame aggregations (each iteration: one argmin projection + one
-  *     shuffle of (centroid, dim, value) triples — linear in corpus size);
-  *  2. assign every vector to its nearest centroid (pure per-row argmin,
-  *     no shuffle — the "inverted lists");
-  *  3. PROBE ([[probe]]): rank centroids by cosine to the query, scan only
-  *     the top `nprobe` lists, exact re-rank of the candidates.
+  *     md5-bucket-seeded, refined with Lloyd iterations run as DataFrame
+  *     aggregations (each iteration: one argmax projection + one shuffle of
+  *     (centroid, dim, value) triples — linear in corpus size) — then
+  *     MATERIALIZE the inverted lists: the corpus is written once as a
+  *     `list`-partitioned parquet table (one directory per centroid);
+  *  2. PROBE ([[probe]]): rank centroids by cosine to the query (driver-side
+  *     math on the tiny quantizer), then read ONLY the `nprobe` probed list
+  *     directories — partition pruning keeps unprobed lists untouched on
+  *     disk — and exact-re-rank the candidates.
   *
-  * Build and probe are split, as in a real IVF deployment: training runs
-  * once per corpus and the resulting [[IvfModel]] (nlist × dim doubles —
-  * centroid-sized, NOT corpus-sized) is reused across queries via
-  * [[buildIndex]]'s memo. Collecting the quantizer to the driver is the IVF
-  * contract: the coarse index must be broadcast-small; the corpus itself
-  * never leaves executors (at warehouse scale the list assignment would
-  * additionally be written out as a `list`-partitioned table so probes scan
-  * only the probed files). At nprobe = nlist the search is exhaustive and
+  * Build and probe are split, as in a real IVF deployment: training + the
+  * list write run once per corpus and the resulting [[IvfModel]] is reused
+  * across queries via [[buildIndex]]'s memo. Collecting the quantizer to the
+  * driver is the IVF contract: the coarse index must be broadcast-small; the
+  * corpus itself only streams through executors into the partitioned write.
+  * A probe therefore scans ~nprobe/nlist of the data (asserted on the
+  * physical plan in IvfSpec: the index scan carries a partition filter on
+  * `list`). At nprobe = nlist the search is exhaustive over all lists and
   * equals the brute-force result exactly (asserted in IvfSpec).
+  *
+  * DETERMINISM — everything the argmin/argmax decisions see is exact
+  * integer math, so training is partition-order-free and reproducible
+  * bit-for-bit by the DuckDB oracle (SimilarityQueries.ivfSql):
+  *  - vectors are quantized once to longs on the 1e-6 grid
+  *    (vq = floor(v·1e6 + 0.5));
+  *  - centroids LIVE on that grid: the Lloyd mean is an exact long-sum /
+  *    count, re-rounded to the grid (cq' = floor(Σvq/n + 0.5)) — never a
+  *    float `avg`, whose partition-order-dependent rounding can flip
+  *    assignments on tie edges between runs;
+  *  - assignment maximizes sq/√norm2q where sq = Σ floor(v·cq·1e3 + 0.5)
+  *    ([[graft.plans.QuantDot]]) and norm2q = Σcq² are exact longs; the
+  *    only float ops are correctly-rounded functions of exact integers,
+  *    identical in any IEEE-754 engine. Dividing by the centroid norm (the
+  *    query/vector norm is constant per row) makes the argmax the cosine
+  *    argmax without normalizing vectors.
   */
 object Ivf {
 
-  /** Trained coarse quantizer: (centroidId, unit-normalized centroid). */
-  final case class IvfModel(nlist: Int, iters: Int,
-                            centroids: Array[(Int, Array[Double])])
+  /** Vector quantization grid: values live on multiples of 1e-6. */
+  private val VecScale = 1000000.0
 
-  /** L2-normalized copy of an embedding column (cosine ⇒ dot on these). */
-  private def normalized(v: Column): Column =
-    transform(v, x => x.cast("double") / VectorOps.norm(v))
-
-  /** Deterministic centroid training. Seeds are the per-bucket min-vec_id
-    * vectors (bucket = xxhash64(vec_id) mod nlist), then `iters` Lloyd
-    * steps. Returns (centroidId, unit-normalized centroid), driver-side.
+  /** Score-term grid: each v·cq product term is rounded at ×1e3 (≈1e-9
+    * resolution of the real-valued cosine numerator — far below any
+    * meaningful cosine gap; what matters is both engines round identically).
     */
-  def trainCentroids(embeddings: DataFrame, nlist: Int, iters: Int = 2): Array[(Int, Array[Double])] = {
+  private val DotScale = 1000.0
+
+  /** Trained coarse quantizer: (centroidId, centroid on the 1e-6 long grid)
+    * plus the materialized `list`-partitioned inverted-list table.
+    */
+  final case class IvfModel(nlist: Int, iters: Int,
+                            centroids: Array[(Int, Array[Long])],
+                            indexPath: String)
+
+  /** Deterministic centroid training on the integer grid. Seeds are the
+    * per-bucket min-vec_id vectors (bucket = md5-hash of vec_id mod nlist —
+    * engine-portable, same primitive as [[Curation.hashBucket]]), then
+    * `iters` Lloyd steps. Returns (centroidId, 1e-6-grid centroid),
+    * driver-side. Centroids whose list empties out are dropped (standard
+    * Lloyd; both engines drop identically since assignment is exact).
+    */
+  def trainCentroids(embeddings: DataFrame, nlist: Int, iters: Int = 2): Array[(Int, Array[Long])] = {
     // persist: seeds + each Lloyd iteration re-scan this — without it the
-    // parquet scan and the per-row normalization run iters+1 times
-    val emb = embeddings.select(col("vec_id"), normalized(col("embedding")).as("e"))
+    // parquet scan and the per-row quantization run iters+1 times
+    val emb = embeddings.select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * VecScale + 0.5).cast("long")).as("vq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // min_by keeps the min-vec_id vector per bucket in ONE aggregation —
-    // no second scan + join to fetch the seed vectors back
-    var cents: Array[(Int, Array[Double])] = emb
-      .groupBy(pmod(xxhash64(col("vec_id")), lit(nlist)).cast("int").as("bucket"))
-      .agg(min_by(col("e"), col("vec_id")).as("e"))
+    // min_by keeps the min-vec_id quantized vector per bucket in ONE
+    // aggregation — no second scan + join to fetch the seed vectors back
+    var cents: Array[(Int, Array[Long])] = emb
+      .groupBy(Curation.hashBucket(col("vec_id"), nlist).cast("int").as("bucket"))
+      .agg(min_by(col("vq"), col("vec_id")).as("vq"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
 
     for (_ <- 1 to iters) {
-      // assign + per-dimension mean: one shuffle of (cid, dim, v) triples,
-      // collected directly as nlist × dim rows (driver-side reassembly
-      // avoids a second shuffle into per-cid maps)
-      val sums = emb.withColumn("cid", assignUdfFree(col("e"), cents))
-        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "v")))
-        .groupBy("cid", "dim").agg(avg("v").as("m"))
+      // assign + per-dimension mean: one shuffle of (cid, dim, vq) triples
+      // with map-side combine, collected as ≤ nlist × dim rows; the mean is
+      // computed driver-side as the exact floor(Σvq/n + 0.5)
+      val sums = emb.withColumn("cid", assignList(col("embedding"), cents))
+        .select(col("cid"), posexplode(col("vq")).as(Seq("dim", "vq")))
+        .groupBy("cid", "dim")
+        .agg(sum("vq").as("s"), count(lit(1)).as("n"))
         .collect()
       cents = sums.groupBy(_.getInt(0)).toArray.map { case (cid, rows) =>
-        val arr = new Array[Double](rows.map(_.getInt(1)).max + 1)
-        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-        val nrm = math.sqrt(arr.map(x => x * x).sum)
-        (cid, if (nrm == 0.0) arr else arr.map(_ / nrm))
+        val arr = new Array[Long](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r => arr(r.getInt(1)) =
+          math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong)
+        (cid, arr)
       }.sortBy(_._1)
     }
     emb.unpersist()
     cents
   }
 
-  /** Per-row argmin centroid id as a pure expression: array of
-    * (−cosine, cid) structs → array_min → cid. Each dot is the codegen
-    * [[graft.plans.VecDot]] kernel; nlist dots per row, no shuffle.
+  /** Per-row argmax-cosine centroid id as a pure expression: array of
+    * (−score, cid) structs → array_min → cid, where score is the exact
+    * quantized sq/√norm2q (see object scaladoc). One [[graft.plans.QuantDot]]
+    * kernel call per centroid, no shuffle; ties break toward the lower cid
+    * (the SQL twin orders by score DESC, cid).
     */
-  private def assignUdfFree(unitVec: Column, cents: Array[(Int, Array[Double])]): Column = {
-    val entries = cents.map { case (cid, c) =>
-      struct((lit(0.0) - graft.plans.NativeKernels.vecDot(
-        unitVec, array(c.toIndexedSeq.map(lit(_)): _*))).as("negdot"),
+  private def assignList(v: Column, cents: Array[(Int, Array[Long])]): Column = {
+    val entries = cents.map { case (cid, cq) =>
+      val norm2q = cq.map(c => c * c).sum // exact: ≪ 2^63 at any sane dim
+      struct(
+        (lit(0.0) - graft.plans.NativeKernels.quantDot(v, cq, DotScale).cast("double")
+          / sqrt(lit(norm2q.toDouble))).as("negscore"),
         lit(cid).as("cid"))
     }
     array_min(array(entries.toIndexedSeq: _*)).getField("cid")
   }
 
-  /** (vec_id, embedding, list) — the inverted-list assignment, one narrow
-    * pass. Persist/write this in practice; queries only filter it.
+  /** (vec_id, embedding, …, list) — the logical inverted-list assignment,
+    * one narrow pass. [[buildIndex]] materializes this `list`-partitioned;
+    * exposed separately for tests and ad-hoc use.
     */
-  def index(embeddings: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
-    embeddings.withColumn("list",
-      assignUdfFree(normalized(col("embedding")), cents))
+  def index(embeddings: DataFrame, cents: Array[(Int, Array[Long])]): DataFrame =
+    embeddings.withColumn("list", assignList(col("embedding"), cents))
 
   private val models =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IvfModel]()
 
+  private def indexDir(indexKey: String, nlist: Int, iters: Int): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-ivf-" + indexKey.replaceAll("[^A-Za-z0-9._-]", "_") +
+        s"-$nlist-$iters").getAbsolutePath
+
   /** Index BUILD, memoized per (indexKey, nlist, iters): training runs once
-    * per corpus key and the model is reused by every subsequent probe — the
-    * build/probe split of a real vector index. Training is deterministic
-    * (hash-seeded, fixed iteration count), so memoization changes cost only,
-    * never results. `indexKey` should identify the corpus (e.g. its path);
-    * the cached value is nlist × dim doubles — bounded, driver-side.
+    * per corpus key, the inverted lists are written once as a
+    * `list`-partitioned parquet table (the reorganized corpus — what an IVF
+    * index IS), and the model is reused by every subsequent probe. Training
+    * is deterministic (hash-seeded, exact integer decisions), so memoization
+    * changes cost only, never results. `indexKey` should identify the corpus
+    * (e.g. its path); the in-memory cached value is nlist × dim longs —
+    * bounded, driver-side.
     */
   def buildIndex(indexKey: String, embeddings: DataFrame,
                  nlist: Int = 16, iters: Int = 2): IvfModel =
-    models.computeIfAbsent((indexKey, nlist, iters),
-      _ => IvfModel(nlist, iters, trainCentroids(embeddings, nlist, iters)))
+    models.computeIfAbsent((indexKey, nlist, iters), _ => {
+      val cents = trainCentroids(embeddings, nlist, iters)
+      val path = indexDir(indexKey, nlist, iters)
+      index(embeddings, cents)
+        .write.mode("overwrite").partitionBy("list").parquet(path)
+      IvfModel(nlist, iters, cents, path)
+    })
 
   /** PROBE: approximate top-k cosine neighbors of a stored vector against a
     * prebuilt [[IvfModel]]. Probe selection is driver-side math on the
-    * (tiny) quantizer — the corpus scan stays a filter on the assigned
-    * list + exact re-rank of the candidates.
+    * (tiny) quantizer — the same quantized score as [[assignList]], so the
+    * SQL oracle reproduces it — and the corpus scan reads ONLY the probed
+    * list directories of the materialized index (partition pruning), plus
+    * an exact cosine re-rank of the candidates.
     */
   def probe(model: IvfModel, embeddings: DataFrame, queryVecId: Long,
             k: Int, nprobe: Int = 4): DataFrame = {
-    val cents = model.centroids
     val qVec = embeddings.filter(col("vec_id") === queryVecId)
-      .select(normalized(col("embedding")).as("e"))
+      .select(transform(col("embedding"), _.cast("double")).as("e"))
       .collect()(0).getSeq[Double](0).toArray
-    val probes = cents
-      .map { case (cid, c) => (cid, c.zip(qVec).map { case (x, y) => x * y }.sum) }
-      .sortBy { case (cid, d) => (-d, cid) }
-      .take(nprobe).map(_._1).toSet
+    val probes = model.centroids.map { case (cid, cq) =>
+      val norm2q = cq.map(c => c * c).sum
+      var sq = 0L
+      var d = 0
+      val n = math.min(qVec.length, cq.length)
+      while (d < n) { sq += math.floor(qVec(d) * cq(d) * DotScale + 0.5).toLong; d += 1 }
+      (cid, sq.toDouble / math.sqrt(norm2q.toDouble))
+    }.sortBy { case (cid, s) => (-s, cid) }
+      .take(nprobe).map(_._1)
 
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"))
-    index(embeddings, cents)
-      .filter(col("list").isin(probes.toSeq: _*) && col("vec_id") =!= queryVecId)
+    embeddings.sparkSession.read.parquet(model.indexPath)
+      .filter(col("list").isin(probes.toIndexedSeq: _*) &&
+        col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
       .orderBy(desc("cosine"), col("vec_id"))
@@ -137,11 +192,13 @@ object Ivf {
       .limit(k)
   }
 
-  /** One-shot convenience: fresh (un-memoized) build + probe. Prefer
-    * [[buildIndex]] + [[probe]] when issuing more than one query.
+  /** One-shot convenience: memoized build (under `indexKey`) + probe.
+    * Callers probing more than one corpus in a process must pass distinct
+    * keys; prefer explicit [[buildIndex]] + [[probe]] in applications.
     */
   def topKIvf(embeddings: DataFrame, queryVecId: Long, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame =
-    probe(IvfModel(nlist, iters, trainCentroids(embeddings, nlist, iters)),
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+              indexKey: String = "adhoc"): DataFrame =
+    probe(buildIndex(indexKey, embeddings, nlist, iters),
       embeddings, queryVecId, k, nprobe)
 }

@@ -45,6 +45,9 @@ object NativeKernels {
 
   def md5Hash64(tokens: Column): Column =
     ColumnBridge.column(Md5Hash64(ColumnBridge.expression(tokens)))
+
+  def quantDot(v: Column, weights: Array[Long], scale: Double): Column =
+    ColumnBridge.column(QuantDot(ColumnBridge.expression(v), weights, scale))
 }
 
 /** Dot product of two numeric arrays (float or double elements) as double.
@@ -317,6 +320,77 @@ object Md5Hash64 {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Quantized dot product against a constant long-grid vector: for input
+  * array v (float or double elements) and constant weights w,
+  * Σ_d floor(v_d · w_d · scale + 0.5) as an exact long, over
+  * d < min(len(v), len(w)).
+  *
+  * This is the determinism primitive behind IVF assignment
+  * ([[graft.operators.Ivf]]): every term is quantized to an integer BEFORE
+  * the sum, so the result is independent of evaluation order and
+  * reproducible bit-for-bit by a SQL engine
+  * (`SUM(CAST(FLOOR(v * w * scale + 0.5) AS BIGINT))` in DuckDB — both
+  * sides perform the same two correctly-rounded double multiplications on
+  * exactly-representable inputs). A plain double-sum dot ([[VecDot]]) is
+  * associative-order-dependent and NOT portable across engines for
+  * argmin/argmax decisions near ties.
+  */
+case class QuantDot(child: Expression, weights: Array[Long], scale: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quant_dot"
+
+  private def elemIsDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), weights.length)
+    val isD = elemIsDouble
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (isD) a.getDouble(i) else a.getFloat(i).toDouble
+      acc += math.floor(x * weights(i) * scale + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("quantDotW", weights, "long[]")
+    val get = if (elemIsDouble) "getDouble" else "getFloat"
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), $wRef.length);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) java.lang.Math.floor(
+         |    ((double) $c.$get($i)) * ((double) $wRef[$i]) * $scale + 0.5);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantDot =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash of an array<long> of token hashes: bit b is set iff the

@@ -31,6 +31,32 @@ class IvfSpec extends SparkSpec {
     assert(ivf === exact)
   }
 
+  test("probe physical plan scans ONLY the probed list partitions") {
+    // the index-shaped contract: the corpus is materialized list-partitioned
+    // at build, and a probe's scan must carry a partition filter on `list`
+    // and touch at most nprobe directories — not re-assign the whole corpus
+    val df = SparkEntry.queries("ann_topk_ivf")(spark, sfDir)
+    val scans = PlansSpec.unwrapped(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val idxScans = scans.filter(_.partitionFilters.exists(
+      _.references.exists(_.name == "list")))
+    assert(idxScans.nonEmpty,
+      s"no pruned index scan (partition filter on list) in:\n" +
+        df.queryExecution.executedPlan)
+    idxScans.foreach(s => assert(s.selectedPartitions.partitionCount <= 4,
+      s"probe reads ${s.selectedPartitions.partitionCount} list directories (> nprobe)"))
+  }
+
+  test("two fresh trainings produce byte-identical centroids") {
+    // the integer-grid Lloyd contract: no partition-order-dependent float
+    // mean anywhere, so training is reproducible across sessions
+    val a = Ivf.trainCentroids(emb, 16, iters = 2)
+    val b = Ivf.trainCentroids(emb.repartition(7), 16, iters = 2)
+    assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
+    assert(a.zip(b).forall { case ((_, x), (_, y)) => x.toSeq == y.toSeq })
+  }
+
   test("partial probing keeps useful recall on the corpus") {
     val exact = Similarity.topK(emb, 0L, 10)
       .select("vec_id").as[Long].collect().toSet

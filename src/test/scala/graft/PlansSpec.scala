@@ -14,6 +14,7 @@ class PlansSpec extends SparkSpec {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
   private def optimized(df: DataFrame): String = df.queryExecution.optimizedPlan.toString
+  import PlansSpec.unwrapped
 
   test("parquet scan pushes filters and prunes columns") {
     val df = Tables.lineitem(spark, sfDir)
@@ -41,7 +42,7 @@ class PlansSpec extends SparkSpec {
     // (Building a plan may run bounded driver work — IVF training, budget
     // bucket stats — but never executes the full query.)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.executedPlan
+      val plan = unwrapped(fn(spark, sfDir))
       val bad = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty => w
@@ -98,4 +99,18 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"kernel fell out of codegen:\n$p")
     assert(!p.toLowerCase.contains("codegenfallback"), p)
   }
+}
+
+object PlansSpec {
+  /** The physical plan with the AQE wrapper peeled off: Spark 4 plans are
+    * AdaptiveSparkPlanExec — a LEAF node, so `collect` on executedPlan
+    * visits nothing inside it. Every structural plan assertion must descend
+    * through it or it asserts on an empty tree.
+    */
+  def unwrapped(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
 }
