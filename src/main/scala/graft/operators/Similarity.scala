@@ -221,13 +221,18 @@ object Similarity {
                  tables: Int = 8, bits: Int = 4,
                  scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
     // persist: the index feeds the query-bucket lookup AND the candidate
-    // join — unpersisted, the whole projection pass runs twice.
-    val idx = scope.persist(lshIndex(embeddings, tables, bits))
+    // join — unpersisted, the whole projection pass runs twice. Persist
+    // ONLY (vec_id, table, bucket): caching the embedding-bearing rows
+    // would hold tables× copies of every vector; the candidate set re-joins
+    // `embeddings` for the re-rank instead (same contract as knnJoinLsh).
+    val idx = scope.persist(
+      lshIndex(embeddings, tables, bits).select("vec_id", "table", "bucket"))
     val qBuckets = idx.filter(col("vec_id") === queryVecId)
       .select(col("table"), col("bucket"))
     val candidates = idx.join(broadcast(qBuckets), Seq("table", "bucket"))
       .filter(col("vec_id") =!= queryVecId)
-      .select("vec_id", "embedding").distinct()
+      .select("vec_id").distinct()
+      .join(embeddings.select("vec_id", "embedding"), "vec_id")
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"))
     candidates.crossJoin(broadcast(q))

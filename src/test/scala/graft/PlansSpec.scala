@@ -91,6 +91,25 @@ class PlansSpec extends SparkSpec {
       s"scan reads unreferenced columns:\n$p")
   }
 
+  test("rank-filter queries plan WindowGroupLimit (k-bounded window pushdown)") {
+    // Spark 4 rewrites `row_number() <= k` filters into WindowGroupLimitExec,
+    // which keeps only k rows per group BEFORE the full window sort/exchange —
+    // the per-group analog of TakeOrderedAndProject. Pin it for the
+    // rank-filter family so a refactor can't silently fall back to a full
+    // window sort of every candidate row.
+    for (name <- Seq("window_rank", "text_tfidf", "ann_knn_join")) {
+      val plan = unwrapped(SparkEntry.queries(name)(spark, sfDir))
+      val limits = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }
+      spark.catalog.clearCache()
+      CacheScope.global.release()
+      assert(limits.nonEmpty, s"$name has no WindowGroupLimit:\n$plan")
+      assert(limits.forall(_.partitionSpec.nonEmpty),
+        s"$name group-limit is partitionless:\n$plan")
+    }
+  }
+
   test("native kernels stay inside whole-stage codegen") {
     val df = Tables.documents(spark, sfDir)
       .select(graft.plans.NativeKernels.hashedShingles(
