@@ -165,6 +165,106 @@ object Streams {
         col("purchase_id"), col("c_ts"), col("p_ts"))
   }
 
+  /** Buffered per-user state for [[asofJoinStream]]: (epochMs, id) pairs of
+    * retained clicks and not-yet-finalized purchases.
+    */
+  case class AsofBuf(clicks: List[(Long, Long)], purchases: List[(Long, Long)])
+
+  /** One enriched purchase emitted by [[asofJoinStream]] (click fields are
+    * None when no click preceded the purchase within the retained state).
+    */
+  case class AsofEnriched(user_id: Long, purchase_id: Long,
+                          p_ts: java.sql.Timestamp,
+                          click_id: Option[Long],
+                          c_ts: Option[java.sql.Timestamp])
+
+  /** Streaming as-of join — the stream twin of
+    * [[graft.operators.AsofJoin.asofJoin]]: every purchase is enriched with
+    * the LATEST click with `c.ts <= p.ts` for the same user (<= semantics,
+    * like the batch op). Spark's stream-stream joins only do equi/interval
+    * conditions, so as-of needs custom state: flatMapGroupsWithState per
+    * user over the tagged union of both streams (the same union+tag layout
+    * as the batch formulation).
+    *
+    * Correctness under out-of-order arrival: a purchase is only finalized
+    * once the event-time watermark has passed its timestamp — after that no
+    * click with an earlier timestamp can still arrive (the watermark drops
+    * older rows), so the "latest preceding click" answer is stable. Pending
+    * purchases buffer in state until then; emission is append-mode.
+    *
+    * State is WATERMARK-BOUNDED on both sides:
+    *  - purchases leave state as soon as the watermark finalizes them;
+    *  - of the clicks at or before the watermark only the LATEST is
+    *    retained (any older one is dominated for every future purchase);
+    *    clicks above the watermark are all kept (a pending purchase may
+    *    land between them);
+    *  - a user with no pending purchases keeps that single latest click
+    *    until `lookbackSec` past its timestamp (event-time timeout), then
+    *    the state is dropped — so a purchase arriving later than the
+    *    lookback after the last click matches NO click. Bounded lookback is
+    *    the streaming contract (same shape as [[sessionize]]'s expiry);
+    *    unbounded as-of history belongs to the batch op.
+    *
+    * Inputs need (user_id, ts, purchase_id) / (user_id, ts, click_id).
+    */
+  def asofJoinStream(purchases: DataFrame, clicks: DataFrame,
+                     watermark: String = "2 hours",
+                     lookbackSec: Long = 7200): DataFrame = {
+    val spark = purchases.sparkSession
+    import spark.implicits._
+    val p = purchases.select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        lit(1).as("side"), col("purchase_id").cast("long").as("id"))
+      .withWatermark("ts", watermark)
+    val c = clicks.select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        lit(0).as("side"), col("click_id").cast("long").as("id"))
+      .withWatermark("ts", watermark)
+    p.unionByName(c)
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofBuf, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],
+         state: GroupState[AsofBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+          val arrived = rows.toList
+          val clicksAll = prev.clicks ++
+            arrived.collect { case (_, ts, 0, id) => (ts.getTime, id) }
+          val purchAll = prev.purchases ++
+            arrived.collect { case (_, ts, 1, id) => (ts.getTime, id) }
+          // finalize purchases the watermark has passed: their answer can
+          // no longer change
+          val (ready, pending) = purchAll.partition(_._1 <= wm)
+          val out = ready.sorted.map { case (pts, pid) =>
+            val eligible = clicksAll.filter(_._1 <= pts)
+            val best = if (eligible.isEmpty) None else Some(eligible.max)
+            AsofEnriched(userId, pid, new java.sql.Timestamp(pts),
+              best.map(_._2), best.map(b => new java.sql.Timestamp(b._1)))
+          }
+          // prune clicks: everything at or below the watermark is dominated
+          // by the latest such click for every still-possible purchase
+          val (oldClicks, liveClicks) = clicksAll.partition(_._1 <= wm)
+          val kept = (if (oldClicks.isEmpty) Nil else List(oldClicks.max)) ++
+            liveClicks
+          if (pending.isEmpty && (state.hasTimedOut || kept.isEmpty)) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(AsofBuf(kept, pending))
+            // wake when the earliest pending purchase can finalize; with no
+            // pending purchases, expire the retained click at its lookback
+            // horizon (must stay strictly above the current watermark)
+            val horizon =
+              if (pending.nonEmpty) pending.map(_._1).min
+              else kept.map(_._1).max + lookbackSec * 1000
+            state.setTimeoutTimestamp(math.max(horizon, wm + 1))
+          }
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Per-user session state for [[sessionize]]: count of events and sessions
     * seen so far, and the last event time (epoch seconds).
     */

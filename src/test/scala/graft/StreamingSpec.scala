@@ -290,6 +290,94 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((101L, 201L), (102L, 201L)))
   }
 
+  test("streaming as-of join equals the batch as-of join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    // user 7: purchase 00:30 → click 00:10 (latest preceding), purchase
+    // 01:00 → click 00:50; user 8: purchase 00:20 has NO preceding click
+    // (its only click is later). Clicks arrive in a later batch than the
+    // purchases to prove the watermark buffering handles out-of-order.
+    val cRows = Seq(
+      (7L, Timestamp.valueOf("2024-01-01 00:10:00"), 101L),
+      (7L, Timestamp.valueOf("2024-01-01 00:50:00"), 102L),
+      (8L, Timestamp.valueOf("2024-01-01 02:00:00"), 103L))
+    val pRows = Seq(
+      (7L, Timestamp.valueOf("2024-01-01 00:30:00"), 201L),
+      (7L, Timestamp.valueOf("2024-01-01 01:00:00"), 202L),
+      (8L, Timestamp.valueOf("2024-01-01 00:20:00"), 203L))
+    purchases.addData(pRows)
+    val q = Streams.asofJoinStream(
+      purchases.toDF().toDF("user_id", "ts", "purchase_id"),
+      clicks.toDF().toDF("user_id", "ts", "click_id"))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    clicks.addData(cRows)
+    q.processAllAvailable()
+    // push the watermark past every purchase on BOTH sides (it's the min),
+    // then run one more batch so the event-time timeouts fire and finalize
+    clicks.addData(Seq((99L, Timestamp.valueOf("2024-01-02 00:00:00"), 999L)))
+    purchases.addData(Seq((99L, Timestamp.valueOf("2024-01-02 00:00:00"), 998L)))
+    q.processAllAvailable()
+    clicks.addData(Seq((99L, Timestamp.valueOf("2024-01-02 01:00:00"), 997L)))
+    purchases.addData(Seq((99L, Timestamp.valueOf("2024-01-02 01:00:00"), 996L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("asof_stream").filter($"user_id" < 90)
+      .select("user_id", "purchase_id", "click_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val batch = graft.operators.AsofJoin.asofJoin(
+        pRows.toDF("user_id", "ts", "purchase_id"),
+        cRows.toDF("user_id", "ts", "click_id"),
+        "user_id", "ts", Seq("click_id"))
+      .select("user_id", "purchase_id", "click_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got === batch)
+    assert(got === Set((7L, 201L, Some(101L)), (7L, 202L, Some(102L)),
+      (8L, 203L, None)))
+  }
+
+  test("as-of join state is lookback-bounded (retained click expires)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    // 10-min lookback: user 5's click at 00:00 must be evicted once the
+    // watermark passes 00:10, so the much-later purchase matches NOTHING —
+    // the observable proof the state was dropped (unbounded state would
+    // have answered click 301)
+    clicks.addData(Seq((5L, Timestamp.valueOf("2024-01-01 00:00:00"), 301L)))
+    val q = Streams.asofJoinStream(
+      purchases.toDF().toDF("user_id", "ts", "purchase_id"),
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      watermark = "30 minutes", lookbackSec = 600)
+      .writeStream.format("memory").queryName("asof_timeout")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance the watermark far past the click's 00:10 horizon and fire the
+    // timeout (extra batch), with user 5 itself quiet
+    for (h <- Seq("05:00:00", "06:00:00")) {
+      clicks.addData(Seq((99L, Timestamp.valueOf(s"2024-01-01 $h"), 999L)))
+      purchases.addData(Seq((99L, Timestamp.valueOf(s"2024-01-01 $h"), 998L)))
+      q.processAllAvailable()
+    }
+    // user 5 purchases AFTER expiry; then close it out past the watermark
+    purchases.addData(Seq((5L, Timestamp.valueOf("2024-01-01 07:00:00"), 401L)))
+    q.processAllAvailable()
+    for (h <- Seq("10:00:00", "11:00:00")) {
+      clicks.addData(Seq((99L, Timestamp.valueOf(s"2024-01-01 $h"), 999L)))
+      purchases.addData(Seq((99L, Timestamp.valueOf(s"2024-01-01 $h"), 998L)))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val user5 = spark.table("asof_timeout").filter($"user_id" === 5L)
+      .select("purchase_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(user5 === Seq((401L, None)))
+  }
+
   test("streaming minhash near-dup: exact and near copies are dropped, novel docs pass") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
