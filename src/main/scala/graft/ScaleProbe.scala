@@ -72,7 +72,24 @@ object ScaleProbe {
       for ((m, bits) <- Seq((1, 4), (5, 4), (5, 7)))
         time(s"knn_lsh_bits$bits", m,
           operators.Similarity.knnJoinLsh(blowUpVecs(m), 3, tables = 8, bits = bits))
-    } else {
+      spark.stop()
+      return
+    }
+
+    /** Blown-up events: copies re-key user_id (and event_id), so the
+      * per-user group sizes — what the asof window and range join actually
+      * sort/scan per key — stay CONSTANT while the corpus grows. That's the
+      * cluster-realistic shape: more users, not deeper histories.
+      */
+    def blowUpEvents(mult: Int): DataFrame = {
+      val ev = Tables.events(spark, dir)
+      (0 until mult).map { i =>
+        ev.withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionByName _)
+    }
+
+    {
       for (m <- mults) {
         val corpus = blowUp(m)
         time("minhash_lsh", m, operators.Dedup.minhashPairs(corpus, 0.5))
@@ -84,6 +101,31 @@ object ScaleProbe {
         time("clusters", m, operators.Dedup.nearDupClusters(
           operators.Dedup.minhashPairs(corpus, 0.5)))
         time("lm_score", m, operators.TextAnalysis.lmScore(corpus))
+        // the full pairs→clusters→keep-best corpus collapse (one left join +
+        // cluster-keyed window on top of the cluster pass)
+        time("collapse", m, operators.Dedup.collapseNearDups(corpus,
+          operators.Dedup.minhashPairs(corpus, 0.5), col("n_chars")))
+        // as-of + range join over the re-keyed events: per-key work constant,
+        // key count grows — cost must stay linear in mult
+        val events = blowUpEvents(m)
+        time("asof_join", m, {
+          val purchases = events.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts")
+          val clicks = events.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+          operators.AsofJoin.asofJoin(purchases, clicks, "user_id", "ts",
+            Seq("click_id"))
+        })
+        time("range_join", m, {
+          val clicks = events.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+          val purchases = events.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("w_start"),
+              (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"),
+              col("event_id").as("purchase_id"))
+          operators.RangeJoin.pointInInterval(clicks, purchases,
+            "user_id", "ts", "w_start", "w_end", Seq("purchase_id"))
+        })
       }
     }
     spark.stop()
