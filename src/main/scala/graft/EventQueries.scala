@@ -50,6 +50,33 @@ object EventQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("hour", "event_type")),
 
+    // Per-type z-score outliers (|z| > 3) from EXACT integer sufficient
+    // statistics: values are quantized to their native cent grid, Σv and Σv²
+    // are exact decimal-routed integer sums (order-free under any
+    // partitioning), and mean/σ/z are correctly-rounded double functions of
+    // identical integers on both engines — the same determinism pattern as
+    // stats_corr. One partial-agg shuffle for the 5-row stats table, which
+    // broadcasts back onto the linear scan; no window, no collect.
+    "events_outliers" -> ((s, dir) => {
+      val vq = floor(col("value") * 100.0 + 0.5).cast("long")
+      val stats = Tables.events(s, dir)
+        .select(col("event_type"), vq.as("vq"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("vq").cast("decimal(38,0)")).as("sv"),
+          sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("sq"))
+      val mean = col("sv").cast("double") / 100.0 / col("n")
+      val ex2 = col("sq").cast("double") / 10000.0 / col("n")
+      val z = (col("value") - mean) / sqrt(ex2 - mean * mean)
+      Tables.events(s, dir)
+        .join(broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          (floor(col("z") * 10000.0 + 0.5) / 10000.0).as("z_4dp"))
+        .orderBy("event_id")
+    }),
+
     // Gap-based sessionization (30-min inactivity closes a session).
     "events_sessionize" -> ((s, dir) => {
       val secs = col("ts").cast("long")
@@ -266,6 +293,25 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "events_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sv,
+        |    SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+        |      * CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sq
+        |  FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    (e.value - CAST(sv AS DOUBLE) / 100.0 / n)
+        |      / sqrt(CAST(sq AS DOUBLE) / 10000.0 / n
+        |        - (CAST(sv AS DOUBLE) / 100.0 / n)
+        |          * (CAST(sv AS DOUBLE) / 100.0 / n)) AS z
+        |  FROM events e JOIN s USING (event_type))
+        |SELECT event_id, event_type, value,
+        |  FLOOR(z * 10000.0 + 0.5) / 10000.0 AS z_4dp
+        |FROM z WHERE abs(z) > 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "events_range_join" ->
       """SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks

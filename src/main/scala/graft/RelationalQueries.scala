@@ -84,6 +84,59 @@ object RelationalQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Frame-based windows: per-customer running spend (unbounded-preceding
+    // frame) and 3-order moving average (sliding frame). Both sums routed
+    // through DECIMAL so the frame accumulation is exact and order-free;
+    // the moving average divides the exact frame sum by the frame COUNT.
+    // Keyed windows only — the shuffle is one hash exchange on o_custkey.
+    "window_running" -> ((s, dir) => {
+      val ord = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last3 = ord.rowsBetween(-2, 0)
+      Tables.orders(s, dir)
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(run)
+            .cast("double"))
+        .withColumn("avg3_spend",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(last3)
+            .cast("double") / count(lit(1)).over(last3))
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+          "running_spend", "avg3_spend")
+        .orderBy("o_orderkey")
+    }),
+
+    // Per-group Pearson correlation from EXACT integer sums: both measures
+    // are quantized to the cent grid (their native resolution), the five
+    // sufficient statistics (Σx, Σy, Σxy, Σx², Σy², n) are exact
+    // decimal-routed integer sums — order-free under any partitioning —
+    // and the final correlation is a correctly-rounded double function of
+    // identical integers on both engines. Spark's built-in corr() is a
+    // float accumulation whose result depends on partition order; this is
+    // the deterministic distributed formulation (one partial-agg shuffle).
+    "stats_corr" -> ((s, dir) => {
+      val xq = floor(col("l_quantity") * 100.0 + 0.5).cast("long")
+      val yq = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+      val d38 = "decimal(38,0)"
+      def dbl(c: String) = col(c).cast("double")
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), xq.as("xq"), yq.as("yq"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("xq").cast(d38)).as("sx"),
+          sum(col("yq").cast(d38)).as("sy"),
+          sum((col("xq") * col("yq")).cast(d38)).as("sxy"),
+          sum((col("xq") * col("xq")).cast(d38)).as("sxx"),
+          sum((col("yq") * col("yq")).cast(d38)).as("syy"))
+        .select(col("l_returnflag"), col("n_items"),
+          (floor(
+            (dbl("n_items") * dbl("sxy") - dbl("sx") * dbl("sy"))
+              / (sqrt(dbl("n_items") * dbl("sxx") - dbl("sx") * dbl("sx"))
+                * sqrt(dbl("n_items") * dbl("syy") - dbl("sy") * dbl("sy")))
+              * 1000000.0 + 0.5) / 1000000.0).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Global sort + limit (distributed top-k via TakeOrderedAndProject).
     "orders_topk" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -251,6 +304,43 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3_spend
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "stats_corr" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS xq,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yq
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_items,
+        |    SUM(xq) AS sx, SUM(yq) AS sy, SUM(xq * yq) AS sxy,
+        |    SUM(xq * xq) AS sxx, SUM(yq * yq) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT l_returnflag, n_items,
+        |  FLOOR(
+        |    (CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n_items AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
