@@ -42,6 +42,16 @@ object SimilarityQueries {
       operators.Ivf.probe(operators.Ivf.buildIndex(dir, emb), emb, 0L, 10)
     }),
 
+    // PQ (product-quantization) approximate top-10 — the compressed-codes
+    // ANN path (4-bit codes, ADC scoring, exact re-rank of 50 candidates).
+    // Hash-checked against a DuckDB twin that replays per-subspace seeding,
+    // both integer-grid Lloyd steps, encoding, the query LUT and the ADC
+    // ranking as CTEs; determinism/recall/compression are PqSpec'd.
+    "ann_topk_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Pq.probe(operators.Pq.buildIndex(dir, emb), emb, 0L, 10)
+    }),
+
     // Corpus×corpus kNN through LSH buckets + TopK aggregate — the linear
     // layout for all-pairs similarity. Hash-checked against the inlined-
     // hyperplane DuckDB twin; recall vs exact kNN asserted in SimilaritySpec.
@@ -223,8 +233,100 @@ object SimilarityQueries {
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT $k""".stripMargin
 
+  // ---- PQ oracle machinery ----
+  //
+  // Same replay strategy as ivfSql, keyed by subspace: vd carries
+  // (sub, sdim) split coordinates, Lloyd runs per (sub, cid), encoding is
+  // the exact-integer argmin-L2 (norm2q − 2000·sq — QuantDot's contract),
+  // the query LUT is the same quantized partial dot per (sub, cid), and the
+  // ADC ranking is an exact integer sum. Final re-rank = the ann_topk
+  // cosine twin.
+
+  /** One per-subspace Lloyd step: codebook CTE `prev` → assignment `asg` →
+    * re-gridded mean `next`.
+    */
+  private def pqLloydStep(prev: String, asg: String, next: String): String =
+    s"""${pqAssignCte(prev, asg)},
+       |$next AS (
+       |  SELECT $asg.sub, $asg.cid, vd.sdim,
+       |    CAST(FLOOR(CAST(CAST(SUM(vd.vq) AS BIGINT) AS DOUBLE) / COUNT(*)
+       |      + 0.5) AS BIGINT) AS cq
+       |  FROM $asg JOIN vd ON $asg.vec_id = vd.vec_id AND $asg.sub = vd.sub
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Exact-integer argmin-L2 encoding of every (vector, subspace) against
+    * codebook CTE `c` → assignment CTE `asg`.
+    */
+  private def pqAssignCte(c: String, asg: String): String =
+    s"""n$c AS (
+       |  SELECT sub, cid, CAST(SUM(cq * cq) AS BIGINT) AS norm2q
+       |  FROM $c GROUP BY 1, 2),
+       |s$c AS (
+       |  SELECT vd.vec_id, $c.sub, $c.cid,
+       |    CAST(SUM(CAST(FLOOR(vd.v * $c.cq * 1000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS sq
+       |  FROM vd JOIN $c ON vd.sub = $c.sub AND vd.sdim = $c.sdim
+       |  GROUP BY 1, 2, 3),
+       |$asg AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT s$c.vec_id, s$c.sub, s$c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s$c.vec_id, s$c.sub
+       |        ORDER BY (norm2q - 2000 * sq), s$c.cid) AS rn
+       |    FROM s$c JOIN n$c ON s$c.sub = n$c.sub AND s$c.cid = n$c.cid)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Full DuckDB twin of Pq.buildIndex(m=8, ksub=16, iters=2) +
+    * probe(queryVecId=0, k=10, rerank=50).
+    */
+  private def pqSql(subDim: Int = 8, ksub: Int = 16,
+                    rerank: Int = 50, k: Int = 10): String =
+    s"""WITH idx AS (
+       |  SELECT vec_id, embedding,
+       |    unnest(range(1, len(embedding) + 1)) AS i
+       |  FROM embeddings),
+       |vd AS (
+       |  SELECT vec_id,
+       |    CAST((i - 1) // $subDim AS INT) AS sub,
+       |    CAST((i - 1) % $subDim AS INT) AS sdim,
+       |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v,
+       |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS vq
+       |  FROM idx),
+       |seed AS (
+       |  SELECT (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % $ksub) AS cid,
+       |    MIN(vec_id) AS svid
+       |  FROM embeddings GROUP BY 1),
+       |c0 AS (
+       |  SELECT vd.sub, s.cid, vd.sdim, vd.vq AS cq
+       |  FROM seed s JOIN vd ON vd.vec_id = s.svid),
+       |${pqLloydStep("c0", "a0", "c1")},
+       |${pqLloydStep("c1", "a1", "c2")},
+       |${pqAssignCte("c2", "a2")},
+       |lut AS (
+       |  SELECT c2.sub, c2.cid,
+       |    CAST(SUM(CAST(FLOOR(vd.v * c2.cq * 1000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS dotq
+       |  FROM vd JOIN c2 ON vd.sub = c2.sub AND vd.sdim = c2.sdim
+       |  WHERE vd.vec_id = 0 GROUP BY 1, 2),
+       |adc AS (
+       |  SELECT a2.vec_id, CAST(SUM(l.dotq) AS BIGINT) AS adcq
+       |  FROM a2 JOIN lut l ON a2.sub = l.sub AND a2.cid = l.cid
+       |  WHERE a2.vec_id <> 0 GROUP BY 1),
+       |cand AS (
+       |  SELECT vec_id FROM adc ORDER BY adcq DESC, vec_id LIMIT $rerank),
+       |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |  (${dotSql("e.embedding", "q.qe")})
+       |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+       |FROM cand JOIN embeddings e USING (vec_id), qe q
+       |ORDER BY cosine DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "ann_topk_ivf" -> ivfSql(),
+    "ann_topk_pq" -> pqSql(),
 
     "ann_topk_lsh" ->
       s"""${lshCte()},

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Product quantization (PQ) approximate nearest neighbor — the
+  * COMPRESSED-CODES path, complementing [[Ivf]] (pruned lists) and the
+  * hyperplane LSH in [[Similarity]]:
+  *
+  *  1. BUILD ([[buildIndex]]): split each vector into `m` subvectors of
+  *     `dim/m` dims; per subspace, train a `ksub`-codeword codebook (same
+  *     md5-bucket seeding + exact integer-grid Lloyd as [[Ivf]], keyed by
+  *     subspace); ENCODE the corpus — each vector becomes `m` small codes —
+  *     and materialize the codes table once as parquet. At dim=64, m=8,
+  *     ksub=16 that is 8 4-bit codes ≈ 4 bytes/vector vs 256 bytes of raw
+  *     floats: the index a 100 TB embedding table can afford to scan.
+  *  2. PROBE ([[probe]]): build the query's lookup table (m × ksub exact
+  *     integer partial dot products, driver-side math on the tiny
+  *     codebooks), scan ONLY the codes table — an ADC (asymmetric distance
+  *     computation) scored as Σ_sub lut(sub, code) via one broadcast join +
+  *     partial-agg — take the top `rerank` candidates, and exact-cosine
+  *     re-rank just those against the raw vectors.
+  *
+  * Encoding minimizes true subspace L2: argmin_c |x−c|² = argmin_c
+  * (|c|² − 2x·c), computed on exact longs as norm2q − 2000·sq where
+  * sq = Σ floor(v·cq·1e3 + 0.5) ([[graft.plans.QuantDot]]) and
+  * norm2q = Σcq² — so assignment, like all training decisions, is pure
+  * integer math: partition-order-free, byte-identical across sessions, and
+  * replayed bit-for-bit by the DuckDB oracle (SimilarityQueries.pqSql).
+  * ADC scores are exact integer sums of lut entries; the only floats
+  * anywhere are the final exact re-rank cosines (shared with [[Similarity.topK]]).
+  */
+object Pq {
+
+  /** Vector quantization grid (same as [[Ivf]]): values on 1e-6 multiples. */
+  private val VecScale = 1000000.0
+
+  /** Score-term grid: each v·cq product term rounds at ×1e3. */
+  private val DotScale = 1000.0
+
+  /** Trained codebooks: codebooks(sub) = (codeId, codeword on the 1e-6 long
+    * grid), plus the materialized codes table (the compressed index).
+    */
+  final case class PqModel(m: Int, ksub: Int, subDim: Int, iters: Int,
+                           codebooks: Array[Array[(Int, Array[Long])]],
+                           codesPath: String)
+
+  /** Per-row code array (one argmin-L2 code per subspace) as a pure
+    * expression: per sub, array of (cost, cid) structs → array_min → cid,
+    * cost = norm2q − 2000·QuantDot (exact long; see object scaladoc). Ties
+    * break toward the lower code id, matching the SQL twin's ORDER BY.
+    */
+  private def codesCol(v: Column, subDim: Int,
+                       books: Array[Array[(Int, Array[Long])]]): Column =
+    array(books.zipWithIndex.map { case (book, s) =>
+      val sv = slice(v, s * subDim + 1, subDim)
+      val entries = book.map { case (cid, cq) =>
+        val norm2q = cq.map(c => c * c).sum
+        struct(
+          (lit(norm2q) - lit(2000L) *
+            graft.plans.NativeKernels.quantDot(sv, cq, DotScale)).as("cost"),
+          lit(cid).as("cid"))
+      }
+      array_min(array(entries.toIndexedSeq: _*)).getField("cid")
+    }.toIndexedSeq: _*)
+
+  /** Deterministic per-subspace codebook training on the integer grid.
+    * Seeds: bucket = md5-hash of vec_id mod ksub (one bucket per vector,
+    * shared across subspaces — each subspace seeds from ITS slice of the
+    * bucket's min-vec_id vector); then `iters` Lloyd steps, each one
+    * assignment pass (codes expression, no shuffle) + one (sub, cid, sdim)
+    * keyed mean shuffle with map-side combine, collected as
+    * ≤ m × ksub × subDim rows. Codewords whose cell empties are dropped
+    * (identically on both engines — assignment is exact).
+    */
+  def trainCodebooks(embeddings: DataFrame, m: Int, ksub: Int,
+                     iters: Int = 2, dim: Int = 64): Array[Array[(Int, Array[Long])]] = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    // (vec_id, sub, sdim, vq) exploded once; persisted — seeds + every
+    // Lloyd mean re-scan it
+    val exploded = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("vec_id"),
+        (col("dim") / lit(subDim)).cast("int").as("sub"),
+        (col("dim") % lit(subDim)).cast("int").as("sdim"),
+        floor(col("f").cast("double") * VecScale + 0.5).cast("long").as("vq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // seeds: min vec_id per md5 bucket (bounded collect), then that
+    // vector's quantized slices per subspace
+    val minIds = embeddings
+      .groupBy(Curation.hashBucket(col("vec_id"), ksub).cast("int").as("bucket"))
+      .agg(min("vec_id").as("svid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val seedRows = exploded
+      .filter(col("vec_id").isin(minIds.map(_._2).toIndexedSeq: _*))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val byVec = seedRows.groupBy(_._1)
+    var books: Array[Array[(Int, Array[Long])]] =
+      Array.tabulate(m) { s =>
+        minIds.map { case (cid, svid) =>
+          val arr = new Array[Long](subDim)
+          byVec(svid).filter(_._2 == s).foreach(t => arr(t._3) = t._4)
+          (cid, arr)
+        }
+      }
+
+    for (_ <- 1 to iters) {
+      val codes = embeddings.select(col("vec_id"),
+        codesCol(col("embedding"), subDim, books).as("codes"))
+      val sums = exploded.join(codes, "vec_id")
+        .withColumn("cid", element_at(col("codes"), col("sub") + 1))
+        .groupBy("sub", "cid", "sdim")
+        .agg(sum("vq").as("s"), count(lit(1)).as("n"))
+        .collect()
+      books = Array.tabulate(m) { s =>
+        sums.filter(_.getInt(0) == s).groupBy(_.getInt(1)).toArray
+          .map { case (cid, rows) =>
+            val arr = new Array[Long](subDim)
+            rows.foreach(r => arr(r.getInt(2)) =
+              math.floor(r.getLong(3).toDouble / r.getLong(4) + 0.5).toLong)
+            (cid, arr)
+          }.sortBy(_._1)
+      }
+    }
+    exploded.unpersist()
+    books
+  }
+
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), PqModel]()
+
+  private def codesDir(indexKey: String, m: Int, ksub: Int, iters: Int): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-pq-" + indexKey.replaceAll("[^A-Za-z0-9._-]", "_") +
+        s"-$m-$ksub-$iters").getAbsolutePath
+
+  /** Index BUILD, memoized per (indexKey, m, ksub, iters): codebooks train
+    * once, the corpus is encoded once and the codes table — m small ints
+    * per vector, the whole point of PQ — is written as the scan target for
+    * every probe. The in-memory model is m × ksub × subDim longs: bounded,
+    * driver-side, broadcast-small.
+    */
+  def buildIndex(indexKey: String, embeddings: DataFrame,
+                 m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                 dim: Int = 64): PqModel =
+    models.computeIfAbsent((indexKey, m, ksub, iters), _ => {
+      val books = trainCodebooks(embeddings, m, ksub, iters, dim)
+      val subDim = dim / m
+      val path = codesDir(indexKey, m, ksub, iters)
+      embeddings.select(col("vec_id"),
+          codesCol(col("embedding"), subDim, books).as("codes"))
+        .write.mode("overwrite").parquet(path)
+      PqModel(m, ksub, subDim, iters, books, path)
+    })
+
+  /** PROBE: ADC top-`rerank` candidates from the codes table, then exact
+    * cosine re-rank to top-k. The lookup table is driver-side integer math
+    * on the codebooks (the same quantized partial dots as training, so the
+    * SQL oracle reproduces it); the corpus-sized work is ONE scan of the
+    * compressed codes + a broadcast join + partial agg — the raw vectors
+    * are touched only for the `rerank` candidates.
+    */
+  def probe(model: PqModel, embeddings: DataFrame, queryVecId: Long,
+            k: Int, rerank: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qVec = embeddings.filter(col("vec_id") === queryVecId)
+      .select(transform(col("embedding"), _.cast("double")).as("e"))
+      .collect()(0).getSeq[Double](0).toArray
+    val lut = for {
+      s <- 0 until model.m
+      (cid, cq) <- model.codebooks(s)
+    } yield {
+      var dq = 0L
+      var d = 0
+      while (d < model.subDim) {
+        dq += math.floor(qVec(s * model.subDim + d) * cq(d) * DotScale + 0.5).toLong
+        d += 1
+      }
+      (s, cid, dq)
+    }
+    val lutDf = lut.toDF("sub", "cid", "dotq")
+
+    val cand = spark.read.parquet(model.codesPath)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(lutDf), Seq("sub", "cid"))
+      .groupBy("vec_id").agg(sum("dotq").as("adcq"))
+      .filter(col("vec_id") =!= queryVecId)
+      .orderBy(desc("adcq"), col("vec_id"))
+      .limit(rerank)
+
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .select("vec_id", "cosine")
+      .limit(k)
+  }
+
+  /** One-shot convenience: memoized build (under `indexKey`) + probe. */
+  def topKPq(embeddings: DataFrame, queryVecId: Long, k: Int,
+             m: Int = 8, ksub: Int = 16, iters: Int = 2,
+             rerank: Int = 50, indexKey: String = "adhoc"): DataFrame =
+    probe(buildIndex(indexKey, embeddings, m, ksub, iters),
+      embeddings, queryVecId, k, rerank)
+}
