@@ -24,6 +24,15 @@ object CurationQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Importance sampling: acceptance probability proportional to document
+    // length (capped at 1) — sample long documents more. Same md5-variate
+    // determinism as cur_sample; the weight is any [0,1] expression.
+    "cur_weighted" -> ((s, dir) =>
+      Curation.weightedSample(Tables.documents(s, dir), col("doc_id"),
+          least(lit(1.0), col("n_chars").cast("double") / 800.0))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
     // Stratified mixing: downsample en to 20%, keep 80% of es/de, drop
     // the rest — the domain-reweighting primitive, key-stable like cur_split.
     "cur_stratified" -> ((s, dir) =>
@@ -114,8 +123,16 @@ object CurationQueries {
     "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
   private val bucket8 =
     "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8)"
+  // DuckDB twin of Curation.hashUnit(doc_id).
+  private val unit =
+    "(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0)"
 
   val oracle: Map[String, String] = Map(
+    "cur_weighted" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE $unit < least(1.0, CAST(n_chars AS DOUBLE) / 800.0)
+         |ORDER BY doc_id""".stripMargin,
+
     // Composition of the five already-oracled signal derivations (quality,
     // repetition, lang-ID, contamination, bigram LM) + the gate logic.
     // concat_ws skips NULL reason slots in both engines.

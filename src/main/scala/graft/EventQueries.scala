@@ -57,25 +57,10 @@ object EventQueries {
     // identical integers on both engines — the same determinism pattern as
     // stats_corr. One partial-agg shuffle for the 5-row stats table, which
     // broadcasts back onto the linear scan; no window, no collect.
-    "events_outliers" -> ((s, dir) => {
-      val vq = floor(col("value") * 100.0 + 0.5).cast("long")
-      val stats = Tables.events(s, dir)
-        .select(col("event_type"), vq.as("vq"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("vq").cast("decimal(38,0)")).as("sv"),
-          sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("sq"))
-      val mean = col("sv").cast("double") / 100.0 / col("n")
-      val ex2 = col("sq").cast("double") / 10000.0 / col("n")
-      val z = (col("value") - mean) / sqrt(ex2 - mean * mean)
-      Tables.events(s, dir)
-        .join(broadcast(stats), "event_type")
-        .withColumn("z", z)
-        .filter(abs(col("z")) > 3.0)
-        .select(col("event_id"), col("event_type"), col("value"),
-          (floor(col("z") * 10000.0 + 0.5) / 10000.0).as("z_4dp"))
-        .orderBy("event_id")
-    }),
+    "events_outliers" -> ((s, dir) =>
+      operators.Stats.zOutliers(Tables.events(s, dir), "event_type", "value")
+        .select("event_id", "event_type", "value", "z_4dp")
+        .orderBy("event_id")),
 
     // Gap-based sessionization (30-min inactivity closes a session).
     "events_sessionize" -> ((s, dir) => {

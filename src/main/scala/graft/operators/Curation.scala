@@ -25,6 +25,25 @@ object Curation {
     pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(buckets))
 
+  /** Uniform variate in [0, 1) from the md5 of a key column: the first 8
+    * digest hex chars as a 32-bit integer scaled by 2⁻³². Exactly
+    * representable both as the integer and after the division, so the
+    * variate — and any comparison against it — is engine-portable.
+    */
+  def hashUnit(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+
+  /** Deterministic importance sampling: keeps a row iff
+    * hashUnit(key) < weight, i.e. with probability `weight` (clamp it to
+    * [0, 1] yourself) — the weighted generalization of [[hashBucket]]
+    * sampling. Key-stable like every sampler here: the same row gets the
+    * same verdict on any cluster, any partitioning, any run, and the
+    * decision is a pure narrow filter (no shuffle, no state).
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.filter(hashUnit(key) < weight)
+
   /** Adds `split`: train/val/test by hash bucket with the given percentage
     * cut points (e.g. 80/10/10). Key-stable: re-running on a grown corpus
     * never moves an existing row between splits.

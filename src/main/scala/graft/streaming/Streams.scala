@@ -165,6 +165,24 @@ object Streams {
         col("purchase_id"), col("c_ts"), col("p_ts"))
   }
 
+  /** Stream-static enrichment: z-score outlier filter on an event stream
+    * against a BATCH-computed stats table ([[graft.operators.Stats.centStats]],
+    * one row per event type — broadcast into every micro-batch). The
+    * reference-model shape for scoring live data against corpus-derived
+    * statistics; stateless, so each micro-batch is one codegen span and the
+    * z math is the exact same pinned spelling as the batch
+    * `events_outliers` (parity in StreamingSpec).
+    */
+  def outlierStream(events: DataFrame, stats: DataFrame,
+                    threshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    events.join(broadcast(stats), "event_type")
+      .withColumn("z", graft.operators.Stats.zScore("value"))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (floor(col("z") * 10000.0 + 0.5) / 10000.0).as("z_4dp"))
+  }
+
   /** Buffered per-user state for [[asofJoinStream]]: (epochMs, id) pairs of
     * retained clicks and not-yet-finalized purchases.
     */

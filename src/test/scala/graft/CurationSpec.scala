@@ -115,4 +115,14 @@ class CurationSpec extends SparkSpec {
       .as[(Int, String)].collect()
     assert(out.toSeq === Seq((0, "a b c")))
   }
+
+  test("weightedSample: weight 1 keeps all, weight 0 keeps none, rate tracks weight") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    assert(Curation.weightedSample(docs, col("doc_id"), lit(1.0)).count() === n)
+    assert(Curation.weightedSample(docs, col("doc_id"), lit(0.0)).count() === 0L)
+    val half = Curation.weightedSample(docs, col("doc_id"), lit(0.5)).count()
+    assert(half > n / 5 && half < n * 4 / 5,
+      s"0.5-weight sample kept $half of $n")
+  }
 }

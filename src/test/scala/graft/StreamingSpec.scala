@@ -290,6 +290,35 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((101L, 201L), (102L, 201L)))
   }
 
+  test("stream-static outlier enrichment equals the batch z-score filter") {
+    implicit val sqlCtx = spark.sqlContext
+    // stats computed batch-side over the fixture (the corpus-derived side of
+    // the stream-static join); the stream scores the same rows in two
+    // micro-batches — output must equal the batch zOutliers verdicts
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = graft.operators.Stats.centStats(ev, "event_type", "value")
+    val rows = ev.as[(Long, String, Double)].collect().toSeq
+
+    val input = MemoryStream[(Long, String, Double)]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.outlierStream(
+      input.toDF().toDF("event_id", "event_type", "value"), stats)
+      .writeStream.format("memory").queryName("outlier_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("outlier_stream")
+      .select("event_id").as[Long].collect().toSet
+    val batch = graft.operators.Stats.zOutliers(ev, "event_type", "value")
+      .select("event_id").as[Long].collect().toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("streaming as-of join equals the batch as-of join") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
