@@ -46,6 +46,23 @@ object DedupQueries {
       Dedup.jaccardPairs(Tables.documents(s, dir), 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // Containment (subset) duplication: the corpus has no natural excerpts,
+    // so plant them — a 40-token prefix excerpt of every 25th document,
+    // re-keyed +500000 — and require C(A,B) ≥ 0.9. Each excerpt pairs with
+    // its parent at containment 1.0 while their jaccard is far below any
+    // near-dup threshold (the case jaccardPairs structurally misses).
+    "dedup_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val excerpts = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 40)).as("text"))
+      Dedup.containmentPairs(docs.unionByName(excerpts), 0.9)
+        .select(col("doc_a"), col("doc_b"),
+          (floor(col("containment") * 10000.0 + 0.5) / 10000.0)
+            .as("containment_4dp"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // MinHash-LSH near-dup: same contract, linear-cost plan (see scaladoc
     // for why it shares the exact oracle).
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -143,6 +160,39 @@ object DedupQueries {
 
     "dedup_jaccard_pairs" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
+
+    // Same shingle machinery as jaccardBase over documents + planted
+    // excerpts, with the containment (not jaccard) verification formula.
+    "dedup_containment" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS shs
+        |  FROM all_docs),
+        |sh AS (SELECT doc_id, unnest(shs) AS s FROM w),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(common AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) AS containment
+        |  FROM pairs
+        |  JOIN n na ON na.doc_id = doc_a
+        |  JOIN n nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b,
+        |  FLOOR(containment * 10000.0 + 0.5) / 10000.0 AS containment_4dp
+        |FROM cont WHERE containment >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Min-reachable-id per component via recursive label walk over the
     // thresholded jaccard pairs (both edge directions + self seed).

@@ -80,6 +80,37 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact shingle-CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥
+    * threshold. Catches SUBSET duplication — excerpts, quoted inclusions,
+    * chunk overlap — that Jaccard structurally misses: a 40-token excerpt
+    * of a 400-token document has jaccard ≈ 0.1 but containment 1.0, and a
+    * training corpus keeping both trains twice on the excerpt's content.
+    * Same inverted-index layout (and scale contract) as [[jaccardPairs]]:
+    * this is the ground-truth verification op; at corpus scale generate
+    * candidates with the LSH bands first and verify containment on
+    * candidates only. Documents with fewer than n tokens have no shingles
+    * and never pair.
+    */
+  def containmentPairs(documents: DataFrame, threshold: Double, n: Int = 3,
+                       scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val docs = documents.select(col("doc_id"),
+      hashedShingles(col("text"), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    // persist: both join sides consume the inverted index (see jaccardPairs)
+    val inv = scope.persist(
+      docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s")))
+    val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("s"))
+    val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
+    a.join(b, "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   // ---- MinHash + LSH ----
 
   /** Deterministic (a, b) parameters for the k permutation hashes
