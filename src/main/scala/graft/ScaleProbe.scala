@@ -72,6 +72,20 @@ object ScaleProbe {
       for ((m, bits) <- Seq((1, 4), (5, 4), (5, 7)))
         time(s"knn_lsh_bits$bits", m,
           operators.Similarity.knnJoinLsh(blowUpVecs(m), 3, tables = 8, bits = bits))
+      // build/probe split for the index-shaped paths: build pays training +
+      // the index write (once per corpus), probes must stay near-flat as the
+      // corpus grows (IVF scans nprobe/nlist of it, PQ scans 4-byte codes)
+      for (m <- Seq(1, 5)) {
+        val vecs = blowUpVecs(m)
+        val t0 = System.nanoTime()
+        val ivf = operators.Ivf.buildIndex(s"probe-ivf-$m", vecs)
+        println(f"PROBE ivf_build         mult=$m%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        time("ivf_probe", m, operators.Ivf.probe(ivf, vecs, 0L, 10))
+        val t1 = System.nanoTime()
+        val pq = operators.Pq.buildIndex(s"probe-pq-$m", vecs)
+        println(f"PROBE pq_build          mult=$m%-3d ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+        time("pq_probe", m, operators.Pq.probe(pq, vecs, 0L, 10))
+      }
       spark.stop()
       return
     }
