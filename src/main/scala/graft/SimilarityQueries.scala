@@ -52,6 +52,16 @@ object SimilarityQueries {
       operators.Pq.probe(operators.Pq.buildIndex(dir, emb), emb, 0L, 10)
     }),
 
+    // IVF-PQ composite index — pruned lists × residual PQ codes, the
+    // canonical billion-vector layout: probes read nprobe/nlist of the
+    // corpus AND only ~4 bytes/vector of it. Hash-checked against a DuckDB
+    // twin composing both replay chains (coarse Lloyd → residuals →
+    // per-subspace Lloyd → per-list LUTs → exact-integer ADC).
+    "ann_topk_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.IvfPq.probe(operators.IvfPq.buildIndex(dir, emb), emb, 0L, 10)
+    }),
+
     // Corpus×corpus kNN through LSH buckets + TopK aggregate — the linear
     // layout for all-pairs similarity. Hash-checked against the inlined-
     // hyperplane DuckDB twin; recall vs exact kNN asserted in SimilaritySpec.
@@ -242,30 +252,31 @@ object SimilarityQueries {
   // ADC ranking is an exact integer sum. Final re-rank = the ann_topk
   // cosine twin.
 
-  /** One per-subspace Lloyd step: codebook CTE `prev` → assignment `asg` →
-    * re-gridded mean `next`.
+  /** One per-subspace Lloyd step over source CTE `vd` (any table with
+    * vec_id/sub/sdim/v/vq — raw vectors for PQ, residuals for IVF-PQ):
+    * codebook CTE `prev` → assignment `asg` → re-gridded mean `next`.
     */
-  private def pqLloydStep(prev: String, asg: String, next: String): String =
-    s"""${pqAssignCte(prev, asg)},
+  private def pqLloydStep(vd: String, prev: String, asg: String, next: String): String =
+    s"""${pqAssignCte(vd, prev, asg)},
        |$next AS (
-       |  SELECT $asg.sub, $asg.cid, vd.sdim,
-       |    CAST(FLOOR(CAST(CAST(SUM(vd.vq) AS BIGINT) AS DOUBLE) / COUNT(*)
+       |  SELECT $asg.sub, $asg.cid, $vd.sdim,
+       |    CAST(FLOOR(CAST(CAST(SUM($vd.vq) AS BIGINT) AS DOUBLE) / COUNT(*)
        |      + 0.5) AS BIGINT) AS cq
-       |  FROM $asg JOIN vd ON $asg.vec_id = vd.vec_id AND $asg.sub = vd.sub
+       |  FROM $asg JOIN $vd ON $asg.vec_id = $vd.vec_id AND $asg.sub = $vd.sub
        |  GROUP BY 1, 2, 3)""".stripMargin
 
-  /** Exact-integer argmin-L2 encoding of every (vector, subspace) against
-    * codebook CTE `c` → assignment CTE `asg`.
+  /** Exact-integer argmin-L2 encoding of every (vector, subspace) in source
+    * CTE `vd` against codebook CTE `c` → assignment CTE `asg`.
     */
-  private def pqAssignCte(c: String, asg: String): String =
+  private def pqAssignCte(vd: String, c: String, asg: String): String =
     s"""n$c AS (
        |  SELECT sub, cid, CAST(SUM(cq * cq) AS BIGINT) AS norm2q
        |  FROM $c GROUP BY 1, 2),
        |s$c AS (
-       |  SELECT vd.vec_id, $c.sub, $c.cid,
-       |    CAST(SUM(CAST(FLOOR(vd.v * $c.cq * 1000.0 + 0.5) AS BIGINT))
+       |  SELECT $vd.vec_id, $c.sub, $c.cid,
+       |    CAST(SUM(CAST(FLOOR($vd.v * $c.cq * 1000.0 + 0.5) AS BIGINT))
        |      AS BIGINT) AS sq
-       |  FROM vd JOIN $c ON vd.sub = $c.sub AND vd.sdim = $c.sdim
+       |  FROM $vd JOIN $c ON $vd.sub = $c.sub AND $vd.sdim = $c.sdim
        |  GROUP BY 1, 2, 3),
        |$asg AS (
        |  SELECT vec_id, sub, cid FROM (
@@ -300,9 +311,9 @@ object SimilarityQueries {
        |c0 AS (
        |  SELECT vd.sub, s.cid, vd.sdim, vd.vq AS cq
        |  FROM seed s JOIN vd ON vd.vec_id = s.svid),
-       |${pqLloydStep("c0", "a0", "c1")},
-       |${pqLloydStep("c1", "a1", "c2")},
-       |${pqAssignCte("c2", "a2")},
+       |${pqLloydStep("vd", "c0", "a0", "c1")},
+       |${pqLloydStep("vd", "c1", "a1", "c2")},
+       |${pqAssignCte("vd", "c2", "a2")},
        |lut AS (
        |  SELECT c2.sub, c2.cid,
        |    CAST(SUM(CAST(FLOOR(vd.v * c2.cq * 1000.0 + 0.5) AS BIGINT))
@@ -324,9 +335,107 @@ object SimilarityQueries {
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT $k""".stripMargin
 
+  // ---- IVF-PQ oracle machinery ----
+  //
+  // Composition of the two replay strategies: the coarse half IS ivfSql's
+  // CTE chain (vd, md5 seeds, two Lloyd steps → c2, assignment a2, probe
+  // selection keeping the integer q·c term), then residuals rvd
+  // (vq − cq — exact on-grid longs), the per-subspace PQ chain over rvd,
+  // per-probed-list LUTs on the query's residual, and the ADC ranking
+  // baseq + Σlut as exact longs. Final re-rank = the ann_topk cosine twin.
+
+  /** Full DuckDB twin of IvfPq.buildIndex(nlist=16, m=8, ksub=16, iters=2)
+    * + probe(queryVecId=0, k=10, nprobe=4, rerank=50).
+    */
+  private def ivfPqSql(nlist: Int = 16, subDim: Int = 8, ksub: Int = 16,
+                       nprobe: Int = 4, rerank: Int = 50, k: Int = 10): String =
+    s"""WITH idx AS (
+       |  SELECT vec_id, embedding,
+       |    unnest(range(1, len(embedding) + 1)) AS i
+       |  FROM embeddings),
+       |vd AS (
+       |  SELECT vec_id, i - 1 AS dim,
+       |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v,
+       |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS vq
+       |  FROM idx),
+       |seed AS (
+       |  SELECT (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % $nlist) AS cid,
+       |    MIN(vec_id) AS svid
+       |  FROM embeddings GROUP BY 1),
+       |c0 AS (
+       |  SELECT s.cid, v.dim, v.vq AS cq
+       |  FROM seed s JOIN vd v ON v.vec_id = s.svid),
+       |${lloydStep("c0", "a0", "c1")},
+       |${lloydStep("c1", "a1", "c2")},
+       |${assignCte("c2", "a2")},
+       |rvd AS (
+       |  SELECT vd.vec_id,
+       |    CAST(vd.dim // $subDim AS INT) AS sub,
+       |    CAST(vd.dim % $subDim AS INT) AS sdim,
+       |    CAST(vd.vq - c2.cq AS DOUBLE) / 1000000.0 AS v,
+       |    vd.vq - c2.cq AS vq
+       |  FROM vd
+       |  JOIN a2 ON a2.vec_id = vd.vec_id
+       |  JOIN c2 ON c2.cid = a2.cid AND c2.dim = vd.dim),
+       |pseed AS (
+       |  SELECT (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % $ksub) AS cid,
+       |    MIN(vec_id) AS svid
+       |  FROM embeddings GROUP BY 1),
+       |c0p AS (
+       |  SELECT rvd.sub, s.cid, rvd.sdim, rvd.vq AS cq
+       |  FROM pseed s JOIN rvd ON rvd.vec_id = s.svid),
+       |${pqLloydStep("rvd", "c0p", "a0p", "c1p")},
+       |${pqLloydStep("rvd", "c1p", "a1p", "c2p")},
+       |${pqAssignCte("rvd", "c2p", "a2p")},
+       |probe AS (
+       |  SELECT cid, sq FROM (
+       |    SELECT sc2.cid, sq,
+       |      ROW_NUMBER() OVER (
+       |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+       |          DESC, sc2.cid) AS rn
+       |    FROM sc2 JOIN nc2 USING (cid) WHERE sc2.vec_id = 0)
+       |  WHERE rn <= $nprobe),
+       |qrv AS (
+       |  SELECT p.cid AS list,
+       |    CAST(vd.dim // $subDim AS INT) AS sub,
+       |    CAST(vd.dim % $subDim AS INT) AS sdim,
+       |    (vd.v - CAST(c2.cq AS DOUBLE) / 1000000.0) AS qr
+       |  FROM probe p
+       |  JOIN c2 ON c2.cid = p.cid
+       |  JOIN vd ON vd.dim = c2.dim
+       |  WHERE vd.vec_id = 0),
+       |lut AS (
+       |  SELECT q.list, c.sub, c.cid,
+       |    CAST(SUM(CAST(FLOOR(q.qr * c.cq * 1000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS dotq
+       |  FROM qrv q JOIN c2p c ON c.sub = q.sub AND c.sdim = q.sdim
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT a2p.vec_id, CAST(SUM(l.dotq) AS BIGINT) + p.sq AS adcq
+       |  FROM a2p
+       |  JOIN a2 ON a2.vec_id = a2p.vec_id
+       |  JOIN lut l ON l.list = a2.cid AND l.sub = a2p.sub AND l.cid = a2p.cid
+       |  JOIN probe p ON p.cid = a2.cid
+       |  WHERE a2p.vec_id <> 0
+       |  GROUP BY a2p.vec_id, p.sq),
+       |cand AS (
+       |  SELECT vec_id FROM adc ORDER BY adcq DESC, vec_id LIMIT $rerank),
+       |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |  (${dotSql("e.embedding", "q.qe")})
+       |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+       |FROM cand JOIN embeddings e USING (vec_id), qe q
+       |ORDER BY cosine DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "ann_topk_ivf" -> ivfSql(),
     "ann_topk_pq" -> pqSql(),
+    "ann_topk_ivfpq" -> ivfPqSql(),
 
     "ann_topk_lsh" ->
       s"""${lshCte()},

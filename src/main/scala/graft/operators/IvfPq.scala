@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** IVF-PQ — the canonical composite vector index ([[Ivf]] × [[Pq]]), the
+  * layout billion-vector deployments actually run:
+  *
+  *  - the COARSE quantizer ([[Ivf.trainCentroids]]) partitions the corpus
+  *    into `nlist` inverted lists → probes PRUNE to `nprobe` lists;
+  *  - within lists, vectors are stored as PQ codes of their RESIDUAL
+  *    (x − c_list): residuals are much smaller than raw vectors, so the
+  *    same 4-bit-per-subspace budget quantizes far more precisely than PQ
+  *    over raw vectors → probes scan ~nprobe/nlist of the corpus AND only
+  *    ~4 bytes per vector of it;
+  *  - ADC scoring per candidate: q·x ≈ q·c_list + q·r̂ — the coarse term is
+  *    the probe's own IVF score, the residual term a per-list lookup-table
+  *    sum; both live on the same ×1e9 integer grid, so scores are exact
+  *    longs comparable across lists. Top `rerank` candidates get the exact
+  *    cosine re-rank (shared with every other ANN path here).
+  *
+  * All decisions are the exact integer machinery of the components:
+  * residuals are EXACT on the 1e-6 grid (rq = vq − cq, two on-grid longs),
+  * so PQ training over them re-quantizes losslessly, and the DuckDB oracle
+  * (SimilarityQueries.ivfPqSql) replays coarse training, residuals, PQ
+  * training, encoding, per-list LUTs and the ADC ranking bit-for-bit.
+  */
+object IvfPq {
+
+  private val VecScale = 1000000.0
+  private val DotScale = 1000.0
+
+  final case class IvfPqModel(nlist: Int, m: Int, ksub: Int, subDim: Int,
+                              iters: Int,
+                              coarse: Array[(Int, Array[Long])],
+                              books: Array[Array[(Int, Array[Long])]],
+                              indexPath: String)
+
+  /** (vec_id, list, embedding = residual as array<double>): each vector's
+    * exact-grid residual against its assigned coarse centroid. rq = vq − cq
+    * is an exact long on the 1e-6 grid; the double value rq/1e6 re-quantizes
+    * losslessly inside [[Pq.trainCodebooks]].
+    */
+  def residuals(embeddings: DataFrame,
+                coarse: Array[(Int, Array[Long])]): DataFrame = {
+    val cqByList = map(coarse.flatMap { case (cid, cq) =>
+      Seq(lit(cid), array(cq.toIndexedSeq.map(lit(_)): _*))
+    }.toIndexedSeq: _*)
+    Ivf.index(embeddings, coarse)
+      .withColumn("embedding",
+        zip_with(
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * VecScale + 0.5).cast("long")),
+          element_at(cqByList, col("list")),
+          (vq, cq) => (vq - cq).cast("double") / VecScale))
+      .select("vec_id", "list", "embedding")
+  }
+
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), IvfPqModel]()
+
+  private def indexDir(key: String, nlist: Int, m: Int, ksub: Int, iters: Int): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-ivfpq-" + key.replaceAll("[^A-Za-z0-9._-]", "_") +
+        s"-$nlist-$m-$ksub-$iters").getAbsolutePath
+
+  /** Index BUILD, memoized: coarse training, residual PQ training (ONE
+    * codebook set shared across lists, trained on all residuals — standard
+    * IVF-PQ), then the one materialization pass writing (vec_id, codes)
+    * `list`-partitioned: probes prune directories AND read only codes.
+    */
+  def buildIndex(indexKey: String, embeddings: DataFrame,
+                 nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                 iters: Int = 2, dim: Int = 64): IvfPqModel =
+    models.computeIfAbsent((indexKey, nlist, m, ksub, iters), _ => {
+      val subDim = dim / m
+      val coarse = Ivf.trainCentroids(embeddings, nlist, iters)
+      val resid = residuals(embeddings, coarse)
+      val books = Pq.trainCodebooks(resid, m, ksub, iters, dim)
+      val path = indexDir(indexKey, nlist, m, ksub, iters)
+      resid
+        .withColumn("codes", Pq.codesCol(col("embedding"), subDim, books))
+        .select("vec_id", "codes", "list")
+        .write.mode("overwrite").partitionBy("list").parquet(path)
+      IvfPqModel(nlist, m, ksub, subDim, iters, coarse, books, path)
+    })
+
+  /** PROBE: coarse probe selection (driver math, keeps each probed list's
+    * integer IVF score as the ADC base term), per-list residual LUTs
+    * (driver math on the tiny codebooks), then ONE pruned scan of the codes
+    * table — broadcast LUT join + partial agg — and the exact re-rank of
+    * the top `rerank` ADC candidates.
+    */
+  def probe(model: IvfPqModel, embeddings: DataFrame, queryVecId: Long,
+            k: Int, nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qVec = embeddings.filter(col("vec_id") === queryVecId)
+      .select(transform(col("embedding"), _.cast("double")).as("e"))
+      .collect()(0).getSeq[Double](0).toArray
+
+    // coarse ranking — identical math to Ivf.probe, but keep sq (the exact
+    // ×1e9-grid q·c term) per probed list
+    val probes = model.coarse.map { case (cid, cq) =>
+      val norm2q = cq.map(c => c * c).sum
+      var sq = 0L
+      var d = 0
+      val n = math.min(qVec.length, cq.length)
+      while (d < n) { sq += math.floor(qVec(d) * cq(d) * DotScale + 0.5).toLong; d += 1 }
+      (cid, sq, sq.toDouble / math.sqrt(norm2q.toDouble))
+    }.sortBy { case (cid, _, s) => (-s, cid) }.take(nprobe)
+
+    // per-list LUTs over the query's residual against that list's centroid
+    val coarseByCid = model.coarse.toMap
+    val lut = for {
+      (list, _, _) <- probes.toSeq
+      cq = coarseByCid(list)
+      s <- 0 until model.m
+      (pcid, pcq) <- model.books(s)
+    } yield {
+      var dq = 0L
+      var d = 0
+      while (d < model.subDim) {
+        val i = s * model.subDim + d
+        val qr = qVec(i) - cq(i).toDouble / VecScale
+        dq += math.floor(qr * pcq(d) * DotScale + 0.5).toLong
+        d += 1
+      }
+      (list, s, pcid, dq)
+    }
+    val lutDf = lut.toDF("list", "sub", "cid", "dotq")
+    val baseDf = probes.toSeq.map { case (cid, sq, _) => (cid, sq) }
+      .toDF("list", "baseq")
+
+    val cand = spark.read.parquet(model.indexPath)
+      .filter(col("list").isin(probes.map(_._1).toIndexedSeq: _*) &&
+        col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("list"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(lutDf), Seq("list", "sub", "cid"))
+      .groupBy("vec_id", "list").agg(sum("dotq").as("rq"))
+      .join(broadcast(baseDf), "list")
+      .select(col("vec_id"), (col("rq") + col("baseq")).as("adcq"))
+      .orderBy(desc("adcq"), col("vec_id"))
+      .limit(rerank)
+
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .select("vec_id", "cosine")
+      .limit(k)
+  }
+
+  /** One-shot convenience: memoized build (under `indexKey`) + probe. */
+  def topKIvfPq(embeddings: DataFrame, queryVecId: Long, k: Int,
+                nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                nprobe: Int = 4, rerank: Int = 50,
+                indexKey: String = "adhoc"): DataFrame =
+    probe(buildIndex(indexKey, embeddings, nlist, m, ksub),
+      embeddings, queryVecId, k, nprobe, rerank)
+}

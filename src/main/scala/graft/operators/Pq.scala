@@ -50,8 +50,9 @@ object Pq {
     * expression: per sub, array of (cost, cid) structs → array_min → cid,
     * cost = norm2q − 2000·QuantDot (exact long; see object scaladoc). Ties
     * break toward the lower code id, matching the SQL twin's ORDER BY.
+    * Public as the encoding primitive ([[IvfPq]] encodes residuals with it).
     */
-  private def codesCol(v: Column, subDim: Int,
+  private[operators] def codesCol(v: Column, subDim: Int,
                        books: Array[Array[(Int, Array[Long])]]): Column =
     array(books.zipWithIndex.map { case (book, s) =>
       val sv = slice(v, s * subDim + 1, subDim)

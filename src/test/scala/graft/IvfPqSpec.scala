@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfPq, Similarity}
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val model = IvfPq.buildIndex(sfDir + "#spec", emb)
+
+  test("exhaustive probe with corpus-sized rerank equals brute-force top-k") {
+    // nprobe = nlist makes the candidate set the whole corpus, and a
+    // corpus-sized rerank makes the ADC ordering irrelevant — the exact
+    // re-rank must then reproduce brute force exactly
+    val n = emb.count().toInt
+    val exact = Similarity.topK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val got = IvfPq.probe(model, emb, 0L, 10, nprobe = model.nlist, rerank = n)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === exact)
+  }
+
+  test("partial probing keeps useful recall") {
+    val exact = Similarity.topK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = IvfPq.probe(model, emb, 0L, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall@10 at nprobe=8 was $recall")
+  }
+
+  test("probe plan prunes to probed lists AND reads only codes, never vectors") {
+    val df = SparkEntry.queries("ann_topk_ivfpq")(spark, sfDir)
+    val scans = PlansSpec.unwrapped(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val idxScans = scans.filter(_.partitionFilters.exists(
+      _.references.exists(_.name == "list")))
+    assert(idxScans.nonEmpty,
+      s"no pruned index scan in:\n${df.queryExecution.executedPlan}")
+    idxScans.foreach { s =>
+      assert(s.selectedPartitions.partitionCount <= 4,
+        s"probe reads ${s.selectedPartitions.partitionCount} list dirs (> nprobe)")
+      assert(!s.schema.fieldNames.contains("embedding"),
+        "index scan reads raw embeddings — must read codes only")
+    }
+  }
+}
