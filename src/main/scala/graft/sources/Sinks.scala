@@ -46,6 +46,42 @@ object Sinks {
   def partitionedParquet(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Small-file compaction — the table-maintenance primitive every
+    * append-heavy 100 TB table needs: thousands of micro-batch files make
+    * scans pay per-file open/footer/listing cost that dwarfs the data read.
+    * Rewrites `srcPath` into ceil(rows / targetRowsPerFile) files at
+    * `dstPath`, then atomically swaps it into place if `dstPath == srcPath`
+    * is desired by the caller via a follow-up rename. Content-preserving
+    * (same rows, any order); compose with [[sortedParquet]] /
+    * [[zOrderedParquet]] when the rewrite should also restore clustering.
+    * Returns the row count (the full-scan it costs anyway).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+              dstPath: String, targetRowsPerFile: Long): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    require(dstPath != srcPath,
+      "compact writes to a staging path; swap with swapDirs afterwards")
+    val df = spark.read.parquet(srcPath)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(files).write.mode("overwrite").parquet(dstPath)
+    n
+  }
+
+  /** Replace `target` with `staging` (delete + rename through the Hadoop
+    * filesystem — the swap step after [[compact]] or a foreachBatch
+    * rewrite).
+    */
+  def swapDirs(spark: org.apache.spark.sql.SparkSession,
+               staging: String, target: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(target)))
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+  }
+
   /** Range-partitioned, internally-sorted parquet: every output file owns a
     * disjoint range of `sortCol`, so parquet row-group min/max statistics
     * let a selective scan skip whole files (data skipping — the scan-side

@@ -165,6 +165,33 @@ object Streams {
         col("purchase_id"), col("c_ts"), col("p_ts"))
   }
 
+  /** Streaming upsert sink (CDC apply): maintains a keyed latest-version
+    * parquet table from an update stream via foreachBatch. Each micro-batch
+    * unions the current table with the batch's rows and keeps the latest
+    * version per key ([[graft.operators.Upsert.keepLatest]]), writing to a
+    * staging dir and atomically swapping it in — never reading and
+    * clobbering the same files. This is merge-on-read compaction run
+    * incrementally: the parquet stand-in for a MERGE-capable table format,
+    * same contract as the batch `orders_upsert`. The whole-table rewrite
+    * per batch is the stand-in's cost; a real deployment partitions the
+    * table and rewrites only touched partitions.
+    */
+  def upsertSink(updates: DataFrame, tableDir: String, checkpointDir: String,
+                 keyCols: Seq[String], versionCol: String): DataStreamWriter[Row] =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try Some(spark.read.parquet(tableDir))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val all = existing.map(_.unionByName(batch)).getOrElse(batch)
+        val merged = graft.operators.Upsert.keepLatest(all, keyCols, versionCol)
+        val staging = tableDir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        graft.sources.Sinks.swapDirs(spark, staging, tableDir)
+      }
+
   /** Stream-static enrichment: z-score outlier filter on an event stream
     * against a BATCH-computed stats table ([[graft.operators.Stats.centStats]],
     * one row per event type — broadcast into every micro-batch). The

@@ -23,6 +23,25 @@ class ApproxSpec extends SparkSpec {
     assert(err <= 0.05)
   }
 
+  test("hll sketches are MERGEABLE: unioned partials equal the whole sketch") {
+    // the property that makes sketches work at 100 TB: per-partition (or
+    // per-day, per-source) sketches pre-aggregate and union WITHOUT rescan —
+    // the Datasketches HLL union of partials must estimate identically to
+    // one sketch over the whole corpus, and land within tolerance of exact
+    val li = Tables.lineitem(spark, sfDir)
+    val parts = li.withColumn("part", pmod(col("l_orderkey"), lit(4)))
+      .groupBy("part").agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = parts
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .as[Long].head()
+    val whole = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("e"))
+      .as[Long].head()
+    assert(merged === whole, s"union of partials $merged != whole $whole")
+    val exact = li.select("l_partkey").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05)
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val li = Tables.lineitem(spark, sfDir)
     val (approx, lo, hi) = li.agg(

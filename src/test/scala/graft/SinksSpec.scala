@@ -134,4 +134,23 @@ class SinksSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
   }
+
+  test("compact collapses a many-small-files table, content-preserving") {
+    val src = java.nio.file.Files.createTempDirectory("graft-frag").toString
+    val stage = src + "-compacted"
+    // fragment the orders table into many tiny files (the append-heavy shape)
+    val orders = Tables.orders(spark, sfDir)
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    def partFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.startsWith("part-"))
+    assert(partFiles(src) === 64)
+
+    val n = Sinks.compact(spark, src, stage, targetRowsPerFile = orders.count())
+    assert(n === orders.count())
+    Sinks.swapDirs(spark, stage, src)
+    assert(partFiles(src) <= 2, s"still ${partFiles(src)} files after compact")
+    val back = spark.read.parquet(src)
+    assert(back.exceptAll(orders).count() === 0 &&
+      orders.exceptAll(back).count() === 0)
+  }
 }

@@ -290,6 +290,25 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((101L, 201L), (102L, 201L)))
   }
 
+  test("foreachBatch upsert sink maintains keyed latest state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft-ups").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups-c").toString
+    val input = MemoryStream[(Long, Long, String)]
+    input.addData(Seq((1L, 1L, "a1"), (2L, 1L, "b1")))
+    val q = Streams.upsertSink(
+      input.toDF().toDF("id", "version", "payload"),
+      table, ckpt, Seq("id"), "version").start()
+    q.processAllAvailable()
+    // batch 2: update key 1, insert key 3 — key 2 must survive untouched
+    input.addData(Seq((1L, 2L, "a2"), (3L, 1L, "c1")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(table)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")))
+  }
+
   test("stream-static outlier enrichment equals the batch z-score filter") {
     implicit val sqlCtx = spark.sqlContext
     // stats computed batch-side over the fixture (the corpus-derived side of
