@@ -62,6 +62,29 @@ object EventQueries {
         .select("event_id", "event_type", "value", "z_4dp")
         .orderBy("event_id")),
 
+    // Time-series gap fill / resampling: the hourly count matrix densified
+    // over the full [min, max] hour span × event types, missing cells as 0
+    // — what any downstream rate/anomaly model needs (a missing hour IS a
+    // signal, but only if it's a row). The scaffold (span-hours × types) is
+    // post-aggregation-sized — tiny next to the event scan, which stays the
+    // one linear pass; the left join runs agg-output × scaffold.
+    "events_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val hours = ev
+        .agg(date_trunc("hour", min("ts")).as("lo"),
+          date_trunc("hour", max("ts")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      hours.crossJoin(ev.select("event_type").distinct())
+        .join(hourly, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("hour", "event_type")
+    }),
+
     // Gap-based sessionization (30-min inactivity closes a session).
     "events_sessionize" -> ((s, dir) => {
       val secs = col("ts").cast("long")
@@ -278,6 +301,25 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "events_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+        |    date_trunc('hour', MAX(ts)) AS hi
+        |  FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT h.hour, t.event_type, COALESCE(n_events, 0) AS n_events
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN hourly ON hourly.hour = h.hour
+        |  AND hourly.event_type = t.event_type
+        |ORDER BY h.hour, t.event_type""".stripMargin,
 
     "events_outliers" ->
       """WITH s AS (

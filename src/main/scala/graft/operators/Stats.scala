@@ -36,11 +36,19 @@ object Stats {
   /** z-score of `valueCol` against a joined [[centStats]] row (expects the
     * n/sv/sq columns in scope). The division/√ spelling is pinned — the SQL
     * twin mirrors it token for token.
+    *
+    * Zero-variance guard: a constant group has σ = 0, and under Spark's
+    * ANSI mode the 0/0 division THROWS instead of producing the NaN an IEEE
+    * engine yields — so the guard emits NULL there. Output-equivalent to
+    * the unguarded twin: NULL (Spark) and NaN (DuckDB) both fail any
+    * `> threshold` comparison, so constant groups contribute no outlier
+    * rows on either engine (EdgeCasesSpec).
     */
   def zScore(valueCol: String): Column = {
     val mean = col("sv").cast("double") / 100.0 / col("n")
     val ex2 = col("sq").cast("double") / 10000.0 / col("n")
-    (col(valueCol) - mean) / sqrt(ex2 - mean * mean)
+    val variance = ex2 - mean * mean
+    when(variance > 0.0, (col(valueCol) - mean) / sqrt(variance))
   }
 
   /** Rows whose |z| exceeds `threshold`, per group: broadcast the (tiny)
