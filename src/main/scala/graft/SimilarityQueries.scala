@@ -52,6 +52,21 @@ object SimilarityQueries {
       operators.Pq.probe(operators.Pq.buildIndex(dir, emb), emb, 0L, 10)
     }),
 
+    // IVF list-size histogram — the index-balance diagnostic: a probe reads
+    // nprobe lists, so a skewed coarse quantizer (one giant list) silently
+    // turns the index back into a scan. Reads ONLY the materialized index's
+    // footer-level metadata (list partition column + counts); oracle replays
+    // the assignment. Operationally this is the health check run after
+    // every build.
+    "ann_list_sizes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Ivf.buildIndex(dir, emb)
+      s.read.parquet(model.indexPath)
+        .groupBy(col("list").cast("int").as("list"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("list")
+    }),
+
     // IVF-PQ composite index — pruned lists × residual PQ codes, the
     // canonical billion-vector layout: probes read nprobe/nlist of the
     // corpus AND only ~4 bytes/vector of it. Hash-checked against a DuckDB
@@ -198,11 +213,12 @@ object SimilarityQueries {
        |    FROM s$c JOIN n$c USING (cid))
        |  WHERE rn = 1)""".stripMargin
 
-  /** Full DuckDB twin of Ivf.buildIndex(nlist=16, iters=2) +
-    * probe(queryVecId=0, k=10, nprobe=4).
+  /** The shared IVF core: quantized coordinates, md5 seeds, two Lloyd
+    * steps → `c2`, full assignment `a2` (the inverted lists). Prefix for
+    * both the probe twin and the list-size twin.
     */
-  private def ivfSql(nlist: Int = 16, nprobe: Int = 4, k: Int = 10): String =
-    s"""WITH idx AS (
+  private def ivfCoreCtes(nlist: Int): String =
+    s"""idx AS (
        |  SELECT vec_id, embedding,
        |    unnest(range(1, len(embedding) + 1)) AS i
        |  FROM embeddings),
@@ -222,7 +238,13 @@ object SimilarityQueries {
        |  FROM seed s JOIN vd v ON v.vec_id = s.svid),
        |${lloydStep("c0", "a0", "c1")},
        |${lloydStep("c1", "a1", "c2")},
-       |${assignCte("c2", "a2")},
+       |${assignCte("c2", "a2")}""".stripMargin
+
+  /** Full DuckDB twin of Ivf.buildIndex(nlist=16, iters=2) +
+    * probe(queryVecId=0, k=10, nprobe=4).
+    */
+  private def ivfSql(nlist: Int = 16, nprobe: Int = 4, k: Int = 10): String =
+    s"""WITH ${ivfCoreCtes(nlist)},
        |probe AS (
        |  SELECT cid FROM (
        |    SELECT sc2.cid,
@@ -436,6 +458,12 @@ object SimilarityQueries {
     "ann_topk_ivf" -> ivfSql(),
     "ann_topk_pq" -> pqSql(),
     "ann_topk_ivfpq" -> ivfPqSql(),
+
+    // the assignment replay grouped — list sizes ARE the a2 histogram
+    "ann_list_sizes" ->
+      s"""WITH ${ivfCoreCtes(16)}
+         |SELECT CAST(cid AS INT) AS list, COUNT(*) AS n_vectors
+         |FROM a2 GROUP BY 1 ORDER BY list""".stripMargin,
 
     "ann_topk_lsh" ->
       s"""${lshCte()},
