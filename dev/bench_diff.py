@@ -13,6 +13,12 @@ exists to prevent. --median uses the noise-tolerant per-query medians
 import json
 import sys
 
+try:  # die quietly under `| head`
+    from signal import SIG_DFL, SIGPIPE, signal
+    signal(SIGPIPE, SIG_DFL)
+except ImportError:  # non-POSIX
+    pass
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
