@@ -63,6 +63,23 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Bottom-k sketch containment: same contract as dedup_containment on
+    // the same planted-excerpt corpus, linear-cost plan — shares the exact
+    // oracle because exact subsets are always candidates and the 0.9+
+    // pairs here survive the sketch gate with overwhelming probability
+    // (see containmentPairsSketch scaladoc).
+    "dedup_containment_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val excerpts = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 40)).as("text"))
+      Dedup.containmentPairsSketch(docs.unionByName(excerpts), 0.9)
+        .select(col("doc_a"), col("doc_b"),
+          (floor(col("containment") * 10000.0 + 0.5) / 10000.0)
+            .as("containment_4dp"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // MinHash-LSH near-dup: same contract, linear-cost plan (see scaladoc
     // for why it shares the exact oracle).
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -150,6 +167,40 @@ object DedupQueries {
        |          THEN 4294967296 ELSE 0 END) * 4294967296
        | + ('0x'||substring(md5($t),9,8))::BIGINT)""".stripMargin
 
+  // Twin of the containment queries (exact and sketch path share it): the
+  // jaccardBase shingle machinery over documents + planted excerpts, with
+  // the containment (not jaccard) verification formula.
+  private lazy val containmentSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000 AS doc_id,
+      |    array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS text
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |w AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i] || ' ' ||
+      |           string_split(text, ' ')[i+1] || ' ' ||
+      |           string_split(text, ' ')[i+2])) AS shs
+      |  FROM all_docs),
+      |sh AS (SELECT doc_id, unnest(shs) AS s FROM w),
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |cont AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(common AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) AS containment
+      |  FROM pairs
+      |  JOIN n na ON na.doc_id = doc_a
+      |  JOIN n nb ON nb.doc_id = doc_b)
+      |SELECT doc_a, doc_b,
+      |  FLOOR(containment * 10000.0 + 0.5) / 10000.0 AS containment_4dp
+      |FROM cont WHERE containment >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""$clonedDocsCte
@@ -163,36 +214,10 @@ object DedupQueries {
 
     // Same shingle machinery as jaccardBase over documents + planted
     // excerpts, with the containment (not jaccard) verification formula.
-    "dedup_containment" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 500000 AS doc_id,
-        |    array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS text
-        |  FROM documents WHERE doc_id % 25 = 0),
-        |w AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-        |      i -> string_split(text, ' ')[i] || ' ' ||
-        |           string_split(text, ' ')[i+1] || ' ' ||
-        |           string_split(text, ' ')[i+2])) AS shs
-        |  FROM all_docs),
-        |sh AS (SELECT doc_id, unnest(shs) AS s FROM w),
-        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |cont AS (
-        |  SELECT doc_a, doc_b,
-        |    CAST(common AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) AS containment
-        |  FROM pairs
-        |  JOIN n na ON na.doc_id = doc_a
-        |  JOIN n nb ON nb.doc_id = doc_b)
-        |SELECT doc_a, doc_b,
-        |  FLOOR(containment * 10000.0 + 0.5) / 10000.0 AS containment_4dp
-        |FROM cont WHERE containment >= 0.9
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Shared by the exact op and the bottom-k sketch path (which outputs
+    // identical rows — see containmentPairsSketch scaladoc).
+    "dedup_containment" -> containmentSql,
+    "dedup_containment_lsh" -> containmentSql,
 
     // Min-reachable-id per component via recursive label walk over the
     // thresholded jaccard pairs (both edge directions + self seed).

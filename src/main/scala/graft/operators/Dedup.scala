@@ -111,6 +111,58 @@ object Dedup {
       .select("doc_a", "doc_b", "containment")
   }
 
+  /** Bottom-k sketch containment — the SCALE path for [[containmentPairs]]
+    * (MinHash bands cannot serve here: they approximate JACCARD, so a
+    * subset excerpt at jaccard ≈ 0.1 never collides in any band).
+    *
+    * Candidate generation: every document emits its k SMALLEST hashed
+    * shingles — its bottom-k sketch, a uniform sample of its own shingle
+    * set — and joins them against the full inverted index. A true subset's
+    * sketch is covered entirely by its superset, so exact-containment pairs
+    * are ALWAYS candidates; a pair at containment c survives the
+    * `hits ≥ candFrac·|sketch|` gate with P = P(Binom(k, c) ≥ candFrac·k)
+    * (≈ 1 − 1e-4 at c = 0.9, k = 32, candFrac = 0.7). Verification then
+    * computes EXACT containment on candidates only, so output rows are
+    * identical to [[containmentPairs]] whenever no true pair is gated out —
+    * which is why the registered query shares the exact op's oracle.
+    *
+    * Scale: sketches are k rows/doc; the candidate join shuffles
+    * k·docs + the inverted index (linear, bounded by shingle document
+    * frequency exactly like the LSH bucket join); verification is per-pair
+    * array intersection on the bounded candidate set. Never all-pairs.
+    */
+  def containmentPairsSketch(documents: DataFrame, threshold: Double,
+                             n: Int = 3, k: Int = 32, candFrac: Double = 0.7,
+                             scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    // persist: the shingle table feeds the sketch side, the inverted index
+    // AND the verification joins — without it the shingle kernel runs 4×
+    val docs = scope.persist(documents.select(col("doc_id"),
+      hashedShingles(col("text"), n).as("sh"))
+      .withColumn("n_sh", size(col("sh"))))
+    val sketch = docs.select(col("doc_id").as("doc_s"),
+      least(lit(k), col("n_sh")).as("sk"),
+      explode(slice(array_sort(col("sh")), 1, k)).as("s"))
+    val inv = docs.select(col("doc_id").as("doc_f"), explode(col("sh")).as("s"))
+    val cands = sketch.join(inv, "s")
+      .filter(col("doc_s") =!= col("doc_f"))
+      .groupBy("doc_s", "doc_f", "sk")
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= col("sk") * candFrac)
+      .select(least(col("doc_s"), col("doc_f")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_f")).as("doc_b"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("n_sh").as("n_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("n_sh").as("n_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   // ---- MinHash + LSH ----
 
   /** Deterministic (a, b) parameters for the k permutation hashes

@@ -106,6 +106,20 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.simhashPairs(d, maxDist = 4) }
   }
 
+  test("bottom-k sketch containment equals exact containment (planted excerpts)") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val excerpts = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 40)).as("text"))
+    val corpus = docs.unionByName(excerpts)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(Dedup.containmentPairs(corpus, 0.9))
+    val sketch = pairs(Dedup.containmentPairsSketch(corpus, 0.9))
+    assert(sketch === exact)
+    assert(exact.nonEmpty) // the planted excerpt-parent pairs
+  }
+
   test("CacheScope releases exactly the operator's persisted intermediates") {
     // earlier tests in this suite cached via the global scope; start clean
     graft.CacheScope.global.release()
