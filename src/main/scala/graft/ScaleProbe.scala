@@ -85,6 +85,10 @@ object ScaleProbe {
         val pq = operators.Pq.buildIndex(s"probe-pq-$m", vecs)
         println(f"PROBE pq_build          mult=$m%-3d ${(System.nanoTime() - t1) / 1e9}%8.2f s")
         time("pq_probe", m, operators.Pq.probe(pq, vecs, 0L, 10))
+        val t2 = System.nanoTime()
+        val ivfpq = operators.IvfPq.buildIndex(s"probe-ivfpq-$m", vecs)
+        println(f"PROBE ivfpq_build       mult=$m%-3d ${(System.nanoTime() - t2) / 1e9}%8.2f s")
+        time("ivfpq_probe", m, operators.IvfPq.probe(ivfpq, vecs, 0L, 10))
       }
       spark.stop()
       return
@@ -115,6 +119,8 @@ object ScaleProbe {
         time("clusters", m, operators.Dedup.nearDupClusters(
           operators.Dedup.minhashPairs(corpus, 0.5)))
         time("lm_score", m, operators.TextAnalysis.lmScore(corpus))
+        time("containment_sk", m,
+          operators.Dedup.containmentPairsSketch(corpus, 0.9))
         // the full pairs→clusters→keep-best corpus collapse (one left join +
         // cluster-keyed window on top of the cluster pass)
         time("collapse", m, operators.Dedup.collapseNearDups(corpus,
