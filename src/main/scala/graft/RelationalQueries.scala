@@ -267,7 +267,26 @@ object RelationalQueries {
           element_at(col("qs"), 2).as("p50"),
           element_at(col("qs"), 3).as("p75"),
           element_at(col("qs"), 4).as("p99"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Same quantiles through the SCALE-SAFE two-phase grid walk — Spark's
+    // percentile() buffers every group value in one aggregation buffer (the
+    // `quantiles` query above is the small-group form); this one's state is
+    // value-cardinality-bounded and survives any group size. Purpose-written
+    // oracle (the grid walk replayed in SQL), and StatsSpec asserts it
+    // agrees with percentile() on the corpus.
+    "quantiles_scalable" -> ((s, dir) => {
+      val qvals = Seq(0.25, 0.5, 0.75, 0.99)
+      operators.Stats.exactQuantilesByGrid(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice", qvals)
+        .groupBy("l_returnflag")
+        .agg(
+          max(when(col("qi") === 0, col("quantile"))).as("p25"),
+          max(when(col("qi") === 1, col("quantile"))).as("p50"),
+          max(when(col("qi") === 2, col("quantile"))).as("p75"),
+          max(when(col("qi") === 3, col("quantile"))).as("p99"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -450,6 +469,50 @@ object RelationalQueries {
         |  quantile_cont(l_extendedprice, 0.99) AS p99
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // The grid walk replayed: exact integer rank brackets + the pinned
+    // interpolation spelling (no quantile_cont — the twin reproduces the
+    // operator's own math, engine internals don't enter).
+    "quantiles_scalable" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vq,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, vq, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY vq) AS BIGINT) AS hi
+        |  FROM c),
+        |cum2 AS (SELECT g, vq, hi - cnt AS lo, hi FROM cum),
+        |n AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+        |t AS (
+        |  SELECT g, qi, CAST(n - 1 AS DOUBLE) * q AS tpos
+        |  FROM n CROSS JOIN (VALUES (0, 0.25), (1, 0.5), (2, 0.75),
+        |    (3, 0.99)) AS qs(qi, q)),
+        |t2 AS (
+        |  SELECT g, qi, CAST(FLOOR(tpos) AS BIGINT) AS k,
+        |    tpos - FLOOR(tpos) AS frac
+        |  FROM t),
+        |vk AS (
+        |  SELECT t2.g, t2.qi, t2.frac, cum2.vq AS vqk
+        |  FROM t2 JOIN cum2 ON cum2.g = t2.g
+        |    AND cum2.lo <= t2.k AND t2.k < cum2.hi),
+        |vk1 AS (
+        |  SELECT t2.g, t2.qi, cum2.vq AS vqk1
+        |  FROM t2 JOIN cum2 ON cum2.g = t2.g
+        |    AND cum2.lo <= t2.k + 1 AND t2.k + 1 < cum2.hi),
+        |r AS (
+        |  SELECT vk.g, vk.qi,
+        |    CAST(vqk AS DOUBLE) / 100.0
+        |      + ((CAST(COALESCE(vqk1, vqk) AS DOUBLE) / 100.0
+        |          - CAST(vqk AS DOUBLE) / 100.0) * frac) AS v
+        |  FROM vk LEFT JOIN vk1 ON vk1.g = vk.g AND vk1.qi = vk.qi)
+        |SELECT g AS l_returnflag,
+        |  MAX(CASE WHEN qi = 0 THEN v END) AS p25,
+        |  MAX(CASE WHEN qi = 1 THEN v END) AS p50,
+        |  MAX(CASE WHEN qi = 2 THEN v END) AS p75,
+        |  MAX(CASE WHEN qi = 3 THEN v END) AS p99
+        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -76,7 +76,13 @@ object ScaleProbe {
       // the index write (once per corpus), probes must stay near-flat as the
       // corpus grows (IVF scans nprobe/nlist of it, PQ scans 4-byte codes)
       for (m <- Seq(1, 5)) {
-        val vecs = blowUpVecs(m)
+        // materialize the blown-up corpus: probes must be measured against
+        // a real table, not a derived 5-way-union chain that re-evaluates
+        // inside every broadcast/join subtree of the probe
+        val vecsPath = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft-probe-vecs-$m").getAbsolutePath
+        blowUpVecs(m).write.mode("overwrite").parquet(vecsPath)
+        val vecs = spark.read.parquet(vecsPath)
         val t0 = System.nanoTime()
         val ivf = operators.Ivf.buildIndex(s"probe-ivf-$m", vecs)
         println(f"PROBE ivf_build         mult=$m%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")

@@ -63,4 +63,65 @@ object Stats {
       .drop("n", "sv", "sq")
       .withColumn("z_4dp", floor(col("z") * 10000.0 + 0.5) / 10000.0)
       .drop("z")
+
+  /** EXACT per-group quantiles (linear interpolation, percentile_cont
+    * semantics) WITHOUT per-group value buffering — the scale-safe form of
+    * Spark's `percentile()`, which holds every value of a group in one
+    * aggregation buffer and OOMs the executor on a 100 TB group.
+    *
+    * Two-phase over the value grid: (1) one partial-agg shuffle counts rows
+    * per DISTINCT cent-grid value — the state is value-CARDINALITY-sized
+    * (bounded by the value range, e.g. ≤ ~10⁷ cents for prices), not
+    * row-count-sized; (2) a per-group cumulative walk over those counts (a
+    * keyed window whose input is the bounded counts table) locates, for
+    * each target rank t = (n−1)·q, the bracketing values v⌊t⌋ and v⌊t⌋+1,
+    * and interpolates. Every rank decision is exact integer math on counts;
+    * the interpolation is a pinned double spelling of exact ints (the
+    * determinism framework), so the DuckDB twin matches bit-for-bit.
+    *
+    * The cent grid IS the precision contract: values are snapped to 1e-2
+    * before ranking (exact for money-like measures; pick a finer grid
+    * constant for continuous data). Requires 0 ≤ q < 1 (the bracketing
+    * v⌊t⌋+1 always exists then).
+    *
+    * Returns (groupCol, qi, quantile) — one row per group × requested q,
+    * `qi` being the 0-based index into `qs`.
+    */
+  def exactQuantilesByGrid(df: DataFrame, groupCol: String, valueCol: String,
+                           qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q < 1.0),
+      "quantiles must satisfy 0 <= q < 1")
+    val counts = df.select(col(groupCol),
+        floor(col(valueCol) * 100.0 + 0.5).cast("long").as("vq"))
+      .groupBy(groupCol, "vq").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("vq")
+    val cum = counts.withColumn("hi", sum("cnt").over(w))
+      .withColumn("lo", col("hi") - col("cnt"))
+      .select(col(groupCol).as("_g"), col("vq"), col("lo"), col("hi"))
+    val qarr = array(qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(i).as("qi"), lit(q).as("q")) }.toIndexedSeq: _*)
+    val t = counts.groupBy(groupCol).agg(sum("cnt").as("n"))
+      .select(col(groupCol), explode(qarr).as("t"),
+        col("n"))
+      .select(col(groupCol), col("t.qi").as("qi"),
+        ((col("n") - 1).cast("double") * col("t.q")).as("tpos"))
+      .withColumn("k", floor(col("tpos")).cast("long"))
+      .withColumn("frac", col("tpos") - floor(col("tpos")))
+    val vk = t.join(cum, col(groupCol) === col("_g") &&
+        col("lo") <= col("k") && col("k") < col("hi"))
+      .select(col(groupCol), col("qi"), col("frac"), col("vq").as("vqk"))
+    val vk1 = t.join(cum, col(groupCol) === col("_g") &&
+        col("lo") <= col("k") + 1 && col("k") + 1 < col("hi"))
+      .select(col(groupCol), col("qi"), col("vq").as("vqk1"))
+    // left join + coalesce: a single-row group has no k+1 bracket, and then
+    // frac is exactly 0 — the interpolation degenerates to vqk
+    vk.join(vk1, Seq(groupCol, "qi"), "left")
+      .withColumn("vqk1", coalesce(col("vqk1"), col("vqk")))
+      .select(col(groupCol), col("qi"),
+        (col("vqk").cast("double") / 100.0
+          + ((col("vqk1").cast("double") / 100.0
+            - col("vqk").cast("double") / 100.0) * col("frac")))
+          .as("quantile"))
+  }
 }

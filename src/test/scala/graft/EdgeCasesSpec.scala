@@ -114,6 +114,30 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got === Seq((10L, 11L, 1.0)))
   }
 
+  test("grid-walk quantiles agree with percentile() on the corpus") {
+    // the scale-safe two-phase quantile must reproduce the buffering
+    // percentile()'s answers (both interpolate linearly on the cent grid)
+    val exact = SparkEntry.queries("quantiles")(spark, sfDir).collect()
+    val scal = SparkEntry.queries("quantiles_scalable")(spark, sfDir).collect()
+    assert(exact.length === scal.length && exact.nonEmpty)
+    exact.zip(scal).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      for (i <- 1 to 4)
+        assert(math.abs(a.getDouble(i) - b.getDouble(i)) <=
+          1e-9 * math.max(1.0, math.abs(a.getDouble(i))),
+          s"q$i mismatch for ${a.getString(0)}: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+    }
+  }
+
+  test("grid-walk quantiles: single-row groups degenerate to the value") {
+    val df = Seq(("solo", 42.0), ("multi", 1.0), ("multi", 3.0))
+      .toDF("g", "v")
+    val got = Stats.exactQuantilesByGrid(df, "g", "v", Seq(0.5))
+      .select("g", "quantile").as[(String, Double)].collect().toMap
+    assert(got("solo") === 42.0)
+    assert(got("multi") === 2.0) // midpoint interpolation
+  }
+
   test("stats_corr sufficient statistics handle a single-row group") {
     // n = 1 makes n·sxx − sx² = 0 → corr NaN; it must not throw, and the
     // multi-row group must still produce a finite value
