@@ -132,26 +132,36 @@ object Ivf {
     embeddings.withColumn("list", assignList(col("embedding"), cents))
 
   private val models =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IvfModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), IvfModel]()
 
   private def indexDir(indexKey: String, nlist: Int, iters: Int): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft-ivf-" + indexKey.replaceAll("[^A-Za-z0-9._-]", "_") +
         s"-$nlist-$iters").getAbsolutePath
 
-  /** Index BUILD, memoized per (indexKey, nlist, iters): training runs once
-    * per corpus key, the inverted lists are written once as a
-    * `list`-partitioned parquet table (the reorganized corpus — what an IVF
-    * index IS), and the model is reused by every subsequent probe. Training
-    * is deterministic (hash-seeded, exact integer decisions), so memoization
-    * changes cost only, never results. `indexKey` should identify the corpus
-    * (e.g. its path); the in-memory cached value is nlist × dim longs —
-    * bounded, driver-side.
+  /** Index BUILD, memoized per (indexKey, nlist, iters, trainSamplePct):
+    * training runs once per corpus key, the inverted lists are written once
+    * as a `list`-partitioned parquet table (the reorganized corpus — what
+    * an IVF index IS), and the model is reused by every subsequent probe.
+    * Training is deterministic (hash-seeded, exact integer decisions), so
+    * memoization changes cost only, never results. `indexKey` should
+    * identify the corpus (e.g. its path); the in-memory cached value is
+    * nlist × dim longs — bounded, driver-side.
+    *
+    * `trainSamplePct < 100` trains the quantizer on a deterministic
+    * md5-hash sample of the corpus (the warehouse-scale practice — Lloyd
+    * refinement doesn't need every vector, and the full corpus is still
+    * assigned and written): the sample is key-stable, so retraining on the
+    * same corpus reproduces the same centroids byte-for-byte.
     */
   def buildIndex(indexKey: String, embeddings: DataFrame,
-                 nlist: Int = 16, iters: Int = 2): IvfModel =
-    models.computeIfAbsent((indexKey, nlist, iters), _ => {
-      val cents = trainCentroids(embeddings, nlist, iters)
+                 nlist: Int = 16, iters: Int = 2,
+                 trainSamplePct: Int = 100): IvfModel =
+    models.computeIfAbsent((indexKey, nlist, iters, trainSamplePct), _ => {
+      val trainSet =
+        if (trainSamplePct >= 100) embeddings
+        else Curation.hashSample(embeddings, col("vec_id"), trainSamplePct)
+      val cents = trainCentroids(trainSet, nlist, iters)
       val path = indexDir(indexKey, nlist, iters)
       index(embeddings, cents)
         .write.mode("overwrite").partitionBy("list").parquet(path)

@@ -58,7 +58,7 @@ object IvfPq {
   }
 
   private val models =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), IvfPqModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int, Int), IvfPqModel]()
 
   private def indexDir(key: String, nlist: Int, m: Int, ksub: Int, iters: Int): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -69,15 +69,22 @@ object IvfPq {
     * codebook set shared across lists, trained on all residuals — standard
     * IVF-PQ), then the one materialization pass writing (vec_id, codes)
     * `list`-partitioned: probes prune directories AND read only codes.
+    * `trainSamplePct < 100` trains coarse quantizer AND codebooks on a
+    * deterministic md5-hash sample (the full corpus is still assigned,
+    * residual-encoded and written).
     */
   def buildIndex(indexKey: String, embeddings: DataFrame,
                  nlist: Int = 16, m: Int = 8, ksub: Int = 16,
-                 iters: Int = 2, dim: Int = 64): IvfPqModel =
-    models.computeIfAbsent((indexKey, nlist, m, ksub, iters), _ => {
+                 iters: Int = 2, dim: Int = 64,
+                 trainSamplePct: Int = 100): IvfPqModel =
+    models.computeIfAbsent((indexKey, nlist, m, ksub, iters, trainSamplePct), _ => {
       val subDim = dim / m
-      val coarse = Ivf.trainCentroids(embeddings, nlist, iters)
+      val trainSet =
+        if (trainSamplePct >= 100) embeddings
+        else Curation.hashSample(embeddings, col("vec_id"), trainSamplePct)
+      val coarse = Ivf.trainCentroids(trainSet, nlist, iters)
       val resid = residuals(embeddings, coarse)
-      val books = Pq.trainCodebooks(resid, m, ksub, iters, dim)
+      val books = Pq.trainCodebooks(residuals(trainSet, coarse), m, ksub, iters, dim)
       val path = indexDir(indexKey, nlist, m, ksub, iters)
       resid
         .withColumn("codes", Pq.codesCol(col("embedding"), subDim, books))

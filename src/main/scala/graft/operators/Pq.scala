@@ -132,24 +132,29 @@ object Pq {
   }
 
   private val models =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), PqModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), PqModel]()
 
   private def codesDir(indexKey: String, m: Int, ksub: Int, iters: Int): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft-pq-" + indexKey.replaceAll("[^A-Za-z0-9._-]", "_") +
         s"-$m-$ksub-$iters").getAbsolutePath
 
-  /** Index BUILD, memoized per (indexKey, m, ksub, iters): codebooks train
-    * once, the corpus is encoded once and the codes table — m small ints
-    * per vector, the whole point of PQ — is written as the scan target for
-    * every probe. The in-memory model is m × ksub × subDim longs: bounded,
-    * driver-side, broadcast-small.
+  /** Index BUILD, memoized per (indexKey, m, ksub, iters, trainSamplePct):
+    * codebooks train once, the corpus is encoded once and the codes table —
+    * m small ints per vector, the whole point of PQ — is written as the
+    * scan target for every probe. The in-memory model is m × ksub × subDim
+    * longs: bounded, driver-side, broadcast-small. `trainSamplePct < 100`
+    * trains the codebooks on a deterministic md5-hash sample (the
+    * warehouse-scale practice; the full corpus is still encoded).
     */
   def buildIndex(indexKey: String, embeddings: DataFrame,
                  m: Int = 8, ksub: Int = 16, iters: Int = 2,
-                 dim: Int = 64): PqModel =
-    models.computeIfAbsent((indexKey, m, ksub, iters), _ => {
-      val books = trainCodebooks(embeddings, m, ksub, iters, dim)
+                 dim: Int = 64, trainSamplePct: Int = 100): PqModel =
+    models.computeIfAbsent((indexKey, m, ksub, iters, trainSamplePct), _ => {
+      val trainSet =
+        if (trainSamplePct >= 100) embeddings
+        else Curation.hashSample(embeddings, col("vec_id"), trainSamplePct)
+      val books = trainCodebooks(trainSet, m, ksub, iters, dim)
       val subDim = dim / m
       val path = codesDir(indexKey, m, ksub, iters)
       embeddings.select(col("vec_id"),

@@ -37,6 +37,33 @@ object SalesClean {
   def readCsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** S1 with an audit trail: PERMISSIVE parse that CAPTURES malformed lines
+    * in a `_corrupt_record` column instead of silently nulling them away —
+    * the reference pipeline has no bad-row story at all (a mangled line
+    * becomes an all-null row that F1 quietly drops). Split with
+    * [[corruptRows]] / [[cleanRows]]: quarantine the former, clean the
+    * latter. The extra column costs nothing on well-formed rows (null) and
+    * the scan is the same single pass.
+    */
+  def readCsvAudited(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .csv(path)
+
+  /** The quarantine side of [[readCsvAudited]]: raw text of rows that did
+    * not parse under the schema.
+    */
+  def corruptRows(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt_record").isNotNull).select("_corrupt_record")
+
+  /** The clean side of [[readCsvAudited]]: parsed rows, audit column
+    * dropped — pipe into [[clean]].
+    */
+  def cleanRows(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+
   /** F1: drop rows where quantity, price AND total are all NULL. */
   def dropAllNullMeasures(df: DataFrame): DataFrame =
     df.filter(!(col("quantity").isNull && col("price").isNull && col("total").isNull))

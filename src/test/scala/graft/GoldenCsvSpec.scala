@@ -33,6 +33,28 @@ class GoldenCsvSpec extends SparkSpec {
     assert(t === ((true, true, 4000.0)))
   }
 
+  test("S1 audited: malformed lines are QUARANTINED, not silently nulled") {
+    val dir = writeCsv(Seq(
+      header,
+      "Laptops,50000.0,2,100000.0,2023-01-01 00:00:00,2023-01-03 00:00:00",
+      "Tablets,notanumber,1,4000.0,2023-02-01 00:00:00,2023-02-02 00:00:00",
+      "Phones,100.0,3,300.0,2023-03-01 00:00:00,2023-03-02 00:00:00"))
+    // cache: Spark disallows scans whose only referenced column is the
+    // internal corrupt-record column, so split from a materialized frame
+    val df = SalesClean.readCsvAudited(spark, dir).cache()
+    try {
+      val bad = SalesClean.corruptRows(df).as[String].collect()
+      assert(bad.length === 1 && bad.head.startsWith("Tablets,notanumber"))
+      val good = SalesClean.cleanRows(df)
+      assert(good.schema === SalesClean.schema)
+      assert(good.count() === 2)
+      assert(good.select("product").as[String].collect().sorted.toSeq ===
+        Seq("Laptops", "Phones"))
+      // and the clean side pipes straight into the flagship pipeline
+      assert(SalesClean.clean(good).count() === 2)
+    } finally df.unpersist()
+  }
+
   test("golden: known dirty CSV → exact cleaned rows") {
     val dir = writeCsv(Seq(
       header,

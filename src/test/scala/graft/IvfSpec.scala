@@ -48,6 +48,19 @@ class IvfSpec extends SparkSpec {
       s"probe reads ${s.selectedPartitions.partitionCount} list directories (> nprobe)"))
   }
 
+  test("sampled training (hash-deterministic) still yields a correct index") {
+    // warehouse practice: train the quantizer on a sample, assign everyone.
+    // Exhaustive probing must still equal brute force (holds for ANY
+    // centroid set — the index never changes answers, only pruning).
+    val model = Ivf.buildIndex(sfDir + "#sampled", emb, nlist = 8,
+      trainSamplePct = 50)
+    val exact = Similarity.topK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val got = Ivf.probe(model, emb, 0L, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === exact)
+  }
+
   test("two fresh trainings produce byte-identical centroids") {
     // the integer-grid Lloyd contract: no partition-order-dependent float
     // mean anywhere, so training is reproducible across sessions

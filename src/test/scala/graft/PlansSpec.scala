@@ -110,6 +110,18 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("tiny derived tables broadcast onto linear scans (stats/gapfill joins)") {
+    // the stats enrichment pattern: the per-group stats table (rows =
+    // groups) must broadcast, never shuffle the corpus-side scan
+    for (name <- Seq("events_outliers", "events_gapfill")) {
+      val p = plan(SparkEntry.queries(name)(spark, sfDir))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name does not broadcast its small side:\n$p")
+      spark.catalog.clearCache()
+      CacheScope.global.release()
+    }
+  }
+
   test("native kernels stay inside whole-stage codegen") {
     val df = Tables.documents(spark, sfDir)
       .select(graft.plans.NativeKernels.hashedShingles(

@@ -135,6 +135,21 @@ class SinksSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_customer")
   }
 
+  test("schema evolution: appended batches with a new column merge on read") {
+    // append logs evolve — a reader must see the union schema with nulls
+    // for pre-evolution rows, without rewriting history
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "payload")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", 7.5)).toDF("id", "payload", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet === Set("id", "payload", "score"))
+    val rows = merged.select("id", "score")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows === Map(1L -> None, 2L -> Some(7.5)))
+  }
+
   test("compact collapses a many-small-files table, content-preserving") {
     val src = java.nio.file.Files.createTempDirectory("graft-frag").toString
     val stage = src + "-compacted"
