@@ -85,6 +85,32 @@ object EventQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // Rate anomaly detection: z-score outliers over the GAP-FILLED hourly
+    // matrix — composing the two primitives is the point: without the
+    // densify step a silent hour isn't a row and can never flag, yet a
+    // traffic drop to zero is exactly the anomaly a monitor must catch.
+    // Same exact-integer stats machinery (counts × 100 is exact), |z| > 2
+    // (hourly rates are noisier than per-event values).
+    "events_rate_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val hours = ev
+        .agg(date_trunc("hour", min("ts")).as("lo"),
+          date_trunc("hour", max("ts")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      val dense = hours.crossJoin(ev.select("event_type").distinct())
+        .join(hourly, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+      operators.Stats.zOutliers(dense, "event_type", "n_events",
+          threshold = 2.0)
+        .select("hour", "event_type", "n_events", "z_4dp")
+        .orderBy("hour", "event_type")
+    }),
+
     // Gap-based sessionization (30-min inactivity closes a session).
     "events_sessionize" -> ((s, dir) => {
       val secs = col("ts").cast("long")
@@ -320,6 +346,44 @@ object EventQueries {
         |LEFT JOIN hourly ON hourly.hour = h.hour
         |  AND hourly.event_type = t.event_type
         |ORDER BY h.hour, t.event_type""".stripMargin,
+
+    // gapfill twin composed with the exact-stats outlier twin over the
+    // densified matrix
+    "events_rate_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+        |    date_trunc('hour', MAX(ts)) AS hi
+        |  FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |dense AS (
+        |  SELECT h.hour, t.event_type, COALESCE(n_events, 0) AS n_events
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN hourly ON hourly.hour = h.hour
+        |    AND hourly.event_type = t.event_type),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(FLOOR(n_events * 100.0 + 0.5) AS BIGINT)) AS sv,
+        |    SUM(CAST(FLOOR(n_events * 100.0 + 0.5) AS BIGINT)
+        |      * CAST(FLOOR(n_events * 100.0 + 0.5) AS BIGINT)) AS sq
+        |  FROM dense GROUP BY 1),
+        |z AS (
+        |  SELECT d.hour, d.event_type, d.n_events,
+        |    (d.n_events - CAST(sv AS DOUBLE) / 100.0 / n)
+        |      / sqrt(CAST(sq AS DOUBLE) / 10000.0 / n
+        |        - (CAST(sv AS DOUBLE) / 100.0 / n)
+        |          * (CAST(sv AS DOUBLE) / 100.0 / n)) AS zz
+        |  FROM dense d JOIN s USING (event_type))
+        |SELECT hour, event_type, n_events,
+        |  FLOOR(zz * 10000.0 + 0.5) / 10000.0 AS z_4dp
+        |FROM z WHERE abs(zz) > 2.0
+        |ORDER BY hour, event_type""".stripMargin,
 
     "events_outliers" ->
       """WITH s AS (
