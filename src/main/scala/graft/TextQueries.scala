@@ -103,6 +103,17 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           TextAnalysis.fingerprintRolling(col("text")).as("fp_roll"))
+        .orderBy("doc_id")),
+
+    // C4-style cross-document boilerplate: per-doc share of token positions
+    // covered by a 3-gram occurring in >= 4 distinct docs.
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateCoverage(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
+    // ... and the corpus with those covered tokens removed.
+    "text_boilerplate_strip" -> ((s, dir) =>
+      TextAnalysis.stripBoilerplate(Tables.documents(s, dir))
         .orderBy("doc_id"))
   )
 
@@ -115,6 +126,23 @@ object TextQueries {
       .map(m => s"'$m'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), t -> t IN ($ms)))"
   }
+
+  // Shared CTE prefix for the boilerplate twins: tokenized docs `t`,
+  // positioned 3-gram occurrences `occ`, the df >= 4 boilerplate set, and
+  // the covered (doc_id, p) position set `cov`.
+  private val boilerplateCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM t)),
+      |boiler AS (
+      |  SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY s)
+      |  WHERE df >= 4),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p FROM (
+      |    SELECT occ.doc_id, unnest(range(occ.pos, occ.pos + 3)) AS p
+      |    FROM occ SEMI JOIN boiler USING (s)))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_stats" ->
@@ -266,6 +294,33 @@ object TextQueries {
         |        t -> ('0x' || substring(md5(t), 1, 8))::BIGINT % 2147483647)),
         |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Boilerplate twins: positioned string shingles (Spark joins the
+    // xxhash64 of the same strings — the text_contamination collision
+    // argument); DuckDB range(a, b) is [a, b), so range(pos, pos+3) is the
+    // same 3 positions as Spark's inclusive sequence(pos, pos+2).
+    "text_boilerplate" ->
+      s"""$boilerplateCtes,
+         |c AS (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, len(ts) AS n_tokens,
+         |  COALESCE(c.covered, 0) AS covered,
+         |  FLOOR(CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(ts)
+         |    * 10000.0 + 0.5) / 10000.0 AS boiler_ratio
+         |FROM t LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate_strip" ->
+      s"""$boilerplateCtes,
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS p, ts[i] AS token
+         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM t)),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.p, tok.token
+         |  FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p),
+         |agg AS (
+         |  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(agg.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (

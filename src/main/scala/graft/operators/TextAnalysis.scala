@@ -220,6 +220,88 @@ object TextAnalysis {
           * 10000.0 + 0.5) / 10000.0).as("lm_score"))
   }
 
+  // ---- Cross-document boilerplate removal (C4-style) ----
+
+  /** Positioned n-gram occurrences: one (doc_id, pos, h) row per n-gram
+    * START position — NON-distinct, unlike [[graft.operators.Dedup.shingles]],
+    * because removal needs every occurrence's location. h = xxhash64 of the
+    * space-joined n-gram (string-collision argument as in jaccardPairs: the
+    * oracle joins on the strings and agrees).
+    */
+  private def shingleOcc(documents: DataFrame, n: Int): DataFrame = {
+    val sh = when(size(col("toks")) < n, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+    documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(sh).as(Seq("pos", "h")))
+  }
+
+  /** (doc_id, p) token positions covered by any boilerplate n-gram — an
+    * n-gram is boilerplate when it occurs in ≥ minDocs DISTINCT documents
+    * (the C4/RefinedWeb "spans repeated across the corpus" rule, adapted
+    * from lines to n-grams). An occurrence at start position `pos` covers
+    * positions [pos, pos+n).
+    *
+    * Scale: the occurrence table is one linear explode; the boilerplate set
+    * is the high-document-frequency tail (small by construction — df ≥
+    * minDocs); the cover join shuffles occurrences on the 8-byte hash and
+    * expands each hit n×, bounded by n · |occurrences|. All aggregations are
+    * keyed and partial — no windows, no driver state.
+    */
+  private def coveredPositions(documents: DataFrame, n: Int, minDocs: Int,
+                               scope: graft.CacheScope): DataFrame = {
+    // persist: occurrences feed the df-count aggregation AND the cover join
+    val occ = scope.persist(shingleOcc(documents, n))
+    val boiler = occ.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs).select("h")
+    occ.join(boiler, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+  }
+
+  /** Per-document boilerplate coverage report: (doc_id, n_tokens, covered,
+    * boiler_ratio) — the audit view a data team reads before choosing the
+    * removal threshold. Every document gets a row (covered = 0 when clean).
+    */
+  def boilerplateCoverage(documents: DataFrame, n: Int = 3, minDocs: Int = 4,
+                          scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val covered = coveredPositions(documents, n, minDocs, scope)
+      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+    documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        r4(coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("boiler_ratio"))
+  }
+
+  /** The corpus with boilerplate-covered tokens REMOVED: (doc_id,
+    * clean_text). Order within a document is preserved (kept tokens are
+    * reassembled by position); a fully-covered document yields ''.
+    *
+    * Scale: kept tokens anti-join the covered-position set on (doc_id, p),
+    * then reassemble per document — collect_list is keyed by doc_id and
+    * bounded by document length (the same per-doc-bounded shape as
+    * Curation.packSequences), with array_sort making the collect order
+    * deterministic.
+    */
+  def stripBoilerplate(documents: DataFrame, n: Int = 3, minDocs: Int = 4,
+                       scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val covered = coveredPositions(documents, n, minDocs, scope)
+    val toks = documents.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("p", "token")))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("token")))),
+          x => x.getField("token")), " ").as("clean_text"))
+    documents.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — exact-dup key that's
     * stable across engines. Normalization: lowercase + collapse whitespace.
     */

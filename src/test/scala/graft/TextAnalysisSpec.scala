@@ -51,4 +51,46 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Int, Int, Double)].head()
     assert(out === ((4, 3, 0.75)))
   }
+
+  test("boilerplate: planted repeated span is covered and stripped") {
+    // "x y z" appears in docs 1-4 (df = 4 = minDocs); each doc's other
+    // tokens are unique, so exactly those 3 positions are covered.
+    val docs = Seq(
+      (1L, "u1 x y z v1"), (2L, "x y z v2 w2"), (3L, "u3 v3 x y z"),
+      (4L, "x y z u4 v4 w4"), (5L, "clean doc five entirely")
+    ).toDF("doc_id", "text")
+    val scope = new CacheScope
+    try {
+      val cov = TextAnalysis.boilerplateCoverage(docs, minDocs = 4, scope = scope)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Double)].collect()
+      assert(cov.map(c => (c._1, c._3)).toSeq ===
+        Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 0L)))
+      assert(cov(0)._4 === 0.6) // 3 of 5 tokens
+
+      val stripped = TextAnalysis.stripBoilerplate(docs, minDocs = 4, scope = scope)
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      assert(stripped === Seq(
+        (1L, "u1 v1"), (2L, "v2 w2"), (3L, "u3 v3"),
+        (4L, "u4 v4 w4"), (5L, "clean doc five entirely")))
+    } finally scope.release()
+  }
+
+  test("boilerplate: coverage and strip agree on kept-token counts") {
+    val docs = Tables.documents(spark, sfDir)
+    val scope = new CacheScope
+    try {
+      val cov = TextAnalysis.boilerplateCoverage(docs, scope = scope)
+      val stripped = TextAnalysis.stripBoilerplate(docs, scope = scope)
+        .withColumn("n_kept",
+          when($"clean_text" === "", 0L)
+            .otherwise(size(split($"clean_text", " ")).cast("long")))
+      val mismatch = cov.join(stripped, "doc_id")
+        .filter($"n_tokens" - $"covered" =!= $"n_kept")
+      assert(mismatch.count() === 0)
+      // overlapping boilerplate spans must not double-count coverage
+      assert(cov.filter($"covered" > $"n_tokens").count() === 0)
+      assert(cov.filter($"covered" > 0).count() > 0) // non-vacuous on corpus
+    } finally scope.release()
+  }
 }
