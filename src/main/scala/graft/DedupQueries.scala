@@ -118,6 +118,13 @@ object DedupQueries {
       Dedup.embeddingPairs(Tables.embeddings(s, dir), 0.4)
         .orderBy("vec_a", "vec_b")),
 
+    // SemDeDup: same threshold, but pairs only WITHIN IVF clusters — the
+    // Σ|cluster|² scale path. indexKey = dir shares the memoized index
+    // build with the ann_topk_ivf family.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDupPairs(Tables.embeddings(s, dir), 0.4, dir)
+        .orderBy("vec_a", "vec_b")),
+
     // Corpus duplication-rate KPI: docs vs distinct fingerprints, 4-dp —
     // on the planted-clone corpus so the rate is provably > 0.
     "dedup_rate" -> ((s, dir) =>
@@ -301,6 +308,24 @@ object DedupQueries {
          |    / (sqrt(${dotSql("a.embedding", "a.embedding")})
          |       * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE (${dotSql("a.embedding", "b.embedding")})
+         |    / (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |       * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // SemDeDup twin: the dedup_embedding pair query restricted to pairs
+    // co-assigned by the replayed IVF coarse quantizer (a2 = the same
+    // Lloyd-trained assignment CTE chain as the ann_topk_ivf twin).
+    "dedup_semantic" ->
+      s"""WITH ${SimilarityQueries.ivfCoreCtes(16)}
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  (${dotSql("a.embedding", "b.embedding")})
+         |    / (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |       * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cosine
+         |FROM a2 aa
+         |JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+         |JOIN embeddings a ON a.vec_id = aa.vec_id
+         |JOIN embeddings b ON b.vec_id = bb.vec_id
          |WHERE (${dotSql("a.embedding", "b.embedding")})
          |    / (sqrt(${dotSql("a.embedding", "a.embedding")})
          |       * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4

@@ -215,9 +215,9 @@ object SimilarityQueries {
 
   /** The shared IVF core: quantized coordinates, md5 seeds, two Lloyd
     * steps → `c2`, full assignment `a2` (the inverted lists). Prefix for
-    * both the probe twin and the list-size twin.
+    * the probe twin, the list-size twin, and DedupQueries' SemDeDup twin.
     */
-  private def ivfCoreCtes(nlist: Int): String =
+  private[graft] def ivfCoreCtes(nlist: Int): String =
     s"""idx AS (
        |  SELECT vec_id, embedding,
        |    unnest(range(1, len(embedding) + 1)) AS i

@@ -427,6 +427,40 @@ object Dedup {
 
   // ---- Embedding near-dup ----
 
+  /** SemDeDup — semantic near-dup pairs at corpus scale: cluster the
+    * embeddings with the IVF coarse quantizer ([[Ivf.buildIndex]] — the
+    * k-means step of the SemDeDup recipe), then compute EXACT cosine only
+    * WITHIN each cluster. Near-identical embeddings land in the same
+    * cluster (they argmax the same centroid except on tie edges at cluster
+    * boundaries), so this replaces [[embeddingPairs]]' O(n²) cross join
+    * with Σ|cluster|² work — the same cost law as the LSH bucket join,
+    * with nlist as the documented knob. Emits (vec_a < vec_b, cosine),
+    * a subset of [[embeddingPairs]] restricted to co-clustered pairs (the
+    * SemDeDup contract — asserted in DedupSpec; with nlist = 1 the two are
+    * identical).
+    *
+    * Reuses the materialized `list`-partitioned index: the self-join reads
+    * the reorganized corpus and shuffles on `list` only. Training is the
+    * deterministic integer-grid Lloyd, so the pair set is reproducible —
+    * the DuckDB twin replays it (DedupQueries.semanticSql).
+    */
+  def semanticDupPairs(embeddings: DataFrame, threshold: Double,
+                       indexKey: String, nlist: Int = 16): DataFrame = {
+    val model = Ivf.buildIndex(indexKey, embeddings, nlist)
+    val v = embeddings.sparkSession.read.parquet(model.indexPath)
+      .select(col("list"), col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val a = v.select(col("list"), col("vec_id").as("vec_a"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = v.select(col("list"), col("vec_id").as("vec_b"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.join(b, "list")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorOps.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** Embedding-cosine near-dup pairs ≥ threshold, brute force (exact).
     * O(n²) — ground truth / small-corpus path; at scale use the hyperplane
     * LSH in Similarity to prune candidates first.

@@ -120,6 +120,20 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty) // the planted excerpt-parent pairs
   }
 
+  test("semanticDupPairs = embeddingPairs restricted to co-clustered pairs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Dedup.embeddingPairs(emb, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val sem = Dedup.semanticDupPairs(emb, 0.4, sfDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(brute)) // within-cluster pairs are true pairs
+    assert(sem.nonEmpty)        // near-identical vectors co-cluster
+    // one cluster = no pruning: identical to the brute-force ground truth
+    val all = Dedup.semanticDupPairs(emb, 0.4, sfDir, nlist = 1)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(all === brute)
+  }
+
   test("CacheScope releases exactly the operator's persisted intermediates") {
     // earlier tests in this suite cached via the global scope; start clean
     graft.CacheScope.global.release()
