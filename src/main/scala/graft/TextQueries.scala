@@ -114,7 +114,39 @@ object TextQueries {
     // ... and the corpus with those covered tokens removed.
     "text_boilerplate_strip" -> ((s, dir) =>
       TextAnalysis.stripBoilerplate(Tables.documents(s, dir))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Trained BPE tokenizer — the learned merge table (8 rounds over the
+    // corpus word-frequency table; memoized per corpus dir).
+    "text_bpe_merges" -> ((s, dir) => {
+      val merges = operators.Bpe.trainMergesCached(dir, Tables.documents(s, dir))
+      s.createDataFrame(merges)
+        .select(col("rank").as("merge_rank"), col("left").as("left_sym"),
+          col("right").as("right_sym"), col("cnt"))
+        .orderBy("merge_rank")
+    }),
+
+    // The trained vocabulary: every corpus word's final BPE segmentation.
+    "text_bpe_vocab" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = operators.Bpe.trainMergesCached(dir, docs)
+      operators.Bpe.wordFreqs(docs)
+        .withColumn("syms", operators.Bpe.segment(col("word"), merges))
+        .orderBy("word")
+    }),
+
+    // Per-document token counts under the trained tokenizer — the number a
+    // training-data pipeline actually budgets by.
+    "text_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = operators.Bpe.trainMergesCached(dir, docs)
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .withColumn("nsym",
+          operators.Bpe.symCount(operators.Bpe.segment(col("word"), merges)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("nsym").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    })
   )
 
   private val bpeRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -144,7 +176,67 @@ object TextQueries {
       |    SELECT occ.doc_id, unnest(range(occ.pos, occ.pos + 3)) AS p
       |    FROM occ SEMI JOIN boiler USING (s)))""".stripMargin
 
+  // ---- BPE oracle machinery ----
+  //
+  // The whole training loop is exact integer counts + lexicographic
+  // tie-breaks (see Bpe scaladoc), so the twin replays all 8 merge rounds
+  // as CTEs — the IVF-Lloyd replay strategy applied to tokenizer training.
+  // Round r: b_r explodes every vocab word's adjacent symbol pairs,
+  // p_r picks the argmax pair (1 row), w_r applies the merge with the same
+  // non-overlapping left-to-right replace as the Spark side.
+
+  private def bpeRound(prev: String, b: String, p: String, next: String): String =
+    s"""$b AS (
+       |  SELECT freq, lst, unnest(range(1, len(lst))) AS i
+       |  FROM (SELECT freq, string_split(trim(syms, '~'), '~~') AS lst
+       |        FROM $prev)),
+       |$p AS (
+       |  SELECT lst[i] AS l, lst[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM $b GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+       |$next AS (
+       |  SELECT word, freq,
+       |    replace(syms, '~' || m.l || '~~' || m.r || '~',
+       |                  '~' || m.l || m.r || '~') AS syms
+       |  FROM $prev, $p m)""".stripMargin
+
+  /** CTE chain w0 → … → w8 (+ p1 … p8, the per-round argmax rows). */
+  private val bpeCtes: String = {
+    val w0 =
+      """WITH w0 AS (
+        |  SELECT word, COUNT(*) AS freq,
+        |    regexp_replace(word, '(.)', '~\1~', 'g') AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val rounds = (1 to 8)
+      .map(r => bpeRound(s"w${r - 1}", s"b$r", s"p$r", s"w$r"))
+    (w0 +: rounds).mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_merges" ->
+      s"""$bpeCtes
+         |SELECT * FROM (
+         |${(1 to 8).map(r =>
+             s"  SELECT $r AS merge_rank, l AS left_sym, r AS right_sym, cnt FROM p$r")
+            .mkString("\n  UNION ALL\n")}
+         |) ORDER BY merge_rank""".stripMargin,
+
+    "text_bpe_vocab" ->
+      s"""$bpeCtes
+         |SELECT word, freq, syms FROM w8 ORDER BY word""".stripMargin,
+
+    "text_bpe_tokens" ->
+      s"""$bpeCtes,
+         |f AS (
+         |  SELECT word, len(string_split(trim(syms, '~'), '~~')) AS nsym
+         |  FROM w8),
+         |d AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(nsym) AS BIGINT) AS n_bpe_tokens
+         |FROM d JOIN f USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  length(text) AS len_chars,

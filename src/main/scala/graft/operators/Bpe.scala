@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained BPE (byte-pair-encoding) tokenizer — the real merge-rule
+  * training loop, not the regex approximation in
+  * [[TextAnalysis.bpeishTokens]]: each round merges the adjacent symbol
+  * pair with the highest occurrence count (weighted by word frequency,
+  * ties broken lexicographically), exactly the classic Sennrich et al.
+  * (2016) word-frequency formulation.
+  *
+  * REPRESENTATION — each symbol is individually wrapped in `~` markers:
+  * the word "low" starts as `~l~~o~~w~`, and merging (l, o) rewrites
+  * `~l~~o~` → `~lo~`. Wrapping every symbol in its OWN marker pair (rather
+  * than delimiting with a single separator) means adjacent merge sites
+  * never share a boundary character, so one non-overlapping left-to-right
+  * `replace` pass applies a rule greedily the way BPE specifies —
+  * `~a~~b~~a~~b~` → `~ab~~ab~` in a single pass — and Spark's
+  * `UTF8String.replace` and DuckDB's `replace` agree character for
+  * character. `~` cannot occur inside a symbol (corpus tokens are
+  * whitespace-split words; callers with hostile alphabets should map the
+  * marker first).
+  *
+  * DETERMINISM — every training decision is an exact integer count plus a
+  * total-order tie-break (cnt DESC, left ASC, right ASC), so the learned
+  * merge table is partition-order-free and the DuckDB twin replays the
+  * whole loop as an inlined CTE chain (TextQueries.bpeCtes), the same
+  * replay strategy as the IVF Lloyd oracle.
+  *
+  * SCALE — training runs on the WORD-FREQUENCY table, not the corpus: one
+  * corpus-wide explode + partial agg builds it, and each merge round is
+  * one vocabulary-sized shuffle (pair counts) + a 1-row driver collect
+  * (the argmax — the same bounded-collect contract as Lloyd training).
+  * Tokenization of unbounded text is a pure per-row expression fold
+  * ([[segment]]) — no joins, no state, whole-stage-codegen'd string
+  * replaces.
+  */
+object Bpe {
+
+  /** Symbol marker; must not occur inside corpus tokens. */
+  val Sep = "~"
+
+  /** Initial symbolization: every character individually wrapped —
+    * "low" → "~l~~o~~w~".
+    */
+  def symInit(w: Column): Column = regexp_replace(w, "(.)", s"$Sep$$1$Sep")
+
+  /** Symbol list of a wrapped string: strip the outer markers, split on
+    * the doubled inter-symbol marker.
+    */
+  def symList(syms: Column): Column = split(trim(syms, Sep), Sep + Sep)
+
+  /** Symbols per word after segmentation — the BPE token count. */
+  def symCount(syms: Column): Column = size(symList(syms))
+
+  /** (word, freq) over the corpus: one explode + partial agg. */
+  def wordFreqs(documents: DataFrame): DataFrame =
+    documents.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** One learned merge rule: at `rank`, (left, right) had the highest
+    * pair count `cnt`.
+    */
+  final case class Merge(rank: Int, left: String, right: String, cnt: Long)
+
+  /** Adjacent symbol pairs of every vocab word, weighted by freq. */
+  private def pairsOf(wf: DataFrame): DataFrame = {
+    val emptyPairs = array().cast("array<struct<l:string,r:string>>")
+    wf.select(col("freq"), symList(col("syms")).as("lst"))
+      .select(col("freq"), explode(
+        when(size(col("lst")) < 2, emptyPairs)
+          .otherwise(transform(sequence(lit(0), size(col("lst")) - 2),
+            i => struct(element_at(col("lst"), i + 1).as("l"),
+              element_at(col("lst"), i + 2).as("r"))))).as("pr"))
+      .select(col("freq"), col("pr.l").as("l"), col("pr.r").as("r"))
+  }
+
+  /** The replace pattern applying merge (l, r): `~l~~r~` → `~lr~`. */
+  private def applyMerge(syms: Column, left: String, right: String): Column =
+    replace(syms,
+      lit(Sep + left + Sep + Sep + right + Sep),
+      lit(Sep + left + right + Sep))
+
+  /** Train `nMerges` merge rules on the corpus. Each round: pair counts
+    * (vocab-sized shuffle) → 1-row argmax collect → replace pass over the
+    * vocab symbol strings. Rounds are persisted via `scope` with eager
+    * unpersist of superseded tables (the nearDupClusters pattern). Fails
+    * loudly if the vocabulary merges to single symbols before nMerges
+    * rounds (impossible on any realistic corpus).
+    */
+  def trainMerges(documents: DataFrame, nMerges: Int = 8,
+                  scope: graft.CacheScope = graft.CacheScope.global): Seq[Merge] = {
+    var wf = scope.persist(
+      wordFreqs(documents).withColumn("syms", symInit(col("word"))))
+    val out = Seq.newBuilder[Merge]
+    for (r <- 1 to nMerges) {
+      val top = pairsOf(wf).groupBy("l", "r").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty)
+        throw new IllegalStateException(
+          s"BPE training exhausted all adjacent pairs after ${r - 1} merges")
+      val m = Merge(r, top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      out += m
+      val next = scope.persist(
+        wf.withColumn("syms", applyMerge(col("syms"), m.left, m.right)))
+      wf.unpersist(blocking = false)
+      wf = next
+    }
+    out.result()
+  }
+
+  // Memoized training per (corpusKey, nMerges): the learned table is
+  // nMerges tuples — driver-tiny, like the IVF quantizer memo — so every
+  // query over the same corpus reuses one training run.
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Merge]]()
+
+  def trainMergesCached(corpusKey: String, documents: DataFrame,
+                        nMerges: Int = 8): Seq[Merge] =
+    memo.computeIfAbsent((corpusKey, nMerges), _ => {
+      val sc = new graft.CacheScope
+      try trainMerges(documents, nMerges, sc) finally sc.release()
+    })
+
+  /** Segment a word with a trained merge table: the symInit string folded
+    * through the merge replaces IN RANK ORDER — a pure expression, applied
+    * to unbounded text with no join against the training vocabulary.
+    * (When the text's vocabulary is known to be the training vocabulary, a
+    * broadcast join against the trained symbol table avoids re-folding;
+    * this form is the general one that also handles unseen words.)
+    */
+  def segment(w: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(symInit(w))((s, m) => applyMerge(s, m.left, m.right))
+}
