@@ -210,6 +210,37 @@ object Streams {
         (floor(col("z") * 10000.0 + 0.5) / 10000.0).as("z_4dp"))
   }
 
+  /** Streaming SemDeDup — the online twin of
+    * [[graft.operators.Dedup.semanticDupPairs]]: each incoming vector is
+    * assigned to its coarse-quantizer cluster (a pure per-row expression
+    * over the broadcast-small trained centroids, the same
+    * [[graft.operators.Ivf.index]] argmax as batch) and checked by exact
+    * cosine against ONLY that cluster's inverted list of the prebuilt
+    * index — a stream-static equi-join on `list`, stateless and
+    * append-mode. Emits (vec_id, corpus_id, cosine_4dp) for every
+    * corpus vector the incoming one semantically duplicates; vectors with
+    * no output row are novel.
+    *
+    * Scale: per micro-batch the static side is the materialized index and
+    * the join key is `list`, so each incoming vector is compared against
+    * corpus/nlist vectors instead of the corpus — the ingestion-time
+    * "have we already got this content" gate of a training-data pipeline.
+    */
+  def semanticDupStream(vectors: DataFrame, model: graft.operators.Ivf.IvfModel,
+                        threshold: Double): DataFrame = {
+    val idx = vectors.sparkSession.read.parquet(model.indexPath)
+      .select(col("list"), col("vec_id").as("corpus_id"),
+        col("embedding").as("c_emb"))
+    graft.operators.Ivf.index(vectors, model.centroids)
+      .join(idx, "list")
+      .filter(col("vec_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        graft.functions.VectorOps.cosine(col("embedding"), col("c_emb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id"), col("corpus_id"),
+        (floor(col("cosine") * 10000.0 + 0.5) / 10000.0).as("cosine_4dp"))
+  }
+
   /** Buffered per-user state for [[asofJoinStream]]: (epochMs, id) pairs of
     * retained clicks and not-yet-finalized purchases.
     */

@@ -338,6 +338,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming semantic dedup equals batch SemDeDup pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = graft.operators.Ivf.buildIndex(sfDir, emb)
+    // replay the corpus's own vectors through the stream in two batches;
+    // each must match exactly the batch pairs it participates in
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.semanticDupStream(
+      input.toDF().toDF("vec_id", "embedding"), model, 0.4)
+      .writeStream.format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("semdedup_stream")
+      .select("vec_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val batch = graft.operators.Dedup.semanticDupPairs(emb, 0.4, sfDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, p.swap)).toSet // stream sees both directions
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("streaming as-of join equals the batch as-of join") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
