@@ -82,6 +82,48 @@ object Sinks {
       throw new java.io.IOException(s"rename $staging -> $target failed")
   }
 
+  /** Partition-pruned MERGE into a hive-partitioned table: rewrite ONLY the
+    * partitions the update batch touches. At 100 TB a daily CDC batch
+    * touches a handful of date partitions; rewriting the whole table (what
+    * a naive read∪merge∪overwrite does) scans and rewrites everything,
+    * while this reads base rows only for the touched partition values
+    * (partition pruning turns the IN-filter into directory listing), merges
+    * with [[graft.operators.Upsert.keepLatest]] semantics, and atomically
+    * swaps just those partition directories — untouched partitions' files
+    * are never opened, never rewritten (asserted in SinksSpec).
+    *
+    * Update rows in a partition value the target lacks create that
+    * partition (the insert case). The touched-value collect is bounded by
+    * the batch's partition spread — the same bounded-driver-state contract
+    * as the index builds. `partCol` values must be directory-safe (no
+    * nulls, no chars hive-escapes); keys must not move between partitions
+    * (a moved key is a delete+insert, the standard partitioned-MERGE
+    * contract). Returns the touched partition values.
+    */
+  def upsertPartitions(spark: org.apache.spark.sql.SparkSession,
+                       targetPath: String, updates: DataFrame, partCol: String,
+                       keyCols: Seq[String], versionCol: String,
+                       tieCols: Seq[String] = Nil): Seq[String] = {
+    val touched = updates.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(!touched.contains(null),
+      s"upsertPartitions: null $partCol in the update batch")
+    val base = spark.read.parquet(targetPath)
+      .filter(col(partCol).cast("string").isin(touched: _*))
+    val merged = graft.operators.Upsert.keepLatest(
+      base.unionByName(updates.select(base.columns.map(col): _*)),
+      keyCols, versionCol, tieCols)
+    val staging = targetPath + "__upsert_staging"
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(staging)
+    touched.foreach { v =>
+      swapDirs(spark, s"$staging/$partCol=$v", s"$targetPath/$partCol=$v")
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    touched
+  }
+
   /** Range-partitioned, internally-sorted parquet: every output file owns a
     * disjoint range of `sortCol`, so parquet row-group min/max statistics
     * let a selective scan skip whole files (data skipping — the scan-side

@@ -168,4 +168,47 @@ class SinksSpec extends SparkSpec {
     assert(back.exceptAll(orders).count() === 0 &&
       orders.exceptAll(back).count() === 0)
   }
+
+  test("upsertPartitions rewrites only touched partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pupsert").toString
+    val base = Seq(
+      (1L, "p0", 10, 0L), (2L, "p0", 20, 0L),
+      (3L, "p1", 30, 0L), (4L, "p1", 40, 0L),
+      (5L, "p2", 50, 0L)
+    ).toDF("id", "part", "v", "version")
+    Sinks.partitionedParquet(base, dir, Seq("part"))
+
+    def listing(p: String): Set[String] = {
+      val d = new java.io.File(p)
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => f.getName + ":" + f.lastModified()).toSet
+    }
+    val p0Before = listing(s"$dir/part=p0")
+    val p2Before = listing(s"$dir/part=p2")
+
+    // update one row in p1, insert a new key into p1, open new partition p3
+    val updates = Seq(
+      (3L, "p1", 31, 1L), (6L, "p1", 60, 1L), (7L, "p3", 70, 1L)
+    ).toDF("id", "part", "v", "version")
+    val touched = Sinks.upsertPartitions(spark, dir, updates, "part",
+      keyCols = Seq("id"), versionCol = "version")
+    assert(touched === Seq("p1", "p3"))
+
+    // untouched partition directories: byte-identical file listings
+    assert(listing(s"$dir/part=p0") === p0Before)
+    assert(listing(s"$dir/part=p2") === p2Before)
+    assert(!new java.io.File(dir + "__upsert_staging").exists())
+
+    // full-table state equals the global merge
+    val got = spark.read.parquet(dir)
+      .select($"id", $"part", $"v", $"version").as[(Long, String, Int, Long)]
+      .collect().toSet
+    val want = graft.operators.Upsert.keepLatest(
+        base.unionByName(updates), Seq("id"), "version")
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(got === want)
+    assert(got.contains((3L, "p1", 31, 1L)) && got.contains((7L, "p3", 70, 1L)))
+  }
 }
