@@ -95,6 +95,12 @@ object ScaleProbe {
         val ivfpq = operators.IvfPq.buildIndex(s"probe-ivfpq-$m", vecs)
         println(f"PROBE ivfpq_build       mult=$m%-3d ${(System.nanoTime() - t2) / 1e9}%8.2f s")
         time("ivfpq_probe", m, operators.IvfPq.probe(ivfpq, vecs, 0L, 10))
+        // SemDeDup within-cluster pairs: Σ|cluster|² — at fixed nlist the
+        // per-cluster size grows with the corpus, so the probe shows the
+        // documented super-linear drift that raising nlist (the knob,
+        // same as LSH bits) flattens; reuses the ivf index built above
+        time("semdedup", m,
+          operators.Dedup.semanticDupPairs(vecs, 0.4, s"probe-ivf-$m"))
       }
       spark.stop()
       return
@@ -127,6 +133,20 @@ object ScaleProbe {
         time("lm_score", m, operators.TextAnalysis.lmScore(corpus))
         time("containment_sk", m,
           operators.Dedup.containmentPairsSketch(corpus, 0.9))
+        // boilerplate: salted copies share no n-grams, so the boilerplate
+        // set stays per-copy-sized while the corpus grows — cost must be
+        // linear in mult
+        time("boilerplate", m, operators.TextAnalysis.stripBoilerplate(corpus))
+        // BPE training: the per-round pair-count shuffle is vocab-sized;
+        // salting multiplies the vocab by mult, the corpus-explode pass by
+        // mult — still linear
+        time("bpe_train", m, {
+          val sc = new CacheScope
+          try {
+            operators.Bpe.trainMerges(corpus, 8, sc)
+            corpus.select("doc_id").limit(1) // time() wants a DataFrame
+          } finally sc.release()
+        })
         // the full pairs→clusters→keep-best corpus collapse (one left join +
         // cluster-keyed window on top of the cluster pass)
         time("collapse", m, operators.Dedup.collapseNearDups(corpus,

@@ -241,6 +241,72 @@ object Streams {
         (floor(col("cosine") * 10000.0 + 0.5) / 10000.0).as("cosine_4dp"))
   }
 
+  /** Per-type state for [[gapFillHourlyStream]]: the next hour to emit and
+    * the not-yet-finalized hour counts (watermark-bounded — hours leave the
+    * map the moment the watermark finalizes them).
+    */
+  case class GapState(nextHourSec: Long, pending: Map[Long, Long])
+
+  /** Streaming gap-fill — the stream twin of the batch `events_gapfill`
+    * densify: per event type, emit (hour, event_type, n_events) for EVERY
+    * hour from the type's first event to the watermark, INCLUDING zero
+    * rows for silent hours. A batch job densifies after the fact; a
+    * monitor needs the zero row the moment the hour is over — and only a
+    * timer-driven operator can emit a row no event triggered, so this is
+    * flatMapGroupsWithState with EventTimeTimeout rather than a windowed
+    * aggregation.
+    *
+    * Emission contract: hour h is final once the watermark passes h+1h
+    * (any event of that hour would now be dropped as late), so output is
+    * append-mode stable and exactly-once across restarts. Out-of-order
+    * arrivals below the current emit frontier are impossible for the same
+    * reason — a non-late event's hour is always ≥ the highest finalized
+    * hour. Zero rows for a silent type keep flowing because OTHER types'
+    * events advance the shared watermark and the per-type timeout re-fires
+    * each batch.
+    *
+    * State per type: one long + the pending slice [watermark, max-seen
+    * hour] of hour counts — watermark-bounded, independent of stream
+    * length.
+    */
+  def gapFillHourlyStream(events: DataFrame,
+                          watermark: String = "1 hour"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type").cast("string").as("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, (java.sql.Timestamp, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[GapState]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val incoming = rows.map(_._2.getTime / 1000 / 3600 * 3600).toSeq
+          val st0 = state.getOption.getOrElse(GapState(Long.MaxValue, Map.empty))
+          val pending = incoming.foldLeft(st0.pending)((m, h) =>
+            m.updated(h, m.getOrElse(h, 0L) + 1))
+          // the frontier only moves DOWN on the first batch for the type
+          // (later non-late events are always at or above the watermark,
+          // hence above every already-emitted hour)
+          var h = math.min(st0.nextHourSec,
+            if (incoming.isEmpty) Long.MaxValue else incoming.min)
+          val out = Seq.newBuilder[(java.sql.Timestamp, String, Long)]
+          while (h != Long.MaxValue && h + 3600 <= wmSec) {
+            out += ((new java.sql.Timestamp(h * 1000), etype,
+              pending.getOrElse(h, 0L)))
+            h += 3600
+          }
+          state.update(GapState(h, pending.filter(_._1 >= h)))
+          // re-arm every batch: fires as soon as the watermark moves again
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          out.result().iterator
+      }
+      .toDF("hour", "event_type", "n_events")
+  }
+
   /** Buffered per-user state for [[asofJoinStream]]: (epochMs, id) pairs of
     * retained clicks and not-yet-finalized purchases.
     */

@@ -338,6 +338,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming gap-fill emits zero rows for silent hours") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").cast("string"), col("ts"))
+      .as[(String, Timestamp)].collect().toSeq
+      .sortBy(_._2.getTime)
+    // a far-future sentinel of a third type pushes the watermark past every
+    // real hour; its own hour stays unfinalized so it emits nothing
+    val sentinelTs = new Timestamp(ev.map(_._2.getTime).max + 10L * 3600 * 1000)
+
+    val input = MemoryStream[(String, Timestamp)]
+    input.addData(ev.take(ev.length / 2))
+    val q = Streams.gapFillHourlyStream(input.toDF().toDF("event_type", "ts"))
+      .writeStream.format("memory").queryName("gapfill_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(ev.drop(ev.length / 2))
+    q.processAllAvailable()
+    input.addData(Seq(("zzz_sentinel", sentinelTs)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("gapfill_stream")
+      .as[(Timestamp, String, Long)].collect().toSet
+
+    // expected: per type, every hour from its first event to the watermark
+    // frontier, zero-filled — trailing silent hours included
+    val wmSec = (sentinelTs.getTime - 3600L * 1000) / 1000
+    val bySec = ev.map { case (t, ts) => (t, ts.getTime / 1000 / 3600 * 3600) }
+    val expected = bySec.map(_._1).distinct.flatMap { t =>
+      val hs = bySec.filter(_._1 == t).map(_._2)
+      val cnt = hs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      Iterator.iterate(hs.min)(_ + 3600).takeWhile(_ + 3600 <= wmSec)
+        .map(h => (new Timestamp(h * 1000), t, cnt.getOrElse(h, 0L)))
+    }.toSet
+    assert(got === expected)
+    assert(got.exists(_._3 == 0L), "no silent-hour zero rows emitted")
+  }
+
   test("streaming semantic dedup equals batch SemDeDup pairs") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
