@@ -235,10 +235,34 @@ object EventQueries {
         .agg(count(lit(1)).as("n"),
           sum("user_events").as("sum_user_events"))
         .orderBy("event_type")
-    })
+    }),
+
+    // Key-skew health check: the 10 heaviest user_ids + the global
+    // max/mean skew factor — the report read before reaching for
+    // saltedAgg/saltedJoin.
+    "events_key_skew" -> ((s, dir) =>
+      operators.Skew.keySkewReport(Tables.events(s, dir), col("user_id"))
+        .select(col("key").as("user_id"), col("n_rows"),
+          col("share_4dp"), col("skew_factor_4dp")))
   )
 
   val oracle: Map[String, String] = Map(
+    "events_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(n_rows) AS BIGINT) AS n_total,
+        |    MAX(n_rows) AS n_max
+        |  FROM c)
+        |SELECT user_id, n_rows,
+        |  FLOOR(CAST(n_rows AS DOUBLE) / n_total * 10000.0 + 0.5)
+        |    / 10000.0 AS share_4dp,
+        |  FLOOR(CAST(n_max AS DOUBLE) * n_keys / n_total * 10000.0 + 0.5)
+        |    / 10000.0 AS skew_factor_4dp
+        |FROM c, t
+        |ORDER BY n_rows DESC, user_id
+        |LIMIT 10""".stripMargin,
+
     "events_cohort_retention" ->
       """WITH cohort AS (
         |  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_ts

@@ -34,6 +34,33 @@ object Skew {
       .groupBy(col("key"))
       .agg(sum("_n").as("n"), sum("_s").cast("double").as("total"))
 
+  /** Key-skew report — the diagnostic run BEFORE choosing a mitigation
+    * (the join/agg twin of the IVF `ann_list_sizes` health check): the
+    * `topK` heaviest keys with their row share, plus the corpus-wide skew
+    * factor max/mean — the multiple by which the hottest key's task
+    * outweighs the average one. A skew factor near 1 means plain
+    * shuffles are fine; large values tell you which keys [[saltedAgg]] /
+    * [[saltedJoin]] (or AQE skew handling) must absorb.
+    *
+    * Scale: one keyed partial-agg count, a 1-row global aggregate that
+    * arrives via broadcast cross join (no driver collect), and a
+    * deterministic (count desc, key) top-k via orderBy+limit — no global
+    * window anywhere.
+    */
+  def keySkewReport(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"),
+      sum("n_rows").as("n_total"), max("n_rows").as("n_max"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_rows"),
+        (floor(col("n_rows").cast("double") / col("n_total") * 10000.0 + 0.5)
+          / 10000.0).as("share_4dp"),
+        (floor(col("n_max").cast("double") * col("n_keys") / col("n_total")
+          * 10000.0 + 0.5) / 10000.0).as("skew_factor_4dp"))
+      .orderBy(desc("n_rows"), col("key"))
+      .limit(topK)
+  }
+
   /** Salted equi-join for a skewed LEFT side: each left row gets a
     * deterministic salt, the right side is replicated once per salt value
     * (explode), and the join key becomes (key, salt) — a hot key's rows
