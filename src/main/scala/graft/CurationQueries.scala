@@ -65,6 +65,18 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Data-mixture construction: four sources filled to their own token
+    // budgets by hash-ordered uniform prefix (src3's budget exceeds its
+    // volume — the whole-source pass-through path).
+    "cur_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Curation.mixtureSample(docs, "source", col("doc_id"), col("n_tokens"),
+          Map("src0" -> 800L, "src1" -> 1000L, "src2" -> 600L, "src3" -> 2000L))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: chunks → 256-token training bins across 8 shards.
     "cur_pack" -> ((s, dir) =>
       Curation.packSequences(
@@ -279,6 +291,26 @@ object CurationQueries {
         |  FROM q)
         |SELECT doc_id, quality, n_tokens FROM r
         |WHERE running <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // Per-source hash-ordered running sums against per-source budgets
+    // (the hashUnit twin: first 8 md5 hex chars as a 32-bit int × 2⁻³²).
+    "cur_mixture" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 AS u
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+        |  FROM c)
+        |SELECT doc_id, source, n_tokens FROM r
+        |WHERE running <= CASE source WHEN 'src0' THEN 800
+        |  WHEN 'src1' THEN 1000 WHEN 'src2' THEN 600 ELSE 2000 END
+        |ORDER BY doc_id""".stripMargin,
 
     // Same chunk derivation as cur_chunks, then the shard-partitioned
     // running sum (CAST to BIGINT: DuckDB window SUM yields HUGEINT).

@@ -165,6 +165,33 @@ object Curation {
     out.select(outCols: _*)
   }
 
+  /** Data-mixture construction: per-source token budgets ("40% web, 20%
+    * code, …" × total token count) filled by the hash-ordered prefix of
+    * each source — [[hashUnit]] ordering is a deterministic uniform
+    * shuffle, so each source contributes a uniform sample of itself, cut
+    * off exactly when its budget fills. THE step that turns per-source
+    * corpora plus a mixing recipe into a training set.
+    *
+    * Sources absent from `budgets` are dropped (the [[stratifiedSample]]
+    * contract). Each source runs through the scale-safe two-phase
+    * [[selectUnderBudget]] (rank = −hashUnit, so best-rank = smallest
+    * variate), so no global or per-source whole-partition sort happens —
+    * the driver loop is bounded by the recipe size, which is metadata
+    * (a mixing recipe with a million entries is not a recipe). To
+    * rank by quality instead of uniformly, compose: pass a quality score
+    * as `rank` via [[selectUnderBudget]] per source.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, key: Column,
+                    cost: Column, budgets: Map[String, Long],
+                    buckets: Int = 64,
+                    scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    require(budgets.nonEmpty, "mixtureSample needs at least one source budget")
+    budgets.toSeq.sortBy(_._1).map { case (src, b) =>
+      selectUnderBudget(df.filter(col(sourceCol) === src),
+        lit(0.0) - hashUnit(key), key, cost, b, buckets, scope)
+    }.reduce(_ unionByName _)
+  }
+
   /** Sequence packing: assign chunk rows to fixed-capacity token bins —
     * the step after [[chunk]] that builds training sequences ("pack these
     * chunks into 4k-token windows"). Rows are first sharded by key hash

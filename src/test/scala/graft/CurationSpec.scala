@@ -116,6 +116,37 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq((0, "a b c")))
   }
 
+  test("mixtureSample fills each source to its budget, drops the rest") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val budgets = Map("src0" -> 800L, "src1" -> 1000L, "src2" -> 600L,
+      "src3" -> 100000L)
+    val out = Curation.mixtureSample(docs, "source", col("doc_id"),
+      col("n_tokens"), budgets)
+    val bySource = out.groupBy("source")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // budgets respected, recipe-absent sources dropped
+    assert(bySource.keySet === budgets.keySet)
+    budgets.foreach { case (s, b) => assert(bySource(s)._1 <= b, s"$s over budget") }
+    // an oversized budget passes the whole source through
+    val src3All = docs.filter(col("source") === "src3")
+      .agg(sum("n_tokens"), count(lit(1))).as[(Long, Long)].head()
+    assert(bySource("src3") === src3All)
+    // tight budgets actually truncate
+    assert(bySource("src2")._2 <
+      docs.filter(col("source") === "src2").count())
+    // adding budget only GROWS a source's selection (prefix property of
+    // the hash order: a bigger cut keeps every previously kept doc)
+    val grown = Curation.mixtureSample(docs, "source", col("doc_id"),
+      col("n_tokens"), Map("src2" -> 1200L))
+      .select("doc_id").as[Long].collect().toSet
+    val small = out.filter(col("source") === "src2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(grown))
+  }
+
   test("weightedSample: weight 1 keeps all, weight 0 keeps none, rate tracks weight") {
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count()
