@@ -33,6 +33,23 @@ object Sinks {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** [[readJsonl]] with a bad-line audit — the JSONL twin of the CSV
+    * quarantine (`SalesClean.readCsvAudited`): lines that don't parse under
+    * the schema keep their raw text in `_corrupt_record` instead of
+    * becoming silent all-null rows. Web-corpus JSONL is exactly where
+    * truncated lines and encoding damage live, and a silent null row
+    * poisons every downstream count. Same Spark restriction as the CSV
+    * path: cache before filtering ON ONLY the corrupt column.
+    */
+  def readJsonlAudited(spark: org.apache.spark.sql.SparkSession, path: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .json(path)
+
   /** ORC round-trip — the other columnar format warehouses hand over;
     * same pushdown/pruning machinery as parquet in Spark.
     */

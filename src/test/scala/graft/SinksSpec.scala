@@ -42,6 +42,32 @@ class SinksSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("doc_id"), p)
   }
 
+  test("jsonl audited read quarantines broken lines, keeps good ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      """{"doc_id": 1, "text": "good one"}
+        |{"doc_id": 2, "text": "also good"}
+        |{"doc_id": 3, "text": "truncated
+        |not json at all
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val df = Sinks.readJsonlAudited(spark, dir, schema).cache()
+    try {
+      val good = df.filter($"_corrupt_record".isNull)
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      val bad = df.filter($"_corrupt_record".isNotNull)
+        .select("_corrupt_record").as[String].collect().toSet
+      assert(good === Set((1L, "good one"), (2L, "also good")))
+      assert(bad === Set("{\"doc_id\": 3, \"text\": \"truncated",
+        "not json at all"))
+    } finally df.unpersist()
+  }
+
   test("z-ordered layout bounds per-file ranges on BOTH columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     // uniform 64×64 grid: a single-column sort would give every file the
