@@ -12,6 +12,29 @@ import graft.functions.TopK
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Misra-Gries sketch keeps every true heavy hitter with bounded undercount") {
+    val k = 64
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = toks.count()
+    val exact = toks.groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    val sk = toks.agg(graft.functions.HeavyHitters.sketch(k)(col("token")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("token"), col("e._2").as("est"))
+      .as[(String, Long)].collect().toMap
+    val bound = n / (k + 1)
+    // est <= true, undercount <= n/(k+1)
+    sk.foreach { case (t, est) =>
+      assert(exact.contains(t) && est <= exact(t), s"$t overcounted")
+      assert(exact(t) - est <= bound, s"$t undercount ${exact(t) - est} > $bound")
+    }
+    // nothing above the threshold is lost (here: every token — small vocab)
+    val mustKeep = exact.filter(_._2 > bound).keySet
+    assert(mustKeep.nonEmpty && mustKeep.subsetOf(sk.keySet))
+    info(s"n=$n bound=$bound kept=${sk.size} mustKeep=${mustKeep.size}")
+  }
+
   test("approx_count_distinct within 5% of exact on the corpus") {
     val li = Tables.lineitem(spark, sfDir)
     val (approx, exact) = li.agg(
