@@ -86,6 +86,20 @@ object DedupQueries {
       Dedup.minhashPairs(Tables.documents(s, dir), 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // Incremental dedup: the planted-clone batch (every 50th doc re-keyed)
+    // arrives as "new" and is checked against the corpus only — each clone
+    // must rediscover its original (j = 1.0) plus the original's near-dup
+    // partners; recall shares the dedup_minhash_lsh argument (pairs here
+    // sit at j ≥ 0.9, where every band collides w.h.p.), so the oracle is
+    // the exact cross-set Jaccard.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val newBatch = docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 150000L)
+      Dedup.minhashPairsAgainst(newBatch, docs, 0.5)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // SimHash near-dup (hamming ≤ 3 over 64-bit signatures) over the
     // md5-derived portable token hash, so DuckDB reproduces the signatures
     // bit-for-bit (xor + bit_count verify the hamming distances).
@@ -166,6 +180,29 @@ object DedupQueries {
       |WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // Cross-set twin for the incremental check: the clone batch's shingle
+  // sets against the corpus's (reuses jaccardBase's w/sh/n CTEs for the
+  // corpus side; same division spelling).
+  private val incrementalSql: String =
+    s"""WITH $jaccardBase,
+      |nw AS (
+      |  SELECT doc_id + 150000 AS doc_id, shs FROM w WHERE doc_id % 50 = 0),
+      |nsh AS (SELECT doc_id, unnest(shs) AS s FROM nw),
+      |nn AS (SELECT doc_id, COUNT(*) AS n_sh FROM nsh GROUP BY doc_id),
+      |xp AS (
+      |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS common
+      |  FROM nsh a JOIN sh b ON a.s = b.s
+      |  GROUP BY 1, 2),
+      |xj AS (
+      |  SELECT new_id, corpus_id,
+      |    CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
+      |  FROM xp
+      |  JOIN nn na ON na.doc_id = new_id
+      |  JOIN n nb ON nb.doc_id = corpus_id)
+      |SELECT new_id, corpus_id, jaccard FROM xj
+      |WHERE jaccard >= 0.5
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   // DuckDB twin of Dedup.md5Hash64: two 32-bit md5 halves recombined into a
   // signed 64-bit value (same no-overflow construction as the Scala side).
   private def md5Hash64Sql(t: String): String =
@@ -218,6 +255,7 @@ object DedupQueries {
 
     "dedup_jaccard_pairs" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
+    "dedup_incremental" -> incrementalSql,
 
     // Same shingle machinery as jaccardBase over documents + planted
     // excerpts, with the containment (not jaccard) verification formula.

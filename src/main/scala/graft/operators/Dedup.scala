@@ -269,6 +269,45 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental near-dup check: a NEW batch against the EXISTING corpus —
+    * the production dedup shape. When a crawl lands you don't re-pair the
+    * corpus with itself; you ask "which of these new documents already
+    * exist". Candidates come from joining the new batch's (band, bucket)
+    * keys against the corpus's — cost is new×bands plus the matched
+    * buckets, NEVER corpus×corpus (at warehouse scale the corpus side is
+    * the persisted signature/bucket table maintained across batches — the
+    * same artifact [[minhashPairs]] persists, written out; the streaming
+    * twin of this op is `Streams.nearDupNovelStream`). Verification is
+    * exact Jaccard on candidates only, as everywhere in this family.
+    * Emits (new_id, corpus_id, jaccard ≥ threshold); a new doc with no row
+    * is genuinely novel. Ids may collide across the two inputs (they are
+    * different tables); pairs are cross-set by construction.
+    */
+  def minhashPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+                          threshold: Double, n: Int = 3, k: Int = 128,
+                          bands: Int = 32,
+                          scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val prep = (d: DataFrame) => scope.persist(
+      d.select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
+        .withColumn("sig", minhashSignatureFromHashes(col("sh"), k)))
+    val nw = prep(newDocs)
+    val cp = prep(corpus)
+    val bN = lshBuckets(nw.select("doc_id", "sig"), "doc_id", "sig", bands, k)
+      .withColumnRenamed("doc_id", "new_id")
+    val bC = lshBuckets(cp.select("doc_id", "sig"), "doc_id", "sig", bands, k)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val cands = bN.join(bC, Seq("band", "bucket"))
+      .select("new_id", "corpus_id").distinct()
+    cands
+      .join(nw.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(cp.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_c"))))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   // ---- Near-dup clustering ----
 
   /** Connected components over a near-dup pair graph — the step between

@@ -120,6 +120,23 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty) // the planted excerpt-parent pairs
   }
 
+  test("minhashPairsAgainst: every new clone rediscovers its original") {
+    val d = Tables.documents(spark, sfDir)
+    val newBatch = d.filter($"doc_id" % 50 === 0)
+      .withColumn("doc_id", $"doc_id" + 150000L)
+    val pairs = Dedup.minhashPairsAgainst(newBatch, d, 0.5)
+      .as[(Long, Long, Double)].collect()
+    val originals = d.filter($"doc_id" % 50 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(originals.nonEmpty)
+    originals.foreach { o =>
+      assert(pairs.exists(p => p._1 == o + 150000L && p._2 == o && p._3 == 1.0),
+        s"clone of $o did not rediscover its original")
+    }
+    // cross-set only: new ids on the left, corpus ids on the right
+    assert(pairs.forall(p => p._1 >= 150000L && p._2 < 150000L))
+  }
+
   test("semanticDupPairs = embeddingPairs restricted to co-clustered pairs") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Dedup.embeddingPairs(emb, 0.4)
