@@ -111,6 +111,34 @@ object EventQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // Trailing 3-hour moving average per type over the GAP-FILLED matrix —
+    // the smoothing every rate monitor applies; composing with gap-fill
+    // again matters (silent hours must pull the average DOWN, which they
+    // only do as rows). Exact arithmetic: frame sum of long counts, frame
+    // row count, one correctly-rounded division. Window is keyed by type.
+    "events_moving_avg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val hours = ev
+        .agg(date_trunc("hour", min("ts")).as("lo"),
+          date_trunc("hour", max("ts")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      val dense = hours.crossJoin(ev.select("event_type").distinct())
+        .join(hourly, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-2, Window.currentRow)
+      dense
+        .withColumn("ma_4dp",
+          floor(sum("n_events").over(w).cast("double")
+            / count(lit(1)).over(w) * 10000.0 + 0.5) / 10000.0)
+        .orderBy("hour", "event_type")
+    }),
+
     // Gap-based sessionization (30-min inactivity closes a session).
     "events_sessionize" -> ((s, dir) => {
       val secs = col("ts").cast("long")
@@ -351,6 +379,34 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // gapfill twin + trailing-3-row frame window (CAST the frame SUM back
+    // to BIGINT: DuckDB window SUM yields HUGEINT)
+    "events_moving_avg" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+        |    date_trunc('hour', MAX(ts)) AS hi
+        |  FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |dense AS (
+        |  SELECT h.hour, t.event_type, COALESCE(n_events, 0) AS n_events
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN hourly ON hourly.hour = h.hour
+        |    AND hourly.event_type = t.event_type)
+        |SELECT hour, event_type, n_events,
+        |  FLOOR(CAST(CAST(SUM(n_events) OVER w AS BIGINT) AS DOUBLE)
+        |    / COUNT(*) OVER w * 10000.0 + 0.5) / 10000.0 AS ma_4dp
+        |FROM dense
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY hour, event_type""".stripMargin,
 
     "events_gapfill" ->
       """WITH hourly AS (
