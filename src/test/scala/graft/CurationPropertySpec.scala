@@ -47,6 +47,49 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  // JVM twin of Curation.hashUnit: first 4 md5 bytes as an unsigned int
+  // scaled by 2^-32 — exact, like the SQL twin
+  private def hashUnit(key: Long): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.toString.getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v.toDouble / 4294967296.0
+  }
+
+  test("mixtureSample equals the per-source sequential reference on random inputs") {
+    val srcGen = Gen.oneOf("s0", "s1", "s2", "s3")
+    val mixRowsGen: Gen[List[(Long, String, Long)]] = for {
+      n <- Gen.choose(0, 300)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 100000L)
+        s <- srcGen
+        c <- Gen.frequency(5 -> Gen.choose(1L, 50L), 1 -> Gen.const(0L))
+      } yield (k, s, c))
+    } yield rows.distinctBy(_._1)
+    for (seed <- 1L to 6L) {
+      val rows = sample(mixRowsGen, seed)
+      val budgets = sample(Gen.someOf(Seq("s0", "s1", "s2", "s3")), seed * 17)
+        .map(s => s -> sample(Gen.choose(0L, 1500L), seed * 31 + s.hashCode))
+        .toMap
+      if (budgets.nonEmpty) {
+        val df = rows.toDF("k", "src", "c")
+        val got = Curation.mixtureSample(df, "src", col("k"), col("c"), budgets)
+          .select("k").as[Long].collect().toSet
+        val expected = budgets.keySet.flatMap { s =>
+          var run = 0L
+          rows.filter(_._2 == s)
+            .sortBy { case (k, _, _) => (hashUnit(k), k) }
+            .flatMap { case (k, _, c) =>
+              run += c; if (run <= budgets(s)) Some(k) else None
+            }
+        }
+        assert(got === expected, s"seed=$seed budgets=$budgets n=${rows.size}")
+        CacheScope.global.release()
+      }
+    }
+  }
+
   test("packSequences matches a sequential per-shard packer for random chunks") {
     for (seed <- 1L to 5L) {
       val chunks = sample(Gen.listOfN(200, for {
