@@ -69,8 +69,33 @@ object MultimodalQueries {
       operators.Dedup.embeddingPairs(feats, 0.999999)
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // Perceptual-hash near-dup: 64-bit aHash over each blob's bytes,
+    // pairs within Hamming ≤ 3 via the pigeonhole banding join — the
+    // image-dedup pipeline on the planted-clone corpus (clones pair at
+    // distance 0). Fully hash-oracled: the twin inlines all 64 block
+    // terms of the aHash and verifies with xor + bit_count.
+    "mm_phash_dups" -> ((s, dir) => {
+      val cloned = Multimodal.assetsFromDocuments(
+        Tables.documentsWithClones(s, dir))
+      val sigs = cloned.select(col("asset_id"),
+        Multimodal.aHash64(col("content").cast("string")).as("phash"))
+      operators.Dedup.hammingPairs64(sigs, "asset_id", "phash", 3)
+        .orderBy("doc_a", "doc_b")
     })
   )
+
+  // The 64 aHash block terms (bit c = [block-sum·n > total·block-len],
+  // integer cross-multiplication — no division), as disjoint-bit addends;
+  // bit 63 is the sign bit, spelled as Long.MinValue like the simhash twin.
+  private val phashTerms: String = (0 until 64).map { c =>
+    val from = s"CAST(FLOOR($c * n / 64.0) AS BIGINT)"
+    val to = s"CAST(FLOOR(${c + 1} * n / 64.0) AS BIGINT)"
+    val sumC = s"COALESCE(CAST(list_sum(list_slice(codes, $from + 1, $to)) AS BIGINT), 0)"
+    val bit = if (c == 63) "-9223372036854775807 - 1" else s"(1::BIGINT << $c)"
+    s"CASE WHEN $sumC * n > total * ($to - $from) THEN $bit ELSE 0 END"
+  }.mkString("\n    + ")
 
   // SQL twin of assetsFromDocuments for the oracle.
   private val assetCte =
@@ -98,6 +123,26 @@ object MultimodalQueries {
       s"""$assetCte
          |SELECT asset_id, kind, n_bytes, width, height, duration_ms
          |FROM assets ORDER BY asset_id""".stripMargin,
+
+    "mm_phash_dups" ->
+      s"""${DedupQueries.clonedDocsCte},
+         |d AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+         |    list_transform(range(1, length(text) + 1),
+         |      i -> ascii(substring(text, CAST(i AS INT), 1))) AS codes
+         |  FROM documents2),
+         |t AS (
+         |  SELECT doc_id, n, codes,
+         |    COALESCE(CAST(list_sum(codes) AS BIGINT), 0) AS total
+         |  FROM d),
+         |h AS (
+         |  SELECT doc_id, CAST($phashTerms AS BIGINT) AS phash
+         |  FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Byte stats via per-character code points (ASCII corpus ⇒ code point
     // == UTF-8 byte). The stub's integer byte sum is exact in both engines,

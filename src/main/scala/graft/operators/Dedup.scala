@@ -433,28 +433,29 @@ object Dedup {
       graft.plans.NativeKernels.simhash64(
         graft.plans.NativeKernels.md5Hash64(split(col("text"), " "))))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3 by
-    * default). Pigeonhole banding: a 64-bit key split into 4 16-bit chunks —
-    * any pair within distance 3 shares at least one chunk, so the join on
-    * (chunk index, chunk value) finds all of them with linear shuffle cost;
-    * bit_count(xor) verifies exactly.
+  /** All pairs within Hamming distance ≤ maxDist over a 64-bit signature
+    * column — the banding engine shared by [[simhashPairs]] and the
+    * perceptual-hash dedup in Multimodal. Pigeonhole banding: the key is
+    * split into 4 16-bit chunks — any pair within distance 3 agrees on at
+    * least one chunk, so the join on (chunk index, chunk value) finds all
+    * of them with linear shuffle cost; bit_count(xor) verifies exactly.
+    * Emits (doc_a < doc_b, hamming).
     */
-  def simhashPairs(documents: DataFrame, maxDist: Int = 3,
-                   portable: Boolean = false): DataFrame = {
+  def hammingPairs64(sigs: DataFrame, idCol: String, hashCol: String,
+                     maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist=$maxDist out of range: 4-chunk pigeonhole banding is only " +
         "complete for Hamming distance <= 3 (a distance-4 pair can differ " +
         "in every chunk and never share a join key)")
-    val withSig = if (portable) withSimhashPortable(documents) else withSimhash(documents)
-    val sh = withSig.select("doc_id", "simhash")
+    val sh = sigs.select(col(idCol).as("_id"), col(hashCol).as("_h"))
     // 16-bit chunks, shifted down so values stay small positive longs
     val chunks = array((0 until 4).map(j =>
-      shiftright(col("simhash"), 16 * j).bitwiseAND(lit(65535L))): _*)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
+      shiftright(col("_h"), 16 * j).bitwiseAND(lit(65535L))): _*)
+    val chunked = sh.select(col("_id"), col("_h"),
       posexplode(chunks).as(Seq("chunk", "cval")))
-    val a = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"),
+    val a = chunked.select(col("_id").as("doc_a"), col("_h").as("h_a"),
       col("chunk"), col("cval"))
-    val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"),
+    val b = chunked.select(col("_id").as("doc_b"), col("_h").as("h_b"),
       col("chunk"), col("cval"))
     a.join(b, Seq("chunk", "cval"))
       .filter(col("doc_a") < col("doc_b"))
@@ -462,6 +463,15 @@ object Dedup {
         bit_count(expr("h_a ^ h_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3 by
+    * default) — [[hammingPairs64]] over the [[withSimhash]] signature.
+    */
+  def simhashPairs(documents: DataFrame, maxDist: Int = 3,
+                   portable: Boolean = false): DataFrame = {
+    val withSig = if (portable) withSimhashPortable(documents) else withSimhash(documents)
+    hammingPairs64(withSig.select("doc_id", "simhash"), "doc_id", "simhash", maxDist)
   }
 
   // ---- Embedding near-dup ----

@@ -101,6 +101,40 @@ object Multimodal {
       .toDF("asset_id", "frame_no", "frame")
   }
 
+  /** 64-bit perceptual average-hash (aHash) of a blob's bytes — THE classic
+    * image-dedup fingerprint: split the byte stream into 64 blocks, bit c =
+    * [block c's mean > global mean]. Robust to small local edits (one
+    * changed block flips at most one bit), so near-identical assets land
+    * within small Hamming distance — feed [[graft.operators.Dedup.hammingPairs64]]
+    * for the linear-cost pair join (`mm_phash_dups`). A real pipeline
+    * computes this over decoded pixel blocks; here the deterministic stub
+    * blob IS the byte stream, and the hash is a pure expression.
+    *
+    * Determinism: block boundaries are floor(c·n/64) (exact doubles at any
+    * realistic n), the mean comparison is the integer cross-multiplication
+    * sum_c·n > total·len_c — no division anywhere, identical in any
+    * engine; the DuckDB twin inlines all 64 block terms.
+    *
+    * Takes the blob as a STRING column (the stub blobs are UTF-8 text
+    * bytes; `content.cast("string")` round-trips them — ASCII corpus).
+    */
+  def aHash64(text: Column): Column = {
+    val n = length(text).cast("long")
+    val codes = transform(sequence(lit(1L), n),
+      i => ascii(substr(text, i.cast("int"), lit(1))).cast("long"))
+    val total = aggregate(codes, lit(0L), _ + _)
+    val bits = (0 until 64).map { c =>
+      val from = floor(lit(c.toDouble) * n / 64.0).cast("long")
+      val to = floor(lit(c + 1.0) * n / 64.0).cast("long")
+      val lenC = to - from
+      val sumC = aggregate(
+        slice(codes, (from + 1L).cast("int"), lenC.cast("int")),
+        lit(0L), _ + _)
+      when(sumC * n > total * lenC, shiftleft(lit(1L), c)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
   /** Hash-projected feature vector per asset (deterministic stand-in for a
     * real encoder's embedding). Output plugs straight into
     * [[Similarity]]/[[Ivf]]/[[Dedup.embeddingPairs]].

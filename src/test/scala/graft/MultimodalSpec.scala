@@ -76,4 +76,36 @@ class MultimodalSpec extends SparkSpec {
       f1.select($"asset_id".as("vec_id"), $"features".as("embedding")), 0.999999)
     assert(dups.count() >= 0) // shape check; exact dup count covered by dedup specs
   }
+
+  test("aHash: identical blobs collide, clone pairs surface at hamming 0") {
+    val cloned = Multimodal.assetsFromDocuments(
+      Tables.documentsWithClones(spark, sfDir))
+    val sigs = cloned.select($"asset_id",
+      Multimodal.aHash64($"content".cast("string")).as("phash"))
+    // clones carry identical bytes ⇒ identical hash
+    val pairs = operators.Dedup.hammingPairs64(sigs, "asset_id", "phash", 3)
+      .as[(Long, Long, Int)].collect()
+    val clones = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 50 === 0).select("doc_id").as[Long].collect().toSet
+    clones.foreach { d =>
+      assert(pairs.exists(p => p._1 == d && p._2 == d + 150000L && p._3 == 0),
+        s"clone pair of $d missing")
+    }
+  }
+
+  test("hammingPairs64 banding finds every pair within distance 3") {
+    // craft signatures at known distances: 1-3 bit flips (within and across
+    // 16-bit chunks) must be found; the distance-4 all-chunks-differ case
+    // is outside the banding contract and must NOT appear
+    val base = 0x123456789abcdefL
+    val sigs = Seq(
+      (1L, base), (2L, base ^ 1L), (3L, base ^ (1L << 20) ^ (1L << 21)),
+      (4L, base ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48))
+    ).toDF("doc_id", "h")
+    val got = operators.Dedup.hammingPairs64(sigs, "doc_id", "h", 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)))
+    assert(!got.contains((1L, 4L))) // hamming 4: correctly outside contract
+    assert(got.contains((2L, 3L))) // distance 3 across chunks
+  }
 }
