@@ -378,6 +378,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._3 == 0L), "no silent-hour zero rows emitted")
   }
 
+  test("gap-fill state survives restart: no duplicate or lost hours") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-gf-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gf-ckpt").toString
+    val h0 = Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(hours: Int, min: Int) =
+      new Timestamp(h0.getTime + hours * 3600_000L + min * 60_000L)
+
+    val input = MemoryStream[(String, Timestamp)]
+    input.addData(Seq(("a", at(0, 10)), ("a", at(0, 20)), ("a", at(2, 30))))
+    def start() = Streams.gapFillHourlyStream(
+      input.toDF().toDF("event_type", "ts"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // watermark 01:30 → only hour 0 finalized
+    assert(spark.read.parquet(out).count() === 1)
+
+    // restart from the checkpoint; the sentinel pushes the watermark to
+    // hour 11, finalizing hours 0..10 — hour 0 must NOT re-emit
+    input.addData(Seq(("z", at(12, 0))))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out)
+      .as[(Timestamp, String, Long)].collect().toSet
+    val expected = (0 to 10).map { h =>
+      (at(h, 0), "a", h match { case 0 => 2L; case 2 => 1L; case _ => 0L })
+    }.toSet
+    assert(got === expected)
+    assert(got.size === 11) // exactly once: 1 from run 1 + 10 from run 2
+  }
+
   test("streaming semantic dedup equals batch SemDeDup pairs") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
