@@ -106,6 +106,28 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Analytic-function breadth over the same keyed per-customer ordering:
+    // lag/lead (neighbor keys), ntile quartiles, percent_rank and
+    // cume_dist. All are exact rational functions of the row's position in
+    // a totally-ordered partition (unique (date, key) tie-break), so both
+    // engines agree bit-for-bit; the two ratio columns are 4-dp-floored
+    // identically anyway.
+    "window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("prev_ok", lag("o_orderkey", 1).over(w))
+        .withColumn("next_ok", lead("o_orderkey", 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr_4dp",
+          floor(percent_rank().over(w) * 10000.0 + 0.5) / 10000.0)
+        .withColumn("cd_4dp",
+          floor(cume_dist().over(w) * 10000.0 + 0.5) / 10000.0)
+        .select("o_custkey", "o_orderkey", "prev_ok", "next_ok",
+          "quartile", "pr_4dp", "cd_4dp")
+        .orderBy("o_orderkey")
+    }),
+
     // Per-group Pearson correlation from EXACT integer sums: both measures
     // are quantized to the cent grid (their native resolution), the five
     // sufficient statistics (Σx, Σy, Σxy, Σx², Σy², n) are exact
@@ -337,6 +359,17 @@ object RelationalQueries {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3_spend
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_ok,
+        |  lead(o_orderkey, 1) OVER w AS next_ok,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  FLOOR(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pr_4dp,
+        |  FLOOR(cume_dist() OVER w * 10000.0 + 0.5) / 10000.0 AS cd_4dp
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
     "stats_corr" ->
