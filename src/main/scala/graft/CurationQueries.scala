@@ -77,6 +77,26 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-ranked mixture: same per-source budgets, but each source's
+    // budget is filled BEST DOCUMENTS FIRST (4-dp quality, doc_id ties)
+    // instead of the uniform hash order — the quality-filtered mixing
+    // recipe. Per-source two-phase budget op, composed like mixtureSample.
+    "cur_mixture_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.operators.TextAnalysis.qualityScore(docs)
+        .select("doc_id", "quality")
+        .join(docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+      val budgets = Seq("src0" -> 800L, "src1" -> 1000L, "src2" -> 600L,
+        "src3" -> 2000L)
+      budgets.map { case (src, b) =>
+        Curation.selectUnderBudget(scored.filter(col("source") === src),
+          col("quality"), col("doc_id"), col("n_tokens"), b)
+      }.reduce(_ unionByName _)
+        .select("doc_id", "source", "quality", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: chunks → 256-token training bins across 8 shards.
     "cur_pack" -> ((s, dir) =>
       Curation.packSequences(
@@ -291,6 +311,33 @@ object CurationQueries {
         |  FROM q)
         |SELECT doc_id, quality, n_tokens FROM r
         |WHERE running <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // Quality-ranked per-source running sums (the cur_budget window twin,
+    // partitioned by source, against the CASE budget).
+    "cur_mixture_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    FLOOR((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 0.3
+        |      + LEAST(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3)
+        |      * 10000.0 + 0.5) / 10000.0 AS quality,
+        |    source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |r AS (
+        |  SELECT doc_id, source, quality, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+        |  FROM q)
+        |SELECT doc_id, source, quality, n_tokens FROM r
+        |WHERE running <= CASE source WHEN 'src0' THEN 800
+        |  WHEN 'src1' THEN 1000 WHEN 'src2' THEN 600 ELSE 2000 END
+        |ORDER BY doc_id""".stripMargin,
 
     // Per-source hash-ordered running sums against per-source budgets
     // (the hashUnit twin: first 8 md5 hex chars as a 32-bit int × 2⁻³²).

@@ -159,6 +159,33 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Per-group least-squares fit price ~ quantity from the SAME exact
+    // integer sufficient statistics as stats_corr — deterministic
+    // distributed regression: slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²),
+    // intercept = (Σy − slope·Σx)/n, both correctly-rounded functions of
+    // identical integers in either engine. One partial-agg shuffle.
+    "stats_ols" -> ((s, dir) => {
+      val xq = floor(col("l_quantity") * 100.0 + 0.5).cast("long")
+      val yq = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+      val d38 = "decimal(38,0)"
+      def dbl(c: String) = col(c).cast("double")
+      val slope = (dbl("n_items") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+        (dbl("n_items") * dbl("sxx") - dbl("sx") * dbl("sx"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), xq.as("xq"), yq.as("yq"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("xq").cast(d38)).as("sx"),
+          sum(col("yq").cast(d38)).as("sy"),
+          sum((col("xq") * col("yq")).cast(d38)).as("sxy"),
+          sum((col("xq") * col("xq")).cast(d38)).as("sxx"))
+        .select(col("l_returnflag"), col("n_items"),
+          (floor(slope * 1000000.0 + 0.5) / 1000000.0).as("slope_6dp"),
+          (floor((dbl("sy") - slope * dbl("sx")) / dbl("n_items") * 100.0
+            + 0.5) / 100.0).as("intercept_2dp"))
+        .orderBy("l_returnflag")
+    }),
+
     // Global sort + limit (distributed top-k via TakeOrderedAndProject).
     "orders_topk" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -371,6 +398,31 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "stats_ols" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS xq,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yq
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_items,
+        |    SUM(xq) AS sx, SUM(yq) AS sy, SUM(xq * yq) AS sxy,
+        |    SUM(xq * xq) AS sxx
+        |  FROM q GROUP BY 1),
+        |f AS (
+        |  SELECT l_returnflag, n_items,
+        |    (CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM s)
+        |SELECT l_returnflag, n_items,
+        |  FLOOR(slope * 1000000.0 + 0.5) / 1000000.0 AS slope_6dp,
+        |  FLOOR((syd - slope * sxd) / CAST(n_items AS DOUBLE) * 100.0 + 0.5)
+        |    / 100.0 AS intercept_2dp
+        |FROM f ORDER BY l_returnflag""".stripMargin,
 
     "stats_corr" ->
       """WITH q AS (
