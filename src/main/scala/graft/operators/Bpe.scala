@@ -123,6 +123,23 @@ object Bpe {
       try trainMerges(documents, nMerges, sc) finally sc.release()
     })
 
+  /** Persist a trained merge table — the tokenizer artifact a pipeline
+    * trains once and ships everywhere (the BPE analog of the materialized
+    * IVF index). Rank order is the application order; [[loadMerges]]
+    * restores it exactly.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], path: String): Unit =
+    spark.createDataFrame(merges)
+      .write.mode("overwrite").parquet(path)
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Merge]
+      .collect().toSeq.sortBy(_.rank)
+  }
+
   /** Segment a word with a trained merge table: the symInit string folded
     * through the merge replaces IN RANK ORDER — a pure expression, applied
     * to unbounded text with no join against the training vocabulary.

@@ -48,6 +48,21 @@ class BpeSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("merge table round-trips through parquet in application order") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Bpe.trainMergesCached(sfDir, docs)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/merges"
+    Bpe.saveMerges(spark, merges, path)
+    val back = Bpe.loadMerges(spark, path)
+    assert(back === merges)
+    // a loaded table segments identically to the freshly trained one
+    val a = docs.select(Bpe.segment(col("text"), merges).as("s"))
+      .as[String].collect().toSeq
+    val b = docs.select(Bpe.segment(col("text"), back).as("s"))
+      .as[String].collect().toSeq
+    assert(a === b)
+  }
+
   test("training is deterministic across fresh runs") {
     val docs = Tables.documents(spark, sfDir)
     val s1 = new CacheScope
