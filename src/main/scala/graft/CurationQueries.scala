@@ -77,6 +77,41 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // THE end-to-end corpus build, composed from this library's own
+    // operators: strip cross-document boilerplate → re-score quality on
+    // the CLEANED text and gate at 0.5 → exact-dedup the survivors
+    // (min-id per normalized fingerprint) → fill per-source token budgets
+    // by hash order. One query, one fully composed DuckDB twin — the
+    // "turn a crawl into a training set" flagship. Every stage is a
+    // linear/keyed shape (see the stages' own queries); the gate bites
+    // (~¼ of docs pass), dedup bites on stripped near-dups, budgets bite
+    // per source.
+    "cur_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scope = graft.CacheScope.global
+      // persist: the stripped+gated table feeds the dedup groupBy, the
+      // survivor join-back AND the mixture — 3 consumers
+      val stripped = operators.TextAnalysis.stripBoilerplate(docs, scope = scope)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .filter(col("clean_text") =!= "")
+      val q = operators.TextAnalysis.qualityScore(
+          stripped.select(col("doc_id"), col("clean_text").as("text")))
+        .select("doc_id", "quality")
+      val kept = scope.persist(
+        stripped.join(q, "doc_id").filter(col("quality") >= 0.5))
+      val survivors = kept
+        .groupBy(operators.TextAnalysis.fingerprintMd5(col("clean_text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val base = kept.join(survivors, "doc_id")
+        .select(col("doc_id"), col("source"),
+          size(split(col("clean_text"), " ")).cast("long").as("n_tokens"))
+      Curation.mixtureSample(base, "source", col("doc_id"), col("n_tokens"),
+          Map("src0" -> 800L, "src1" -> 1000L, "src2" -> 600L, "src3" -> 2000L),
+          scope = scope)
+        .orderBy("doc_id")
+    }),
+
     // Quality-ranked mixture: same per-source budgets, but each source's
     // budget is filled BEST DOCUMENTS FIRST (4-dp quality, doc_id ties)
     // instead of the uniform hash order — the quality-filtered mixing
@@ -113,7 +148,7 @@ object CurationQueries {
     "cur_quality_gate" -> ((s, dir) => {
       import graft.operators.TextAnalysis
       val docs = Tables.documents(s, dir)
-      val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+      val q = operators.TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
       val rep = docs.select(col("doc_id"),
         TextAnalysis.r4(TextAnalysis.repetitionRatio(col("text"), 3)).as("rep"))
       val lid = docs
@@ -311,6 +346,59 @@ object CurationQueries {
         |  FROM q)
         |SELECT doc_id, quality, n_tokens FROM r
         |WHERE running <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // The composed pipeline twin: boilerplate CTEs → strip reassembly →
+    // quality over clean_text → md5-fingerprint dedup (min-id survivor) →
+    // per-source hash-ordered budget windows. Each fragment is its stage's
+    // own proven twin, chained.
+    "cur_pipeline" ->
+      s"""${TextQueries.boilerplateCtes},
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS p, ts[i] AS token
+         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM t)),
+         |kept0 AS (
+         |  SELECT tok.doc_id, tok.p, tok.token
+         |  FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p),
+         |agg AS (
+         |  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text
+         |  FROM kept0 GROUP BY doc_id),
+         |sdoc AS (
+         |  SELECT t.doc_id, d.source, COALESCE(agg.clean_text, '') AS clean_text
+         |  FROM t LEFT JOIN agg USING (doc_id)
+         |  JOIN documents d USING (doc_id)
+         |  WHERE COALESCE(agg.clean_text, '') <> ''),
+         |q AS (
+         |  SELECT doc_id,
+         |    FLOOR((LEAST(CAST(length(clean_text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |      + CAST(len(list_distinct(string_split(clean_text, ' '))) AS DOUBLE)
+         |        / len(string_split(clean_text, ' ')) * 0.3
+         |      + LEAST(CAST(len(list_filter(string_split(clean_text, ' '),
+         |          tk -> tk IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+         |        / len(string_split(clean_text, ' ')) * 5.0, 1.0) * 0.3)
+         |      * 10000.0 + 0.5) / 10000.0 AS quality
+         |  FROM sdoc),
+         |keptq AS (
+         |  SELECT sdoc.doc_id, sdoc.source, sdoc.clean_text
+         |  FROM sdoc JOIN q USING (doc_id) WHERE q.quality >= 0.5),
+         |surv AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM keptq
+         |  GROUP BY md5(trim(regexp_replace(lower(clean_text), '\\s+', ' ', 'g')))),
+         |base AS (
+         |  SELECT k.doc_id, k.source,
+         |    CAST(len(string_split(k.clean_text, ' ')) AS BIGINT) AS n_tokens,
+         |    ('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0 AS u
+         |  FROM keptq k SEMI JOIN surv ON k.doc_id = surv.doc_id
+         |  WHERE k.source IN ('src0', 'src1', 'src2', 'src3')),
+         |r AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+         |  FROM base)
+         |SELECT doc_id, source, n_tokens FROM r
+         |WHERE running <= CASE source WHEN 'src0' THEN 800
+         |  WHEN 'src1' THEN 1000 WHEN 'src2' THEN 600 ELSE 2000 END
+         |ORDER BY doc_id""".stripMargin,
 
     // Quality-ranked per-source running sums (the cur_budget window twin,
     // partitioned by source, against the CASE budget).

@@ -162,7 +162,7 @@ object TextQueries {
   // Shared CTE prefix for the boilerplate twins: tokenized docs `t`,
   // positioned 3-gram occurrences `occ`, the df >= 4 boilerplate set, and
   // the covered (doc_id, p) position set `cov`.
-  private val boilerplateCtes: String =
+  private[graft] val boilerplateCtes: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |occ AS (
       |  SELECT doc_id, i - 1 AS pos,
