@@ -58,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val (a, b) = operators.Dedup.hashParams(k)
         MinHashSig(children.head, a, b)
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("ahash64"),
+      new ExpressionInfo(classOf[graft.plans.AHash64].getName, "ahash64"),
+      (children: Seq[Expression]) => graft.plans.AHash64(children.head)))
   }
 }

@@ -79,13 +79,8 @@ object MultimodalQueries {
     "mm_phash_dups" -> ((s, dir) => {
       val cloned = Multimodal.assetsFromDocuments(
         Tables.documentsWithClones(s, dir))
-      // persist the code arrays: the cache boundary makes every one of the
-      // hash expression's ~130 array references an O(1) attribute read
-      // (see aHash64FromCodes scaladoc)
-      val codes = CacheScope.global.persist(cloned.select(col("asset_id"),
-        Multimodal.blobCodes(col("content").cast("string")).as("codes")))
-      val sigs = codes.select(col("asset_id"),
-        Multimodal.aHash64FromCodes(col("codes")).as("phash"))
+      val sigs = cloned.select(col("asset_id"),
+        Multimodal.aHash64(col("content").cast("string")).as("phash"))
       operators.Dedup.hammingPairs64(sigs, "asset_id", "phash", 3)
         .orderBy("doc_a", "doc_b")
     })

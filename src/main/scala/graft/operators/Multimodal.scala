@@ -129,15 +129,18 @@ object Multimodal {
     transform(slice(split(text, ""), lit(1), length(text)),
       c => ascii(c).cast("long"))
 
-  /** [[aHash64]] over a PRE-PROJECTED code array. Project [[blobCodes]]
-    * into its own (persisted) column first when hashing a corpus: the hash
-    * expression references the array ~130 times, HOFs are interpreted
-    * (CodegenFallback — no codegen subexpression elimination), so an
-    * inlined codes expression re-evaluates per reference while an
-    * attribute read of a materialized column is O(1). That difference
-    * measured 229 s → ~2 s on the sf0.1 corpus.
+  /** [[aHash64]] over a code array — the fused native kernel
+    * ([[graft.plans.AHash64]]): one O(n) codegen pass. The HOF reference
+    * formulation below ([[aHash64Reference]]) is bit-parity-asserted in
+    * NativeKernelsSpec; it re-evaluates its inlined subtrees per reference
+    * (interpreted HOFs have no subexpression elimination — the original
+    * substr-based spelling measured 229 s at sf0.1 vs ~1 s fused).
     */
-  def aHash64FromCodes(codesCol: Column): Column = {
+  def aHash64FromCodes(codesCol: Column): Column =
+    graft.plans.NativeKernels.aHash64(codesCol)
+
+  /** Interpreted HOF reference of the aHash law (spec oracle only). */
+  private[graft] def aHash64Reference(codesCol: Column): Column = {
     val n = size(codesCol).cast("long")
     val total = aggregate(codesCol, lit(0L), _ + _)
     val bits = (0 until 64).map { c =>

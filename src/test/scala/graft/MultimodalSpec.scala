@@ -80,10 +80,8 @@ class MultimodalSpec extends SparkSpec {
   test("aHash: identical blobs collide, clone pairs surface at hamming 0") {
     val cloned = Multimodal.assetsFromDocuments(
       Tables.documentsWithClones(spark, sfDir))
-    val codes = CacheScope.global.persist(cloned.select($"asset_id",
-      Multimodal.blobCodes($"content".cast("string")).as("codes")))
-    val sigs = codes.select($"asset_id",
-      Multimodal.aHash64FromCodes($"codes").as("phash"))
+    val sigs = cloned.select($"asset_id",
+      Multimodal.aHash64($"content".cast("string")).as("phash"))
     // clones carry identical bytes ⇒ identical hash
     val pairs = operators.Dedup.hammingPairs64(sigs, "asset_id", "phash", 3)
       .as[(Long, Long, Int)].collect()

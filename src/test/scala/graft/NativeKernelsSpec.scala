@@ -85,6 +85,29 @@ class NativeKernelsSpec extends SparkSpec {
     assert(short === Seq.empty)
   }
 
+  test("AHash64 kernel matches the HOF reference bit-for-bit") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sfDir)
+      .select(Multimodal.blobCodes($"text").as("codes"))
+      // persist: the HOF reference references `codes` ~130 times — without
+      // the cache boundary it re-evaluates the split per reference
+      .cache()
+    try {
+      val diff = docs.select(
+          NativeKernels.aHash64($"codes").as("a"),
+          Multimodal.aHash64Reference($"codes").as("b"))
+        .filter($"a" =!= $"b")
+      assert(diff.count() === 0)
+    } finally docs.unpersist()
+    // edge cases: empty and shorter-than-64 arrays
+    val edge = Seq(Seq.empty[Long], Seq(5L), Seq(1L, 9L, 1L)).toDF("codes")
+      .select(NativeKernels.aHash64($"codes").as("a"),
+        graft.operators.Multimodal.aHash64Reference($"codes").as("b"))
+      .as[(Long, Long)].collect()
+    edge.foreach { case (a, b) => assert(a === b) }
+    assert(edge(0)._1 === 0L) // empty blob → zero hash
+  }
+
   test("SQL registration via GraftExtensions works") {
     val dot = spark.sql(
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
