@@ -137,6 +137,11 @@ object ScaleProbe {
         // set stays per-copy-sized while the corpus grows — cost must be
         // linear in mult
         time("boilerplate", m, operators.TextAnalysis.stripBoilerplate(corpus))
+        // perceptual-hash dedup: fused kernel + chunk-banding join — linear
+        time("phash_pairs", m, operators.Dedup.hammingPairs64(
+          corpus.select(col("doc_id"),
+            operators.Multimodal.aHash64(col("text")).as("phash")),
+          "doc_id", "phash", 3))
         // BPE training: the per-round pair-count shuffle is vocab-sized;
         // salting multiplies the vocab by mult, the corpus-explode pass by
         // mult — still linear

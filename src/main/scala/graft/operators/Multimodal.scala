@@ -120,6 +120,10 @@ object Multimodal {
     */
   def aHash64(text: Column): Column = aHash64FromCodes(blobCodes(text))
 
+  /** Adds `phash` to an asset table (blob bytes hashed via the kernel). */
+  def withAHash(assets: DataFrame): DataFrame =
+    assets.withColumn("phash", aHash64(col("content").cast("string")))
+
   /** Byte codes of an (ASCII) blob string as array<long>, via one O(n)
     * split — NOT per-position substr, which is O(n²) (substring at i scans
     * i chars). The slice drops the trailing empty token Spark's limit=-1

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.Row
@@ -239,6 +239,43 @@ object Streams {
       .filter(col("cosine") >= threshold)
       .select(col("vec_id"), col("corpus_id"),
         (floor(col("cosine") * 10000.0 + 0.5) / 10000.0).as("cosine_4dp"))
+  }
+
+  /** Streaming perceptual-hash dedup — the image-ingest twin of
+    * [[semanticDupStream]]: each incoming asset is aHash64-fingerprinted
+    * (fused kernel, pure per-row) and joined against the corpus signature
+    * table on the 4 pigeonhole chunk keys; bit_count(xor) verifies
+    * Hamming ≤ maxDist. Stateless append — no watermark, no state.
+    *
+    * Exactly-once emission without a distinct: a pair agreeing on several
+    * chunks would match the join once per chunk, so a row is kept only
+    * when its join chunk is the FIRST chunk on which the two hashes agree
+    * — a pure function of (h_a, h_c), so deduplication needs no state.
+    * Emits (asset_id, corpus_id, hamming); an asset with no row is a
+    * novel image.
+    */
+  def phashDupStream(assets: DataFrame, corpusSigs: DataFrame,
+                     maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4-chunk pigeonhole banding is only complete for Hamming <= 3")
+    def chunk(h: Column, j: Int): Column =
+      shiftright(h, 16 * j).bitwiseAND(lit(65535L))
+    def chunksOf(h: Column): Column = array((0 until 4).map(chunk(h, _)): _*)
+    val firstAgree = (a: Column, b: Column) =>
+      (0 until 4).foldRight(lit(-1)) { (j, acc) =>
+        when(chunk(a, j) === chunk(b, j), lit(j)).otherwise(acc)
+      }
+    val statics = corpusSigs.select(col("corpus_id"), col("phash").as("h_c"),
+      posexplode(chunksOf(col("phash"))).as(Seq("chunk", "cval")))
+    graft.operators.Multimodal.withAHash(assets)
+      .select(col("asset_id"), col("phash").as("h_a"),
+        posexplode(chunksOf(col("phash"))).as(Seq("chunk", "cval")))
+      .join(statics, Seq("chunk", "cval"))
+      .filter(col("asset_id") =!= col("corpus_id") &&
+        col("chunk") === firstAgree(col("h_a"), col("h_c")))
+      .select(col("asset_id"), col("corpus_id"),
+        bit_count(expr("h_a ^ h_c")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
   }
 
   /** Per-type state for [[gapFillHourlyStream]]: the next hour to emit and

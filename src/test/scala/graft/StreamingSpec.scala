@@ -338,6 +338,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming phash dedup matches brute force, exactly once per pair") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = Multimodal.withAHash(Multimodal.assetsFromDocuments(docs))
+      .select(col("asset_id").as("corpus_id"), col("phash"))
+    val cloneAssets = Multimodal.assetsFromDocuments(
+      docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 150000L))
+    val rows = cloneAssets.select("asset_id", "content")
+      .as[(Long, Array[Byte])].collect().toSeq
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.phashDupStream(
+      input.toDF().toDF("asset_id", "content"), corpus)
+      .writeStream.format("memory").queryName("phash_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("phash_stream")
+      .as[(Long, Long, Int)].collect().toSeq
+    val cloneHashes = Multimodal.withAHash(cloneAssets)
+      .select("asset_id", "phash").as[(Long, Long)].collect()
+    val corpusHashes = corpus.as[(Long, Long)].collect()
+    val expected = (for {
+      (aid, ha) <- cloneHashes
+      (cid, hc) <- corpusHashes
+      d = java.lang.Long.bitCount(ha ^ hc)
+      if d <= 3 && aid != cid
+    } yield (aid, cid, d)).toSet
+    assert(got.toSet === expected)
+    assert(got.size === expected.size, "pair emitted more than once")
+    assert(expected.nonEmpty) // every clone finds its original at 0
+  }
+
   test("streaming gap-fill emits zero rows for silent hours") {
     implicit val sqlCtx = spark.sqlContext
     val ev = Tables.events(spark, sfDir)
