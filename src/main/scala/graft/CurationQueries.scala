@@ -77,6 +77,19 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Decontamination REMOVAL (the act to text_contamination's report):
+    // drop every document sharing >= 5 shingles with the benchmark probe
+    // set, emit the kept corpus. Anti-join on the bounded hit table.
+    "cur_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hits = operators.TextAnalysis.contaminationHits(
+          docs, docs.filter(col("doc_id") % 100 === 0))
+        .filter(col("n_hits") >= 5)
+      docs.join(hits, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // THE end-to-end corpus build, composed from this library's own
     // operators: strip cross-document boilerplate → re-score quality on
     // the CLEANED text and gate at 0.5 → exact-dedup the survivors
@@ -346,6 +359,24 @@ object CurationQueries {
         |  FROM q)
         |SELECT doc_id, quality, n_tokens FROM r
         |WHERE running <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // Contamination twin + anti join, kept side out.
+    "cur_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS shs
+        |  FROM documents),
+        |probe AS (SELECT DISTINCT unnest(shs) AS s FROM w WHERE doc_id % 100 = 0),
+        |d AS (SELECT doc_id, unnest(shs) AS s FROM w),
+        |hits AS (
+        |  SELECT doc_id FROM d JOIN probe USING (s)
+        |  GROUP BY doc_id HAVING COUNT(*) >= 5)
+        |SELECT doc_id, source FROM documents
+        |ANTI JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // The composed pipeline twin: boilerplate CTEs → strip reassembly →
     // quality over clean_text → md5-fingerprint dedup (min-id survivor) →

@@ -35,6 +35,26 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"codegen missing:\n$p")
   }
 
+  test("query registry has no silent name collisions, oracles all resolve") {
+    // SparkEntry merges the domain maps with ++, which OVERWRITES on a
+    // duplicate key — a copy-pasted query name would silently drop a query
+    val parts = Seq(
+      SalesQueries.queries, RelationalQueries.queries, TextQueries.queries,
+      EventQueries.queries, DedupQueries.queries, SimilarityQueries.queries,
+      MultimodalQueries.queries, CurationQueries.queries)
+    assert(SparkEntry.queries.size === parts.map(_.size).sum,
+      "duplicate query name across domain registries")
+    val oparts = Seq(
+      SalesQueries.oracle, RelationalQueries.oracle, TextQueries.oracle,
+      EventQueries.oracle, DedupQueries.oracle, SimilarityQueries.oracle,
+      MultimodalQueries.oracle, CurationQueries.oracle)
+    assert(SparkEntry.oracleSql.size === oparts.map(_.size).sum,
+      "duplicate oracle name across domain registries")
+    // every oracle belongs to a registered query
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
   test("NO registered query plans a partitionless (single-task) window") {
     // the one scale-killer class the engine has shipped before (cur_budget
     // round 2): a Window with an empty partitionSpec sorts the whole input
