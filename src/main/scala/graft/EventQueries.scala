@@ -30,6 +30,26 @@ object EventQueries {
       .withColumn("k", col("props_struct.k"))
       .drop("props_struct")
 
+  /** The gap-fill scaffold shared by events_gapfill / events_rate_anomaly /
+    * events_moving_avg: hourly counts densified over the [min, max] hour
+    * span × event types, missing cells as 0. Scaffold is post-aggregation-
+    * sized; the event scan stays the one linear pass.
+    */
+  private def denseHourlyCounts(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val hours = ev
+      .agg(date_trunc("hour", min("ts")).as("lo"),
+        date_trunc("hour", max("ts")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    hours.crossJoin(ev.select("event_type").distinct())
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // JSON extraction + aggregate per event type.
     "events_json_agg" -> ((s, dir) =>
@@ -70,19 +90,7 @@ object EventQueries {
     // one linear pass; the left join runs agg-output × scaffold.
     "events_gapfill" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val hourly = ev
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"))
-      val hours = ev
-        .agg(date_trunc("hour", min("ts")).as("lo"),
-          date_trunc("hour", max("ts")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"),
-          expr("INTERVAL 1 HOUR"))).as("hour"))
-      hours.crossJoin(ev.select("event_type").distinct())
-        .join(hourly, Seq("hour", "event_type"), "left")
-        .select(col("hour"), col("event_type"),
-          coalesce(col("n_events"), lit(0L)).as("n_events"))
-        .orderBy("hour", "event_type")
+      denseHourlyCounts(ev).orderBy("hour", "event_type")
     }),
 
     // Rate anomaly detection: z-score outliers over the GAP-FILLED hourly
@@ -93,18 +101,7 @@ object EventQueries {
     // (hourly rates are noisier than per-event values).
     "events_rate_anomaly" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val hourly = ev
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"))
-      val hours = ev
-        .agg(date_trunc("hour", min("ts")).as("lo"),
-          date_trunc("hour", max("ts")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"),
-          expr("INTERVAL 1 HOUR"))).as("hour"))
-      val dense = hours.crossJoin(ev.select("event_type").distinct())
-        .join(hourly, Seq("hour", "event_type"), "left")
-        .select(col("hour"), col("event_type"),
-          coalesce(col("n_events"), lit(0L)).as("n_events"))
+      val dense = denseHourlyCounts(ev)
       operators.Stats.zOutliers(dense, "event_type", "n_events",
           threshold = 2.0)
         .select("hour", "event_type", "n_events", "z_4dp")
@@ -118,18 +115,7 @@ object EventQueries {
     // row count, one correctly-rounded division. Window is keyed by type.
     "events_moving_avg" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val hourly = ev
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"))
-      val hours = ev
-        .agg(date_trunc("hour", min("ts")).as("lo"),
-          date_trunc("hour", max("ts")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"),
-          expr("INTERVAL 1 HOUR"))).as("hour"))
-      val dense = hours.crossJoin(ev.select("event_type").distinct())
-        .join(hourly, Seq("hour", "event_type"), "left")
-        .select(col("hour"), col("event_type"),
-          coalesce(col("n_events"), lit(0L)).as("n_events"))
+      val dense = denseHourlyCounts(ev)
       val w = Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(-2, Window.currentRow)
       dense

@@ -249,12 +249,18 @@ object Dedup {
     // shingles hashed to longs once; both the signature kernel and the
     // verification set-ops run on array<long> (same jaccard as on strings
     // modulo 64-bit collisions — see jaccardPairs scaladoc).
+    // Shingle-less docs (< n tokens) are dropped: their signature is the
+    // constant all-P31 vector, so they would all collide in every band and
+    // then "verify" at jaccard 0/0 = NaN, which Spark compares as GREATER
+    // than any threshold — a quadratic blow-up of NaN pairs on crawls full
+    // of near-empty documents (and an oracle mismatch: SQL drops them).
     // persist: this subtree feeds three consumers (bucketing + both sides of
     // the verification join) — without it Spark recomputes shingles 3×. At
     // warehouse scale this is the materialized signature table. Held by the
     // caller's CacheScope; release() it after materializing the result.
     val docs = scope.persist(documents
       .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), k)))
     val cands = lshCandidatePairs(
       lshBuckets(docs.select("doc_id", "sig"), "doc_id", "sig", bands, k), "doc_id")
@@ -287,8 +293,10 @@ object Dedup {
                           threshold: Double, n: Int = 3, k: Int = 128,
                           bands: Int = 32,
                           scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    // shingle-less docs dropped for the same NaN-pair reason as minhashPairs
     val prep = (d: DataFrame) => scope.persist(
       d.select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
+        .filter(size(col("sh")) > 0)
         .withColumn("sig", minhashSignatureFromHashes(col("sh"), k)))
     val nw = prep(newDocs)
     val cp = prep(corpus)

@@ -121,10 +121,12 @@ object Sinks {
                        targetPath: String, updates: DataFrame, partCol: String,
                        keyCols: Seq[String], versionCol: String,
                        tieCols: Seq[String] = Nil): Seq[String] = {
-    val touched = updates.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    require(!touched.contains(null),
+    val touchedRaw = updates.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    // null check BEFORE sorting — String.compareTo on null would NPE first
+    require(!touchedRaw.contains(null),
       s"upsertPartitions: null $partCol in the update batch")
+    val touched = touchedRaw.sorted
     val base = spark.read.parquet(targetPath)
       .filter(col(partCol).cast("string").isin(touched: _*))
     val merged = graft.operators.Upsert.keepLatest(

@@ -444,13 +444,15 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable()
     q2.stop()
 
+    // RAW row count first: a Set would dedup a re-emitted hour and hide
+    // exactly the double-emission this test exists to catch
+    assert(spark.read.parquet(out).count() === 11)
     val got = spark.read.parquet(out)
       .as[(Timestamp, String, Long)].collect().toSet
     val expected = (0 to 10).map { h =>
       (at(h, 0), "a", h match { case 0 => 2L; case 2 => 1L; case _ => 0L })
     }.toSet
     assert(got === expected)
-    assert(got.size === 11) // exactly once: 1 from run 1 + 10 from run 2
   }
 
   test("streaming semantic dedup equals batch SemDeDup pairs") {
