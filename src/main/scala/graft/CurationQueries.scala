@@ -195,7 +195,20 @@ object CurationQueries {
         .select(col("doc_id"), col("chunk_no"),
           col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
           md5(col("chunk_text")).as("fp_chunk"))
-        .orderBy("doc_id", "chunk_no"))
+        .orderBy("doc_id", "chunk_no")),
+
+    // DSIR importance weights: how target-like (target = src1 docs) each
+    // document's hashed unigram+bigram profile is.
+    "cur_dsir" -> ((s, dir) =>
+      Curation.dsirWeights(Tables.documents(s, dir),
+          col("source") === "src1", buckets = 1024)
+        .orderBy("doc_id")),
+
+    // DSIR selection: Gumbel-top-100 sample ∝ exp(importance weight).
+    "cur_dsir_sample" -> ((s, dir) =>
+      Curation.dsirSample(Tables.documents(s, dir),
+          col("source") === "src1", k = 100, buckets = 1024)
+        .orderBy("doc_id"))
   )
 
   // DuckDB twin of Curation.hashBucket(doc_id, 100) / (doc_id, 8).
@@ -206,6 +219,40 @@ object CurationQueries {
   // DuckDB twin of Curation.hashUnit(doc_id).
   private val unit =
     "(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0)"
+
+  // Shared DSIR CTE chain ending in ob(doc_id, tgt, b) + bw(b, lnwq):
+  // hashed-feature occurrences and the per-bucket log importance weights
+  // (target = src1 documents, 1024 buckets — the cur_dsir* parameters).
+  // Declared BEFORE `oracle`: object vals initialize in source order.
+  private val dsirCore: String =
+    """toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      |occ AS (
+      |  SELECT doc_id, (source = 'src1') AS tgt,
+      |    unnest(list_concat(ts,
+      |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))
+      |      AS f
+      |  FROM toks),
+      |ob AS (
+      |  SELECT doc_id, tgt,
+      |    ('0x' || substring(md5(f), 1, 8))::BIGINT % 1024 AS b
+      |  FROM occ),
+      |bt AS (
+      |  SELECT b, COUNT(*) AS raw,
+      |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_n
+      |  FROM ob GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(SUM(raw) AS BIGINT) AS raw_tot,
+      |    CAST(SUM(tgt_n) AS BIGINT) AS tgt_tot FROM bt),
+      |bw AS (
+      |  SELECT b,
+      |    CAST(FLOOR(ln((CAST(tgt_n AS DOUBLE) + 1.0)
+      |        / (CAST(tgt_tot AS DOUBLE) + 1024)) * 1000000000.0 + 0.5)
+      |      AS BIGINT)
+      |    - CAST(FLOOR(ln((CAST(raw AS DOUBLE) + 1.0)
+      |        / (CAST(raw_tot AS DOUBLE) + 1024)) * 1000000000.0 + 0.5)
+      |      AS BIGINT) AS lnwq
+      |  FROM bt, tot)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "cur_weighted" ->
@@ -525,6 +572,37 @@ object CurationQueries {
         |SELECT doc_id, chunk_no,
         |  len(list_slice(toks, chunk_no * 56 + 1, chunk_no * 56 + 64)) AS n_chunk_tokens,
         |  md5(array_to_string(list_slice(toks, chunk_no * 56 + 1, chunk_no * 56 + 64), ' ')) AS fp_chunk
-        |FROM e ORDER BY doc_id, chunk_no""".stripMargin
+        |FROM e ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // DSIR twin: same unigram+bigram explode as the lm/termfreq twins,
+    // md5 bucket hash, both lns on the 1e-9 integer grid, per-doc SUM of
+    // the long bucket weights (CAST back to BIGINT: DuckDB SUM → HUGEINT).
+    "cur_dsir" ->
+      s"""WITH $dsirCore
+        |SELECT ob.doc_id, COUNT(*) AS n_feats,
+        |  FLOOR(CAST(CAST(SUM(lnwq) AS BIGINT) AS DOUBLE)
+        |    / 1000000000.0 * 10000.0 + 0.5) / 10000.0 AS dsir_weight
+        |FROM ob JOIN bw USING (b)
+        |GROUP BY ob.doc_id ORDER BY ob.doc_id""".stripMargin,
+
+    // Gumbel-top-k twin: score_q = wq + floor(−ln(−ln((h+0.5)/2³²))·1e9),
+    // top 100 by (score_q DESC, doc_id), presented in doc_id order.
+    "cur_dsir_sample" ->
+      s"""WITH $dsirCore,
+        |dw AS (
+        |  SELECT ob.doc_id, CAST(SUM(lnwq) AS BIGINT) AS wq
+        |  FROM ob JOIN bw USING (b) GROUP BY ob.doc_id),
+        |g AS (
+        |  SELECT doc_id, wq + CAST(FLOOR(-ln(-ln(
+        |      ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        + 0.5) / 4294967296.0)))
+        |    * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+        |  FROM dw),
+        |top AS (SELECT doc_id, score_q FROM g
+        |  ORDER BY score_q DESC, doc_id LIMIT 100)
+        |SELECT doc_id,
+        |  FLOOR(CAST(score_q AS DOUBLE) / 1000000000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS score
+        |FROM top ORDER BY doc_id""".stripMargin
   )
 }

@@ -139,6 +139,23 @@ object DedupQueries {
       Dedup.semanticDupPairs(Tables.embeddings(s, dir), 0.4, dir)
         .orderBy("vec_a", "vec_b")),
 
+    // Bloom-prefiltered incremental exact dedup: a new batch (every 40th
+    // doc re-keyed = planted dups; every (40k+1)th doc with altered text =
+    // genuinely novel) checked against the corpus. Output = the novel rows
+    // only; semantics are the exact anti-join (the Bloom filter is the
+    // shuffle-skipping prefilter, verified by DedupSpec to change nothing).
+    "dedup_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val newBatch = docs.filter(col("doc_id") % 40 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .unionByName(docs.filter(col("doc_id") % 40 === 1)
+          .withColumn("doc_id", col("doc_id") + 400000L)
+          .withColumn("text", concat(col("text"), lit(" zzznovel"))))
+      Dedup.bloomNovel(newBatch, docs, "text", s"bloom-$dir", 100000L)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Corpus duplication-rate KPI: docs vs distinct fingerprints, 4-dp —
     // on the planted-clone corpus so the rate is provably > 0.
     "dedup_rate" -> ((s, dir) =>
@@ -339,6 +356,19 @@ object DedupQueries {
         |  FLOOR(CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS DOUBLE)
         |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS dup_rate
         |FROM documents2""".stripMargin,
+
+    // Exact anti-join twin of the Bloom-prefiltered path: the filter is a
+    // pure prefilter, so NOT EXISTS on the key reproduces the output.
+    "dedup_bloom" ->
+      """WITH nb AS (
+        |  SELECT doc_id + 300000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 40 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, text || ' zzznovel' AS text
+        |  FROM documents WHERE doc_id % 40 = 1)
+        |SELECT nb.doc_id FROM nb
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = nb.text)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -228,6 +228,89 @@ object Curation {
       .drop("_prefix")
   }
 
+  // ---- DSIR-style importance resampling ----
+
+  /** Per-document score on the 1e-9 integer grid plus the feature count —
+    * the shared core of [[dsirWeights]] / [[dsirSample]]. Emits
+    * (doc_id, n_feats, wq: long).
+    */
+  private def dsirWeightsQ(documents: DataFrame, isTarget: Column,
+                           buckets: Int,
+                           scope: graft.CacheScope): DataFrame = {
+    val feats = concat(TextAnalysis.tokens(col("text")),
+      TextAnalysis.bigrams(col("text")))
+    // persist: the occurrence table feeds the bucket-count aggregation AND
+    // the per-doc scoring join
+    val occ = scope.persist(documents
+      .select(col("doc_id"), isTarget.as("tgt"), explode(feats).as("f"))
+      .select(col("doc_id"), col("tgt"), hashBucket(col("f"), buckets).as("b")))
+    val bt = occ.groupBy("b").agg(
+      count(lit(1)).as("raw"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_n"))
+    val tot = bt.agg(sum("raw").as("raw_tot"), sum("tgt_n").as("tgt_tot"))
+    // each ln quantized to a 1e-9-scaled long BEFORE any distributed sum
+    // (the lmScore determinism trick); the bucket weight is a long diff
+    val lnq = (c: Column, t: Column) => floor(
+      log((c.cast("double") + 1.0) / (t.cast("double") + buckets))
+        * 1000000000.0 + 0.5).cast("long")
+    val bw = bt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (lnq(col("tgt_n"), col("tgt_tot"))
+          - lnq(col("raw"), col("raw_tot"))).as("lnwq"))
+    occ.join(broadcast(bw), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lnwq").as("wq"))
+  }
+
+  /** Hashed n-gram importance weights — the DSIR recipe (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * features are unigrams + bigrams hashed into `buckets` buckets; a
+    * bucket's weight is ln p_target(b) − ln p_raw(b) under add-one
+    * smoothing (target = the rows where `isTarget`, raw = the whole
+    * corpus); a document's log-importance weight is the sum over its
+    * feature OCCURRENCES of its buckets' weights. Documents that look
+    * like the target subset score high; gibberish and off-domain text
+    * score low. Emits (doc_id, n_feats, dsir_weight 4-dp).
+    *
+    * Scale: one linear explode (persisted — two consumers), one
+    * `buckets`-sized count table broadcast back onto the occurrences, one
+    * partial-agg'd keyed sum — the tfidfTopTerms shape. The model is the
+    * bucket table: `buckets` rows (paper uses 10⁴) regardless of corpus
+    * size. Determinism: integer-grid lns, no distributed double sums.
+    */
+  def dsirWeights(documents: DataFrame, isTarget: Column,
+                  buckets: Int = 1024,
+                  scope: graft.CacheScope = graft.CacheScope.global): DataFrame =
+    dsirWeightsQ(documents, isTarget, buckets, scope)
+      .select(col("doc_id"), col("n_feats"),
+        (floor(col("wq").cast("double") / 1000000000.0 * 10000.0 + 0.5)
+          / 10000.0).as("dsir_weight"))
+
+  /** DSIR selection: sample `k` documents without replacement with
+    * probability ∝ exp(importance weight) via the Gumbel top-k trick —
+    * score = wq + Gumbel(0,1), take the k largest. The Gumbel variate is
+    * −ln(−ln(u)) with u the md5-hash uniform of doc_id shifted half a
+    * step into the open interval ((h+0.5)/2³², never 0 or 1 — ln(0) is a
+    * pole), so selection is deterministic and engine-portable like every
+    * sampler here. Top-k is a TakeOrderedAndProject (k rows per
+    * partition through the shuffle), never a global sort. Emits the
+    * selected (doc_id, score 4-dp) ordered by doc_id.
+    */
+  def dsirSample(documents: DataFrame, isTarget: Column, k: Int,
+                 buckets: Int = 1024,
+                 scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + 0.5) / 4294967296.0
+    val gq = floor(-log(-log(u)) * 1000000000.0 + 0.5).cast("long")
+    dsirWeightsQ(documents, isTarget, buckets, scope)
+      .withColumn("score_q", col("wq") + gq)
+      .orderBy(desc("score_q"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"),
+        (floor(col("score_q").cast("double") / 1000000000.0 * 10000.0 + 0.5)
+          / 10000.0).as("score"))
+  }
+
   /** Context-window chunking: whitespace tokens packed into windows of
     * `chunkTokens` with `overlap` tokens carried between consecutive
     * chunks. Emits (…, chunk_no, chunk_text, n_chunk_tokens). Stride =

@@ -156,4 +156,36 @@ class CurationSpec extends SparkSpec {
     assert(half > n / 5 && half < n * 4 / 5,
       s"0.5-weight sample kept $half of $n")
   }
+
+  test("dsirWeights: target ≡ corpus → every weight is exactly zero") {
+    // p_target(b) == p_raw(b) for every bucket, so each bucket weight —
+    // and hence every document sum — must be the exact integer 0
+    val w = Curation.dsirWeights(docs, lit(true))
+    assert(w.count() === docs.count())
+    assert(w.filter(col("dsir_weight") =!= 0.0).count() === 0)
+  }
+
+  test("dsirWeights ranks target-like text above off-domain text") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta gamma", true),
+      (2L, "alpha beta gamma beta alpha gamma", true),
+      (10L, "alpha gamma beta alpha gamma beta", false), // target vocab
+      (20L, "zeta eta theta zeta eta theta", false)      // off-domain
+    ).toDF("doc_id", "text", "tgt")
+    val w = Curation.dsirWeights(d, col("tgt"))
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    assert(w(10L) > w(20L),
+      s"target-vocab doc ${w(10L)} should outrank off-domain ${w(20L)}")
+  }
+
+  test("dsirSample: k deterministic rows drawn from the corpus") {
+    val s1 = Curation.dsirSample(docs, col("source") === "src1", k = 20)
+      .as[(Long, Double)].collect()
+    assert(s1.length === 20)
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    assert(s1.map(_._1).forall(ids.contains))
+    val s2 = Curation.dsirSample(docs, col("source") === "src1", k = 20)
+      .as[(Long, Double)].collect()
+    assert(s1.toSeq === s2.toSeq)
+  }
 }

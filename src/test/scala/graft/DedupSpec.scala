@@ -151,6 +151,41 @@ class DedupSpec extends SparkSpec {
     assert(all === brute)
   }
 
+  test("bloomNovel equals the plain anti-join (prefilter changes nothing)") {
+    val corpus = Tables.documents(spark, sfDir)
+    val newBatch = corpus.filter($"doc_id" % 7 === 0)
+      .withColumn("doc_id", $"doc_id" + 500000L)
+      .unionByName(corpus.filter($"doc_id" % 7 === 1)
+        .withColumn("doc_id", $"doc_id" + 600000L)
+        .withColumn("text", concat($"text", lit(" qqfresh"))))
+    val got = Dedup.bloomNovel(newBatch, corpus, "text", s"spec-bloom-$sfDir",
+        expectedItems = 100000L)
+      .select("doc_id").as[Long].collect().toSet
+    val want = newBatch.join(corpus.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want)
+    // every planted dup dropped, every altered doc kept
+    assert(got === corpus.filter($"doc_id" % 7 === 1)
+      .select($"doc_id" + 600000L).as[Long].collect().toSet)
+  }
+
+  test("bloom filter: no false negatives; novel keys mostly prefiltered") {
+    val corpus = Tables.documents(spark, sfDir)
+    val filter = Dedup.bloomIndex(s"spec-bloom-fn-$sfDir", corpus, $"text",
+      expectedItems = 100000L, fpp = 0.01)
+    // no false negatives: every corpus key must test positive
+    val misses = corpus
+      .filter(!Dedup.bloomMightContain(filter, $"text")).count()
+    assert(misses === 0L)
+    // effectiveness: ≥ 90% of genuinely novel keys skip the verify join
+    // (fpp 0.01 — even 10× degradation would still pass; guards against
+    // a put/probe hash mismatch that silently degrades to might=always)
+    val novel = corpus.withColumn("text", concat($"text", lit(" qqfresh2")))
+    val prefiltered = novel
+      .filter(!Dedup.bloomMightContain(filter, $"text")).count()
+    assert(prefiltered >= (novel.count() * 9) / 10)
+  }
+
   test("CacheScope releases exactly the operator's persisted intermediates") {
     // earlier tests in this suite cached via the global scope; start clean
     graft.CacheScope.global.release()
