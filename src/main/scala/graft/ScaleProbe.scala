@@ -131,6 +131,23 @@ object ScaleProbe {
         time("clusters", m, operators.Dedup.nearDupClusters(
           operators.Dedup.minhashPairs(corpus, 0.5)))
         time("lm_score", m, operators.TextAnalysis.lmScore(corpus))
+        // DSIR: linear explode + buckets-row broadcast model + keyed sum
+        time("dsir", m, operators.Curation.dsirWeights(
+          corpus, col("source") === "src1"))
+        // bloom membership index: one aggregation pass to build (linear);
+        // probing then costs the batch scan + the shrunken verify join
+        time("bloom_build", m, {
+          operators.Dedup.bloomIndex(s"probe-bloom-$m", corpus, col("text"),
+            expectedItems = 10000000L)
+          corpus.select("doc_id").limit(1)
+        })
+        time("bloom_probe", m, operators.Dedup.bloomNovel(
+          corpus.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 900000000L)
+            .withColumn("text",
+              when(col("doc_id") % 2 === 0, col("text"))
+                .otherwise(concat(col("text"), lit(" qqprobe")))),
+          corpus, "text", s"probe-bloom-$m", expectedItems = 10000000L))
         time("containment_sk", m,
           operators.Dedup.containmentPairsSketch(corpus, 0.9))
         // boilerplate: salted copies share no n-grams, so the boilerplate

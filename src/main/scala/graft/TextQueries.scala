@@ -84,6 +84,14 @@ object TextQueries {
       TextAnalysis.lmScore(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // Cross-corpus LM score (the CCNet recipe): train the bigram model on
+    // the src1 documents, score EVERY document against that domain.
+    "text_lm_cross" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.lmScoreCross(docs, docs.filter(col("source") === "src1"))
+        .orderBy("doc_id")
+    }),
+
     // Decontamination scan: every 100th doc plays the held-out benchmark;
     // n_hits = how many of a doc's shingles appear in that probe set.
     "text_contamination" -> ((s, dir) => {
@@ -320,6 +328,45 @@ object TextQueries {
         |        / (CAST(c1.c1 AS DOUBLE) + v.v)) * 1000000000.0 + 0.5)
         |      AS BIGINT) AS lnpq
         |  FROM o2 JOIN c2 USING (b) JOIN c1 USING (w1), v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  FLOOR(CAST(CAST(SUM(lnpq) AS BIGINT) AS DOUBLE) / 1000000000.0
+        |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS lm_score
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Cross-corpus twin: counts and vocab from the src1 train slice, LEFT
+    // joins with COALESCE 0 for unseen bigrams/prefixes, same 1e-9 grid.
+    "text_lm_cross" ->
+      """WITH tocc AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1])) AS b
+        |  FROM documents
+        |  WHERE source = 'src1' AND len(string_split(text, ' ')) >= 2),
+        |t2 AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM tocc),
+        |c2 AS (SELECT b, COUNT(*) AS c2 FROM t2 GROUP BY b),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM t2 GROUP BY w1),
+        |v AS (
+        |  SELECT COUNT(DISTINCT t) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |        FROM documents WHERE source = 'src1')),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1])) AS b
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |o2 AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM occ),
+        |s AS (
+        |  SELECT o2.doc_id,
+        |    CAST(FLOOR(ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0)
+        |        / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + v.v)) * 1000000000.0
+        |        + 0.5) AS BIGINT) AS lnpq
+        |  FROM o2
+        |  LEFT JOIN c2 USING (b)
+        |  LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v)
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  FLOOR(CAST(CAST(SUM(lnpq) AS BIGINT) AS DOUBLE) / 1000000000.0
         |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS lm_score

@@ -220,6 +220,44 @@ object TextAnalysis {
           * 10000.0 + 0.5) / 10000.0).as("lm_score"))
   }
 
+  /** Cross-corpus bigram LM score — the full CCNet shape: train the
+    * add-one-smoothed bigram model on a REFERENCE corpus (CCNet: Wikipedia)
+    * and score a different corpus against it. Documents whose transitions
+    * are improbable under the reference domain score low — the
+    * domain-quality filter, where [[lmScore]] is the self-trained
+    * degenerate case. Bigrams unseen in training back off to the smoothing
+    * floor: P = (0+1)/(c(w₁·)+V), and c(w₁·)=0 for an unseen prefix — so
+    * scoring is total (every doc with ≥ 2 tokens gets a row).
+    *
+    * Same determinism (1e-9 integer-grid lns) and scale shape as
+    * [[lmScore]] — two partial-agg count tables sized by the TRAIN corpus,
+    * two vocab-keyed LEFT joins (unseen → coalesce 0), one keyed mean.
+    */
+  def lmScoreCross(documents: DataFrame, train: DataFrame,
+                   scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val prep = (d: DataFrame) => d
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+    val tr = scope.persist(prep(train)) // feeds both count tables
+    val c2 = tr.groupBy("b").agg(count(lit(1)).as("c2"))
+    val c1 = tr.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = train.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct("t").as("v"))
+    prep(documents)
+      .join(c2, Seq("b"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lnpq", floor(
+        log((coalesce(col("c2"), lit(0L)).cast("double") + 1.0)
+          / (coalesce(col("c1"), lit(0L)).cast("double") + col("v")))
+          * 1000000000.0 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lnpq").as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("sq").cast("double") / 1000000000.0 / col("n_bigrams")
+          * 10000.0 + 0.5) / 10000.0).as("lm_score"))
+  }
+
   // ---- Cross-document boilerplate removal (C4-style) ----
 
   /** Positioned n-gram occurrences: one (doc_id, pos, h) row per n-gram

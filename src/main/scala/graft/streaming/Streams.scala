@@ -241,6 +241,27 @@ object Streams {
         (floor(col("cosine") * 10000.0 + 0.5) / 10000.0).as("cosine_4dp"))
   }
 
+  /** Streaming Bloom-prefiltered exact dedup — the ingest twin of
+    * [[graft.operators.Dedup.bloomNovel]]: each micro-batch row tests the
+    * broadcast serialized corpus filter (codegen'd BloomFilterMightContain,
+    * a pure narrow filter — definitely-new rows emit without touching the
+    * corpus), and only might-contain rows pay the stream-static left-anti
+    * join against the corpus keys. Output = exactly the novel rows
+    * (anti-join semantics at any fpp), stateless append — no watermark,
+    * no state; the filter is the batch-built memoized index, so stream
+    * and batch share one membership artifact.
+    */
+  def bloomNovelStream(docs: DataFrame, corpus: DataFrame, keyCol: String,
+                       indexKey: String, expectedItems: Long,
+                       fpp: Double = 0.01): DataFrame = {
+    import graft.operators.Dedup
+    val filter = Dedup.bloomIndex(indexKey, corpus, col(keyCol), expectedItems, fpp)
+    val might = Dedup.bloomMightContain(filter, col(keyCol))
+    docs.filter(!might).unionByName(
+      docs.filter(might)
+        .join(corpus.select(keyCol), Seq(keyCol), "left_anti"))
+  }
+
   /** Streaming perceptual-hash dedup — the image-ingest twin of
     * [[semanticDupStream]]: each incoming asset is aHash64-fingerprinted
     * (fused kernel, pure per-row) and joined against the corpus signature

@@ -484,6 +484,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming bloom dedup equals the batch bloomNovel output") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.documents(spark, sfDir)
+    // batch 1: planted dups (corpus texts re-keyed); batch 2: novel texts
+    val dups = corpus.filter($"doc_id" % 9 === 0)
+      .select($"doc_id" + 700000L, $"text")
+      .as[(Long, String)].collect().toSeq
+    val fresh = corpus.filter($"doc_id" % 9 === 1)
+      .select($"doc_id" + 800000L, concat($"text", lit(" qqstream")))
+      .as[(Long, String)].collect().toSeq
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(dups)
+    val q = Streams.bloomNovelStream(
+      input.toDF().toDF("doc_id", "text"), corpus, "text",
+      s"spec-bloom-stream-$sfDir", expectedItems = 100000L)
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(fresh)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("bloom_stream")
+      .select("doc_id").as[Long].collect().toSet
+    // every dup suppressed, every novel row emitted exactly once
+    assert(got === fresh.map(_._1).toSet)
+    assert(spark.table("bloom_stream").count() === fresh.length.toLong)
+  }
+
   test("streaming as-of join equals the batch as-of join") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]

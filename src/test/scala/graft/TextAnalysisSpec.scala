@@ -93,4 +93,25 @@ class TextAnalysisSpec extends SparkSpec {
       assert(cov.filter($"covered" > 0).count() > 0) // non-vacuous on corpus
     } finally scope.release()
   }
+
+  test("lmScoreCross trained on the corpus itself equals lmScore exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val self = TextAnalysis.lmScore(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    val cross = TextAnalysis.lmScoreCross(docs, docs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cross === self) // left joins hit on every key when train ≡ score
+  }
+
+  test("lmScoreCross: fully unseen vocabulary scores the smoothing floor") {
+    val train = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val score = Seq((9L, "zq xv qj zq")).toDF("doc_id", "text") // all unseen
+    val got = TextAnalysis.lmScoreCross(score, train)
+      .as[(Long, Long, Double)].collect()
+    // every bigram backs off to P = 1/V with V = 5 distinct train tokens
+    val floorScore =
+      math.floor(math.floor(math.log(1.0 / 5.0) * 1e9 + 0.5) / 1e9
+        * 1e4 + 0.5) / 1e4
+    assert(got.toSeq === Seq((9L, 3L, floorScore)))
+  }
 }
