@@ -197,6 +197,34 @@ object CurationQueries {
           md5(col("chunk_text")).as("fp_chunk"))
         .orderBy("doc_id", "chunk_no")),
 
+    // Snapshot diff between two corpus versions: cur drops every 50th doc,
+    // edits every 30th, adds re-keyed copies of every 40th. Emits the
+    // non-unchanged keys with their classification.
+    "cur_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cur = docs.filter(col("doc_id") % 50 =!= 0)
+        .withColumn("text", when(col("doc_id") % 30 === 0,
+          concat(col("text"), lit(" qqedit"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 900000L))
+      Curation.snapshotDiff(docs, cur, "doc_id", md5(col("text")))
+        .filter(col("status") =!= "unchanged")
+        .orderBy("doc_id")
+    }),
+
+    // Adaptive per-source quality gate: top 25% by quality within each
+    // source (threshold adapts to the source's own distribution).
+    "cur_quality_top" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.operators.TextAnalysis.qualityScore(docs)
+        .select("doc_id", "quality")
+        .join(docs.select("doc_id", "source"), "doc_id")
+      Curation.topFractionPerGroup(scored, "source", col("quality"),
+          "doc_id", 0.25)
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights: how target-like (target = src1 docs) each
     // document's hashed unigram+bigram profile is.
     "cur_dsir" -> ((s, dir) =>
@@ -573,6 +601,53 @@ object CurationQueries {
         |  len(list_slice(toks, chunk_no * 56 + 1, chunk_no * 56 + 64)) AS n_chunk_tokens,
         |  md5(array_to_string(list_slice(toks, chunk_no * 56 + 1, chunk_no * 56 + 64), ' ')) AS fp_chunk
         |FROM e ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // Full-outer fingerprint compare; IS DISTINCT FROM mirrors the Spark
+    // null-safe inequality (unreachable on this corpus, pinned anyway).
+    "cur_snapshot_diff" ->
+      """WITH cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 30 = 0 THEN text || ' qqedit' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 900000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |p AS (SELECT doc_id, md5(text) AS fp_prev FROM documents),
+        |c AS (SELECT doc_id, md5(text) AS fp_cur FROM cur),
+        |d AS (
+        |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN p.doc_id IS NULL THEN 'added'
+        |         WHEN c.doc_id IS NULL THEN 'removed'
+        |         WHEN p.fp_prev IS DISTINCT FROM c.fp_cur THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id)
+        |SELECT doc_id, status FROM d
+        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+
+    // Same quality formula as cur_mixture_quality; per-source row_number
+    // against ceil(0.25 × the source's own count).
+    "cur_quality_top" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    FLOOR((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 0.3
+        |      + LEAST(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3)
+        |      * 10000.0 + 0.5) / 10000.0 AS quality,
+        |    source
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS gn
+        |  FROM q)
+        |SELECT doc_id, source, quality FROM r
+        |WHERE rn <= CEIL(gn * 0.25)
+        |ORDER BY doc_id""".stripMargin,
 
     // DSIR twin: same unigram+bigram explode as the lm/termfreq twins,
     // md5 bucket hash, both lns on the 1e-9 integer grid, per-doc SUM of

@@ -228,6 +228,46 @@ object Curation {
       .drop("_prefix")
   }
 
+  /** Corpus snapshot diff: classify every key across two corpus versions
+    * as added / removed / changed / unchanged by comparing a content
+    * fingerprint — the "what happened between crawls" audit (and the input
+    * to incremental downstream recomputation: only non-unchanged keys need
+    * reprocessing). One full-outer join co-partitioned on the key; presence
+    * is tracked by literal flags, not fingerprint nullability, so null
+    * content never misclassifies a present row as absent.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
+                   fp: Column): DataFrame = {
+    val pa = prev.select(col(keyCol), fp.as("fp_prev"), lit(true).as("in_prev"))
+    val cb = cur.select(col(keyCol), fp.as("fp_cur"), lit(true).as("in_cur"))
+    pa.join(cb, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("in_prev").isNull, "added")
+          .when(col("in_cur").isNull, "removed")
+          .when(!(col("fp_prev") <=> col("fp_cur")), "changed")
+          .otherwise("unchanged"))
+      .select(col(keyCol), col("status"))
+  }
+
+  /** Keep the top `frac` fraction of rows PER GROUP, ranked by `rank`
+    * descending with `idCol` ties — the adaptive-threshold quality gate
+    * ("top 25% by quality within each source") where a single global
+    * cutoff would over-prune weak sources and under-prune strong ones.
+    * row_number ≤ ceil(frac × group size); both the window and the count
+    * aggregate are keyed by the group — no global sort anywhere.
+    */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, rank: Column,
+                          idCol: String, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac=$frac must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(rank.desc, col(idCol).asc)
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_gn"))
+    df.join(counts, groupCol)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= ceil(col("_gn") * frac))
+      .drop("_gn", "_rn")
+  }
+
   // ---- DSIR-style importance resampling ----
 
   /** Per-document score on the 1e-9 integer grid plus the feature count —

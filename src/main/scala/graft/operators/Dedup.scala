@@ -549,6 +549,14 @@ object Dedup {
     * spec-asserted). Uses Catalyst's own BloomFilterMightContain (the
     * runtime-filter kernel), so the per-row test stays inside whole-stage
     * codegen instead of a closure UDF.
+    *
+    * SIZE CAVEAT: the filter rides in the expression as a literal — part
+    * of every task binary, deserialized per TASK. Fine up to a few MB
+    * (Spark's own runtime filters cap at 8 MB for the same reason); a
+    * window-sized filter × 32 concurrent tasks is an executor OOM
+    * (measured: 12 MB × 32 threads killed a 1 GiB ScaleProbe run). For
+    * big filters use [[bloomMightContainBroadcast]] — [[bloomNovel]]
+    * switches automatically at [[BloomLiteralMaxBytes]].
     */
   def bloomMightContain(filter: Array[Byte], key: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
@@ -558,6 +566,47 @@ object Dedup {
         ColumnBridge.expression(xxhash64(key))))
   }
 
+  /** Literal-vs-broadcast switchover for [[bloomNovel]]: 4 MB, under
+    * Spark's own 8 MB runtime-filter default with headroom for multiple
+    * operator branches holding per-task copies concurrently.
+    */
+  val BloomLiteralMaxBytes: Int = 4 << 20
+
+  // per-JVM deserialized-filter cache for the broadcast probe path: the
+  // broadcast ships the BYTES once per executor; this map makes the
+  // deserialization (the 12-MB-per-task trap above) once per JVM too,
+  // keyed by broadcast id so distinct filters never collide
+  @transient private lazy val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      Long, org.apache.spark.util.sketch.BloomFilter]
+
+  private def bloomFor(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]) =
+    bloomCache.computeIfAbsent(bc.id, _ =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bc.value)))
+
+  /** Broadcast membership probe — the window-sized-filter path: the
+    * serialized filter is an executor-shared broadcast (one copy per JVM,
+    * torrent-distributed) and the probe is a closure over the per-JVM
+    * deserialized instance. Costs a non-codegen UDF call per row, buys
+    * O(1 per executor) memory instead of O(1 per task) — the right trade
+    * once the filter outgrows a task binary.
+    */
+  def bloomMightContainBroadcast(filter: Array[Byte], key: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(filter)
+    val probe = udf((h: Long) => bloomFor(bc).mightContainLong(h))
+    probe(xxhash64(key))
+  }
+
+  /** The size-appropriate probe for a serialized filter: codegen'd literal
+    * under [[BloomLiteralMaxBytes]], executor-shared broadcast above it.
+    */
+  def bloomProbe(filter: Array[Byte], key: Column): Column =
+    if (filter.length <= BloomLiteralMaxBytes) bloomMightContain(filter, key)
+    else bloomMightContainBroadcast(filter, key)
+
   /** Rows of `newDocs` whose `keyCol` does not appear in `corpus` — exact
     * anti-join semantics (Bloom false positives are re-verified, and hash
     * collisions resolved, by an exact anti-join on the key itself), but
@@ -565,13 +614,15 @@ object Dedup {
     * the join entirely as a narrow filter. On a typical crawl batch where
     * almost everything is new, the verification join's probe side shrinks
     * from |batch| to |true dups| + fpp·|batch| rows; only those pay the
-    * shuffle against the corpus keys.
+    * shuffle against the corpus keys. Small filters ride codegen'd in the
+    * task binary; big ones switch to the broadcast probe (see
+    * [[bloomMightContain]]'s size caveat).
     */
   def bloomNovel(newDocs: DataFrame, corpus: DataFrame, keyCol: String,
                  indexKey: String, expectedItems: Long,
                  fpp: Double = 0.01): DataFrame = {
     val filter = bloomIndex(indexKey, corpus, col(keyCol), expectedItems, fpp)
-    val might = bloomMightContain(filter, col(keyCol))
+    val might = bloomProbe(filter, col(keyCol))
     val definite = newDocs.filter(!might)
     val maybe = newDocs.filter(might)
       .join(corpus.select(keyCol), Seq(keyCol), "left_anti")

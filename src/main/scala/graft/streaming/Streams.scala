@@ -256,7 +256,7 @@ object Streams {
                        fpp: Double = 0.01): DataFrame = {
     import graft.operators.Dedup
     val filter = Dedup.bloomIndex(indexKey, corpus, col(keyCol), expectedItems, fpp)
-    val might = Dedup.bloomMightContain(filter, col(keyCol))
+    val might = Dedup.bloomProbe(filter, col(keyCol))
     docs.filter(!might).unionByName(
       docs.filter(might)
         .join(corpus.select(keyCol), Seq(keyCol), "left_anti"))

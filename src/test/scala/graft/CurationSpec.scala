@@ -157,6 +157,26 @@ class CurationSpec extends SparkSpec {
       s"0.5-weight sample kept $half of $n")
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(prev, cur, "doc_id", md5(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("topFractionPerGroup keeps ceil(frac·n) best rows per group") {
+    val d = Seq(
+      ("g1", 1L, 0.9), ("g1", 2L, 0.5), ("g1", 3L, 0.7), ("g1", 4L, 0.1),
+      ("g2", 5L, 0.2), ("g2", 6L, 0.8), ("g2", 7L, 0.6), ("g2", 8L, 0.4),
+      ("g2", 9L, 0.3)).toDF("source", "doc_id", "q")
+    val got = Curation.topFractionPerGroup(d, "source", col("q"), "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    // g1: ceil(4·0.25)=1 → best is doc 1; g2: ceil(5·0.25)=2 → docs 6, 7
+    assert(got === Set(1L, 6L, 7L))
+  }
+
   test("dsirWeights: target ≡ corpus → every weight is exactly zero") {
     // p_target(b) == p_raw(b) for every bucket, so each bucket weight —
     // and hence every document sum — must be the exact integer 0

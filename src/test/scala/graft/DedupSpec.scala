@@ -186,6 +186,23 @@ class DedupSpec extends SparkSpec {
     assert(prefiltered >= (novel.count() * 9) / 10)
   }
 
+  test("broadcast bloom probe agrees with the codegen literal probe") {
+    val corpus = Tables.documents(spark, sfDir)
+    val filter = Dedup.bloomIndex(s"spec-bloom-fn-$sfDir", corpus, $"text",
+      expectedItems = 100000L, fpp = 0.01)
+    // probe corpus keys AND novel variants through both paths
+    val keys = corpus.select($"doc_id", $"text")
+      .unionByName(corpus.select(($"doc_id" + 1000000L).as("doc_id"),
+        concat($"text", lit(" qqbc")).as("text")))
+    val viaLit = keys
+      .withColumn("m", Dedup.bloomMightContain(filter, $"text"))
+      .select("doc_id", "m").as[(Long, Boolean)].collect().toMap
+    val viaBc = keys
+      .withColumn("m", Dedup.bloomMightContainBroadcast(filter, $"text"))
+      .select("doc_id", "m").as[(Long, Boolean)].collect().toMap
+    assert(viaLit === viaBc)
+  }
+
   test("CacheScope releases exactly the operator's persisted intermediates") {
     // earlier tests in this suite cached via the global scope; start clean
     graft.CacheScope.global.release()
