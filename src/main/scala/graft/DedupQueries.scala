@@ -156,6 +156,20 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact-substring dedup (Lee et al. 2021): maximal shared token spans
+    // ≥ 10 between document pairs, on the planted-clone corpus (clones give
+    // full-document spans; natural near-dups give long partial spans).
+    // Position-level output so removal could cut exactly the shared text.
+    "dedup_substr_spans" -> ((s, dir) =>
+      Dedup.exactSubstrSpans(Tables.documentsWithClones(s, dir))
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")),
+
+    // Per-pair substring-sharing report: which pairs share the most
+    // verbatim text (span counts, longest span, summed span tokens).
+    "dedup_substr_report" -> ((s, dir) =>
+      Dedup.exactSubstrReport(Tables.documentsWithClones(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
     // Corpus duplication-rate KPI: docs vs distinct fingerprints, 4-dp —
     // on the planted-clone corpus so the rate is provably > 0.
     "dedup_rate" -> ((s, dir) =>
@@ -262,7 +276,49 @@ object DedupQueries {
       |FROM cont WHERE containment >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // Twin of exactSubstrSpans over the planted-clone corpus: positioned
+  // 10-gram strings (the Scala side joins on xxhash64 of the same strings —
+  // the standard collision argument), hot-gram cap at df > 20, then the
+  // same gaps-and-islands run recovery. Shared by the span and report
+  // queries (the report aggregates the span CTE).
+  private def substrBase(minLen: Int, maxDf: Int): String =
+    s"""$clonedDocsCte,
+      |sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents2),
+      |g AS (SELECT doc_id,
+      |  list_transform(range(0, greatest(len(l) - ${minLen - 1}, 0)),
+      |    i -> array_to_string(l[i+1:i+$minLen], ' ')) AS gs FROM sp),
+      |occ AS (SELECT doc_id, unnest(gs) AS gr,
+      |  unnest(range(0, len(gs))) AS pos FROM g),
+      |hot AS (SELECT gr FROM (
+      |  SELECT gr, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY gr)
+      |  WHERE df > $maxDf),
+      |cold AS (SELECT * FROM occ
+      |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.gr = occ.gr)),
+      |m AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS d
+      |  FROM cold a JOIN cold b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+      |r AS (
+      |  SELECT *, pos_a - ROW_NUMBER() OVER (
+      |    PARTITION BY doc_a, doc_b, d ORDER BY pos_a) AS isl FROM m),
+      |spans AS (
+      |  SELECT doc_a, doc_b, MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
+      |    COUNT(*) + ${minLen - 1} AS span_len
+      |  FROM r GROUP BY doc_a, doc_b, d, isl)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dedup_substr_spans" ->
+      s"""${substrBase(10, 20)}
+        |SELECT doc_a, doc_b, a_start, b_start, span_len FROM spans
+        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+    "dedup_substr_report" ->
+      s"""${substrBase(10, 20)}
+        |SELECT doc_a, doc_b, COUNT(*) AS n_spans, MAX(span_len) AS max_span,
+        |  CAST(SUM(span_len) AS BIGINT) AS span_tokens
+        |FROM spans GROUP BY doc_a, doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_exact" ->
       s"""$clonedDocsCte
         |SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,

@@ -124,6 +124,13 @@ object TextQueries {
       TextAnalysis.stripBoilerplate(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // Trained Naive Bayes language classifier (fastText-lite): fit on the
+    // 80% md5-bucket split, score the held-out 20%, report the confusion
+    // matrix — the trained upgrade of the text_langid marker heuristic.
+    "text_nb_lang" -> ((s, dir) =>
+      TextAnalysis.nbConfusion(Tables.documents(s, dir))
+        .orderBy("actual", "predicted")),
+
     // Trained BPE tokenizer — the learned merge table (8 rounds over the
     // corpus word-frequency table; memoized per corpus dir).
     "text_bpe_merges" -> ((s, dir) => {
@@ -308,6 +315,48 @@ object TextQueries {
 
     // Bigram LM twin: same add-one smoothing, same 1e-9 ln quantization,
     // CAST the integer SUM back to BIGINT (DuckDB SUM → HUGEINT).
+    // NB classifier twin: the same count tables, 1e-9-quantized lns and
+    // (score DESC, label) argmax over the same md5-bucket train/test split.
+    "text_nb_lang" ->
+      """WITH tr AS (
+        |  SELECT * FROM documents
+        |  WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 80),
+        |te AS (
+        |  SELECT * FROM documents
+        |  WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) >= 80),
+        |occ AS (
+        |  SELECT lang AS label, unnest(string_split(text, ' ')) AS token FROM tr),
+        |cnt AS (SELECT label, token, COUNT(*) AS c FROM occ GROUP BY label, token),
+        |tot AS (SELECT label, COUNT(*) AS ct FROM occ GROUP BY label),
+        |voc AS (SELECT COUNT(DISTINCT token) AS v FROM occ),
+        |pri AS (
+        |  SELECT lang AS label,
+        |    CAST(FLOOR(ln(CAST(COUNT(*) AS DOUBLE)
+        |      / (SELECT COUNT(*) FROM tr)) * 1000000000.0 + 0.5) AS BIGINT) AS prior_q
+        |  FROM tr GROUP BY lang),
+        |tocc AS (
+        |  SELECT doc_id, lang AS actual,
+        |    unnest(string_split(text, ' ')) AS token FROM te),
+        |sc AS (
+        |  SELECT t.doc_id, t.actual, l.label,
+        |    SUM(CAST(FLOOR(ln((CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0)
+        |        / (CAST(tt.ct AS DOUBLE) + voc.v)) * 1000000000.0 + 0.5)
+        |      AS BIGINT)) AS sq
+        |  FROM tocc t
+        |  CROSS JOIN (SELECT label FROM tot) l
+        |  LEFT JOIN cnt c ON c.label = l.label AND c.token = t.token
+        |  JOIN tot tt ON tt.label = l.label, voc
+        |  GROUP BY t.doc_id, t.actual, l.label),
+        |fin AS (
+        |  SELECT doc_id, actual, label,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(sq AS BIGINT) + prior_q DESC, label) AS rn
+        |  FROM sc JOIN pri USING (label))
+        |SELECT actual, label AS predicted, COUNT(*) AS n_docs
+        |FROM fin WHERE rn = 1
+        |GROUP BY actual, label
+        |ORDER BY actual, predicted""".stripMargin,
+
     "text_lm_score" ->
       """WITH occ AS (
         |  SELECT doc_id,

@@ -629,6 +629,87 @@ object Dedup {
     definite.unionByName(maybe)
   }
 
+  // ---- Exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+  // Data Makes Language Models Better" — the span-level modality) ----
+
+  /** Maximal shared token spans of length ≥ minLen between document pairs —
+    * exact-substring duplication, the modality the set-based ops above
+    * structurally miss: two documents sharing one verbatim 30-token
+    * paragraph inside otherwise-different text sit far below any Jaccard /
+    * containment / SimHash threshold, yet a model trains on that paragraph
+    * twice. Emits (doc_a < doc_b, a_start, b_start, span_len) with 0-based
+    * token positions, one row per MAXIMAL shared run.
+    *
+    * Method: positioned minLen-gram hashes (one (doc, pos, h) row per start
+    * position) self-join on the 8-byte hash; a shared span of S ≥ minLen
+    * tokens appears as exactly S−minLen+1 matches at consecutive positions
+    * with constant offset d = pos_a − pos_b, so runs are recovered with the
+    * gaps-and-islands trick (pos_a − row_number within (doc_a, doc_b, d))
+    * and each island reports span_len = matches + minLen − 1. Within one
+    * (doc_a, doc_b, d) partition pos_b is pos_a − d, so pos_a values are
+    * unique and the island arithmetic is exact.
+    *
+    * Scale: the occurrence table is one linear pass (same fused shape as
+    * the boilerplate detector); the self-join shuffles on the gram hash,
+    * and its fan-out per gram is bounded by dropping HOT grams — any gram
+    * occurring in more than maxDf distinct documents is excluded from
+    * matching (those are boilerplate, the business of stripBoilerplate,
+    * not pairwise spans; the cap is deterministic so the oracle replays
+    * it). The islands window is keyed by (doc_a, doc_b, d) — never global.
+    * Dropping a hot gram can split a longer span into two islands; both
+    * report, truncated at the excluded positions — the documented,
+    * engine-portable semantics.
+    */
+  def exactSubstrSpans(documents: DataFrame, minLen: Int = 10,
+                       maxDf: Int = 20,
+                       scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val gramHashes = {
+      val toks = split(col("text"), " ")
+      when(size(toks) < minLen, array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - minLen),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(minLen))))))
+    }
+    // persist: the occurrence table feeds the hot-gram count AND both join
+    // sides — without it the scan + gram hashing runs three times
+    val occ = scope.persist(documents
+      .select(col("doc_id"), posexplode(gramHashes).as(Seq("pos", "h"))))
+    val hot = occ.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    val cold = occ.join(hot, Seq("h"), "left_anti")
+    val a = cold.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("h"))
+    val b = cold.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
+    a.join(b, "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("d", col("pos_a") - col("pos_b"))
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "d", "isl")
+      .agg(min("pos_a").cast("long").as("a_start"),
+        min("pos_b").cast("long").as("b_start"),
+        (count(lit(1)) + (minLen - 1)).as("span_len"))
+      .select("doc_a", "doc_b", "a_start", "b_start", "span_len")
+  }
+
+  /** Per-pair exact-substring duplication report: collapse
+    * [[exactSubstrSpans]] to (doc_a, doc_b, n_spans, max_span,
+    * span_tokens) — the ranking view ("which pairs share the most verbatim
+    * text") read before span-level removal. span_tokens sums span lengths
+    * over maximal runs at distinct offsets, so overlapping echoes (a span
+    * repeated at several alignments) count once per alignment — a
+    * sharing-volume metric, not a deduped position count. One keyed
+    * partial agg over the span table.
+    */
+  def exactSubstrReport(documents: DataFrame, minLen: Int = 10,
+                        maxDf: Int = 20,
+                        scope: graft.CacheScope = graft.CacheScope.global): DataFrame =
+    exactSubstrSpans(documents, minLen, maxDf, scope)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_spans"),
+        max("span_len").as("max_span"),
+        sum("span_len").as("span_tokens"))
+
   /** Embedding-cosine near-dup pairs ≥ threshold, brute force (exact).
     * O(n²) — ground truth / small-corpus path; at scale use the hyperplane
     * LSH in Similarity to prune candidates first.

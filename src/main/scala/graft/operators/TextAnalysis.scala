@@ -340,6 +340,77 @@ object TextAnalysis {
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  // ---- Trained Naive Bayes text classifier (fastText-lite) ----
+
+  /** Multinomial Naive Bayes classification — the trained counterpart of
+    * the [[langId]] marker heuristic and the counting-based stand-in for
+    * the fastText-style quality/domain classifiers LLM pipelines train
+    * (CCNet, LLaMA): fit on a deterministic hash split of the corpus,
+    * score the held-out split, emit the confusion matrix
+    * (actual, predicted, n_docs).
+    *
+    * Model: argmax over labels of
+    * ln P(label) + Σ_tokens ln P(token|label), with add-one smoothing
+    * P(token|label) = (c(token,label)+1) / (c(label)+V) over token
+    * OCCURRENCES and V = the training vocabulary size. Every ln is
+    * quantized to a 1e-9-grid long before the per-document sum (the
+    * [[lmScore]] determinism trick: integer sums are partition-order-free,
+    * so scoring — and the argmax — replays bit-for-bit in the DuckDB twin);
+    * ties break toward the lexicographically smaller label.
+    *
+    * Scale: the model is two partial-agg count tables (label-sized priors,
+    * vocab×labels-sized token counts) — never a per-document state; scoring
+    * explodes test tokens once, crosses with the label list (|labels| rows,
+    * broadcast), left-joins the count table on (label, token) so unseen
+    * tokens back off to the smoothing floor, and reduces with one keyed
+    * sum. The argmax is a window keyed by doc_id. Same linear shape as
+    * [[lmScoreCross]].
+    */
+  def nbConfusion(documents: DataFrame, labelCol: String = "lang",
+                  trainPct: Int = 80,
+                  scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val bucket = graft.operators.Curation.hashBucket(col("doc_id"), 100)
+    val train = documents.filter(bucket < trainPct)
+    val test = documents.filter(bucket >= trainPct)
+
+    // token occurrences of the training split; feeds the count table, the
+    // per-label totals and the vocabulary count
+    val occT = scope.persist(train.select(col(labelCol).as("label"),
+      explode(tokens(col("text"))).as("token")))
+    val counts = occT.groupBy("label", "token").agg(count(lit(1)).as("c"))
+    val totals = occT.groupBy("label").agg(count(lit(1)).as("ct"))
+    val vocab = occT.agg(countDistinct("token").as("v"))
+    val nTrain = train.agg(count(lit(1)).as("n"))
+    val priors = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(nTrain))
+      .select(col("label"), floor(
+        log(col("nd").cast("double") / col("n")) * 1000000000.0 + 0.5)
+        .cast("long").as("prior_q"))
+
+    val testOcc = test.select(col("doc_id"), col(labelCol).as("actual"),
+      explode(tokens(col("text"))).as("token"))
+    val scored = testOcc
+      .crossJoin(broadcast(totals.select("label")))
+      .join(counts, Seq("label", "token"), "left")
+      .join(broadcast(totals), "label")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnpq", floor(
+        log((coalesce(col("c"), lit(0L)).cast("double") + 1.0)
+          / (col("ct").cast("double") + col("v"))) * 1000000000.0 + 0.5)
+        .cast("long"))
+      .groupBy("doc_id", "actual", "label")
+      .agg(sum("lnpq").as("sq"))
+      .join(broadcast(priors), "label")
+      .withColumn("score", col("sq") + col("prior_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), col("label"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("actual"), col("label").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — exact-dup key that's
     * stable across engines. Normalization: lowercase + collapse whitespace.
     */

@@ -203,6 +203,48 @@ class DedupSpec extends SparkSpec {
     assert(viaLit === viaBc)
   }
 
+  test("exactSubstrSpans: planted mid-document span found below any jaccard radar") {
+    // doc 2 embeds tokens 30..59 of doc 1 (0-based) at its position 20,
+    // inside otherwise-disjoint text — the pair jaccardPairs cannot see
+    val a = (0 until 100).map(i => s"a$i").mkString(" ")
+    val bToks = (0 until 20).map(i => s"b$i") ++
+      (30 until 60).map(i => s"a$i") ++ (20 until 40).map(i => s"c$i")
+    val d = docs((1L, a), (2L, bToks.mkString(" ")))
+    val spans = Dedup.exactSubstrSpans(d, minLen = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((1L, 2L, 30L, 20L, 30L)))
+    // the same pair is invisible to set-based near-dup at any usual threshold
+    assert(Dedup.jaccardPairs(d, 0.5).count() === 0)
+  }
+
+  test("exactSubstrSpans: two disjoint shared runs yield two islands") {
+    val a = ((0 until 15).map(i => s"x$i") ++ (0 until 10).map(i => s"q$i") ++
+      (0 until 12).map(i => s"y$i")).mkString(" ")
+    val b = ((0 until 15).map(i => s"x$i") ++ (0 until 10).map(i => s"r$i") ++
+      (0 until 12).map(i => s"y$i")).mkString(" ")
+    val spans = Dedup.exactSubstrSpans(docs((1L, a), (2L, b)), minLen = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // run 1: positions 0..14 both sides; run 2: positions 25..36 both sides
+    assert(spans === Set((1L, 2L, 0L, 0L, 15L), (1L, 2L, 25L, 25L, 12L)))
+  }
+
+  test("exactSubstrSpans: hot grams (df > maxDf) are excluded from matching") {
+    val boiler = (0 until 10).map(i => s"h$i").mkString(" ")
+    val d = docs((1L to 5L).map(i => (i, s"$boiler tail$i only")): _*)
+    // the shared 10-gram occurs in 5 docs; maxDf=4 drops it -> no spans
+    assert(Dedup.exactSubstrSpans(d, minLen = 10, maxDf = 4).count() === 0)
+    // maxDf=10 keeps it: all C(5,2)=10 pairs share the 10-token span
+    assert(Dedup.exactSubstrSpans(d, minLen = 10, maxDf = 10).count() === 10)
+  }
+
+  test("exactSubstrReport aggregates the span table per pair") {
+    val a = (0 until 40).map(i => s"a$i").mkString(" ")
+    val d = docs((1L, a), (2L, a))
+    val rep = Dedup.exactSubstrReport(d, minLen = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rep === Seq((1L, 2L, 1L, 40L, 40L)))
+  }
+
   test("CacheScope releases exactly the operator's persisted intermediates") {
     // earlier tests in this suite cached via the global scope; start clean
     graft.CacheScope.global.release()

@@ -114,4 +114,39 @@ class TextAnalysisSpec extends SparkSpec {
         * 1e4 + 0.5) / 1e4
     assert(got.toSeq === Seq((9L, 3L, floorScore)))
   }
+
+  test("nbConfusion: disjoint-vocabulary classes classify perfectly") {
+    // two classes with disjoint vocab: every held-out doc must land on the
+    // diagonal no matter how the md5 bucket splits train/test
+    val d = (0 until 60).map { i =>
+      if (i % 2 == 0) (i.toLong, s"alpha beta gamma w$i alpha", "aa")
+      else (i.toLong, s"delta epsilon zeta w$i delta", "bb")
+    }.toDF("doc_id", "text", "lang")
+    // w$i tokens are shared noise across classes; class words dominate.
+    // Make the noise truly shared so it carries no signal:
+    val d2 = d.withColumn("text",
+      regexp_replace(col("text"), "w[0-9]+", "shared"))
+    val confPairs = TextAnalysis.nbConfusion(d2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(confPairs.forall { case (actual, predicted, _) => actual === predicted },
+      s"off-diagonal predictions: $confPairs")
+    val nTest = d2.filter(
+      graft.operators.Curation.hashBucket(col("doc_id"), 100) >= 80).count()
+    assert(confPairs.map(_._3).sum === nTest)
+  }
+
+  test("nbConfusion: prior dominates an uninformative document") {
+    // class "maj" has 3x the training docs of "min"; a doc of only shared
+    // tokens must be assigned to the majority class by the prior term
+    val train = (0 until 80).map { i =>
+      val lang = if (i % 4 == 0) "min" else "maj"
+      (i.toLong, "shared tokens only here", lang)
+    }
+    // held-out bucket membership varies; just assert every predicted label
+    // is "maj" (all docs are uninformative, priors decide)
+    val d = train.toDF("doc_id", "text", "lang")
+    val conf = TextAnalysis.nbConfusion(d).as[(String, String, Long)].collect()
+    assert(conf.nonEmpty)
+    assert(conf.forall(_._2 === "maj"), s"expected all-maj predictions: ${conf.toSeq}")
+  }
 }
