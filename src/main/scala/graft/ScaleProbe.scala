@@ -173,6 +173,14 @@ object ScaleProbe {
         // cluster-keyed window on top of the cluster pass)
         time("collapse", m, operators.Dedup.collapseNearDups(corpus,
           operators.Dedup.minhashPairs(corpus, 0.5), col("n_chars")))
+        // exact-substring spans: salted copies share no 10-grams, so the
+        // match join stays per-copy-sized — cost must be linear in mult
+        time("substr_spans", m, operators.Dedup.exactSubstrSpans(corpus))
+        // textrank: per-document graphs; iteration state is edge-list-sized
+        time("textrank", m, operators.TextAnalysis.textrankKeywords(corpus))
+        // NB classifier: count tables grow with the (salted) vocab, scoring
+        // explodes test tokens × |labels| — linear
+        time("nb_confusion", m, operators.TextAnalysis.nbConfusion(corpus))
         // as-of + range join over the re-keyed events: per-key work constant,
         // key count grows — cost must stay linear in mult
         val events = blowUpEvents(m)

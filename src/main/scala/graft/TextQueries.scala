@@ -124,6 +124,13 @@ object TextQueries {
       TextAnalysis.stripBoilerplate(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // TextRank keywords: top-3 tokens per document by damped PageRank over
+    // the in-document co-occurrence graph (window 2, 3 iterations on the
+    // 1e-9 integer grid — the oracle replays every iteration as a CTE).
+    "text_textrank" -> ((s, dir) =>
+      TextAnalysis.textrankKeywords(Tables.documents(s, dir))
+        .orderBy("doc_id", "rn")),
+
     // Trained Naive Bayes language classifier (fastText-lite): fit on the
     // 80% md5-bucket split, score the held-out 20%, report the confusion
     // matrix — the trained upgrade of the text_langid marker heuristic.
@@ -315,6 +322,46 @@ object TextQueries {
 
     // Bigram LM twin: same add-one smoothing, same 1e-9 ln quantization,
     // CAST the integer SUM back to BIGINT (DuckDB SUM → HUGEINT).
+    // TextRank twin: the same co-occurrence graph and three damped-PageRank
+    // iterations replayed as chained CTEs on the 1e-9 long grid (same
+    // framework as the BPE merge rounds).
+    "text_textrank" -> {
+      def iter(prev: String, out: String): String =
+        s"""$out AS (
+          |  SELECT ed.doc_id, ed.dst AS node,
+          |    CAST(150000000 + FLOOR(0.85 * CAST(SUM(CAST(FLOOR(
+          |      CAST(r.rq AS DOUBLE) * ed.wt / ed.deg + 0.5) AS BIGINT))
+          |      AS DOUBLE) + 0.5) AS BIGINT) AS rq
+          |  FROM ed JOIN $prev r ON r.doc_id = ed.doc_id AND r.node = ed.src
+          |  GROUP BY ed.doc_id, ed.dst)""".stripMargin
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |pos AS (SELECT doc_id, unnest(l) AS t,
+        |  unnest(range(0, len(l))) AS p FROM sp),
+        |pr AS (
+        |  SELECT a.doc_id, a.t AS src, b.t AS dst
+        |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+        |    AND (b.p = a.p + 1 OR b.p = a.p + 2) AND a.t <> b.t),
+        |und AS (SELECT doc_id, src, dst FROM pr
+        |  UNION ALL SELECT doc_id, dst AS src, src AS dst FROM pr),
+        |e AS (SELECT doc_id, src, dst, COUNT(*) AS wt
+        |  FROM und GROUP BY doc_id, src, dst),
+        |dg AS (SELECT doc_id, src, CAST(SUM(wt) AS BIGINT) AS deg
+        |  FROM e GROUP BY doc_id, src),
+        |ed AS (SELECT e.doc_id, e.src, e.dst, e.wt, dg.deg
+        |  FROM e JOIN dg USING (doc_id, src)),
+        |r0 AS (SELECT doc_id, src AS node, CAST(1000000000 AS BIGINT) AS rq
+        |  FROM dg),
+        |${iter("r0", "r1")},
+        |${iter("r1", "r2")},
+        |${iter("r2", "r3")},
+        |rr AS (SELECT doc_id, node, rq, ROW_NUMBER() OVER (
+        |  PARTITION BY doc_id ORDER BY rq DESC, node) AS rn FROM r3)
+        |SELECT doc_id, node AS token,
+        |  FLOOR(CAST(rq AS DOUBLE) / 100000.0 + 0.5) / 10000.0 AS rank_4dp, rn
+        |FROM rr WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin
+    },
+
     // NB classifier twin: the same count tables, 1e-9-quantized lns and
     // (score DESC, label) argmax over the same md5-bucket train/test split.
     "text_nb_lang" ->

@@ -340,6 +340,75 @@ object TextAnalysis {
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  // ---- TextRank keyword extraction (Mihalcea & Tarau 2004) ----
+
+  /** Per-document TextRank keywords: build each document's token
+    * co-occurrence graph (undirected, edges between tokens within
+    * `window` positions, weight = co-occurrence count, self-loops
+    * dropped), run `iters` damped PageRank iterations, emit the top-k
+    * tokens per document as (doc_id, token, rank_4dp, rn ≤ k) ranked by
+    * (rank desc, token asc) — the graph-based counterpart of
+    * [[tfidfTopTerms]] that needs no corpus statistics.
+    *
+    * Update rule (TextRank eq. 2): r'(i) = (1−d) + d·Σ_j wt_ij/deg_j·r(j)
+    * over in-neighbors j. DETERMINISM — ranks live on the 1e-9 long grid:
+    * each edge contribution floor(rq_j·wt/deg + 0.5) and each damped
+    * update floor(d·Σ + 0.5) is a correctly-rounded double function of
+    * exact integers (rq_j·wt ≤ 2⁵³ for any real document), so every
+    * iteration — and the final (rq desc, token) tie-break — replays
+    * bit-for-bit in the DuckDB twin's chained r1/r2/r3 CTEs, the same
+    * framework as the BPE merge rounds and the Lloyd quantizer.
+    *
+    * Scale: the edge list is one positional explode + equi-join on
+    * (doc_id, position) — linear, never a token×token product; each
+    * iteration is one (doc_id, src)-keyed join + one (doc_id, dst)-keyed
+    * partial agg; the top-k window is keyed by doc_id. Graphs are
+    * per-document, so iteration state is edge-list-sized — no global
+    * graph, no driver state. Single-token documents have no edges and
+    * emit no keywords (documented).
+    */
+  def textrankKeywords(documents: DataFrame, k: Int = 3, window: Int = 2,
+                       iters: Int = 3, damping: Double = 0.85,
+                       scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val Scale = 1000000000.0
+    val pos = documents.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("p", "t")))
+    val probes = pos.select(col("doc_id"), col("t").as("src"),
+      explode(array((1 to window).map(o => col("p") + o): _*)).as("p2"))
+    val pairs = probes
+      .join(pos.select(col("doc_id"), col("p").as("p2"), col("t").as("dst")),
+        Seq("doc_id", "p2"))
+      .filter(col("src") =!= col("dst"))
+      .select("doc_id", "src", "dst")
+    val und = pairs.unionAll(pairs.select(col("doc_id"),
+      col("dst").as("src"), col("src").as("dst")))
+    // persist: the weighted edge list (with source degrees folded in) is
+    // re-joined every iteration — without it the whole graph build reruns
+    val edges = scope.persist {
+      val e = und.groupBy("doc_id", "src", "dst").agg(count(lit(1)).as("wt"))
+      val deg = e.groupBy("doc_id", "src").agg(sum("wt").as("deg"))
+      e.join(deg, Seq("doc_id", "src"))
+    }
+    var ranks = edges.select(col("doc_id"), col("src").as("node"))
+      .distinct().withColumn("rq", lit(1000000000L))
+    for (_ <- 1 to iters) {
+      ranks = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("doc_id", "src"))
+        .withColumn("contrib", floor(
+          col("rq").cast("double") * col("wt") / col("deg") + 0.5).cast("long"))
+        .groupBy(col("doc_id"), col("dst").as("node"))
+        .agg((lit(math.round((1 - damping) * Scale)) +
+          floor(lit(damping) * sum("contrib") + 0.5).cast("long")).as("rq"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("rq"), col("node"))
+    ranks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("node").as("token"),
+        (floor(col("rq").cast("double") / 100000.0 + 0.5) / 10000.0)
+          .as("rank_4dp"), col("rn"))
+  }
+
   // ---- Trained Naive Bayes text classifier (fastText-lite) ----
 
   /** Multinomial Naive Bayes classification — the trained counterpart of

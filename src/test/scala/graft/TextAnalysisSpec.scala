@@ -115,6 +115,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === Seq((9L, 3L, floorScore)))
   }
 
+  test("textrank: central tokens outrank peripheral ones; ties break by token") {
+    // "a b c d" with window 2: edges a-b a-c b-c b-d c-d; deg a=d=2, b=c=3.
+    // b and c are central -> higher rank; (b,c) and (a,d) are exact
+    // symmetric ties, broken by token order.
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.textrankKeywords(d, k = 4)
+      .as[(Long, String, Double, Int)].collect().toSeq.sortBy(_._4)
+    assert(out.map(_._2) === Seq("b", "c", "a", "d"))
+    assert(out(0)._3 === out(1)._3) // b and c tie exactly
+    assert(out(2)._3 === out(3)._3) // a and d tie exactly
+    assert(out(0)._3 > out(2)._3)
+  }
+
+  test("textrank: a regular (complete) graph keeps every rank at 1.0") {
+    // every token neighbors every other with equal weights -> the damped
+    // update is a fixed point at exactly 1.0 on the grid
+    val d = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.textrankKeywords(d, k = 3)
+      .as[(Long, String, Double, Int)].collect().toSeq
+    assert(out.map(_._3).toSet === Set(1.0))
+    assert(out.sortBy(_._4).map(_._2) === Seq("x", "y", "z"))
+  }
+
   test("nbConfusion: disjoint-vocabulary classes classify perfectly") {
     // two classes with disjoint vocab: every held-out doc must land on the
     // diagonal no matter how the md5 bucket splits train/test
