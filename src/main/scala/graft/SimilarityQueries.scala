@@ -96,6 +96,12 @@ object SimilarityQueries {
       Similarity.nearestCentroidConfusion(Tables.embeddings(s, dir))
         .orderBy("label_true", "label_pred")),
 
+    // Per-label embedding diversity (mean squared pairwise distance via the
+    // O(n) sufficient-statistics identity — see labelDiversity scaladoc).
+    "ann_diversity" -> ((s, dir) =>
+      Similarity.labelDiversity(Tables.embeddings(s, dir))
+        .orderBy("label")),
+
     // Same contract as ann_knn_join through the k-bounded TopK aggregator
     // (shuffle ships ≤k rows/partition/query instead of all candidates) —
     // shares the window formulation's oracle.
@@ -534,6 +540,32 @@ object SimilarityQueries {
         |  COUNT(*) AS n_vectors
         |FROM q GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+
+    // Diversity twin: same 1e-6 quantization and (label, dim) sufficient
+    // statistics; HUGEINT keeps the squared sums exact, the final floats
+    // are correctly-rounded functions of them.
+    "ann_diversity" ->
+      """WITH idx AS (
+        |  SELECT label, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM idx),
+        |pd AS (
+        |  SELECT label, dim, CAST(SUM(vq) AS BIGINT) AS sd,
+        |    SUM(CAST(vq AS HUGEINT) * vq) AS sd2, COUNT(*) AS n
+        |  FROM q GROUP BY label, dim),
+        |ag AS (
+        |  SELECT label, MAX(n) AS n, SUM(sd2) AS s2,
+        |    SUM(CAST(sd AS HUGEINT) * sd) AS ss
+        |  FROM pd GROUP BY label)
+        |SELECT label, n AS n_vecs,
+        |  FLOOR((2.0 * (CAST(s2 AS DOUBLE) / n - CAST(ss AS DOUBLE) / n / n)
+        |    / 1000000000000.0) * 10000.0 + 0.5) / 10000.0 AS diversity
+        |FROM ag ORDER BY label""".stripMargin,
 
     // Full replication of the integer-quantized scoring pipeline: centroid
     // derivation (as ann_centroids), exact cvq/pq integer sums, one double

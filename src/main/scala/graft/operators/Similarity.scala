@@ -97,6 +97,40 @@ object Similarity {
           * 10000.0 + 0.5) / 10000.0).as("centroid_v"),
         col("n_vectors"))
 
+  /** Per-label embedding diversity: the mean squared pairwise L2 distance
+    * among a label's vectors, via the sufficient-statistics identity
+    * E‖x−y‖² = 2·(E‖x‖² − ‖E x‖²) — the O(n) curation metric ("how
+    * semantically varied is this source/cluster") that never materializes
+    * a pair. Emits (label, n_vecs, diversity) with diversity on the 4-dp
+    * grid; a single-vector label scores exactly 0.
+    *
+    * Determinism/scale: vectors quantize to the 1e-6 long grid; per-(label,
+    * dim) Σvq and Σvq² accumulate as exact integers (Σvq² routed through
+    * decimal so no corpus size can overflow it), one (label, dim) partial-
+    * agg shuffle — the [[labelCentroids]] layout — then a label-sized
+    * reduce. The only float ops are correctly-rounded functions of those
+    * exact sums, so the DuckDB twin reproduces the metric bit-for-bit.
+    */
+  def labelDiversity(embeddings: DataFrame): DataFrame = {
+    val q = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vq",
+        floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long"))
+    val perDim = q.groupBy("label", "dim")
+      .agg(sum("vq").as("sd"),
+        sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("sd2"),
+        count(lit(1)).as("n"))
+    perDim.groupBy("label")
+      .agg(max("n").as("n"),
+        sum(col("sd2")).as("s2"),
+        sum((col("sd").cast("decimal(19,0)") * col("sd").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("ss"))
+      .select(col("label"), col("n").as("n_vecs"),
+        (floor((lit(2.0) * (col("s2").cast("double") / col("n")
+          - col("ss").cast("double") / col("n") / col("n"))
+          / 1000000000000.0) * 10000.0 + 0.5) / 10000.0).as("diversity"))
+  }
+
   /** Nearest-centroid classification confusion matrix: every vector is
     * scored against each label centroid ([[labelCentroids]]' 4-dp values)
     * by norm-scaled dot product and assigned to the best label; output is

@@ -241,6 +241,29 @@ object Streams {
         (floor(col("cosine") * 10000.0 + 0.5) / 10000.0).as("cosine_4dp"))
   }
 
+  /** Streaming decontamination gate — the ingest twin of the batch
+    * `cur_decontaminate` flow: each incoming document counts its distinct
+    * n-gram shingles against the benchmark probe set and is dropped when
+    * hits ≥ minHits. The probe set arrives as ONE static row (the
+    * collect_set of probe shingle hashes — benchmark-sized by the same
+    * contract as [[graft.operators.TextAnalysis.contaminationHits]]), so
+    * the check is a broadcast stream-static cross join + a per-row
+    * array_intersect: stateless append, no watermark, no state, and the
+    * fused shingle kernel runs once per row.
+    */
+  def decontaminateStream(docs: DataFrame, probeDocs: DataFrame,
+                          n: Int = 3, minHits: Int = 5): DataFrame = {
+    import graft.operators.Dedup
+    val probe = probeDocs
+      .select(explode(Dedup.hashedShingles(col("text"), n)).as("h"))
+      .agg(collect_set("h").as("probe_sh"))
+    docs.crossJoin(probe)
+      .withColumn("n_hits",
+        size(array_intersect(Dedup.hashedShingles(col("text"), n), col("probe_sh"))))
+      .filter(col("n_hits") < minHits)
+      .drop("probe_sh", "n_hits")
+  }
+
   /** Streaming Bloom-prefiltered exact dedup — the ingest twin of
     * [[graft.operators.Dedup.bloomNovel]]: each micro-batch row tests the
     * broadcast serialized corpus filter (codegen'd BloomFilterMightContain,

@@ -73,4 +73,21 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("labelDiversity equals the brute-force pairwise mean; singleton label is 0") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), 0),
+        |  (2L, CAST(array(0.0, 1.0) AS ARRAY<FLOAT>), 0),
+        |  (3L, CAST(array(1.0, 1.0) AS ARRAY<FLOAT>), 0),
+        |  (4L, CAST(array(5.0, 5.0) AS ARRAY<FLOAT>), 1)
+        |  AS t(vec_id, embedding, label)""".stripMargin)
+    val got = Similarity.labelDiversity(df)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // label 0 brute force over ordered pairs incl. self:
+    // d2(1,2)=2, d2(1,3)=1, d2(2,3)=1 -> 2*(2+1+1)/9 = 0.888...
+    val expected = math.floor(2.0 * 4.0 / 9.0 * 10000.0 + 0.5) / 10000.0
+    assert(got(0) === ((3L, expected)))
+    assert(got(1) === ((1L, 0.0)))
+  }
 }

@@ -484,6 +484,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming decontamination gate equals the batch contamination filter") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val probe = docs.filter($"doc_id" % 100 === 0)
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), probe)
+      .writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("decontam_stream")
+      .select("doc_id").as[Long].collect().toSet
+    val contaminated = graft.operators.TextAnalysis
+      .contaminationHits(docs, probe)
+      .filter($"n_hits" >= 5)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = rows.map(_._1).toSet -- contaminated
+    assert(got === expected)
+    assert(contaminated.nonEmpty) // the gate actually dropped something
+  }
+
   test("streaming bloom dedup equals the batch bloomNovel output") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.documents(spark, sfDir)
