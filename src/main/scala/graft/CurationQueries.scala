@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 
 /** Dataset-curation queries over `documents` with DuckDB oracles. The
   * md5-bucket determinism rule (Curation.hashBucket) is what makes every
@@ -17,6 +17,16 @@ object CurationQueries {
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("split", "lang")),
+
+    // Leakage-safe split on the planted-clone corpus: near-dup clusters are
+    // the split unit, so clones and their originals always land in the same
+    // split (the naive per-doc split provably separates some of them —
+    // asserted in CurationSpec).
+    "cur_split_safe" -> ((s, dir) => {
+      val docs = Tables.documentsWithClones(s, dir)
+      Curation.leakageSafeSplit(docs, Dedup.minhashPairs(docs, 0.5))
+        .orderBy("doc_id")
+    }),
 
     // Deterministic 10% hash sample — the reproducible TABLESAMPLE.
     "cur_sample" -> ((s, dir) =>
@@ -388,6 +398,34 @@ object CurationQueries {
          |  lang, COUNT(*) AS n_docs
          |FROM documents
          |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    // Leakage-safe split twin: recursive min-label closure over the exact
+    // jaccard pairs of the CLONE corpus (the same chain as dedup_clusters,
+    // re-pointed at documents2), then the md5 bucket of the split unit.
+    "cur_split_safe" -> {
+      val unitBucket =
+        "(('0x' || substring(md5(CAST(unit AS VARCHAR)), 1, 8))::BIGINT % 100)"
+      s"""WITH RECURSIVE ${DedupQueries.clonedDocsCte.stripPrefix("WITH ")},
+        |${DedupQueries.jaccardBaseFrom("documents2")},
+        |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM jp
+        |  UNION ALL
+        |  SELECT doc_b AS s, doc_a AS d FROM jp),
+        |walk(id, label) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, w2.label FROM edges e JOIN walk w2 ON w2.id = e.d),
+        |cl AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+        |u AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS unit
+        |  FROM documents2 d LEFT JOIN cl ON cl.id = d.doc_id)
+        |SELECT doc_id, unit AS split_unit,
+        |  CASE WHEN $unitBucket < 80 THEN 'train'
+        |       WHEN $unitBucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin
+    },
 
     "cur_sample" ->
       s"""SELECT doc_id, lang FROM documents

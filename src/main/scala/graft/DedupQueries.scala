@@ -182,16 +182,17 @@ object DedupQueries {
   )
 
   // Shared CTE chain ending in jac(doc_a, doc_b, jaccard) — the exact
-  // 3-shingle Jaccard pair table; reused by the pair queries and the
-  // cluster oracle's recursive closure.
-  private val jaccardBase: String =
-    """w AS (
+  // 3-shingle Jaccard pair table; reused by the pair queries, the cluster
+  // oracle's recursive closure, and (over the clone corpus) the
+  // leakage-safe split oracle in CurationQueries.
+  private[graft] def jaccardBaseFrom(table: String): String =
+    s"""w AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
       |      i -> string_split(text, ' ')[i] || ' ' ||
       |           string_split(text, ' ')[i+1] || ' ' ||
       |           string_split(text, ' ')[i+2])) AS shs
-      |  FROM documents),
+      |  FROM $table),
       |sh AS (SELECT doc_id, unnest(shs) AS s FROM w),
       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
       |pairs AS (
@@ -204,6 +205,8 @@ object DedupQueries {
       |  FROM pairs
       |  JOIN n na ON na.doc_id = doc_a
       |  JOIN n nb ON nb.doc_id = doc_b)""".stripMargin
+
+  private val jaccardBase: String = jaccardBaseFrom("documents")
 
   private val jaccardSql: String =
     s"""WITH $jaccardBase

@@ -57,6 +57,29 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Leakage-safe [[trainValTest]]: near-duplicate CLUSTERS, not documents,
+    * are the split unit, so no near-dup pair ever straddles train and test
+    * — the benchmark-hygiene failure where the model "memorizes" eval rows
+    * from their training-set near-copies. `pairs` is any near-dup pair
+    * table (minhash/simhash/semantic); members of a connected component
+    * all inherit the component's min-id label as their bucketing key,
+    * unpaired documents bucket by their own id (identical to the naive
+    * split for them — the clustered rows are the only difference).
+    *
+    * Scale: one cluster pass ([[graft.operators.Dedup.nearDupClusters]],
+    * keyed label propagation over the pair graph) + one keyed left join +
+    * the stateless hash-bucket filter. Emits (doc_id, split_unit, split).
+    */
+  def leakageSafeSplit(documents: DataFrame, pairs: DataFrame,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val clusters = graft.operators.Dedup.nearDupClusters(pairs)
+    val withUnit = documents.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_unit"))
+    trainValTest(withUnit, col("split_unit"), trainPct, valPct)
+  }
+
   /** Deterministic pct% sample by key hash — the scalable, reproducible
     * `TABLESAMPLE`: no shuffle, no seed state, stable under re-partitioning.
     */

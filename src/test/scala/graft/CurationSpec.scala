@@ -208,4 +208,19 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Double)].collect()
     assert(s1.toSeq === s2.toSeq)
   }
+
+  test("leakageSafeSplit: no near-dup pair straddles splits; the naive split does") {
+    val clones = Tables.documentsWithClones(spark, sfDir)
+    val pairs = graft.operators.Dedup.minhashPairs(clones, 0.5)
+    val safe = Curation.leakageSafeSplit(clones, pairs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val ps = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(ps.nonEmpty)
+    assert(ps.forall { case (a, b) => safe(a) === safe(b) })
+    // non-vacuity: the per-document split DOES separate some pair (clones
+    // are re-keyed +150000, so their buckets are independent of the parent)
+    val naive = Curation.trainValTest(clones, col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(ps.exists { case (a, b) => naive(a) !== naive(b) })
+  }
 }
