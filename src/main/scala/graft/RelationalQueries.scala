@@ -335,7 +335,23 @@ object RelationalQueries {
           max(when(col("qi") === 2, col("quantile"))).as("p75"),
           max(when(col("qi") === 3, col("quantile"))).as("p99"))
         .orderBy("l_returnflag")
-    })
+    }),
+
+    // Winsorized per-group price summary: rows clipped at the exact
+    // p05/p95 grid quantiles; counts and the clipped mean come from exact
+    // integer sums of the re-gridded values.
+    "stats_winsorized" -> ((s, dir) =>
+      operators.Stats.winsorize(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clip") === "lo", 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("clip") === "hi", 1L).otherwise(0L)).as("n_hi"),
+          sum(floor(col("v_wins") * 100.0 + 0.5).cast("long")).as("sc"))
+        .select(col("l_returnflag"), col("n"), col("n_lo"), col("n_hi"),
+          (floor(col("sc").cast("double") / col("n") / 100.0 * 10000.0 + 0.5)
+            / 10000.0).as("mean_wins"))
+        .orderBy("l_returnflag"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -559,6 +575,61 @@ object RelationalQueries {
     // The grid walk replayed: exact integer rank brackets + the pinned
     // interpolation spelling (no quantile_cont — the twin reproduces the
     // operator's own math, engine internals don't enter).
+    // Winsorize twin: the quantiles_scalable grid walk at (0.05, 0.95),
+    // then clip the distinct-value table against the cuts and aggregate
+    // with count-weighted exact integer sums (values equal the Spark
+    // side's per-row sums because the sums are exact).
+    "stats_winsorized" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vq,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, vq, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY vq) AS BIGINT) AS hi
+        |  FROM c),
+        |cum2 AS (SELECT g, vq, hi - cnt AS lo, hi FROM cum),
+        |n AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+        |t AS (
+        |  SELECT g, qi, CAST(n - 1 AS DOUBLE) * q AS tpos
+        |  FROM n CROSS JOIN (VALUES (0, 0.05), (1, 0.95)) AS qs(qi, q)),
+        |t2 AS (
+        |  SELECT g, qi, CAST(FLOOR(tpos) AS BIGINT) AS k,
+        |    tpos - FLOOR(tpos) AS frac
+        |  FROM t),
+        |vk AS (
+        |  SELECT t2.g, t2.qi, t2.frac, cum2.vq AS vqk
+        |  FROM t2 JOIN cum2 ON cum2.g = t2.g
+        |    AND cum2.lo <= t2.k AND t2.k < cum2.hi),
+        |vk1 AS (
+        |  SELECT t2.g, t2.qi, cum2.vq AS vqk1
+        |  FROM t2 JOIN cum2 ON cum2.g = t2.g
+        |    AND cum2.lo <= t2.k + 1 AND t2.k + 1 < cum2.hi),
+        |r AS (
+        |  SELECT vk.g, vk.qi,
+        |    CAST(vqk AS DOUBLE) / 100.0
+        |      + ((CAST(COALESCE(vqk1, vqk) AS DOUBLE) / 100.0
+        |          - CAST(vqk AS DOUBLE) / 100.0) * frac) AS v
+        |  FROM vk LEFT JOIN vk1 ON vk1.g = vk.g AND vk1.qi = vk.qi),
+        |cuts AS (
+        |  SELECT g, MAX(CASE WHEN qi = 0 THEN v END) AS cut_lo,
+        |    MAX(CASE WHEN qi = 1 THEN v END) AS cut_hi
+        |  FROM r GROUP BY g),
+        |cl AS (
+        |  SELECT c.g, c.cnt,
+        |    CAST(c.vq AS DOUBLE) / 100.0 AS v,
+        |    CAST(FLOOR(LEAST(GREATEST(CAST(c.vq AS DOUBLE) / 100.0, cut_lo),
+        |      cut_hi) * 100.0 + 0.5) AS BIGINT) AS wq,
+        |    cut_lo, cut_hi
+        |  FROM c JOIN cuts USING (g))
+        |SELECT g AS l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN v < cut_lo THEN cnt ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN v > cut_hi THEN cnt ELSE 0 END) AS BIGINT) AS n_hi,
+        |  FLOOR(CAST(CAST(SUM(wq * cnt) AS BIGINT) AS DOUBLE)
+        |    / CAST(SUM(cnt) AS BIGINT) / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_wins
+        |FROM cl GROUP BY g ORDER BY l_returnflag""".stripMargin,
+
     "quantiles_scalable" ->
       """WITH c AS (
         |  SELECT l_returnflag AS g,

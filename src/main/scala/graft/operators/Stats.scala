@@ -124,4 +124,36 @@ object Stats {
             - col("vqk").cast("double") / 100.0) * col("frac")))
           .as("quantile"))
   }
+
+  /** Per-group winsorization (percentile clipping): values below the pLo
+    * quantile are raised to it, values above pHi lowered to it — the
+    * robust-feature-engineering step that tames heavy tails without
+    * dropping rows. Cut points come from [[exactQuantilesByGrid]] (exact,
+    * scale-safe, deterministic); emits the input rows with `v` (the
+    * cent-grid reading of valueCol), `v_wins` (clipped, re-snapped to the
+    * cent grid so downstream integer sums stay exact) and `clip` ∈
+    * {'lo','hi','none'}.
+    *
+    * Scale: the cut-point table is group-count-sized and broadcast onto a
+    * linear scan — the [[zOutliers]] enrichment shape; nothing about the
+    * clip pass shuffles the data.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val cuts = exactQuantilesByGrid(df, groupCol, valueCol, Seq(pLo, pHi))
+      .groupBy(groupCol)
+      .agg(max(when(col("qi") === 0, col("quantile"))).as("cut_lo"),
+        max(when(col("qi") === 1, col("quantile"))).as("cut_hi"))
+    df.join(broadcast(cuts), groupCol)
+      .withColumn("v",
+        floor(col(valueCol) * 100.0 + 0.5).cast("long").cast("double") / 100.0)
+      .withColumn("v_wins",
+        floor(least(greatest(col("v"), col("cut_lo")), col("cut_hi"))
+          * 100.0 + 0.5).cast("long").cast("double") / 100.0)
+      .withColumn("clip",
+        when(col("v") < col("cut_lo"), "lo")
+          .when(col("v") > col("cut_hi"), "hi")
+          .otherwise("none"))
+      .drop("cut_lo", "cut_hi")
+  }
 }

@@ -152,4 +152,22 @@ class EdgeCasesSpec extends SparkSpec {
       .select(col("sv").cast("long")).as[Long].head()
     assert(multi === 600L) // cents grid: (100 + 200 + 300)
   }
+
+  test("winsorize: hand-checked cuts, clip counts and clipped mean on 1..100") {
+    val df = (1 to 100).map(i => ("A", i.toDouble)).toDF("g", "v0")
+    val w = Stats.winsorize(df, "g", "v0")
+    // p05 at rank 4.95 -> 5.95; p95 at rank 94.05 -> 95.05
+    val sums = w.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("clip") === "lo", 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("clip") === "hi", 1L).otherwise(0L)).as("n_hi"),
+        sum(floor(col("v_wins") * 100.0 + 0.5).cast("long")).as("sc"))
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(sums === (("A", 100L, 5L, 5L, 505000L)))
+    // 5*5.95 + sum(6..95) + 5*95.05 = 5050.00 -> 505000 cents
+    // and a singleton group clips nothing
+    val one = Stats.winsorize(Seq(("B", 7.0)).toDF("g", "v0"), "g", "v0")
+      .select("v_wins", "clip").as[(Double, String)].head()
+    assert(one === ((7.0, "none")))
+  }
 }
