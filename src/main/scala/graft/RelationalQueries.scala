@@ -337,6 +337,15 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Robust outlier summary: modified z-score over exact grid median and
+    // MAD — the outlier detector extreme values can't mask (unlike
+    // events_outliers' mean/stddev z).
+    "stats_mad_outliers" -> ((s, dir) =>
+      operators.Stats.madOutlierSummary(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+        .select("l_returnflag", "n", "med", "mad", "n_outliers")
+        .orderBy("l_returnflag")),
+
     // Winsorized per-group price summary: rows clipped at the exact
     // p05/p95 grid quantiles; counts and the clipped mean come from exact
     // integer sums of the re-gridded values.
@@ -575,6 +584,63 @@ object RelationalQueries {
     // The grid walk replayed: exact integer rank brackets + the pinned
     // interpolation spelling (no quantile_cont — the twin reproduces the
     // operator's own math, engine internals don't enter).
+    // MAD twin: the grid walk run twice — once over the raw cent values
+    // for the median, once over the re-gridded absolute deviations for the
+    // MAD — then the count-weighted modified-z flag over the distinct-value
+    // table (sums are exact, so values equal the Spark side's per-row agg).
+    "stats_mad_outliers" -> {
+      def walk(src: String, sfx: String): String =
+        s"""cum$sfx AS (
+           |  SELECT g, vq, cnt,
+           |    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY vq) AS BIGINT) AS hi
+           |  FROM $src),
+           |cum2$sfx AS (SELECT g, vq, hi - cnt AS lo, hi FROM cum$sfx),
+           |n$sfx AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM $src GROUP BY 1),
+           |t2$sfx AS (
+           |  SELECT g, CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) AS k,
+           |    CAST(n - 1 AS DOUBLE) * 0.5
+           |      - FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS frac
+           |  FROM n$sfx),
+           |vk$sfx AS (
+           |  SELECT t2$sfx.g, t2$sfx.frac, cum2$sfx.vq AS vqk
+           |  FROM t2$sfx JOIN cum2$sfx ON cum2$sfx.g = t2$sfx.g
+           |    AND cum2$sfx.lo <= t2$sfx.k AND t2$sfx.k < cum2$sfx.hi),
+           |vk1$sfx AS (
+           |  SELECT t2$sfx.g, cum2$sfx.vq AS vqk1
+           |  FROM t2$sfx JOIN cum2$sfx ON cum2$sfx.g = t2$sfx.g
+           |    AND cum2$sfx.lo <= t2$sfx.k + 1 AND t2$sfx.k + 1 < cum2$sfx.hi),
+           |r$sfx AS (
+           |  SELECT vk$sfx.g,
+           |    CAST(vqk AS DOUBLE) / 100.0
+           |      + ((CAST(COALESCE(vqk1, vqk) AS DOUBLE) / 100.0
+           |          - CAST(vqk AS DOUBLE) / 100.0) * frac) AS v
+           |  FROM vk$sfx LEFT JOIN vk1$sfx ON vk1$sfx.g = vk$sfx.g)""".stripMargin
+      s"""WITH c AS (
+         |  SELECT l_returnflag AS g,
+         |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vq,
+         |    COUNT(*) AS cnt
+         |  FROM lineitem GROUP BY 1, 2),
+         |${walk("c", "m")},
+         |meds AS (SELECT g, MAX(v) AS med FROM rm GROUP BY g),
+         |cd AS (
+         |  SELECT c.g,
+         |    CAST(FLOOR(ABS(CAST(c.vq AS DOUBLE) / 100.0 - m.med)
+         |      * 100.0 + 0.5) AS BIGINT) AS vq,
+         |    CAST(SUM(c.cnt) AS BIGINT) AS cnt
+         |  FROM c JOIN meds m ON m.g = c.g GROUP BY 1, 2),
+         |${walk("cd", "d")},
+         |mads AS (SELECT g, MAX(v) AS mad FROM rd GROUP BY g),
+         |base AS (
+         |  SELECT c.g, CAST(c.vq AS DOUBLE) / 100.0 AS v, c.cnt, m.med, d.mad
+         |  FROM c JOIN meds m ON m.g = c.g JOIN mads d ON d.g = c.g)
+         |SELECT g AS l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n,
+         |  MAX(med) AS med, MAX(mad) AS mad,
+         |  CAST(SUM(CASE WHEN mad > 0.0
+         |    AND ABS(0.6745 * (v - med) / mad) > 3.5
+         |    THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM base GROUP BY g ORDER BY l_returnflag""".stripMargin
+    },
+
     // Winsorize twin: the quantiles_scalable grid walk at (0.05, 0.95),
     // then clip the distinct-value table against the cuts and aggregate
     // with count-weighted exact integer sums (values equal the Spark

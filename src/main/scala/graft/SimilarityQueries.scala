@@ -42,6 +42,22 @@ object SimilarityQueries {
       operators.Ivf.probe(operators.Ivf.buildIndex(dir, emb), emb, 0L, 10)
     }),
 
+    // IVF recall@10 self-evaluation: |probe top-10 ∩ exact top-10| / 10 —
+    // the accuracy half of the index health check (ann_list_sizes is the
+    // balance half). Both sides are deterministic (id tie-breaks), so even
+    // the recall VALUE is oracle-stable.
+    "ann_recall_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ivf = operators.Ivf
+        .probe(operators.Ivf.buildIndex(dir, emb), emb, 0L, 10)
+        .select("vec_id")
+      val exact = Similarity.topK(emb, 0L, 10).select("vec_id")
+      ivf.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("k"), col("n_hits"),
+          (col("n_hits").cast("double") / 10.0).as("recall"))
+    }),
+
     // PQ (product-quantization) approximate top-10 — the compressed-codes
     // ANN path (4-bit codes, ADC scoring, exact re-rank of 50 candidates).
     // Hash-checked against a DuckDB twin that replays per-subspace seeding,
@@ -462,6 +478,40 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "ann_topk_ivf" -> ivfSql(),
+
+    // Recall twin: the ivfSql probe chain and the ann_topk exact chain as
+    // CTEs, intersected. Both top-10 sets are fully deterministic (vec_id
+    // tie-breaks), so the recall value itself hash-compares.
+    "ann_recall_ivf" ->
+      s"""WITH ${ivfCoreCtes(16)},
+         |probe AS (
+         |  SELECT cid FROM (
+         |    SELECT sc2.cid,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+         |          DESC, sc2.cid) AS rn
+         |    FROM sc2 JOIN nc2 USING (cid) WHERE sc2.vec_id = 0)
+         |  WHERE rn <= 4),
+         |cand AS (
+         |  SELECT a2.vec_id FROM a2 JOIN probe USING (cid)
+         |  WHERE a2.vec_id <> 0),
+         |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |ivfk AS (
+         |  SELECT e.vec_id FROM cand JOIN embeddings e USING (vec_id), qe q
+         |  ORDER BY (${dotSql("e.embedding", "q.qe")})
+         |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |       * sqrt(${dotSql("q.qe", "q.qe")})) DESC, e.vec_id
+         |  LIMIT 10),
+         |exk AS (
+         |  SELECT e.vec_id FROM embeddings e, qe q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY (${dotSql("e.embedding", "q.qe")})
+         |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |       * sqrt(${dotSql("q.qe", "q.qe")})) DESC, e.vec_id
+         |  LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k, COUNT(*) AS n_hits,
+         |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall
+         |FROM ivfk JOIN exk USING (vec_id)""".stripMargin,
     "ann_topk_pq" -> pqSql(),
     "ann_topk_ivfpq" -> ivfPqSql(),
 

@@ -673,9 +673,11 @@ object Dedup {
     // sides — without it the scan + gram hashing runs three times
     val occ = scope.persist(documents
       .select(col("doc_id"), posexplode(gramHashes).as(Seq("pos", "h"))))
-    val hot = occ.select("doc_id", "h").distinct()
+    // persist: the (tiny) hot-gram set anti-joins BOTH sides of the match
+    // join — uncached, the df-count aggregation over occ runs twice
+    val hot = scope.persist(occ.select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("h")
+      .filter(col("df") > maxDf).select("h"))
     val cold = occ.join(hot, Seq("h"), "left_anti")
     val a = cold.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("h"))
     val b = cold.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("h"))

@@ -125,6 +125,47 @@ object Stats {
           .as("quantile"))
   }
 
+  /** Per-group robust outlier summary via the modified z-score
+    * (Iglewicz–Hoaglin): mz = 0.6745·(v − median) / MAD, flagging
+    * |mz| > threshold — the outlier detector that, unlike [[zOutliers]],
+    * a few extreme values cannot mask (mean and stddev are themselves
+    * dragged by outliers; median and MAD are not). Emits
+    * (group, n, med, mad, n_outliers).
+    *
+    * Both the median and the MAD (median absolute deviation) come from
+    * [[exactQuantilesByGrid]] — deviations are re-snapped to the cent grid
+    * before the second walk (the grid IS the precision contract), so every
+    * rank decision is exact and the one float formula is a pinned spelling
+    * of exact inputs: the DuckDB twin replays both walks bit-for-bit. A
+    * zero-MAD group (over half its rows at the median) flags nothing —
+    * the standard degenerate-case guard.
+    *
+    * Scale: two grid walks (each value-cardinality-bounded, see
+    * [[exactQuantilesByGrid]]), each result broadcast onto a linear pass.
+    */
+  def madOutlierSummary(df: DataFrame, groupCol: String, valueCol: String,
+                        threshold: Double = 3.5,
+                        scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val med = exactQuantilesByGrid(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol), col("quantile").as("med"))
+    // persist: the deviation table feeds the MAD walk AND the final
+    // summary pass — without it the med join + snap runs twice
+    val dev = scope.persist(df.join(broadcast(med), groupCol)
+      .withColumn("v",
+        floor(col(valueCol) * 100.0 + 0.5).cast("long").cast("double") / 100.0)
+      .withColumn("adev",
+        floor(abs(col("v") - col("med")) * 100.0 + 0.5)
+          .cast("long").cast("double") / 100.0))
+    val mad = exactQuantilesByGrid(dev, groupCol, "adev", Seq(0.5))
+      .select(col(groupCol), col("quantile").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("mad") > 0.0 &&
+            abs(lit(0.6745) * (col("v") - col("med")) / col("mad")) > threshold,
+          1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Per-group winsorization (percentile clipping): values below the pLo
     * quantile are raised to it, values above pHi lowered to it — the
     * robust-feature-engineering step that tames heavy tails without

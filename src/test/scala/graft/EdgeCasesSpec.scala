@@ -153,6 +153,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(multi === 600L) // cents grid: (100 + 200 + 300)
   }
 
+  test("madOutlierSummary: hand-checked median/MAD; zero-MAD group flags nothing") {
+    // A: 1..9 + one outlier 1000. med = 5.5, sorted adevs
+    // (0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5) -> MAD 2.5; only the
+    // outlier's |mz| = .6745*994.5/2.5 exceeds 3.5.
+    // B: five 7s + one 100 -> MAD 0 -> guard flags nothing.
+    val df = ((1 to 9).map(i => ("A", i.toDouble)) :+ ("A", 1000.0)) ++
+      (Seq.fill(5)(("B", 7.0)) :+ ("B", 100.0))
+    val got = Stats.madOutlierSummary(df.toDF("g", "v0"), "g", "v0")
+      .select("g", "n", "med", "mad", "n_outliers")
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("A") === ((10L, 5.5, 2.5, 1L)))
+    assert(got("B") === ((6L, 7.0, 0.0, 0L)))
+  }
+
   test("winsorize: hand-checked cuts, clip counts and clipped mean on 1..100") {
     val df = (1 to 100).map(i => ("A", i.toDouble)).toDF("g", "v0")
     val w = Stats.winsorize(df, "g", "v0")
