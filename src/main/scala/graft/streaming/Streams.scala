@@ -210,6 +210,26 @@ object Streams {
         (floor(col("z") * 10000.0 + 0.5) / 10000.0).as("z_4dp"))
   }
 
+  /** Streaming robust-outlier filter — [[outlierStream]]'s median/MAD twin:
+    * the batch-trained (event_type, med, mad) table (from
+    * [[graft.operators.Stats.madOutlierSummary]]) broadcasts into every
+    * micro-batch and rows flag on the modified z-score
+    * |0.6745·(v − med)/mad| > threshold, with the same cent-grid snap and
+    * zero-MAD guard as batch. Stateless append — the robust alternative
+    * when the stream's tail is heavy enough to drag mean/stddev.
+    */
+  def madOutlierStream(events: DataFrame, medMad: DataFrame,
+                       threshold: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    events.join(broadcast(medMad.select("event_type", "med", "mad")), "event_type")
+      .withColumn("v",
+        floor(col("value") * 100.0 + 0.5).cast("long").cast("double") / 100.0)
+      .withColumn("mz", lit(0.6745) * (col("v") - col("med")) / col("mad"))
+      .filter(col("mad") > 0.0 && abs(col("mz")) > threshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (floor(col("mz") * 10000.0 + 0.5) / 10000.0).as("mz_4dp"))
+  }
+
   /** Streaming SemDeDup — the online twin of
     * [[graft.operators.Dedup.semanticDupPairs]]: each incoming vector is
     * assigned to its coarse-quantizer cluster (a pure per-row expression

@@ -338,6 +338,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-static MAD outlier filter equals the batch modified-z verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val medMad = graft.operators.Stats
+      .madOutlierSummary(ev, "event_type", "value")
+      .select("event_type", "med", "mad")
+    val rows = ev.as[(Long, String, Double)].collect().toSeq
+
+    val input = MemoryStream[(Long, String, Double)]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.madOutlierStream(
+      input.toDF().toDF("event_id", "event_type", "value"), medMad)
+      .writeStream.format("memory").queryName("mad_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("mad_stream")
+      .select("event_id").as[Long].collect().toSet
+    // batch reference: same snap, same guard, computed directly
+    val mm = medMad.as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = rows.filter { case (_, t, v0) =>
+      val (med, mad) = mm(t)
+      val v = math.floor(v0 * 100.0 + 0.5) / 100.0
+      mad > 0.0 && math.abs(0.6745 * (v - med) / mad) > 3.5
+    }.map(_._1).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("streaming phash dedup matches brute force, exactly once per pair") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Multimodal
