@@ -170,6 +170,30 @@ object DedupQueries {
       Dedup.exactSubstrReport(Tables.documentsWithClones(s, dir))
         .orderBy("doc_a", "doc_b")),
 
+    // End-to-end SemDeDup collapse with measurable effect: semantic pairs →
+    // clusters → keep the min-id representative per cluster → per-label
+    // diversity BEFORE vs AFTER. Removing semantic near-dups must raise
+    // (or hold) mean pairwise distance — the dashboard that proves the
+    // curation step did something.
+    "dedup_semantic_collapse" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val clusters = Dedup
+        .nearDupClusters(Dedup.semanticDupPairs(emb, 0.4, dir), "vec_a", "vec_b")
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      val survivors = emb.join(clusters, Seq("vec_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("vec_id"))
+        .select("vec_id", "embedding", "label")
+      val before = graft.operators.Similarity.labelDiversity(emb)
+        .select(col("label"), col("n_vecs").as("n_before"),
+          col("diversity").as("div_before"))
+      val after = graft.operators.Similarity.labelDiversity(survivors)
+        .select(col("label"), col("n_vecs").as("n_after"),
+          col("diversity").as("div_after"))
+      before.join(after, "label")
+        .select("label", "n_before", "div_before", "n_after", "div_after")
+        .orderBy("label")
+    }),
+
     // Corpus duplication-rate KPI: docs vs distinct fingerprints, 4-dp —
     // on the planted-clone corpus so the rate is provably > 0.
     "dedup_rate" -> ((s, dir) =>
@@ -439,6 +463,64 @@ object DedupQueries {
          |    / (sqrt(${dotSql("a.embedding", "a.embedding")})
          |       * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Collapse-with-effect twin: the dedup_semantic pair chain, the
+    // recursive min-label closure, the min-id-representative filter, and
+    // the ann_diversity sufficient-statistics chain run twice (b*/s*
+    // prefixes: full corpus vs survivors).
+    "dedup_semantic_collapse" -> {
+      def divChain(p: String, src: String): String =
+        s"""${p}idx AS (
+           |  SELECT label, embedding,
+           |    unnest(range(1, len(embedding) + 1)) AS i
+           |  FROM $src),
+           |${p}q AS (
+           |  SELECT label, i - 1 AS dim,
+           |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+           |      * 1000000.0 + 0.5) AS BIGINT) AS vq
+           |  FROM ${p}idx),
+           |${p}pd AS (
+           |  SELECT label, dim, CAST(SUM(vq) AS BIGINT) AS sd,
+           |    SUM(CAST(vq AS HUGEINT) * vq) AS sd2, COUNT(*) AS n
+           |  FROM ${p}q GROUP BY label, dim),
+           |${p}ag AS (
+           |  SELECT label, MAX(n) AS n, SUM(sd2) AS s2,
+           |    SUM(CAST(sd AS HUGEINT) * sd) AS ss
+           |  FROM ${p}pd GROUP BY label)""".stripMargin
+      def divExpr(t: String): String =
+        s"""FLOOR((2.0 * (CAST($t.s2 AS DOUBLE) / $t.n
+           |    - CAST($t.ss AS DOUBLE) / $t.n / $t.n)
+           |    / 1000000000000.0) * 10000.0 + 0.5) / 10000.0""".stripMargin
+      s"""WITH RECURSIVE ${SimilarityQueries.ivfCoreCtes(16)},
+         |sem AS (
+         |  SELECT aa.vec_id AS va, bb.vec_id AS vb
+         |  FROM a2 aa
+         |  JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+         |  JOIN embeddings a ON a.vec_id = aa.vec_id
+         |  JOIN embeddings b ON b.vec_id = bb.vec_id
+         |  WHERE (${dotSql("a.embedding", "b.embedding")})
+         |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |         * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4),
+         |edges AS (
+         |  SELECT va AS s, vb AS d FROM sem
+         |  UNION ALL
+         |  SELECT vb AS s, va AS d FROM sem),
+         |walk(id, lbl) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, w2.lbl FROM edges e JOIN walk w2 ON w2.id = e.d),
+         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id),
+         |surv AS (
+         |  SELECT e.label, e.embedding
+         |  FROM embeddings e LEFT JOIN cl ON cl.id = e.vec_id
+         |  WHERE cl.id IS NULL OR cl.cluster_id = e.vec_id),
+         |${divChain("b", "embeddings")},
+         |${divChain("s", "surv")}
+         |SELECT b.label, b.n AS n_before, ${divExpr("b")} AS div_before,
+         |  s.n AS n_after, ${divExpr("s")} AS div_after
+         |FROM bag b JOIN sag s ON s.label = b.label
+         |ORDER BY b.label""".stripMargin
+    },
 
     // SemDeDup twin: the dedup_embedding pair query restricted to pairs
     // co-assigned by the replayed IVF coarse quantizer (a2 = the same
