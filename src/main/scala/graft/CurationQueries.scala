@@ -87,6 +87,23 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Temperature-scaled mixture (α = 0.5): per-LANG token budgets ∝
+    // √tokens over a 8000-token total — the low-resource-upsampling recipe
+    // (en holds 47% of corpus tokens but gets only ~26% of the budget).
+    // Budgets are computed by temperedBudgets (quantized-power weights +
+    // exact integer split), then filled by the same hash-ordered prefix as
+    // cur_mixture.
+    "cur_mixture_temp" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val budgets = Curation.temperedBudgets(
+        docs, "lang", col("n_tokens"), totalBudget = 8000L)
+      Curation.mixtureSample(docs, "lang", col("doc_id"), col("n_tokens"),
+          budgets)
+        .orderBy("doc_id")
+    }),
+
     // Decontamination REMOVAL (the act to text_contamination's report):
     // drop every document sharing >= 5 shingles with the benchmark probe
     // set, emit the kept corpus. Anti-join on the bounded hit table.
@@ -590,6 +607,39 @@ object CurationQueries {
         |WHERE running <= CASE source WHEN 'src0' THEN 800
         |  WHEN 'src1' THEN 1000 WHEN 'src2' THEN 600 ELSE 2000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // cur_mixture's prefix machinery with temperedBudgets' weight chain
+    // replayed: per-lang totals → 1e-6-quantized √t → exact HUGEINT
+    // floor-division budget split → hash-ordered running-sum prefix.
+    "cur_mixture_temp" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |t AS (
+        |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok FROM c
+        |  GROUP BY 1 HAVING SUM(n_tokens) > 0),
+        |w AS (
+        |  SELECT lang,
+        |    CAST(FLOOR(exp(0.5 * ln(CAST(tok AS DOUBLE))) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS wq
+        |  FROM t),
+        |b AS (
+        |  SELECT lang,
+        |    (8000::HUGEINT * wq::HUGEINT) // (SELECT SUM(wq) FROM w)
+        |      AS budget
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+        |  FROM c)
+        |SELECT r.doc_id, r.lang, r.n_tokens
+        |FROM r JOIN b ON r.lang = b.lang
+        |WHERE r.running <= b.budget
+        |ORDER BY r.doc_id""".stripMargin,
 
     // Same chunk derivation as cur_chunks, then the shard-partitioned
     // running sum (CAST to BIGINT: DuckDB window SUM yields HUGEINT).

@@ -14,10 +14,19 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val entry = SparkEntry.entry(spark)
-    println(s"ENTRY rows=${entry.count()}")
-    entry.show(3, truncate = false)
-    println(s"QUERIES n=${SparkEntry.queries.size} ORACLE n=${SparkEntry.oracleSql.size}")
+    if (args.nonEmpty) {
+      // dev loop: show named queries at sf0.01 (e.g. `runMain graft.Dev q1_agg`)
+      args.foreach { name =>
+        println(s"=== $name ===")
+        SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+          .show(30, truncate = false)
+      }
+    } else {
+      val entry = SparkEntry.entry(spark)
+      println(s"ENTRY rows=${entry.count()}")
+      entry.show(3, truncate = false)
+      println(s"QUERIES n=${SparkEntry.queries.size} ORACLE n=${SparkEntry.oracleSql.size}")
+    }
     spark.stop()
   }
 }

@@ -257,10 +257,78 @@ object EventQueries {
     "events_key_skew" -> ((s, dir) =>
       operators.Skew.keySkewReport(Tables.events(s, dir), col("user_id"))
         .select(col("key").as("user_id"), col("n_rows"),
-          col("share_4dp"), col("skew_factor_4dp")))
+          col("share_4dp"), col("skew_factor_4dp"))),
+
+    // Per-type approximate distinct counts via the engine-portable md5 HLL
+    // sketch (Sketches.hllDistinct): users (≈150 true — exercises the
+    // linear-counting small-range branch) AND distinct value-cents (≈1800
+    // true — the raw harmonic-mean branch). Unlike approx_count_distinct,
+    // the estimate itself hash-compares against DuckDB, because every
+    // register decision is exact md5/string/integer math.
+    "events_distinct_hll" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val users = operators.Sketches.hllDistinct(ev, "event_type",
+          col("user_id"))
+        .withColumnRenamed("est_2dp", "est_users_2dp")
+      val cents = operators.Sketches.hllDistinct(ev, "event_type",
+          floor(col("value") * 100.0 + 0.5).cast("long"))
+        .withColumnRenamed("est_2dp", "est_cents_2dp")
+      users.join(cents, "event_type").orderBy("event_type")
+    })
   )
 
+  /** DuckDB twin of one [[operators.Sketches]] HLL estimate chain over
+    * `events`, grouped by event_type; CTE names suffixed so two chains can
+    * coexist in one query. `keyExpr` must already be VARCHAR-cast.
+    */
+  private def hllCtes(sfx: String, keyExpr: String): String =
+    s"""h$sfx AS (
+       |  SELECT event_type,
+       |    ('0x' || substring(md5($keyExpr), 1, 2))::BIGINT AS bkt,
+       |    substring(md5($keyExpr), 3, 14) AS tail
+       |  FROM events),
+       |z$sfx AS (
+       |  SELECT event_type, bkt,
+       |    length(regexp_extract(tail, '^(0*)', 1)) AS z, tail
+       |  FROM h$sfx),
+       |r$sfx AS (
+       |  SELECT event_type, bkt,
+       |    CASE WHEN z = 14 THEN 57 ELSE z * 4 +
+       |      (CASE WHEN ('0x' || substring(tail, z + 1, 1))::BIGINT >= 8 THEN 0
+       |            WHEN ('0x' || substring(tail, z + 1, 1))::BIGINT >= 4 THEN 1
+       |            WHEN ('0x' || substring(tail, z + 1, 1))::BIGINT >= 2 THEN 2
+       |            ELSE 3 END) + 1 END AS rho
+       |  FROM z$sfx),
+       |sk$sfx AS (
+       |  SELECT event_type, bkt, MAX(rho) AS r FROM r$sfx GROUP BY 1, 2),
+       |f$sfx AS (
+       |  SELECT event_type, COUNT(*) AS nb,
+       |    SUM((1::BIGINT << (57 - r))::HUGEINT) AS s_obs
+       |  FROM sk$sfx GROUP BY 1),
+       |e$sfx AS (
+       |  SELECT event_type,
+       |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+       |      * 144115188075855872.0
+       |      / CAST(s_obs + (256 - nb)::HUGEINT * 144115188075855872::HUGEINT
+       |          AS DOUBLE) AS e_raw,
+       |    CAST(256 - nb AS DOUBLE) AS v
+       |  FROM f$sfx),
+       |est$sfx AS (
+       |  SELECT event_type,
+       |    FLOOR((CASE WHEN e_raw <= 640.0 AND v > 0.0
+       |      THEN 256.0 * ln(256.0 / v) ELSE e_raw END) * 100.0 + 0.5)
+       |      / 100.0 AS est
+       |  FROM e$sfx)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "events_distinct_hll" ->
+      s"""WITH ${hllCtes("u", "CAST(user_id AS VARCHAR)")},
+         |${hllCtes("c", "CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR)")}
+         |SELECT estu.event_type, estu.est AS est_users_2dp,
+         |  estc.est AS est_cents_2dp
+         |FROM estu JOIN estc USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+
     "events_key_skew" ->
       """WITH c AS (
         |  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),

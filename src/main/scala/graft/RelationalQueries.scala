@@ -360,8 +360,95 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("n"), col("n_lo"), col("n_hi"),
           (floor(col("sc").cast("double") / col("n") / 100.0 * 10000.0 + 0.5)
             / 10000.0).as("mean_wins"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Deequ-style column profile of the DIRTY sales feed (the table the
+    // reference pipeline ingests blind): row/null/completeness/distinct
+    // plus typed min/max/mean — one column-pruned single-column pass per
+    // profiled column. Profiling the dirty input is the point: this is the
+    // report that would have told the reference author which columns need
+    // F1/P1/P2 before writing them.
+    "stats_profile" -> ((s, dir) =>
+      operators.Profile.profile(
+          sources.SalesFixture.fromLineitem(s, dir),
+          numericCols = Seq("price", "quantity", "total"),
+          stringCols = Seq("product"))
+        .orderBy("col_name")),
+
+    // Expectation suite over the star schema + dirty feed: key uniqueness,
+    // FK containment, domain and range checks, each one bounded-output
+    // aggregation. Deliberately mixed pass/fail (the dirty feed's nulls and
+    // the >450k tail are real violations) so the report is non-vacuous.
+    "stats_expectations" -> ((s, dir) => {
+      import operators.Profile._
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val dirty = sources.SalesFixture.fromLineitem(s, dir)
+      expectations(Seq(
+        expectNotNull(ord, "o_custkey"),
+        expectUnique(ord, Seq("o_orderkey")),
+        expectInRange(ord, "o_totalprice", 0.0, 450000.0),
+        expectInSet(ord, "o_orderstatus", Seq("O", "F", "P")),
+        expectReferential(ord, "o_custkey", cust, "c_custkey"),
+        expectNotNull(dirty, "quantity"),
+        expectUnique(dirty, Seq("product"))))
+    }),
+
+    // Log2 histogram sketch: bounded-size (≤ 64 rows/group) distribution
+    // summary via exact bit-length bucketing — the mergeable histogram for
+    // unbounded value ranges, next to quantiles_scalable's exact grid walk.
+    "stats_histogram" -> ((s, dir) =>
+      operators.Stats.log2Histogram(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag", "bucket")),
+
+    // Profile drift between the dirty feed and its cleaned output
+    // (F1→P1→P2): the day-over-day report a pipeline runs to catch schema
+    // or distribution shifts — here it quantifies exactly what cleaning
+    // bought (completeness → 1.0, the F1 row drop, the imputation's pull
+    // on mean).
+    "stats_profile_drift" -> ((s, dir) => {
+      val dirty = sources.SalesFixture.fromLineitem(s, dir)
+      val cleaned = operators.SalesClean.imputeTotal(
+        operators.SalesClean.imputeQuantity(
+          operators.SalesClean.dropAllNullMeasures(dirty)))
+      val nums = Seq("price", "quantity", "total")
+      operators.Profile.profileDiff(
+          operators.Profile.profile(dirty, nums, Seq("product")),
+          operators.Profile.profile(cleaned, nums, Seq("product")))
+        .orderBy("col_name")
+    })
   )
+
+  /** DuckDB twin of [[operators.Profile.profile]] over relation `rel` with
+    * the fixed column set (price, quantity, total numeric; product string)
+    * — the UNION-ALL-per-column spelling shared by the stats_profile and
+    * stats_profile_drift oracles.
+    */
+  private def profileUnionSql(rel: String): String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+         |  COUNT(*) - COUNT(c) AS n_null,
+         |  FLOOR(CAST(COUNT(c) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS completeness_6dp,
+         |  COUNT(DISTINCT c) AS n_distinct,
+         |  CAST(MIN(vq) AS DOUBLE) / 100.0 AS min_num,
+         |  CAST(MAX(vq) AS DOUBLE) / 100.0 AS max_num,
+         |  FLOOR(CAST(SUM(vq) AS DOUBLE) / COUNT(c) + 0.5) / 100.0 AS mean_2dp,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM (SELECT $c AS c,
+         |        CAST(FLOOR($c * 100.0 + 0.5) AS BIGINT) AS vq FROM $rel)""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', COUNT(*), COUNT(*) - COUNT(c),
+         |  FLOOR(CAST(COUNT(c) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+         |    / 1000000.0,
+         |  COUNT(DISTINCT c),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  MIN(c), MAX(c)
+         |FROM (SELECT $c AS c FROM $rel)""".stripMargin
+    (Seq("price", "quantity", "total").map(num) :+ str("product"))
+      .mkString("\nUNION ALL\n")
+  }
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -735,6 +822,96 @@ object RelationalQueries {
         |  MAX(CASE WHEN qi = 1 THEN v END) AS p50,
         |  MAX(CASE WHEN qi = 2 THEN v END) AS p75,
         |  MAX(CASE WHEN qi = 3 THEN v END) AS p99
-        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "stats_profile" -> (sources.SalesFixture.oracleCte + "\n" +
+      s"SELECT * FROM (${profileUnionSql("sales")}) ORDER BY col_name"),
+
+    "stats_histogram" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vq
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN vq <= 0 THEN 0 ELSE length(to_base(vq, 2)) END AS bucket
+        |  FROM q),
+        |g AS (
+        |  SELECT l_returnflag, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT l_returnflag, bucket, n,
+        |  CASE WHEN bucket = 0 THEN NULL
+        |       ELSE power(2.0, bucket - 1) / 100.0 END AS lo,
+        |  CASE WHEN bucket = 0 THEN 0.0
+        |       ELSE (power(2.0, bucket) - 1.0) / 100.0 END AS hi
+        |FROM g ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "stats_profile_drift" -> (sources.SalesFixture.oracleCte + "\n" +
+      s""", p1 AS (
+         |  SELECT sales_id, product, price,
+         |    CASE WHEN quantity IS NULL THEN FLOOR(total / price)
+         |         ELSE quantity END AS quantity,
+         |    total, ordered_at, delivery_at
+         |  FROM sales
+         |  WHERE NOT (quantity IS NULL AND price IS NULL AND total IS NULL)),
+         |cleaned AS (
+         |  SELECT sales_id, product, price, quantity,
+         |    CASE WHEN total IS NULL THEN ROUND(price * quantity, 2)
+         |         ELSE total END AS total,
+         |    ordered_at, delivery_at
+         |  FROM p1),
+         |pb AS (SELECT TRUE AS _inb, * FROM (${profileUnionSql("sales")})),
+         |pa AS (SELECT TRUE AS _ina, * FROM (${profileUnionSql("cleaned")}))
+         |SELECT COALESCE(pb.col_name, pa.col_name) AS col_name,
+         |  CASE WHEN _inb IS NULL THEN 'added'
+         |       WHEN _ina IS NULL THEN 'removed'
+         |       WHEN pb.n IS NOT DISTINCT FROM pa.n
+         |        AND pb.n_null IS NOT DISTINCT FROM pa.n_null
+         |        AND pb.completeness_6dp IS NOT DISTINCT FROM pa.completeness_6dp
+         |        AND pb.n_distinct IS NOT DISTINCT FROM pa.n_distinct
+         |        AND pb.mean_2dp IS NOT DISTINCT FROM pa.mean_2dp
+         |       THEN 'stable' ELSE 'changed' END AS status,
+         |  pa.n - pb.n AS d_n,
+         |  pa.n_null - pb.n_null AS d_null,
+         |  pa.completeness_6dp - pb.completeness_6dp AS d_completeness,
+         |  pa.n_distinct - pb.n_distinct AS d_distinct,
+         |  pa.mean_2dp - pb.mean_2dp AS d_mean
+         |FROM pb FULL OUTER JOIN pa ON pb.col_name = pa.col_name
+         |ORDER BY col_name""".stripMargin),
+
+    "stats_expectations" -> (sources.SalesFixture.oracleCte +
+      """
+        |SELECT "check", violations,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM (
+        |  SELECT 'not_null(o_custkey)' AS "check",
+        |    CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice)',
+        |    CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0.0
+        |      OR o_totalprice > 450000.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderstatus)',
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'referential(o_custkey->c_custkey)', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'not_null(quantity)',
+        |    CAST(COUNT(*) - COUNT(quantity) AS BIGINT)
+        |  FROM sales
+        |  UNION ALL
+        |  SELECT 'unique(product)', CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS cnt FROM sales GROUP BY product)
+        |) ORDER BY "check"""".stripMargin)
   )
 }

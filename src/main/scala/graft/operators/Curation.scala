@@ -215,6 +215,41 @@ object Curation {
     }.reduce(_ unionByName _)
   }
 
+  /** Temperature-scaled mixture budgets (the multilingual/source-balancing
+    * practice: sample source s with probability ∝ tokensₛ^α, α < 1
+    * flattening the head so low-resource sources are upsampled relative to
+    * their share — α = 0.5 ≈ temperature 2). Returns the per-source token
+    * budget map to feed [[mixtureSample]]:
+    * budgetₛ = ⌊totalBudget · wₛ / Σw⌋ with wₛ = ⌊exp(α·ln tokensₛ)·10⁶+0.5⌋.
+    *
+    * Determinism: wₛ is the 1e-6-quantized power (same recipe as the LM
+    * ln-score grid — both engines compute exp/ln of identical doubles and
+    * round on a grid far coarser than their ulp disagreement), and the
+    * budget split is EXACT integer arithmetic (BigInt here, HUGEINT
+    * floor-division in the twin) — no float sums whose order could drift.
+    *
+    * Scale: one partial-agg shuffle for the per-source totals; the collect
+    * is recipe-sized (#sources rows — metadata, like [[mixtureSample]]'s
+    * driver loop).
+    */
+  def temperedBudgets(df: DataFrame, sourceCol: String, cost: Column,
+                      totalBudget: Long, alpha: Double = 0.5): Map[String, Long] = {
+    require(totalBudget > 0 && alpha > 0.0 && alpha <= 1.0,
+      "need totalBudget > 0 and 0 < alpha <= 1")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(cost.cast("long")).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0).sortBy(_._1)
+    require(totals.nonEmpty, "no source has positive cost")
+    val wq = totals.map { case (s, t) =>
+      (s, math.floor(math.exp(alpha * math.log(t.toDouble)) * 1e6 + 0.5).toLong)
+    }
+    val sumWq = wq.map(w => BigInt(w._2)).sum
+    wq.map { case (s, w) =>
+      (s, (BigInt(totalBudget) * BigInt(w) / sumWq).toLong)
+    }.toMap
+  }
+
   /** Sequence packing: assign chunk rows to fixed-capacity token bins —
     * the step after [[chunk]] that builds training sequences ("pack these
     * chunks into 4k-token windows"). Rows are first sharded by key hash

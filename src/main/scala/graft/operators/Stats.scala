@@ -166,6 +166,34 @@ object Stats {
           1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Per-group log₂ histogram sketch: counts per power-of-two bucket of the
+    * cent-grid value — the bounded-size distribution summary for UNBOUNDED
+    * value ranges. Where [[exactQuantilesByGrid]]'s state is
+    * value-cardinality-sized, this sketch is ≤ 64 rows per group no matter
+    * what the values do, and two sketches merge by summing counts — the
+    * histogram analog of [[Sketches]]' HLL registers (store per day, roll
+    * up forever).
+    *
+    * Bucket = bit length of vq (= ⌊log₂ vq⌋ + 1) computed as
+    * `length(conv(vq, 10, 2))` — an exact string/integer operation, never
+    * float log₂, whose rounding AT powers of two is engine-dependent.
+    * Bucket 0 collects vq ≤ 0 (zero/negative cents). Emits (group, bucket,
+    * n, lo, hi) with the [lo, hi] value bounds of the bucket in original
+    * units.
+    */
+  def log2Histogram(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vq = floor(col(valueCol) * 100.0 + 0.5).cast("long")
+    df.select(col(groupCol),
+        when(vq <= 0, lit(0))
+          .otherwise(length(conv(vq.cast("string"), 10, 2))).as("bucket"))
+      .groupBy(groupCol, "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", when(col("bucket") === 0, lit(null).cast("double"))
+        .otherwise(pow(lit(2.0), col("bucket") - 1) / 100.0))
+      .withColumn("hi", when(col("bucket") === 0, lit(0.0))
+        .otherwise((pow(lit(2.0), col("bucket")) - 1.0) / 100.0))
+  }
+
   /** Per-group winsorization (percentile clipping): values below the pLo
     * quantile are raised to it, values above pHi lowered to it — the
     * robust-feature-engineering step that tames heavy tails without

@@ -65,6 +65,31 @@ object Streams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming HLL distinct-count sketch — the stream twin of
+    * [[graft.operators.Sketches.hllSketch]], per hourly window: one
+    * watermarked aggregation emits (hour, group, bkt, r) register rows as
+    * the watermark finalizes each window. The ESTIMATE deliberately stays a
+    * batch read over the sketch sink ([[graft.operators.Sketches]]
+    * `hllEstimate`, after regrouping) — the production split: the stream
+    * maintains the tiny mergeable artifact (≤ 256 rows per (window, group),
+    * watermark-bounded state), and readers fold registers on demand,
+    * rolling hours up to days with [[graft.operators.Sketches.hllMerge]]
+    * for free. Byte-identical to the batch sketch on the same rows
+    * (StreamingSpec) because the register math is pure md5/integer — no
+    * order dependence for the stream to break.
+    */
+  def hllSketchStream(events: DataFrame, groupCol: String, key: Column,
+                      watermark: String = "2 hours"): DataFrame = {
+    val (bkt, rho) = graft.operators.Sketches.hllCols(key)
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), "1 hour").as("w"), col(groupCol),
+        bkt.as("bkt"), rho.as("rho"))
+      .groupBy(col("w"), col(groupCol), col("bkt"))
+      .agg(max("rho").as("r"))
+      .select(col("w.start").as("hour"), col(groupCol), col("bkt"), col("r"))
+  }
+
   /** Streaming exact dedup on a key column: keeps the first arrival of each
     * key, with state bounded by the event-time watermark
     * (dropDuplicatesWithinWatermark) — keys older than the watermark are

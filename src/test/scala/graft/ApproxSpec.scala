@@ -95,4 +95,40 @@ class ApproxSpec extends SparkSpec {
       assert(merged === reference, s"seed=$seed")
     }
   }
+
+  test("md5 HLL estimate within 2 standard errors of exact distinct") {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, sfDir).withColumn("g", lit("all"))
+    val est = Sketches.hllDistinct(li, "g", col("l_partkey"))
+      .select("est_2dp").as[Double].head()
+    val exact = li.select(countDistinct("l_partkey")).as[Long].head()
+    // m=256 registers -> se ~ 1.04/sqrt(256) = 6.5%; assert 2*se = 13%
+    assert(math.abs(est - exact) / exact < 0.13,
+      s"est=$est exact=$exact err=${math.abs(est - exact) / exact}")
+    info(s"est=$est exact=$exact")
+  }
+
+  test("HLL sketch merge of disjoint halves equals whole-corpus estimate") {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, sfDir).withColumn("g", lit("all"))
+    val lo = li.filter(col("l_orderkey") % 2 === 0)
+    val hi = li.filter(col("l_orderkey") % 2 === 1)
+    val whole = Sketches.hllDistinct(li, "g", col("l_partkey"))
+      .select("est_2dp").as[Double].head()
+    val merged = Sketches.hllEstimate(
+        Sketches.hllMerge(Seq(
+          Sketches.hllSketch(lo, "g", col("l_partkey")),
+          Sketches.hllSketch(hi, "g", col("l_partkey"))), "g"), "g")
+      .select("est_2dp").as[Double].head()
+    assert(merged === whole) // register-max merge is lossless, not approximate
+  }
+
+  test("HLL small-range branch: tiny cardinalities stay near-exact") {
+    import graft.operators.Sketches
+    val small = spark.range(0, 40).select(lit("g").as("g"), col("id"))
+    val est = Sketches.hllDistinct(small, "g", col("id"))
+      .select("est_2dp").as[Double].head()
+    // linear counting at V > 0 empty registers: tight for n << m
+    assert(math.abs(est - 40.0) < 6.0, s"est=$est")
+  }
 }

@@ -223,4 +223,24 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(ps.exists { case (a, b) => naive(a) !== naive(b) })
   }
+
+  test("temperedBudgets: sqrt flattening upsamples the small source") {
+    // big holds 4x the tokens of small -> at alpha=0.5 its budget ratio
+    // must be sqrt(4) = 2x, not 4x
+    val docs = ((1 to 80).map(i => (i.toLong, "big", 100L)) ++
+      (1 to 20).map(i => (i.toLong + 1000, "small", 100L)))
+      .toDF("doc_id", "src", "n_tokens")
+    val b = Curation.temperedBudgets(docs, "src", col("n_tokens"), 3000L)
+    assert(b.keySet === Set("big", "small"))
+    val ratio = b("big").toDouble / b("small")
+    assert(math.abs(ratio - 2.0) < 0.01, s"ratio=$ratio budgets=$b")
+    // floor split never exceeds the total
+    assert(b.values.sum <= 3000L && b.values.sum > 2990L)
+    // alpha = 1 degenerates to proportional
+    val prop = Curation.temperedBudgets(docs, "src", col("n_tokens"), 3000L,
+      alpha = 1.0)
+    assert(math.abs(prop("big").toDouble / prop("small") - 4.0) < 0.01)
+    // deterministic across invocations
+    assert(b === Curation.temperedBudgets(docs, "src", col("n_tokens"), 3000L))
+  }
 }

@@ -71,6 +71,41 @@ class StreamingSpec extends SparkSpec {
     assert(r === ("Laptops", 2))
   }
 
+  test("streaming HLL sketch equals batch sketch; estimate from sink matches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val evts = (0 until 300).map(i =>
+      (Timestamp.valueOf(s"2024-01-01 00:${10 + i % 40}:00"), "click",
+        (i % 120).toLong))
+    input.addData(evts)
+
+    val stream = Streams.hllSketchStream(
+      input.toDF().toDF("ts", "event_type", "user_id"), "event_type",
+      col("user_id"), "2 hours")
+    val q = stream.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(Seq((Timestamp.valueOf("2024-01-02 00:00:00"), "late", 0L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hll_stream")
+      .filter($"event_type" === "click")
+      .select($"event_type", $"bkt", $"r")
+    val batch = Sketches.hllSketch(
+      evts.toDF("ts", "event_type", "user_id").filter($"event_type" === "click"),
+      "event_type", $"user_id")
+    // register rows byte-identical (one window here, so no regroup needed)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // estimate read off the SINK (the production path) ~ 120 true distinct
+    val est = Sketches.hllEstimate(
+        spark.table("hll_stream").filter($"event_type" === "click")
+          .groupBy("event_type", "bkt").agg(max($"r").as("r")), "event_type")
+      .select("est_2dp").as[Double].head()
+    assert(math.abs(est - 120.0) / 120.0 < 0.13, s"est=$est")
+  }
+
   test("watermarked hourly agg equals batch hourly agg once all windows close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
