@@ -87,6 +87,14 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Quota sampling: EXACTLY 10 docs per lang by smallest md5 variate —
+    // WindowGroupLimit keeps ≤ 10 rows/group/partition through the shuffle.
+    "cur_sample_k" -> ((s, dir) =>
+      Curation.sampleKPerGroup(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          col("doc_id"), "lang", 10)
+        .orderBy("doc_id")),
+
     // Temperature-scaled mixture (α = 0.5): per-LANG token budgets ∝
     // √tokens over a 8000-token total — the low-resource-upsampling recipe
     // (en holds 47% of corpus tokens but gets only ~26% of the budget).
@@ -607,6 +615,18 @@ object CurationQueries {
         |WHERE running <= CASE source WHEN 'src0' THEN 800
         |  WHEN 'src1' THEN 1000 WHEN 'src2' THEN 600 ELSE 2000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "cur_sample_k" ->
+      """WITH v AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+        |  FROM v)
+        |SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     // cur_mixture's prefix machinery with temperedBudgets' weight chain
     // replayed: per-lang totals → 1e-6-quantized √t → exact HUGEINT

@@ -259,6 +259,33 @@ object EventQueries {
         .select(col("key").as("user_id"), col("n_rows"),
           col("share_4dp"), col("skew_factor_4dp"))),
 
+    // Per-user RFM feature table (recency/frequency/monetary — the
+    // feature-engineering staple): one partial-agg shuffle, exact integer
+    // monetary sums on the cent grid, active days via distinct truncated
+    // days. The user-keyed feature-store build.
+    "events_user_features" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(date_trunc("day", col("ts"))).as("n_active_days"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100.0 + 0.5).cast("long")).otherwise(0L))
+            .as("monetary_cents"))
+        .orderBy("user_id")),
+
+    // Seasonal anomaly detection: hourly cells scored against the
+    // per-(type, hour-of-day) baseline across the 30-day span — the
+    // "traffic is low FOR A TUESDAY 3 AM" detector that a single global
+    // mean (events_rate_anomaly) cannot express. Baseline mean/σ from
+    // exact integer sufficient statistics of the cell counts (counts are
+    // already integers — no grid needed); cells with |z| > 2 emitted.
+    "events_seasonal_anomaly" -> ((s, dir) =>
+      seasonalAnomaly(Tables.events(s, dir))),
+
     // Per-type approximate distinct counts via the engine-portable md5 HLL
     // sketch (Sketches.hllDistinct): users (≈150 true — exercises the
     // linear-counting small-range branch) AND distinct value-cents (≈1800
@@ -276,6 +303,37 @@ object EventQueries {
       users.join(cents, "event_type").orderBy("event_type")
     })
   )
+
+  /** Seasonal anomaly detection over (event_type, ts) rows: hourly cells
+    * scored against the per-(type, hour-of-day) baseline across the whole
+    * span — the "traffic is low FOR A 3 AM" detector that a single global
+    * mean (events_rate_anomaly) cannot express. Baseline mean/σ from exact
+    * integer sufficient statistics of the cell counts (cell counts are
+    * already integers — no value grid needed; the [[operators.Stats]]
+    * framework); cells with |z| > threshold emitted.
+    *
+    * Scale: cells are one partial-agg shuffle; the baseline is
+    * (types × 24)-sized — broadcast onto the cell table, never a window.
+    */
+  def seasonalAnomaly(events: DataFrame, threshold: Double = 2.0): DataFrame = {
+    val cells = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val base = cells.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("nd"),
+        sum(col("n").cast("decimal(38,0)")).as("sv"),
+        sum((col("n") * col("n")).cast("decimal(38,0)")).as("sq"))
+    val mean = col("sv").cast("double") / col("nd")
+    val variance = col("sq").cast("double") / col("nd") - mean * mean
+    cells.join(broadcast(base), Seq("event_type", "hod"))
+      .withColumn("z",
+        when(variance > 0.0, (col("n") - mean) / sqrt(variance)))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_type"), col("day"), col("hod"), col("n"),
+        (floor(col("z") * 10000.0 + 0.5) / 10000.0).as("z_4dp"))
+      .orderBy("event_type", "day", "hod")
+  }
 
   /** DuckDB twin of one [[operators.Sketches]] HLL estimate chain over
     * `events`, grouped by event_type; CTE names suffixed so two chains can
@@ -321,6 +379,43 @@ object EventQueries {
        |  FROM e$sfx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_user_features" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT date_trunc('day', ts)) AS n_active_days,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |    ELSE 0 END), 0) AS BIGINT) AS n_purchases,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+        |    ELSE 0 END), 0) AS BIGINT) AS monetary_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_seasonal_anomaly" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    hour(ts) AS hod, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT event_type, hod, COUNT(*) AS nd,
+        |    CAST(SUM(n) AS BIGINT) AS sv, CAST(SUM(n * n) AS BIGINT) AS sq
+        |  FROM cells GROUP BY 1, 2),
+        |z AS (
+        |  SELECT c.event_type, c.day, c.hod, c.n,
+        |    CASE WHEN CAST(sq AS DOUBLE) / nd
+        |            - (CAST(sv AS DOUBLE) / nd) * (CAST(sv AS DOUBLE) / nd)
+        |            > 0.0
+        |         THEN (c.n - CAST(sv AS DOUBLE) / nd)
+        |           / sqrt(CAST(sq AS DOUBLE) / nd
+        |               - (CAST(sv AS DOUBLE) / nd) * (CAST(sv AS DOUBLE) / nd))
+        |         END AS z
+        |  FROM cells c
+        |  JOIN base b ON c.event_type = b.event_type AND c.hod = b.hod)
+        |SELECT event_type, day, hod, n,
+        |  FLOOR(z * 10000.0 + 0.5) / 10000.0 AS z_4dp
+        |FROM z WHERE abs(z) > 2.0
+        |ORDER BY event_type, day, hod""".stripMargin,
+
     "events_distinct_hll" ->
       s"""WITH ${hllCtes("u", "CAST(user_id AS VARCHAR)")},
          |${hllCtes("c", "CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR)")}

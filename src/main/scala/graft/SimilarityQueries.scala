@@ -114,6 +114,14 @@ object SimilarityQueries {
 
     // Per-label embedding diversity (mean squared pairwise distance via the
     // O(n) sufficient-statistics identity — see labelDiversity scaladoc).
+    // Embedding hygiene gate over the defect-planted corpus: counts of
+    // NULL / wrong-dim / NaN / all-zero / clean vectors — the report an
+    // index build reads first (a zero vector poisons cosine normalization;
+    // a NaN poisons every distance it touches).
+    "ann_embedding_health" -> ((s, dir) =>
+      Similarity.embeddingHealth(
+        Tables.embeddingsWithDefects(s, dir), expectedDim = 64)),
+
     "ann_diversity" -> ((s, dir) =>
       Similarity.labelDiversity(Tables.embeddings(s, dir))
         .orderBy("label")),
@@ -594,6 +602,38 @@ object SimilarityQueries {
     // Diversity twin: same 1e-6 quantization and (label, dim) sufficient
     // statistics; HUGEINT keeps the squared sums exact, the final floats
     // are correctly-rounded functions of them.
+    "ann_embedding_health" ->
+      """WITH defects AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 97 = 0 THEN NULL
+        |         WHEN vec_id % 89 = 0 THEN embedding[1:32]
+        |         WHEN vec_id % 83 = 0
+        |           THEN list_transform(embedding, x -> 0.0::FLOAT)
+        |         WHEN vec_id % 79 = 0
+        |           THEN list_prepend('nan'::FLOAT, embedding[2:64])
+        |         ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |cls AS (
+        |  SELECT CASE WHEN embedding IS NULL THEN 'null'
+        |              WHEN len(embedding) <> 64 THEN 'wrong_dim'
+        |              WHEN len(list_filter(embedding,
+        |                     x -> isnan(x) OR isinf(x))) > 0 THEN 'nonfinite'
+        |              WHEN list_max(list_transform(embedding, x -> abs(x)))
+        |                     = 0.0 THEN 'zero_norm'
+        |              ELSE 'ok' END AS cls
+        |  FROM defects)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN cls = 'null' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(SUM(CASE WHEN cls = 'wrong_dim' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_wrong_dim,
+        |  CAST(SUM(CASE WHEN cls = 'nonfinite' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonfinite,
+        |  CAST(SUM(CASE WHEN cls = 'zero_norm' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_norm,
+        |  CAST(SUM(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+        |FROM cls""".stripMargin,
+
     "ann_diversity" ->
       """WITH idx AS (
         |  SELECT label, embedding,

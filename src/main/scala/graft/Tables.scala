@@ -40,6 +40,26 @@ object Tables {
       .withColumn("doc_id", col("doc_id") + 150000L))
   }
 
+  /** `embeddings` with deterministic planted defects, keyed on vec_id mods
+    * (checked in precedence order, so each row has exactly one defect):
+    * %97 → NULL vector, %89 → truncated to 32 dims, %83 → all-zero,
+    * %79 → NaN in element 0. The fixture corpus is entirely clean, so the
+    * [[graft.operators.Similarity.embeddingHealth]] gate would pass
+    * vacuously on it; this derivation gives every counter a positive case.
+    * SQL twin: SimilarityQueries `defectsCte`.
+    */
+  def embeddingsWithDefects(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    e.withColumn("embedding",
+      when(col("vec_id") % 97 === 0, lit(null))
+        .when(col("vec_id") % 89 === 0, slice(col("embedding"), 1, 32))
+        .when(col("vec_id") % 83 === 0,
+          transform(col("embedding"), _ => lit(0.0f)))
+        .when(col("vec_id") % 79 === 0,
+          concat(array(lit(Float.NaN)), slice(col("embedding"), 2, 63)))
+        .otherwise(col("embedding")))
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS); normalized here so downstream
     * operators always see a micros TimestampType `ts` column.
     */

@@ -99,6 +99,27 @@ object Curation {
     df.filter(hashBucket(key, 100) < rate)
   }
 
+  /** EXACT-k per-group sample: the k rows with the smallest md5 variate in
+    * each group (ties impossible modulo md5 collisions on distinct keys) —
+    * the quota form of [[stratifiedSample]], for when the contract is
+    * "exactly 100 eval docs per language", not a rate. Key-stable like
+    * every sampler here, and uniformly distributed because the variate is.
+    *
+    * Scale: one keyed window whose `row_number ≤ k` filter Spark 4 plans
+    * as WindowGroupLimit — ≤ k rows per group per partition survive the
+    * shuffle (the [[graft.functions.TopK]] bound, natively). Groups
+    * smaller than k pass through whole.
+    */
+  def sampleKPerGroup(df: DataFrame, key: Column, groupCol: String,
+                      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(hashUnit(key), key)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** PII redaction: emails, then phone-shaped digit runs, then 16-digit
     * card-shaped runs, replaced with typed placeholder tags. Order matters
     * (emails contain digit runs); each pass is one codegen'd

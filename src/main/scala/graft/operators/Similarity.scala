@@ -275,4 +275,34 @@ object Similarity {
       .select("vec_id", "cosine")
       .limit(k)
   }
+
+  /** Embedding-corpus hygiene report — the ingest gate every vector
+    * pipeline needs before an index build: one row counting NULL vectors,
+    * wrong-dimension vectors, vectors containing NaN/±Inf, all-zero
+    * vectors (cosine is undefined on them — they poison normalization),
+    * and clean rows. Classification precedence: null → wrong_dim →
+    * nonfinite → zero_norm → ok, so the counts partition n.
+    *
+    * Every predicate is exact (size compare, IEEE NaN/Inf tests,
+    * `max |x| = 0` ⟺ all-zero — no float summation anywhere), so the
+    * report hash-compares cross-engine. One linear aggregation, no
+    * shuffle beyond the single-row combine.
+    */
+  def embeddingHealth(embeddings: DataFrame, expectedDim: Int): DataFrame = {
+    val v = col("embedding")
+    val nonfinite = exists(v, x =>
+      isnan(x) || abs(x) === lit(Float.PositiveInfinity))
+    val cls = when(v.isNull, "null")
+      .when(size(v) =!= expectedDim, "wrong_dim")
+      .when(nonfinite, "nonfinite")
+      .when(array_max(transform(v, abs(_))) === 0.0f, "zero_norm")
+      .otherwise("ok")
+    embeddings.select(cls.as("cls"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cls") === "null", 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("cls") === "wrong_dim", 1L).otherwise(0L)).as("n_wrong_dim"),
+        sum(when(col("cls") === "nonfinite", 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("cls") === "zero_norm", 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("cls") === "ok", 1L).otherwise(0L)).as("n_ok"))
+  }
 }

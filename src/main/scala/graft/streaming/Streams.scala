@@ -217,6 +217,28 @@ object Streams {
         graft.sources.Sinks.swapDirs(spark, staging, tableDir)
       }
 
+  /** Streaming data-quality monitor: per micro-batch, run an
+    * [[graft.operators.Profile.expectations]] suite over the batch's rows
+    * and APPEND the (batch_id, check, violations, status) report to a
+    * history table — the continuous form of the batch `stats_expectations`
+    * gate ("every drop that lands is checked, and the check history is
+    * itself a queryable table"). `checks` builds the suite from the batch
+    * DataFrame, so any of the [[graft.operators.Profile]] check
+    * constructors compose; each check is a bounded-output aggregation over
+    * one micro-batch — no streaming state at all.
+    */
+  def expectationsSink(updates: DataFrame, historyDir: String,
+                       checkpointDir: String,
+                       checks: DataFrame => Seq[graft.operators.Profile.Check])
+      : DataStreamWriter[Row] =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Profile.expectations(checks(batch))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(historyDir)
+      }
+
   /** Stream-static enrichment: z-score outlier filter on an event stream
     * against a BATCH-computed stats table ([[graft.operators.Stats.centStats]],
     * one row per event type — broadcast into every micro-batch). The

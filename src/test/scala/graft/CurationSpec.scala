@@ -224,6 +224,24 @@ class CurationSpec extends SparkSpec {
     assert(ps.exists { case (a, b) => naive(a) !== naive(b) })
   }
 
+  test("sampleKPerGroup: exact quota per group, deterministic, subset rows") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val k = 7
+    val s1 = Curation.sampleKPerGroup(docs, col("doc_id"), "lang", k)
+    val sizes = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val groupSizes = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    groupSizes.foreach { case (g, n) =>
+      assert(sizes(g) === math.min(k.toLong, n), s"lang=$g")
+    }
+    // deterministic + sampled rows are real rows of their group
+    val rows1 = s1.as[(Long, String)].collect().toSet
+    val rows2 = Curation.sampleKPerGroup(docs, col("doc_id"), "lang", k)
+      .as[(Long, String)].collect().toSet
+    assert(rows1 === rows2)
+    assert(rows1.subsetOf(docs.as[(Long, String)].collect().toSet))
+  }
+
   test("temperedBudgets: sqrt flattening upsamples the small source") {
     // big holds 4x the tokens of small -> at alpha=0.5 its budget ratio
     // must be sqrt(4) = 2x, not 4x

@@ -44,4 +44,19 @@ class EventsSpec extends SparkSpec {
       ($"k".isNull && $"k_rx".isNotNull)).count() === 0)
     assert(joined.count() === ev.count())
   }
+
+  test("seasonal anomaly flags a planted spike, not the steady baseline") {
+    // 10 days x one hod: type a steady 5/day except day 9 spikes to 50;
+    // type b constant (sigma = 0 -> no flags possible)
+    val rows = (0 until 10).flatMap { d =>
+      val na = if (d == 9) 50 else 5
+      (0 until na).map(i => ("a", java.sql.Timestamp.valueOf(
+        f"2024-02-${d + 1}%02d 03:00:${i % 60}%02d"))) ++
+      (0 until 5).map(i => ("b", java.sql.Timestamp.valueOf(
+        f"2024-02-${d + 1}%02d 03:00:${i % 60}%02d")))
+    }.toDF("event_type", "ts")
+    val flagged = EventQueries.seasonalAnomaly(rows)
+      .select($"event_type", $"n").as[(String, Long)].collect()
+    assert(flagged.toSeq === Seq(("a", 50L))) // only the spike, only type a
+  }
 }

@@ -90,4 +90,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0) === ((3L, expected)))
     assert(got(1) === ((1L, 0.0)))
   }
+
+  test("embeddingHealth: planted defects counted by class, clean corpus all ok") {
+    val defects = Tables.embeddingsWithDefects(spark, "/root/testdata/sf0.01")
+    val r = Similarity.embeddingHealth(defects, 64).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((500L, 6L, 5L, 6L, 6L, 477L)))
+    val clean = Similarity.embeddingHealth(
+      Tables.embeddings(spark, "/root/testdata/sf0.01"), 64).collect()(0)
+    assert(clean.getLong(5) === clean.getLong(0)) // every row ok
+  }
 }

@@ -344,6 +344,29 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")))
   }
 
+  test("expectations sink appends a per-batch pass/fail quality history") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Profile
+    val hist = java.nio.file.Files.createTempDirectory("graft-exp").toString + "/hist"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-exp-c").toString
+    val input = MemoryStream[(Long, Option[Double])]
+    input.addData(Seq((1L, Some(1.0)), (2L, Some(2.0)))) // clean batch
+    val q = Streams.expectationsSink(
+      input.toDF().toDF("id", "v"), hist, ckpt,
+      b => Seq(Profile.expectNotNull(b, "v"),
+        Profile.expectUnique(b, Seq("id")))).start()
+    q.processAllAvailable()
+    input.addData(Seq((3L, None), (3L, Some(4.0)))) // null + dup key
+    q.processAllAvailable()
+    q.stop()
+    val h = spark.read.parquet(hist)
+      .select("batch_id", "check", "violations", "status")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(h === Set(
+      (0L, "not_null(v)", 0L, "pass"), (0L, "unique(id)", 0L, "pass"),
+      (1L, "not_null(v)", 1L, "fail"), (1L, "unique(id)", 1L, "fail")))
+  }
+
   test("stream-static outlier enrichment equals the batch z-score filter") {
     implicit val sqlCtx = spark.sqlContext
     // stats computed batch-side over the fixture (the corpus-derived side of
