@@ -84,15 +84,18 @@ object Bpe {
 
   /** Train `nMerges` merge rules on the corpus. Each round: pair counts
     * (vocab-sized shuffle) → 1-row argmax collect → replace pass over the
-    * vocab symbol strings. Rounds are persisted via `scope` with eager
-    * unpersist of superseded tables (the nearDupClusters pattern). Fails
-    * loudly if the vocabulary merges to single symbols before nMerges
-    * rounds (impossible on any realistic corpus).
+    * vocab symbol strings. Each round's table is eagerly
+    * `localCheckpoint`ed — the nearDupClusters lineage rule: without
+    * truncation round N's analyzed plan nests all N−1 predecessors and
+    * per-round driver cost grows superlinearly with the merge count
+    * (content is unaffected; the checkpoint pins the vocab table as the
+    * new lineage root). Fails loudly if the vocabulary merges to single
+    * symbols before nMerges rounds (impossible on any realistic corpus).
     */
   def trainMerges(documents: DataFrame, nMerges: Int = 8,
                   scope: graft.CacheScope = graft.CacheScope.global): Seq[Merge] = {
-    var wf = scope.persist(
-      wordFreqs(documents).withColumn("syms", symInit(col("word"))))
+    var wf = wordFreqs(documents).withColumn("syms", symInit(col("word")))
+      .localCheckpoint(true)
     val out = Seq.newBuilder[Merge]
     for (r <- 1 to nMerges) {
       val top = pairsOf(wf).groupBy("l", "r").agg(sum("freq").as("cnt"))
@@ -102,8 +105,8 @@ object Bpe {
           s"BPE training exhausted all adjacent pairs after ${r - 1} merges")
       val m = Merge(r, top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       out += m
-      val next = scope.persist(
-        wf.withColumn("syms", applyMerge(col("syms"), m.left, m.right)))
+      val next = wf.withColumn("syms", applyMerge(col("syms"), m.left, m.right))
+        .localCheckpoint(true)
       wf.unpersist(blocking = false)
       wf = next
     }

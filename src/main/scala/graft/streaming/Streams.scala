@@ -217,6 +217,45 @@ object Streams {
         graft.sources.Sinks.swapDirs(spark, staging, tableDir)
       }
 
+  /** Continuously-maintained feature table: the sink for an UPDATE-mode
+    * streaming aggregation (e.g. per-user running counts/sums — the
+    * streaming half of the `events_user_features` RFM build). Each
+    * micro-batch delivers re-aggregated rows for the keys it touched;
+    * foreachBatch replaces exactly those keys in the stored table
+    * (anti-join on the batch's keys + union, staging-swap write) — the
+    * feature-store "merge updated features" contract, with the batch table
+    * always readable and consistent.
+    *
+    * State note: an unwatermarked update-mode aggregation keeps one state
+    * row per key — for lifetime-per-user features that IS the contract
+    * (state = #users, not stream length); bound it with a watermarked
+    * window when features are per-period instead. The whole-table rewrite
+    * per batch is the parquet stand-in's cost, same as [[upsertSink]]; a
+    * partitioned table rewrites only touched partitions
+    * ([[graft.sources.Sinks.upsertPartitions]]).
+    */
+  def featureUpsertSink(aggregated: DataFrame, tableDir: String,
+                        checkpointDir: String, keyCols: Seq[String])
+      : DataStreamWriter[Row] =
+    aggregated.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try Some(spark.read.parquet(tableDir))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val merged = existing match {
+          case Some(t) =>
+            t.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+              .unionByName(batch)
+          case None => batch
+        }
+        val staging = tableDir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        graft.sources.Sinks.swapDirs(spark, staging, tableDir)
+      }
+
   /** Streaming data-quality monitor: per micro-batch, run an
     * [[graft.operators.Profile.expectations]] suite over the batch's rows
     * and APPEND the (batch_id, check, violations, status) report to a

@@ -117,7 +117,8 @@ class PlansSpec extends SparkSpec {
     // the per-group analog of TakeOrderedAndProject. Pin it for the
     // rank-filter family so a refactor can't silently fall back to a full
     // window sort of every candidate row.
-    for (name <- Seq("window_rank", "text_tfidf", "ann_knn_join")) {
+    for (name <- Seq("window_rank", "text_tfidf", "ann_knn_join",
+        "cur_sample_k")) {
       val plan = unwrapped(SparkEntry.queries(name)(spark, sfDir))
       val limits = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w

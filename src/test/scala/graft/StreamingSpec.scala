@@ -344,6 +344,35 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")))
   }
 
+  test("feature upsert sink converges to the batch feature table") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft-feat").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-feat-c").toString
+    val input = MemoryStream[(Long, Double)]
+    val b1 = Seq((1L, 10.0), (2L, 5.0), (1L, 2.0))
+    val b2 = Seq((2L, 1.0), (3L, 7.0)) // touches 2 (update) and 3 (new); 1 untouched
+    input.addData(b1)
+    val features = input.toDF().toDF("user_id", "value")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("cents"))
+    val q = Streams.featureUpsertSink(features, table, ckpt, Seq("user_id"))
+      .start()
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(table)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = (b1 ++ b2).toDF("user_id", "value")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("cents"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === batch)
+    assert(got === Set((1L, 2L, 1200L), (2L, 2L, 600L), (3L, 1L, 700L)))
+  }
+
   test("expectations sink appends a per-batch pass/fail quality history") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Profile
