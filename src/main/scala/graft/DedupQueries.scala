@@ -194,6 +194,12 @@ object DedupQueries {
         .orderBy("label")
     }),
 
+    // Banding-parameter planner: the S-curve P(candidate | jaccard) for
+    // the default (32 bands x 4 rows) MinHash config — pure closed-form
+    // math, still hash-checked (repeated-multiplication power spelling).
+    "dedup_lsh_plan" -> ((s, _) =>
+      Dedup.lshPlan(s, bands = 32, rowsPerBand = 4)),
+
     // Corpus duplication-rate KPI: docs vs distinct fingerprints, 4-dp —
     // on the planted-clone corpus so the rate is provably > 0.
     "dedup_rate" -> ((s, dir) =>
@@ -334,6 +340,18 @@ object DedupQueries {
       |  FROM r GROUP BY doc_a, doc_b, d, isl)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_lsh_plan" -> {
+      val sr = "1.0" + " * s" * 4
+      val qb = "1.0" + " * (1.0 - sr)" * 32
+      s"""WITH g AS (SELECT unnest(range(1, 20)) AS i),
+         |sv AS (SELECT i, CAST(i AS DOUBLE) / 20.0 AS s FROM g),
+         |p AS (SELECT i, s, $sr AS sr FROM sv),
+         |q AS (SELECT i, s, $qb AS qb FROM p)
+         |SELECT i, s AS jaccard_s,
+         |  FLOOR((1.0 - qb) * 1000000.0 + 0.5) / 1000000.0 AS p_detect_6dp
+         |FROM q ORDER BY i""".stripMargin
+    },
+
     "dedup_substr_spans" ->
       s"""${substrBase(10, 20)}
         |SELECT doc_a, doc_b, a_start, b_start, span_len FROM spans

@@ -344,7 +344,7 @@ object EventQueries {
        |  SELECT event_type,
        |    ('0x' || substring(md5($keyExpr), 1, 2))::BIGINT AS bkt,
        |    substring(md5($keyExpr), 3, 14) AS tail
-       |  FROM events),
+       |  FROM events WHERE $keyExpr IS NOT NULL),
        |z$sfx AS (
        |  SELECT event_type, bkt,
        |    length(regexp_extract(tail, '^(0*)', 1)) AS z, tail

@@ -316,6 +316,31 @@ object Dedup {
       .select("new_id", "corpus_id", "jaccard")
   }
 
+  /** LSH banding planner: the closed-form detection-probability curve
+    * P(candidate | jaccard = s) = 1 − (1 − s^r)^b for a (bands, rows)
+    * MinHash configuration — the table read BEFORE picking `bands`/`k`
+    * for [[minhashPairs]] (where is the S-curve's knee? what leaks at the
+    * target threshold?). Emits one row per s ∈ {0.05 … 0.95}.
+    *
+    * No corpus input — the curve is pure math — but it is still an
+    * oracled query: both powers are spelled as LEFT-ASSOCIATIVE repeated
+    * multiplication (never `pow(double, double)`, whose last-ulp rounding
+    * is engine-dependent), so the DuckDB twin reproduces every point
+    * bit-for-bit, 6-dp-rounded.
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+              bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be > 0")
+    val s = col("i").cast("double") / 20.0
+    val sr = (1 to rowsPerBand).foldLeft(lit(1.0))((acc, _) => acc * s)
+    val qb = (1 to bands).foldLeft(lit(1.0))((acc, _) => acc * (lit(1.0) - sr))
+    spark.range(1, 20).select(col("id").cast("int").as("i"))
+      .select(col("i"), s.as("jaccard_s"),
+        (floor((lit(1.0) - qb) * 1000000.0 + 0.5) / 1000000.0)
+          .as("p_detect_6dp"))
+      .orderBy("i")
+  }
+
   // ---- Near-dup clustering ----
 
   /** Connected components over a near-dup pair graph — the step between

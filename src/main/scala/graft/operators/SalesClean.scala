@@ -64,6 +64,29 @@ object SalesClean {
   def cleanRows(df: DataFrame): DataFrame =
     df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
 
+  /** Typed row for the [[typed]] Dataset view (SURVEY §1.3): nullable
+    * measures as Options, timestamps as java.sql.Timestamp. Use where
+    * compile-time field safety matters (library consumers pattern-matching
+    * rows); the transform pipeline itself stays in DataFrame ops so every
+    * stage keeps whole-stage codegen (a typed `.map` would force
+    * object (de)serialization per row).
+    */
+  final case class SalesRecord(product: String, price: Option[Double],
+                               quantity: Option[Int], total: Option[Double],
+                               ordered_at: java.sql.Timestamp,
+                               delivery_at: java.sql.Timestamp)
+
+  /** Dataset[SalesRecord] view of a (possibly dirty) sales DataFrame —
+    * encoder-checked against [[schema]] at analysis time, so a column
+    * drift fails loudly here instead of as a runtime NPE three stages
+    * later.
+    */
+  def typed(df: DataFrame): org.apache.spark.sql.Dataset[SalesRecord] = {
+    implicit val enc: org.apache.spark.sql.Encoder[SalesRecord] =
+      org.apache.spark.sql.Encoders.product[SalesRecord]
+    df.select(schema.fieldNames.map(col).toIndexedSeq: _*).as[SalesRecord]
+  }
+
   /** F1: drop rows where quantity, price AND total are all NULL. */
   def dropAllNullMeasures(df: DataFrame): DataFrame =
     df.filter(!(col("quantity").isNull && col("price").isNull && col("total").isNull))

@@ -60,10 +60,14 @@ object Sketches {
   /** The mergeable sketch: one row per (group, occupied register) with the
     * register's max rho. ≤ [[M]] rows per group; this table IS the stored
     * artifact — write it, union it across days/sources, re-estimate later.
+    * NULL keys are dropped first (COUNT DISTINCT semantics — and a null
+    * md5 would otherwise land a null-register row that inflates the
+    * estimate's occupied-register count).
     */
   def hllSketch(df: DataFrame, groupCol: String, key: Column): DataFrame = {
     val (bkt, rho) = hllCols(key)
-    df.select(col(groupCol), bkt.as("bkt"), rho.as("rho"))
+    df.filter(key.isNotNull)
+      .select(col(groupCol), bkt.as("bkt"), rho.as("rho"))
       .groupBy(groupCol, "bkt")
       .agg(max("rho").as("r"))
   }

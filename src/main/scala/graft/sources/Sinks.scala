@@ -85,6 +85,33 @@ object Sinks {
     n
   }
 
+  /** Table-layout health report — the read that DECIDES whether to run
+    * [[compact]]: per-file row counts and sizes via the parquet
+    * `_metadata` hidden column (no filesystem listing code, and the rows
+    * are counted by the same scan that would read them), folded to one
+    * summary row: file count, total/min/max/mean bytes, and how many
+    * files fall under `smallBytes` (the small-file-problem counter —
+    * at 100 TB the killer is not data size but open-file/task overhead
+    * from millions of KB-sized files). Aggregation output is
+    * file-count-sized.
+    */
+  def fileReport(spark: org.apache.spark.sql.SparkSession, path: String,
+                 smallBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("f"),
+        col("_metadata.file_size").as("bytes"))
+      .groupBy("f").agg(count(lit(1)).as("rows"), max("bytes").as("bytes"))
+      .agg(count(lit(1)).as("n_files"),
+        sum("rows").as("n_rows"),
+        sum("bytes").as("total_bytes"),
+        min("bytes").as("min_bytes"),
+        max("bytes").as("max_bytes"),
+        (sum("bytes") / count(lit(1))).cast("long").as("mean_bytes"),
+        sum(when(col("bytes") < smallBytes, 1L).otherwise(0L))
+          .as("n_small_files"))
+  }
+
   /** Replace `target` with `staging` (delete + rename through the Hadoop
     * filesystem — the swap step after [[compact]] or a foreachBatch
     * rewrite).

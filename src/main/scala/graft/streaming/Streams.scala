@@ -82,12 +82,38 @@ object Streams {
                       watermark: String = "2 hours"): DataFrame = {
     val (bkt, rho) = graft.operators.Sketches.hllCols(key)
     events
+      .filter(key.isNotNull) // count-distinct semantics, like hllSketch
       .withWatermark("ts", watermark)
       .select(window(col("ts"), "1 hour").as("w"), col(groupCol),
         bkt.as("bkt"), rho.as("rho"))
       .groupBy(col("w"), col(groupCol), col("bkt"))
       .agg(max("rho").as("r"))
       .select(col("w.start").as("hour"), col(groupCol), col("bkt"), col("r"))
+  }
+
+  /** Streaming log₂ histogram maintenance — the stream twin of
+    * [[graft.operators.Stats.log2Histogram]], per hourly window: the
+    * watermarked aggregation emits (hour, group, bucket, n) rows as
+    * windows finalize. Like the HLL sketch stream, the ARTIFACT is the
+    * mergeable thing: histogram rows from any set of hours/sources sum
+    * by bucket, so daily/weekly distribution rollups (and drift checks
+    * between them) cost one tiny aggregation over the sink. State:
+    * ≤ 64 buckets × open windows × groups.
+    */
+  def histogramSketchStream(events: DataFrame, groupCol: String,
+                            valueCol: String,
+                            watermark: String = "2 hours"): DataFrame = {
+    val vq = floor(col(valueCol) * 100.0 + 0.5).cast("long")
+    val bucket = when(vq <= 0, lit(0))
+      .otherwise(length(conv(vq.cast("string"), 10, 2)))
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), "1 hour").as("w"), col(groupCol),
+        bucket.as("bucket"))
+      .groupBy(col("w"), col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col(groupCol), col("bucket"),
+        col("n"))
   }
 
   /** Streaming exact dedup on a key column: keeps the first arrival of each

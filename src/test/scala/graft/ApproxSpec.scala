@@ -123,6 +123,20 @@ class ApproxSpec extends SparkSpec {
     assert(merged === whole) // register-max merge is lossless, not approximate
   }
 
+  test("HLL ignores NULL keys (count-distinct semantics)") {
+    import graft.operators.Sketches
+    val withNulls = spark.range(0, 40)
+      .select(lit("g").as("g"),
+        when(col("id") % 2 === 0, col("id")).as("k")) // 20 non-null, 20 null
+    val clean = spark.range(0, 40).filter(col("id") % 2 === 0)
+      .select(lit("g").as("g"), col("id").as("k"))
+    val a = Sketches.hllDistinct(withNulls, "g", col("k"))
+      .select("est_2dp").as[Double].head()
+    val b = Sketches.hllDistinct(clean, "g", col("k"))
+      .select("est_2dp").as[Double].head()
+    assert(a === b)
+  }
+
   test("HLL small-range branch: tiny cardinalities stay near-exact") {
     import graft.operators.Sketches
     val small = spark.range(0, 40).select(lit("g").as("g"), col("id"))

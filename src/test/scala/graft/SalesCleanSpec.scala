@@ -99,4 +99,22 @@ class SalesCleanSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("typed Dataset view: Options carry the null-injection law") {
+    val ds = SalesClean.typed(
+      graft.sources.SalesFixture.fromLineitem(spark, sfDir)
+        .drop("sales_id"))
+    val rows = ds.collect()
+    assert(rows.nonEmpty)
+    // all-null-measure rows surface as all-None; partial rows as Some
+    assert(rows.exists(r =>
+      r.price.isEmpty && r.quantity.isEmpty && r.total.isEmpty))
+    assert(rows.exists(r => r.price.isDefined && r.quantity.isEmpty))
+    rows.foreach { r =>
+      assert(r.product != null && r.ordered_at != null)
+      // fixture law: fully-present rows satisfy total = price * quantity
+      for (p <- r.price; q <- r.quantity; t <- r.total)
+        assert(t === p * q, s"$r")
+    }
+  }
 }

@@ -195,6 +195,24 @@ class SinksSpec extends SparkSpec {
       orders.exceptAll(back).count() === 0)
   }
 
+  test("fileReport counts small files before compaction, none after") {
+    val src = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    val orders = Tables.orders(spark, sfDir)
+    orders.repartition(16).write.mode("overwrite").parquet(src)
+    val before = Sinks.fileReport(spark, src).collect()(0)
+    assert(before.getLong(0) === 16) // n_files
+    assert(before.getLong(1) === orders.count()) // n_rows
+    assert(before.getLong(6) === 16) // every file under the default 32 MB
+    assert(before.getLong(3) <= before.getLong(5) &&
+      before.getLong(5) <= before.getLong(4)) // min <= mean <= max
+    val stage = src + "-c"
+    Sinks.compact(spark, src, stage, targetRowsPerFile = orders.count())
+    Sinks.swapDirs(spark, stage, src)
+    val after = Sinks.fileReport(spark, src, smallBytes = 1024).collect()(0)
+    assert(after.getLong(0) === 1 && after.getLong(6) === 0)
+    assert(after.getLong(1) === orders.count())
+  }
+
   test("upsertPartitions rewrites only touched partitions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pupsert").toString

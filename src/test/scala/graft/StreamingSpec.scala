@@ -344,6 +344,33 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")))
   }
 
+  test("streaming histogram rows sum to the batch log2 histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Stats
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val evts = (0 until 200).map(i =>
+      (Timestamp.valueOf(s"2024-01-01 00:${10 + i % 40}:00"), "click",
+        (i % 97) * 1.37))
+    input.addData(evts)
+    val q = Streams.histogramSketchStream(
+        input.toDF().toDF("ts", "event_type", "value"), "event_type", "value")
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(Seq((Timestamp.valueOf("2024-01-02 00:00:00"), "late", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    // hour-level rows re-aggregate (mergeable) to the batch histogram
+    val streamed = spark.table("hist_stream")
+      .filter($"event_type" === "click")
+      .groupBy("event_type", "bucket").agg(sum($"n").as("n"))
+      .select($"bucket", $"n").as[(Int, Long)].collect().toMap
+    val batch = Stats.log2Histogram(
+        evts.toDF("ts", "event_type", "value"), "event_type", "value")
+      .select($"bucket", $"n").as[(Int, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+
   test("feature upsert sink converges to the batch feature table") {
     implicit val sqlCtx = spark.sqlContext
     val table = java.nio.file.Files.createTempDirectory("graft-feat").toString + "/tbl"
