@@ -315,15 +315,26 @@ object EventQueries {
     * Scale: cells are one partial-agg shuffle; the baseline is
     * (types × 24)-sized — broadcast onto the cell table, never a window.
     */
-  def seasonalAnomaly(events: DataFrame, threshold: Double = 2.0): DataFrame = {
-    val cells = events
+  private def hourlyCells(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
         hour(col("ts")).as("hod"))
       .agg(count(lit(1)).as("n"))
-    val base = cells.groupBy("event_type", "hod")
+
+  /** Per-(type, hour-of-day) baseline sufficient statistics over the
+    * historical corpus: (event_type, hod, nd, sv, sq) — (types × 24)
+    * rows, the broadcast side of [[seasonalAnomaly]] and of the streaming
+    * twin `Streams.seasonalAnomalyStream`.
+    */
+  def seasonalBaseline(events: DataFrame): DataFrame =
+    hourlyCells(events).groupBy("event_type", "hod")
       .agg(count(lit(1)).as("nd"),
         sum(col("n").cast("decimal(38,0)")).as("sv"),
         sum((col("n") * col("n")).cast("decimal(38,0)")).as("sq"))
+
+  def seasonalAnomaly(events: DataFrame, threshold: Double = 2.0): DataFrame = {
+    val cells = hourlyCells(events)
+    val base = seasonalBaseline(events)
     val mean = col("sv").cast("double") / col("nd")
     val variance = col("sq").cast("double") / col("nd") - mean * mean
     cells.join(broadcast(base), Seq("event_type", "hod"))

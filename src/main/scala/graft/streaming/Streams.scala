@@ -342,6 +342,39 @@ object Streams {
         (floor(col("mz") * 10000.0 + 0.5) / 10000.0).as("mz_4dp"))
   }
 
+  /** Streaming seasonal anomaly detection — the stream twin of
+    * [[graft.EventQueries.seasonalAnomaly]]: hourly cells aggregate under
+    * a watermark (finalized once the watermark passes the hour), then join
+    * the BATCH-trained per-(type, hour-of-day) baseline (broadcast,
+    * (types × 24)-sized) and flag |z| > threshold with the exact same
+    * pinned z spelling. The [[outlierStream]] pattern one level up: the
+    * enrichment joins an AGGREGATED stream, so anomalies emit per
+    * finalized hour-cell, not per event. Stateless beyond the windowed
+    * agg's watermark-bounded state.
+    *
+    * `baseline` must be `seasonalAnomaly`'s `base` table — built by
+    * [[graft.EventQueries.seasonalBaseline]] over the historical corpus.
+    */
+  def seasonalAnomalyStream(events: DataFrame, baseline: DataFrame,
+                            threshold: Double = 2.0,
+                            watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cells = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"))
+      .withColumn("hod", hour(col("hour")))
+    val mean = col("sv").cast("double") / col("nd")
+    val variance = col("sq").cast("double") / col("nd") - mean * mean
+    cells.join(broadcast(baseline), Seq("event_type", "hod"))
+      .withColumn("z",
+        when(variance > 0.0, (col("n") - mean) / sqrt(variance)))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_type"), col("hour"), col("n"),
+        (floor(col("z") * 10000.0 + 0.5) / 10000.0).as("z_4dp"))
+  }
+
   /** Streaming SemDeDup — the online twin of
     * [[graft.operators.Dedup.semanticDupPairs]]: each incoming vector is
     * assigned to its coarse-quantizer cluster (a pure per-row expression

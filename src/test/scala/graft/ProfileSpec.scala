@@ -90,6 +90,28 @@ class ProfileSpec extends SparkSpec {
     assert(parts.select("g", "bucket", "n").exceptAll(whole).isEmpty)
   }
 
+  test("profile scans are column-pruned: each pass reads only its column") {
+    // the scale contract: k single-column passes, each a pruned scan —
+    // not one wide scan per metric family
+    val docs = Tables.documents(spark, sfDir)
+    val plan = Profile.profile(docs, Seq("n_chars"), Seq("lang"))
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      val cols = s.split(",").filter(_.nonEmpty)
+      assert(cols.length <= 1, s"scan reads ${cols.length} columns: $s\n$plan")
+    }
+  }
+
+  test("HLL on an empty input yields no estimate rows, not a crash") {
+    import graft.operators.Sketches
+    val empty = t.filter(lit(false)).select(col("id"), lit("g").as("g"))
+    assert(Sketches.hllDistinct(empty, "g", col("id")).count() === 0)
+    assert(Sketches.hllSketch(empty, "g", col("id")).count() === 0)
+  }
+
   test("expectations on an empty table: not_null and unique pass with 0") {
     val empty = t.filter(lit(false))
     val rep = Profile.expectations(Seq(

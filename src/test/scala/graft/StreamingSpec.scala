@@ -344,6 +344,43 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")))
   }
 
+  test("streaming seasonal anomaly flags the spike hour against the batch baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    // history: 9 days, hod 3, counts cycling 4/5/6 -> mean 5, sigma > 0
+    val hist = (0 until 9).flatMap { d =>
+      (0 until (4 + d % 3)).map(i => ("a", java.sql.Timestamp.valueOf(
+        f"2024-03-${d + 1}%02d 03:00:${i % 60}%02d")))
+    }.toDF("event_type", "ts")
+    val base = EventQueries.seasonalBaseline(hist)
+
+    val input = MemoryStream[(String, Timestamp)]
+    // day 10: hod 3 spikes to 15
+    input.addData((0 until 15).map(i =>
+      ("a", Timestamp.valueOf(f"2024-03-10 03:10:${i % 60}%02d"))))
+    val q = Streams.seasonalAnomalyStream(
+        input.toDF().toDF("event_type", "ts"), base)
+      .writeStream.format("memory").queryName("seasonal_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(Seq(("late", Timestamp.valueOf("2024-03-11 00:00:00"))))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("seasonal_stream")
+      .as[(String, Timestamp, Long, Double)].collect()
+    assert(got.length === 1)
+    val (et, hr, n, z) = got(0)
+    assert(et === "a" && n === 15L &&
+      hr === Timestamp.valueOf("2024-03-10 03:00:00"))
+    // same pinned z spelling, driver-side, from the baseline stats
+    val b = base.filter($"hod" === 3)
+      .select($"nd", $"sv".cast("double"), $"sq".cast("double"))
+      .as[(Long, Double, Double)].head()
+    val mean = b._2 / b._1
+    val sigma = math.sqrt(b._3 / b._1 - mean * mean)
+    assert(z === math.floor((15 - mean) / sigma * 10000.0 + 0.5) / 10000.0)
+  }
+
   test("streaming histogram rows sum to the batch log2 histogram") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Stats
