@@ -113,6 +113,8 @@ object Curation {
   def sampleKPerGroup(df: DataFrame, key: Column, groupCol: String,
                       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.contains("_rn"),
+      "input already has a _rn column (internal name)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(hashUnit(key), key)
     df.withColumn("_rn", row_number().over(w))
