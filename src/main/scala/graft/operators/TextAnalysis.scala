@@ -384,18 +384,18 @@ object TextAnalysis {
       col("dst").as("src"), col("src").as("dst")))
     // persist: the weighted edge list (with source degrees folded in) is
     // re-joined every iteration — without it the whole graph build reruns.
-    // Repartitioned by doc_id BEFORE persisting: HashPartitioning(doc_id)
-    // satisfies every clustering requirement in the loop — the per-
-    // iteration join on (doc_id, src), the per-iteration agg on
-    // (doc_id, dst), and the final top-k window on doc_id — because a
-    // partitioning on a SUBSET of the required keys is compatible on both
-    // sides. One exchange at build time replaces two exchanges per
-    // iteration plus the window exchange (graphs are per-document, so
-    // doc_id alone spreads load exactly like (doc_id, src) does).
+    // MEASURED NEGATIVE, kept on record: repartitioning this by doc_id
+    // before the persist (hoping HashPartitioning(doc_id), a subset of
+    // both the per-iteration join and agg keys, would be reused through
+    // the loop and save two exchanges per iteration) showed NO win in an
+    // 8-run A/B at sf0.1 (old 2.7–4.4 s vs new 3.6–8.2 s warm) — the
+    // iteration joins re-shuffle anyway because the ranks side's
+    // partitioning changes shape each round, so the extra exchange only
+    // added cost. Don't re-try without checking the exchange count first.
     val edges = scope.persist {
       val e = und.groupBy("doc_id", "src", "dst").agg(count(lit(1)).as("wt"))
       val deg = e.groupBy("doc_id", "src").agg(sum("wt").as("deg"))
-      e.join(deg, Seq("doc_id", "src")).repartition(col("doc_id"))
+      e.join(deg, Seq("doc_id", "src"))
     }
     var ranks = edges.select(col("doc_id"), col("src").as("node"))
       .distinct().withColumn("rq", lit(1000000000L))
