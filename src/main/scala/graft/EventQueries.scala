@@ -286,6 +286,27 @@ object EventQueries {
     "events_seasonal_anomaly" -> ((s, dir) =>
       seasonalAnomaly(Tables.events(s, dir))),
 
+    // The HLL MERGE path under the oracle gate: per-(type, day) sketches
+    // rolled up by register-max into a per-type estimate. Register-max
+    // merge is lossless, so the estimate must equal events_distinct_hll's
+    // est_users_2dp EXACTLY — and the oracle replays the same two-level
+    // fold, proving cross-engine mergeability of stored sketch tables
+    // (write sketches daily, estimate any date range later for free).
+    "events_hll_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = operators.Sketches.hllSketch(
+        ev.withColumn("event_type",
+          concat_ws("|", col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd"))),
+        "event_type", col("user_id"))
+      val merged = operators.Sketches.hllMerge(
+        Seq(daily.withColumn("event_type",
+          substring_index(col("event_type"), "|", 1))), "event_type")
+      operators.Sketches.hllEstimate(merged, "event_type")
+        .withColumnRenamed("est_2dp", "est_users_2dp")
+        .orderBy("event_type")
+    }),
+
     // Per-type approximate distinct counts via the engine-portable md5 HLL
     // sketch (Sketches.hllDistinct): users (≈150 true — exercises the
     // linear-counting small-range branch) AND distinct value-cents (≈1800
@@ -390,6 +411,14 @@ object EventQueries {
        |  FROM e$sfx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the twin is the DIRECT single-level sketch: Spark folds per-day
+    // sketches through hllMerge, DuckDB sketches the whole corpus in one
+    // pass — hash equality IS the cross-engine losslessness proof.
+    "events_hll_rollup" ->
+      s"""WITH ${hllCtes("u", "CAST(user_id AS VARCHAR)")}
+         |SELECT event_type, est AS est_users_2dp FROM estu
+         |ORDER BY event_type""".stripMargin,
+
     "events_user_features" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  COUNT(DISTINCT date_trunc('day', ts)) AS n_active_days,
