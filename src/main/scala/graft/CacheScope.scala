@@ -69,4 +69,17 @@ object CacheScope {
     * release() (libraries shouldn't hard-fail on a soft leak).
     */
   val warnThreshold = 64
+
+  /** Free the storage blocks of a `localCheckpoint`ed DataFrame.
+    * `Dataset.unpersist()` is a CacheManager operation and does NOT touch a
+    * local checkpoint — that persists at the RDD level, so without this the
+    * superseded round of an iterative loop (label propagation, BPE merges)
+    * lingers on executors until the ContextCleaner GCs the RDD. Walks the
+    * analyzed plan to the `LogicalRDD` the checkpoint pinned and unpersists
+    * that RDD directly (non-blocking). No-op on a non-checkpointed plan.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

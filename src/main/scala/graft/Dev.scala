@@ -15,11 +15,15 @@ object Dev {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.nonEmpty) {
-      // dev loop: show named queries at sf0.01 (e.g. `runMain graft.Dev q1_agg`)
+      // dev loop: show named queries (e.g. `runMain graft.Dev q1_agg`) at
+      // the Bench-convention dir, overridable via SPARK_GRAFT_SF_DIR
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
       args.foreach { name =>
+        val q = SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query '$name'; valid names:\n  " +
+            SparkEntry.queries.keys.toSeq.sorted.mkString("\n  ")))
         println(s"=== $name ===")
-        SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
-          .show(30, truncate = false)
+        q(spark, dir).show(30, truncate = false)
       }
     } else {
       val entry = SparkEntry.entry(spark)

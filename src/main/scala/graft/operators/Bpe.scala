@@ -107,7 +107,7 @@ object Bpe {
       out += m
       val next = wf.withColumn("syms", applyMerge(col("syms"), m.left, m.right))
         .localCheckpoint(true)
-      wf.unpersist(blocking = false)
+      graft.CacheScope.releaseCheckpoint(wf) // RDD-level; unpersist() can't see it
       wf = next
     }
     out.result()

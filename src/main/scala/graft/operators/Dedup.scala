@@ -382,8 +382,9 @@ object Dedup {
       p.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(p.select(col("b").as("src"), col("a").as("dst"))))
     // each round: eager localCheckpoint truncates lineage; the superseded
-    // round's blocks are freed immediately, so at most two label tables
-    // are ever materialized
+    // round's RDD blocks are released via CacheScope.releaseCheckpoint
+    // (Dataset.unpersist can't see them), so at most two label tables are
+    // ever materialized
     var labels = edges.select(col("src").as("id"))
       .distinct().withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -404,7 +405,7 @@ object Dedup {
           least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old")).count()
-      labels.unpersist(blocking = false)
+      graft.CacheScope.releaseCheckpoint(labels)
       labels = next.select("id", "label") // reads next's checkpoint; drop `old`
       iter += 1
     }

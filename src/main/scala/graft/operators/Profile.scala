@@ -39,6 +39,8 @@ object Profile {
     */
   def profile(df: DataFrame, numericCols: Seq[String],
               stringCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty,
+      "profile: no columns to profile (both column lists are empty)")
     def base(c: String) = Seq(
       count(lit(1)).as("n"),
       count(lit(1)).minus(count(col(c))).as("n_null"),

@@ -126,6 +126,31 @@ object Sinks {
       throw new java.io.IOException(s"rename $staging -> $target failed")
   }
 
+  /** Read `tableDir` for a merge-and-swap update (the foreachBatch upsert
+    * sinks), distinguishing "table does not exist yet" from every other
+    * failure. [[swapDirs]] is delete-then-rename, NOT atomic: a crash
+    * between the two leaves the accumulated table only in the staging dir —
+    * treating that as "no table" (what a blanket AnalysisException catch
+    * does) silently rebuilds the table from one batch's keys and discards
+    * everything accumulated. This checks the filesystem explicitly: an
+    * orphaned staging dir with no target completes the interrupted rename
+    * first (idempotent — foreachBatch re-runs the batch, and keyed merges
+    * re-apply cleanly), then the read happens only if the target exists, so
+    * corrupt-table reads propagate loudly.
+    */
+  def readForSwap(spark: org.apache.spark.sql.SparkSession,
+                  tableDir: String, stagingSuffix: String = ".staging")
+      : Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(tableDir)
+    val staging = new org.apache.hadoop.fs.Path(tableDir + stagingSuffix)
+    if (!fs.exists(target) && fs.exists(staging) && !fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"recovering interrupted swap: rename $staging -> $target failed")
+    if (fs.exists(target)) Some(spark.read.parquet(tableDir)) else None
+  }
+
   /** Partition-pruned MERGE into a hive-partitioned table: rewrite ONLY the
     * partitions the update batch touches. At 100 TB a daily CDC batch
     * touches a handful of date partitions; rewriting the whole table (what

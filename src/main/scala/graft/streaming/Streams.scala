@@ -233,9 +233,9 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          try Some(spark.read.parquet(tableDir))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        // readForSwap: exists-checked + interrupted-swap recovery — a blanket
+        // AnalysisException catch here would rebuild the table from one batch
+        val existing = graft.sources.Sinks.readForSwap(spark, tableDir)
         val all = existing.map(_.unionByName(batch)).getOrElse(batch)
         val merged = graft.operators.Upsert.keepLatest(all, keyCols, versionCol)
         val staging = tableDir + ".staging"
@@ -268,9 +268,9 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          try Some(spark.read.parquet(tableDir))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        // readForSwap: exists-checked + interrupted-swap recovery — a blanket
+        // AnalysisException catch here would rebuild the table from one batch
+        val existing = graft.sources.Sinks.readForSwap(spark, tableDir)
         val merged = existing match {
           case Some(t) =>
             t.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
