@@ -29,6 +29,34 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val annMode = args.headOption.contains("ann")
+    val bpeMode = args.headOption.contains("bpe")
+
+    if (bpeMode) {
+      // per-merge cost vs merge count: sequential (batch=1) pays one Spark
+      // job per merge — flat per-merge cost but O(nMerges) jobs; batching
+      // amortizes rounds 64×, so s/merge must FALL as nMerges grows.
+      // 8× salted corpus: the raw sf0.1 vocabulary exhausts its pairs at
+      // ~90 merges (236 at 4×); salting multiplies the vocab so 256 exist
+      val base = Tables.documents(spark, dir)
+      val docs = (0 until 8).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", regexp_replace(col("text"), "(^| )", s"$$1c$i"))
+      }.reduce(_ unionByName _)
+      for ((n, b) <- Seq((32, 1), (32, 64), (256, 64))) {
+        val sc = new CacheScope
+        val t0 = System.nanoTime()
+        try {
+          val got = operators.Bpe.trainMergesBatched(docs, n, b, sc)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"PROBE bpe_train n=$n%-5d batch=$b%-4d ${sec}%8.2f s  ${sec / got.length}%8.4f s/merge")
+        } catch {
+          case e: IllegalStateException =>
+            println(s"PROBE bpe_train n=$n batch=$b EXHAUSTED: ${e.getMessage}")
+        } finally sc.release()
+      }
+      spark.stop()
+      return
+    }
     val mults =
       if (annMode || args.isEmpty) Seq(1, 10) else args.toSeq.map(_.toInt)
 
@@ -101,6 +129,20 @@ object ScaleProbe {
         // same as LSH bits) flattens; reuses the ivf index built above
         time("semdedup", m,
           operators.Dedup.semanticDupPairs(vecs, 0.4, s"probe-ivf-$m"))
+        // incremental append: a FIXED batch appended to the mult-m index —
+        // the maintenance cost must track the batch, not the corpus (the
+        // mutation runs last so the probes above measured the clean index)
+        val batch = blowUpVecs(1)
+          .withColumn("vec_id", col("vec_id") + lit(900000000L))
+          .persist()
+        batch.count()
+        val t3 = System.nanoTime()
+        operators.Ivf.appendToIndex(ivf, batch)
+        println(f"PROBE ivf_append        mult=$m%-3d ${(System.nanoTime() - t3) / 1e9}%8.2f s")
+        val t4 = System.nanoTime()
+        operators.Pq.appendToIndex(pq, batch)
+        println(f"PROBE pq_append         mult=$m%-3d ${(System.nanoTime() - t4) / 1e9}%8.2f s")
+        batch.unpersist()
       }
       spark.stop()
       return

@@ -93,6 +93,77 @@ object SimilarityQueries {
       operators.IvfPq.probe(operators.IvfPq.buildIndex(dir, emb), emb, 0L, 10)
     }),
 
+    // Incremental IVF maintenance — the growing-corpus path: train + build
+    // on the base corpus (vec_id % 5 <> 0), append the new batch (% 5 = 0)
+    // with the FROZEN quantizer (no retrain, untouched list dirs never
+    // opened — IvfSpec asserts byte-identity), probe the appended index.
+    // The oracle replays train-on-base + assign-all, so the hash proves the
+    // append path produces exactly the index a from-scratch write with the
+    // same quantizer would.
+    "ann_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Ivf.buildIncremental(dir,
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+      operators.Ivf.probe(model, emb, 0L, 10)
+    }),
+
+    // The PQ twin of ann_incremental: frozen codebooks encode the new
+    // batch, codes append to the existing table (PqSpec asserts existing
+    // files stay byte-identical), ADC probe over base+batch codes.
+    "ann_incremental_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Pq.buildIncremental(dir,
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+      operators.Pq.probe(model, emb, 0L, 10)
+    }),
+
+    // PQ recall@10 self-evaluation — the ann_recall_ivf mirror for the
+    // compressed-codes path, so the driver gate sees accuracy regressions
+    // in the code path most likely to be tuned (m/ksub/rerank), not just
+    // the spec-level floor in PqSpec.
+    "ann_recall_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pq = operators.Pq
+        .probe(operators.Pq.buildIndex(dir, emb), emb, 0L, 10)
+        .select("vec_id")
+      val exact = Similarity.topK(emb, 0L, 10).select("vec_id")
+      pq.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("k"), col("n_hits"),
+          (col("n_hits").cast("double") / 10.0).as("recall"))
+    }),
+
+    // IVF-PQ recall@10 — same contract for the composite index.
+    "ann_recall_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ivfpq = operators.IvfPq
+        .probe(operators.IvfPq.buildIndex(dir, emb), emb, 0L, 10)
+        .select("vec_id")
+      val exact = Similarity.topK(emb, 0L, 10).select("vec_id")
+      ivfpq.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("k"), col("n_hits"),
+          (col("n_hits").cast("double") / 10.0).as("recall"))
+    }),
+
+    // PQ code-distribution health — the ann_list_sizes balance story for
+    // the codes table: per-subspace log₂ histogram of codes-per-codebook-
+    // entry. A collapsed codebook (one entry owning most codes) flattens
+    // ADC score resolution the way a giant IVF list defeats pruning; this
+    // is the post-build check that catches it. Reads only the (sub, cid)
+    // code pairs; oracle replays the encoding and the bit-length buckets.
+    "ann_pq_code_sizes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Pq.buildIndex(dir, emb)
+      val counts = s.read.parquet(model.codesPath)
+        .select(posexplode(col("codes")).as(Seq("sub", "cid")))
+        .groupBy("sub", "cid").agg(count(lit(1)).as("n_codes"))
+      operators.Stats.log2Histogram(counts, "sub", "n_codes")
+        .orderBy("sub", "bucket")
+    }),
+
     // Corpus×corpus kNN through LSH buckets + TopK aggregate — the linear
     // layout for all-pairs similarity. Hash-checked against the inlined-
     // hyperplane DuckDB twin; recall vs exact kNN asserted in SimilaritySpec.
@@ -197,17 +268,20 @@ object SimilarityQueries {
   // bit-for-bit.
 
   /** One Lloyd step: centroid CTE `prev` → assignment CTE `asg` →
-    * re-gridded mean CTE `next` (all over the quantized-vector CTE `vd`).
+    * re-gridded mean CTE `next`, over the quantized-vector CTE `vd`
+    * (parameterized so incremental twins can train on a `tvd` subset — the
+    * same generality [[pqLloydStep]] always had).
     */
-  private def lloydStep(prev: String, asg: String, next: String): String =
+  private def lloydStep(prev: String, asg: String, next: String,
+                        vd: String = "vd"): String =
     s"""n$prev AS (
        |  SELECT cid, CAST(SUM(cq * cq) AS BIGINT) AS norm2q
        |  FROM $prev GROUP BY cid),
        |s$prev AS (
-       |  SELECT vd.vec_id, $prev.cid,
-       |    CAST(SUM(CAST(FLOOR(vd.v * $prev.cq * 1000.0 + 0.5) AS BIGINT))
+       |  SELECT $vd.vec_id, $prev.cid,
+       |    CAST(SUM(CAST(FLOOR($vd.v * $prev.cq * 1000.0 + 0.5) AS BIGINT))
        |      AS BIGINT) AS sq
-       |  FROM vd JOIN $prev USING (dim) GROUP BY 1, 2),
+       |  FROM $vd JOIN $prev USING (dim) GROUP BY 1, 2),
        |$asg AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT s$prev.vec_id, s$prev.cid,
@@ -217,23 +291,23 @@ object SimilarityQueries {
        |    FROM s$prev JOIN n$prev USING (cid))
        |  WHERE rn = 1),
        |$next AS (
-       |  SELECT $asg.cid, vd.dim,
-       |    CAST(FLOOR(CAST(CAST(SUM(vd.vq) AS BIGINT) AS DOUBLE) / COUNT(*)
+       |  SELECT $asg.cid, $vd.dim,
+       |    CAST(FLOOR(CAST(CAST(SUM($vd.vq) AS BIGINT) AS DOUBLE) / COUNT(*)
        |      + 0.5) AS BIGINT) AS cq
-       |  FROM $asg JOIN vd USING (vec_id) GROUP BY 1, 2)""".stripMargin
+       |  FROM $asg JOIN $vd USING (vec_id) GROUP BY 1, 2)""".stripMargin
 
   /** Scoring of every vector against centroid CTE `c` plus the final
     * assignment CTE `asg` (same shape as inside [[lloydStep]]).
     */
-  private def assignCte(c: String, asg: String): String =
+  private def assignCte(c: String, asg: String, vd: String = "vd"): String =
     s"""n$c AS (
        |  SELECT cid, CAST(SUM(cq * cq) AS BIGINT) AS norm2q
        |  FROM $c GROUP BY cid),
        |s$c AS (
-       |  SELECT vd.vec_id, $c.cid,
-       |    CAST(SUM(CAST(FLOOR(vd.v * $c.cq * 1000.0 + 0.5) AS BIGINT))
+       |  SELECT $vd.vec_id, $c.cid,
+       |    CAST(SUM(CAST(FLOOR($vd.v * $c.cq * 1000.0 + 0.5) AS BIGINT))
        |      AS BIGINT) AS sq
-       |  FROM vd JOIN $c USING (dim) GROUP BY 1, 2),
+       |  FROM $vd JOIN $c USING (dim) GROUP BY 1, 2),
        |$asg AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT s$c.vec_id, s$c.cid,
@@ -246,8 +320,18 @@ object SimilarityQueries {
   /** The shared IVF core: quantized coordinates, md5 seeds, two Lloyd
     * steps → `c2`, full assignment `a2` (the inverted lists). Prefix for
     * the probe twin, the list-size twin, and DedupQueries' SemDeDup twin.
+    *
+    * A non-empty `trainWhere` (a predicate on `vec_id`) restricts TRAINING
+    * — seeds and both Lloyd steps — to that subset while `a2` still assigns
+    * every vector: exactly Ivf.buildIncremental's semantics (frozen
+    * quantizer from the base corpus, batch assigned and appended).
     */
-  private[graft] def ivfCoreCtes(nlist: Int): String =
+  private[graft] def ivfCoreCtes(nlist: Int, trainWhere: String = ""): String = {
+    val tvd = if (trainWhere.isEmpty) "vd" else "tvd"
+    val tvdCte =
+      if (trainWhere.isEmpty) ""
+      else s"tvd AS (SELECT * FROM vd WHERE $trainWhere),\n"
+    val seedWhere = if (trainWhere.isEmpty) "" else s"\n  WHERE $trainWhere"
     s"""idx AS (
        |  SELECT vec_id, embedding,
        |    unnest(range(1, len(embedding) + 1)) AS i
@@ -258,23 +342,26 @@ object SimilarityQueries {
        |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
        |      * 1000000.0 + 0.5) AS BIGINT) AS vq
        |  FROM idx),
-       |seed AS (
+       |${tvdCte}seed AS (
        |  SELECT (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
        |      % $nlist) AS cid,
        |    MIN(vec_id) AS svid
-       |  FROM embeddings GROUP BY 1),
+       |  FROM embeddings$seedWhere GROUP BY 1),
        |c0 AS (
        |  SELECT s.cid, v.dim, v.vq AS cq
-       |  FROM seed s JOIN vd v ON v.vec_id = s.svid),
-       |${lloydStep("c0", "a0", "c1")},
-       |${lloydStep("c1", "a1", "c2")},
+       |  FROM seed s JOIN $tvd v ON v.vec_id = s.svid),
+       |${lloydStep("c0", "a0", "c1", tvd)},
+       |${lloydStep("c1", "a1", "c2", tvd)},
        |${assignCte("c2", "a2")}""".stripMargin
+  }
 
   /** Full DuckDB twin of Ivf.buildIndex(nlist=16, iters=2) +
-    * probe(queryVecId=0, k=10, nprobe=4).
+    * probe(queryVecId=0, k=10, nprobe=4); with `trainWhere`, the twin of
+    * Ivf.buildIncremental (train on base, assign all) + probe.
     */
-  private def ivfSql(nlist: Int = 16, nprobe: Int = 4, k: Int = 10): String =
-    s"""WITH ${ivfCoreCtes(nlist)},
+  private def ivfSql(nlist: Int = 16, nprobe: Int = 4, k: Int = 10,
+                     trainWhere: String = ""): String =
+    s"""WITH ${ivfCoreCtes(nlist, trainWhere)},
        |probe AS (
        |  SELECT cid FROM (
        |    SELECT sc2.cid,
@@ -338,12 +425,21 @@ object SimilarityQueries {
        |    FROM s$c JOIN n$c ON s$c.sub = n$c.sub AND s$c.cid = n$c.cid)
        |  WHERE rn = 1)""".stripMargin
 
-  /** Full DuckDB twin of Pq.buildIndex(m=8, ksub=16, iters=2) +
-    * probe(queryVecId=0, k=10, rerank=50).
+  /** The shared PQ core: per-subspace quantized coordinates, md5 seeds,
+    * two per-subspace Lloyd steps → codebooks `c2`, full encoding `a2`
+    * (the codes table). As in [[ivfCoreCtes]], a non-empty `trainWhere`
+    * restricts TRAINING to that subset while `a2` still encodes every
+    * vector — Pq.buildIncremental's semantics (frozen codebooks, batch
+    * encoded and appended).
     */
-  private def pqSql(subDim: Int = 8, ksub: Int = 16,
-                    rerank: Int = 50, k: Int = 10): String =
-    s"""WITH idx AS (
+  private def pqCoreCtes(subDim: Int = 8, ksub: Int = 16,
+                         trainWhere: String = ""): String = {
+    val tvd = if (trainWhere.isEmpty) "vd" else "tvd"
+    val tvdCte =
+      if (trainWhere.isEmpty) ""
+      else s"tvd AS (SELECT * FROM vd WHERE $trainWhere),\n"
+    val seedWhere = if (trainWhere.isEmpty) "" else s"\n  WHERE $trainWhere"
+    s"""idx AS (
        |  SELECT vec_id, embedding,
        |    unnest(range(1, len(embedding) + 1)) AS i
        |  FROM embeddings),
@@ -355,18 +451,24 @@ object SimilarityQueries {
        |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
        |      * 1000000.0 + 0.5) AS BIGINT) AS vq
        |  FROM idx),
-       |seed AS (
+       |${tvdCte}seed AS (
        |  SELECT (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
        |      % $ksub) AS cid,
        |    MIN(vec_id) AS svid
-       |  FROM embeddings GROUP BY 1),
+       |  FROM embeddings$seedWhere GROUP BY 1),
        |c0 AS (
-       |  SELECT vd.sub, s.cid, vd.sdim, vd.vq AS cq
-       |  FROM seed s JOIN vd ON vd.vec_id = s.svid),
-       |${pqLloydStep("vd", "c0", "a0", "c1")},
-       |${pqLloydStep("vd", "c1", "a1", "c2")},
-       |${pqAssignCte("vd", "c2", "a2")},
-       |lut AS (
+       |  SELECT $tvd.sub, s.cid, $tvd.sdim, $tvd.vq AS cq
+       |  FROM seed s JOIN $tvd ON $tvd.vec_id = s.svid),
+       |${pqLloydStep(tvd, "c0", "a0", "c1")},
+       |${pqLloydStep(tvd, "c1", "a1", "c2")},
+       |${pqAssignCte("vd", "c2", "a2")}""".stripMargin
+  }
+
+  /** The PQ probe chain over [[pqCoreCtes]]' `c2`/`a2`: query LUT, ADC
+    * ranking, top-`rerank` candidates, query vector.
+    */
+  private def pqProbeCtes(rerank: Int = 50): String =
+    s"""lut AS (
        |  SELECT c2.sub, c2.cid,
        |    CAST(SUM(CAST(FLOOR(vd.v * c2.cq * 1000.0 + 0.5) AS BIGINT))
        |      AS BIGINT) AS dotq
@@ -378,7 +480,17 @@ object SimilarityQueries {
        |  WHERE a2.vec_id <> 0 GROUP BY 1),
        |cand AS (
        |  SELECT vec_id FROM adc ORDER BY adcq DESC, vec_id LIMIT $rerank),
-       |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)""".stripMargin
+
+  /** Full DuckDB twin of Pq.buildIndex(m=8, ksub=16, iters=2) +
+    * probe(queryVecId=0, k=10, rerank=50); with `trainWhere`, the twin of
+    * Pq.buildIncremental + probe.
+    */
+  private def pqSql(subDim: Int = 8, ksub: Int = 16,
+                    rerank: Int = 50, k: Int = 10,
+                    trainWhere: String = ""): String =
+    s"""WITH ${pqCoreCtes(subDim, ksub, trainWhere)},
+       |${pqProbeCtes(rerank)}
        |SELECT e.vec_id,
        |  (${dotSql("e.embedding", "q.qe")})
        |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
@@ -396,32 +508,12 @@ object SimilarityQueries {
   // per-probed-list LUTs on the query's residual, and the ADC ranking
   // baseq + Σlut as exact longs. Final re-rank = the ann_topk cosine twin.
 
-  /** Full DuckDB twin of IvfPq.buildIndex(nlist=16, m=8, ksub=16, iters=2)
-    * + probe(queryVecId=0, k=10, nprobe=4, rerank=50).
+  /** The shared IVF-PQ core: the [[ivfCoreCtes]] coarse chain, residuals
+    * `rvd`, and the per-subspace PQ chain over residuals → `c2p`/`a2p`.
     */
-  private def ivfPqSql(nlist: Int = 16, subDim: Int = 8, ksub: Int = 16,
-                       nprobe: Int = 4, rerank: Int = 50, k: Int = 10): String =
-    s"""WITH idx AS (
-       |  SELECT vec_id, embedding,
-       |    unnest(range(1, len(embedding) + 1)) AS i
-       |  FROM embeddings),
-       |vd AS (
-       |  SELECT vec_id, i - 1 AS dim,
-       |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v,
-       |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
-       |      * 1000000.0 + 0.5) AS BIGINT) AS vq
-       |  FROM idx),
-       |seed AS (
-       |  SELECT (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-       |      % $nlist) AS cid,
-       |    MIN(vec_id) AS svid
-       |  FROM embeddings GROUP BY 1),
-       |c0 AS (
-       |  SELECT s.cid, v.dim, v.vq AS cq
-       |  FROM seed s JOIN vd v ON v.vec_id = s.svid),
-       |${lloydStep("c0", "a0", "c1")},
-       |${lloydStep("c1", "a1", "c2")},
-       |${assignCte("c2", "a2")},
+  private def ivfPqCoreCtes(nlist: Int = 16, subDim: Int = 8,
+                            ksub: Int = 16): String =
+    s"""${ivfCoreCtes(nlist)},
        |rvd AS (
        |  SELECT vd.vec_id,
        |    CAST(vd.dim // $subDim AS INT) AS sub,
@@ -441,8 +533,15 @@ object SimilarityQueries {
        |  FROM pseed s JOIN rvd ON rvd.vec_id = s.svid),
        |${pqLloydStep("rvd", "c0p", "a0p", "c1p")},
        |${pqLloydStep("rvd", "c1p", "a1p", "c2p")},
-       |${pqAssignCte("rvd", "c2p", "a2p")},
-       |probe AS (
+       |${pqAssignCte("rvd", "c2p", "a2p")}""".stripMargin
+
+  /** The IVF-PQ probe chain over [[ivfPqCoreCtes]]: probed lists,
+    * per-list query residuals, per-list LUTs, ADC ranking, top-`rerank`
+    * candidates, query vector.
+    */
+  private def ivfPqProbeCtes(subDim: Int = 8, nprobe: Int = 4,
+                             rerank: Int = 50): String =
+    s"""probe AS (
        |  SELECT cid, sq FROM (
        |    SELECT sc2.cid, sq,
        |      ROW_NUMBER() OVER (
@@ -475,7 +574,15 @@ object SimilarityQueries {
        |  GROUP BY a2p.vec_id, p.sq),
        |cand AS (
        |  SELECT vec_id FROM adc ORDER BY adcq DESC, vec_id LIMIT $rerank),
-       |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)""".stripMargin
+
+  /** Full DuckDB twin of IvfPq.buildIndex(nlist=16, m=8, ksub=16, iters=2)
+    * + probe(queryVecId=0, k=10, nprobe=4, rerank=50).
+    */
+  private def ivfPqSql(nlist: Int = 16, subDim: Int = 8, ksub: Int = 16,
+                       nprobe: Int = 4, rerank: Int = 50, k: Int = 10): String =
+    s"""WITH ${ivfPqCoreCtes(nlist, subDim, ksub)},
+       |${ivfPqProbeCtes(subDim, nprobe, rerank)}
        |SELECT e.vec_id,
        |  (${dotSql("e.embedding", "q.qe")})
        |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
@@ -483,6 +590,28 @@ object SimilarityQueries {
        |FROM cand JOIN embeddings e USING (vec_id), qe q
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT $k""".stripMargin
+
+  /** Shared recall-intersection tail: approximate top-10 (exact re-rank of
+    * `cand`) ∩ exact top-10, both deterministic, as k/n_hits/recall — the
+    * `ann_recall_ivf` shape reused by the PQ and IVF-PQ recall twins.
+    */
+  private def recallTailSql: String =
+    s"""apxk AS (
+       |  SELECT e.vec_id FROM cand JOIN embeddings e USING (vec_id), qe q
+       |  ORDER BY (${dotSql("e.embedding", "q.qe")})
+       |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |       * sqrt(${dotSql("q.qe", "q.qe")})) DESC, e.vec_id
+       |  LIMIT 10),
+       |exk AS (
+       |  SELECT e.vec_id FROM embeddings e, qe q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY (${dotSql("e.embedding", "q.qe")})
+       |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |       * sqrt(${dotSql("q.qe", "q.qe")})) DESC, e.vec_id
+       |  LIMIT 10)
+       |SELECT CAST(10 AS BIGINT) AS k, COUNT(*) AS n_hits,
+       |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall
+       |FROM apxk JOIN exk USING (vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ann_topk_ivf" -> ivfSql(),
@@ -522,6 +651,45 @@ object SimilarityQueries {
          |FROM ivfk JOIN exk USING (vec_id)""".stripMargin,
     "ann_topk_pq" -> pqSql(),
     "ann_topk_ivfpq" -> ivfPqSql(),
+
+    // Incremental twins: identical probe chains, but TRAINING restricted
+    // to the base corpus (vec_id % 5 <> 0) while assignment/encoding still
+    // covers every vector — the replay of build-on-base + frozen-model
+    // append. Hash equality proves append ≡ from-scratch-write-with-same-
+    // model, the index-maintenance contract.
+    "ann_incremental" -> ivfSql(trainWhere = "vec_id % 5 <> 0"),
+    "ann_incremental_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0"),
+
+    // Recall twins: the pq/ivfpq probe chains + the shared intersection
+    // tail; both top-10 sets are deterministic, so the recall VALUE
+    // hash-compares (ann_recall_ivf's discipline).
+    "ann_recall_pq" ->
+      s"""WITH ${pqCoreCtes()},
+         |${pqProbeCtes()},
+         |$recallTailSql""".stripMargin,
+    "ann_recall_ivfpq" ->
+      s"""WITH ${ivfPqCoreCtes()},
+         |${ivfPqProbeCtes()},
+         |$recallTailSql""".stripMargin,
+
+    // the encoding replay grouped per (sub, cid), bucketed by bit length —
+    // the stats_histogram twin over code counts
+    "ann_pq_code_sizes" ->
+      s"""WITH ${pqCoreCtes()},
+         |cnt AS (
+         |  SELECT sub, cid, COUNT(*) AS n_codes FROM a2 GROUP BY 1, 2),
+         |b AS (
+         |  SELECT sub,
+         |    CASE WHEN vq <= 0 THEN 0 ELSE length(to_base(vq, 2)) END AS bucket
+         |  FROM (SELECT sub,
+         |    CAST(FLOOR(n_codes * 100.0 + 0.5) AS BIGINT) AS vq FROM cnt)),
+         |g AS (SELECT sub, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2)
+         |SELECT sub, bucket, n,
+         |  CASE WHEN bucket = 0 THEN NULL
+         |       ELSE power(2.0, bucket - 1) / 100.0 END AS lo,
+         |  CASE WHEN bucket = 0 THEN 0.0
+         |       ELSE (power(2.0, bucket) - 1.0) / 100.0 END AS hi
+         |FROM g ORDER BY sub, bucket""".stripMargin,
 
     // the assignment replay grouped — list sizes ARE the a2 histogram
     "ann_list_sizes" ->

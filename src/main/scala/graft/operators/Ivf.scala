@@ -168,6 +168,46 @@ object Ivf {
       IvfModel(nlist, iters, cents, path)
     })
 
+  /** Incremental index maintenance — the growing-corpus path: assign
+    * `newBatch` with the FROZEN quantizer (`model.centroids` — no retrain)
+    * and APPEND its rows into the existing `list`-partitioned table. Append
+    * mode only ADDS part-files: untouched list directories are never opened
+    * and even touched directories' existing files stay byte-identical
+    * (asserted in IvfSpec), so append cost scales with the BATCH, not the
+    * corpus — a 100 TB index absorbs a daily batch without the full rewrite
+    * [[buildIndex]] pays.
+    *
+    * The result is definitionally identical to re-assigning base∪batch with
+    * the same centroids (assignment is per-row, exact integer math), so a
+    * probe over the appended index equals a probe over a from-scratch write
+    * with the same quantizer (the `ann_incremental` oracle). Freezing the
+    * quantizer is the standard IVF deployment contract: centroids drift
+    * only under distribution shift, which calls for a rebuild, not an
+    * append. NOT idempotent — append each batch exactly once (the memoized
+    * [[buildIncremental]] is the replay-safe form).
+    */
+  def appendToIndex(model: IvfModel, newBatch: DataFrame): Unit =
+    index(newBatch, model.centroids)
+      .write.mode("append").partitionBy("list").parquet(model.indexPath)
+
+  private val incModels =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IvfModel]()
+
+  /** Memoized build-on-base + one append — the harness-facing incremental
+    * form (Verify/Bench replay queries in one JVM; the memo makes the
+    * append happen exactly once per key). A fresh JVM rebuilds the base
+    * index (mode overwrite) before appending, so the table never
+    * accumulates duplicate batches. The base index is keyed `indexKey#inc`
+    * to keep it distinct from any full-corpus index of the same source.
+    */
+  def buildIncremental(indexKey: String, base: DataFrame, newBatch: DataFrame,
+                       nlist: Int = 16, iters: Int = 2): IvfModel =
+    incModels.computeIfAbsent((indexKey, nlist, iters), _ => {
+      val model = buildIndex(indexKey + "#inc", base, nlist, iters)
+      appendToIndex(model, newBatch)
+      model
+    })
+
   /** PROBE: approximate top-k cosine neighbors of a stored vector against a
     * prebuilt [[IvfModel]]. Probe selection is driver-side math on the
     * (tiny) quantizer — the same quantized score as [[assignList]], so the

@@ -163,6 +163,45 @@ object Pq {
       PqModel(m, ksub, subDim, iters, books, path)
     })
 
+  /** Encode vectors with a trained model — the logical codes table, no
+    * write: (vec_id, codes). [[buildIndex]] materializes this;
+    * [[appendToIndex]] appends it for a new batch; exposed for tests and
+    * ad-hoc use (the [[Ivf.index]] analog).
+    */
+  def encode(model: PqModel, vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+      codesCol(col("embedding"), model.subDim, model.codebooks).as("codes"))
+
+  /** Incremental index maintenance (the [[Ivf.appendToIndex]] twin for the
+    * compressed-codes path): encode `newBatch` with the FROZEN codebooks —
+    * no retrain — and APPEND the new code rows to the existing codes table.
+    * Append mode only adds part-files (existing files stay byte-identical,
+    * asserted in PqSpec), so the cost is one encode pass over the BATCH.
+    * Encoding is per-row exact integer math, so the appended table equals a
+    * from-scratch encode of base∪batch with the same codebooks (the
+    * `ann_incremental_pq` oracle). NOT idempotent — append each batch once;
+    * [[buildIncremental]] is the replay-safe memoized form.
+    */
+  def appendToIndex(model: PqModel, newBatch: DataFrame): Unit =
+    newBatch.select(col("vec_id"),
+        codesCol(col("embedding"), model.subDim, model.codebooks).as("codes"))
+      .write.mode("append").parquet(model.codesPath)
+
+  private val incModels =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), PqModel]()
+
+  /** Memoized build-on-base + one append (see [[Ivf.buildIncremental]] for
+    * the replay-safety contract).
+    */
+  def buildIncremental(indexKey: String, base: DataFrame, newBatch: DataFrame,
+                       m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                       dim: Int = 64): PqModel =
+    incModels.computeIfAbsent((indexKey, m, ksub, iters), _ => {
+      val model = buildIndex(indexKey + "#inc", base, m, ksub, iters, dim)
+      appendToIndex(model, newBatch)
+      model
+    })
+
   /** PROBE: ADC top-`rerank` candidates from the codes table, then exact
     * cosine re-rank to top-k. The lookup table is driver-side integer math
     * on the codebooks (the same quantized partial dots as training, so the

@@ -70,6 +70,47 @@ class IvfSpec extends SparkSpec {
     assert(a.zip(b).forall { case ((_, x), (_, y)) => x.toSeq == y.toSeq })
   }
 
+  test("append assigns with the frozen quantizer and never touches existing files") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val model = Ivf.buildIndex(sfDir + "#appendspec", base, nlist = 8)
+    val before = FileSnapshots.snapshot(model.indexPath)
+    Ivf.appendToIndex(model, batch)
+    val after = FileSnapshots.snapshot(model.indexPath)
+    // every pre-existing file still present, byte-identical — append never
+    // rewrites the standing index
+    before.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"pre-existing file changed: $p")
+    }
+    // new part-files land only under lists the batch actually maps to
+    val batchLists = Ivf.index(batch, model.centroids)
+      .select("list").distinct().as[Int].collect().toSet
+    val newFiles = (after.keySet -- before.keySet)
+      .filter(_.contains("list="))
+    assert(newFiles.nonEmpty)
+    val touched = newFiles.flatMap(p =>
+      "list=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
+    assert(touched.subsetOf(batchLists),
+      s"append wrote into unassigned lists: ${touched -- batchLists}")
+    // stored index == frozen re-assignment of the whole union
+    val stored = spark.read.parquet(model.indexPath)
+      .select($"vec_id", $"list".cast("int").as("list"))
+    val expected = Ivf.index(emb, model.centroids).select($"vec_id", $"list")
+    assert(stored.exceptAll(expected).isEmpty, "stored has rows a fresh assignment lacks")
+    assert(expected.exceptAll(stored).isEmpty, "fresh assignment has rows the stored index lacks")
+  }
+
+  test("exhaustive probe over an incrementally-built index equals brute force on the union") {
+    val model = Ivf.buildIncremental(sfDir + "#appendspec2",
+      emb.filter($"vec_id" % 5 =!= 0), emb.filter($"vec_id" % 5 === 0),
+      nlist = 8)
+    val exact = Similarity.topK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val got = Ivf.probe(model, emb, 0L, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === exact)
+  }
+
   test("partial probing keeps useful recall on the corpus") {
     val exact = Similarity.topK(emb, 0L, 10)
       .select("vec_id").as[Long].collect().toSet

@@ -29,6 +29,37 @@ class PqSpec extends SparkSpec {
     assert(rows.forall(_.forall(c => c >= 0 && c < 16)))
   }
 
+  test("code append keeps existing files byte-identical and equals a frozen re-encode") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val model = Pq.buildIndex(sfDir + "#appendspec", base)
+    val before = FileSnapshots.snapshot(model.codesPath)
+    Pq.appendToIndex(model, batch)
+    val after = FileSnapshots.snapshot(model.codesPath)
+    before.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"pre-existing file changed: $p")
+    }
+    assert((after.keySet -- before.keySet).nonEmpty)
+    // stored codes == encoding the union with the frozen codebooks
+    val stored = spark.read.parquet(model.codesPath)
+    val expected = Pq.encode(model, emb)
+    assert(stored.exceptAll(expected).isEmpty, "stored has codes a fresh encode lacks")
+    assert(expected.exceptAll(stored).isEmpty, "fresh encode has codes the stored table lacks")
+  }
+
+  test("full-rerank probe over an incrementally-built codes table equals brute force") {
+    // rerank ≥ corpus size makes the ADC pass a pure candidate enumerator:
+    // the exact re-rank then equals brute force IFF the appended table is
+    // complete and correct
+    val model = Pq.buildIncremental(sfDir + "#appendspec2",
+      emb.filter($"vec_id" % 5 =!= 0), emb.filter($"vec_id" % 5 === 0))
+    val exact = Similarity.topK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val got = Pq.probe(model, emb, 0L, 10, rerank = emb.count().toInt + 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === exact)
+  }
+
   test("ADC + exact rerank keeps useful recall vs exact top-k") {
     val exact = Similarity.topK(emb, 0L, 10)
       .select("vec_id").as[Long].collect().toSet
