@@ -82,35 +82,82 @@ object Bpe {
       lit(Sep + left + Sep + Sep + right + Sep),
       lit(Sep + left + right + Sep))
 
-  /** Train `nMerges` merge rules on the corpus. Each round: pair counts
-    * (vocab-sized shuffle) → 1-row argmax collect → replace pass over the
-    * vocab symbol strings. Each round's table is eagerly
-    * `localCheckpoint`ed — the nearDupClusters lineage rule: without
-    * truncation round N's analyzed plan nests all N−1 predecessors and
-    * per-round driver cost grows superlinearly with the merge count
-    * (content is unaffected; the checkpoint pins the vocab table as the
-    * new lineage root). Fails loudly if the vocabulary merges to single
-    * symbols before nMerges rounds (impossible on any realistic corpus).
+  /** Train `nMerges` merge rules on the corpus — the classic one-merge-
+    * per-round formulation: [[trainMergesBatched]] at batchSize = 1, where
+    * the batched algorithm reduces exactly to Sennrich's (each round's
+    * single accepted candidate IS the global argmax). Kept as the named
+    * entry point because the DuckDB oracles replay precisely this m=1
+    * chain. Fails loudly if the vocabulary merges to single symbols before
+    * nMerges rounds (impossible on any realistic corpus).
     */
   def trainMerges(documents: DataFrame, nMerges: Int = 8,
-                  scope: graft.CacheScope = graft.CacheScope.global): Seq[Merge] = {
+                  scope: graft.CacheScope = graft.CacheScope.global): Seq[Merge] =
+    trainMergesBatched(documents, nMerges, batchSize = 1, scope)
+
+  /** Batched merge training — the 100 TB-realism fix for the per-merge
+    * driver loop: a production tokenizer learns 30k–50k rules, and 30k
+    * sequential Spark jobs is hours of job-launch overhead regardless of
+    * data size. Each ROUND here is one vocab-sized pair-count shuffle + a
+    * bounded collect + ONE replace pass applying up to `batchSize` rules,
+    * so job count drops from nMerges to ≈ nMerges/batchSize.
+    *
+    * SELECTION — candidates are scanned in the exact sequential order
+    * (cnt DESC, l, r) and greedily accepted only if their symbols are
+    * disjoint from every symbol an earlier acceptance touched or CREATED
+    * (l, r, and l+r all reserved). Disjointness means applying an earlier
+    * accepted rule cannot change a later accepted rule's pair count — the
+    * counts each acceptance was ranked by are exactly the counts the
+    * sequential algorithm would have measured. A candidate that overlaps
+    * waits for the next round's fresh counts.
+    *
+    * APPROXIMATION BOUNDARY — batched ≡ sequential whenever the merges
+    * in a batch don't interact (asserted in BpeSpec); the one divergence
+    * case is a pair CREATED mid-batch (involving a just-merged symbol)
+    * whose true count would outrank a later accepted candidate —
+    * sequential would pick it first, batched picks it next round. That
+    * reorders ranks only within a count neighborhood of the batch (the
+    * standard batched-BPE trade; created-pair counts are bounded by their
+    * creator's count). batchSize = 1 has no such case: it IS sequential.
+    *
+    * Per-round lineage: one eager localCheckpoint + RDD-level release of
+    * the superseded round (the nearDupClusters rule), regardless of batch
+    * size — driver cost per ROUND stays flat, and rounds shrink 64×.
+    */
+  def trainMergesBatched(documents: DataFrame, nMerges: Int,
+                         batchSize: Int = 64,
+                         scope: graft.CacheScope = graft.CacheScope.global): Seq[Merge] = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     var wf = wordFreqs(documents).withColumn("syms", symInit(col("word")))
       .localCheckpoint(true)
-    val out = Seq.newBuilder[Merge]
-    for (r <- 1 to nMerges) {
-      val top = pairsOf(wf).groupBy("l", "r").agg(sum("freq").as("cnt"))
-        .orderBy(desc("cnt"), col("l"), col("r")).limit(1).collect()
-      if (top.isEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    while (out.length < nMerges) {
+      val want = math.min(nMerges - out.length, batchSize)
+      // over-fetch 4×: greedy disjointness skips overlapping candidates;
+      // the collect stays bounded (≤ 4·batchSize small rows). Accepting
+      // fewer than `want` is fine — skipped pairs resurface next round.
+      val cands = pairsOf(wf).groupBy("l", "r").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r")).limit(want * 4).collect()
+      if (cands.isEmpty)
         throw new IllegalStateException(
-          s"BPE training exhausted all adjacent pairs after ${r - 1} merges")
-      val m = Merge(r, top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      out += m
-      val next = wf.withColumn("syms", applyMerge(col("syms"), m.left, m.right))
+          s"BPE training exhausted all adjacent pairs after ${out.length} merges")
+      val used = scala.collection.mutable.Set.empty[String]
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[Merge]
+      for (row <- cands if accepted.length < want) {
+        val (l, r) = (row.getString(0), row.getString(1))
+        if (!used(l) && !used(r)) {
+          accepted += Merge(out.length + accepted.length + 1, l, r, row.getLong(2))
+          used ++= Seq(l, r, l + r)
+        }
+      }
+      // first candidate of a round is always disjoint (used starts empty)
+      val next = accepted.foldLeft(wf)((df, m) =>
+          df.withColumn("syms", applyMerge(col("syms"), m.left, m.right)))
         .localCheckpoint(true)
       graft.CacheScope.releaseCheckpoint(wf) // RDD-level; unpersist() can't see it
       wf = next
+      out ++= accepted
     }
-    out.result()
+    out.toSeq
   }
 
   // Memoized training per (corpusKey, nMerges): the learned table is

@@ -33,6 +33,45 @@ class BpeSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("batched ≡ sequential where batch merges don't interact") {
+    // four disjoint 2-char words with separated counts: no symbol overlap,
+    // no created pairs — one batched round of 4 must equal 4 sequential
+    // rounds, rule for rule
+    val text = (Seq.fill(5)("ab") ++ Seq.fill(4)("cd") ++
+      Seq.fill(3)("ef") ++ Seq.fill(2)("gh")).mkString(" ")
+    val scope = new CacheScope
+    try {
+      val seq = Bpe.trainMerges(corpus(text), nMerges = 4, scope)
+      val bat = Bpe.trainMergesBatched(corpus(text), nMerges = 4,
+        batchSize = 4, scope)
+      assert(bat === seq)
+    } finally scope.release()
+  }
+
+  test("batched defers overlapping candidates to the next round's fresh counts") {
+    // round 1's runner-up (a,b) overlaps the winner (a,a), so it must WAIT
+    // even with batchSize=8 — a batch never ranks a pair whose counts an
+    // earlier accepted merge could have changed; the final table still
+    // equals the sequential one rule for rule
+    val scope = new CacheScope
+    try {
+      val seq = Bpe.trainMerges(corpus("aaaa aaaa ab"), nMerges = 3, scope)
+      val bat = Bpe.trainMergesBatched(corpus("aaaa aaaa ab"), nMerges = 3,
+        batchSize = 8, scope)
+      assert(bat === seq)
+    } finally scope.release()
+  }
+
+  test("batched at batchSize=1 is exactly the sequential trainer on the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val scope = new CacheScope
+    try {
+      val seq = Bpe.trainMergesCached(sfDir, docs)
+      val bat = Bpe.trainMergesBatched(docs, nMerges = 8, batchSize = 1, scope)
+      assert(bat === seq)
+    } finally scope.release()
+  }
+
   test("segmentation partitions the word (round-trip) on the corpus vocab") {
     val docs = Tables.documents(spark, sfDir)
     val merges = Bpe.trainMergesCached(sfDir, docs)
