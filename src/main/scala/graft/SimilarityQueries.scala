@@ -119,6 +119,18 @@ object SimilarityQueries {
       operators.Pq.probe(model, emb, 0L, 10)
     }),
 
+    // kNN join THROUGH the IVF index — the set-oriented probe (per-row
+    // expression probe selection, one keyed join against the probed lists,
+    // query-keyed ranking): the batch engine under the streaming probe
+    // sink, here driver-gated for the first 10 queries. Per-query rows are
+    // bit-identical to Ivf.probe (IvfSpec/StreamingSpec parity).
+    "ann_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Ivf.buildIndex(dir, emb)
+      operators.Ivf.probeAll(model, emb.filter(col("vec_id") < 10), 10)
+        .orderBy("query_id", "rn")
+    }),
+
     // PQ recall@10 self-evaluation — the ann_recall_ivf mirror for the
     // compressed-codes path, so the driver gate sees accuracy regressions
     // in the code path most likely to be tuned (m/ksub/rerank), not just
@@ -659,6 +671,39 @@ object SimilarityQueries {
     // model, the index-maintenance contract.
     "ann_incremental" -> ivfSql(trainWhere = "vec_id % 5 <> 0"),
     "ann_incremental_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0"),
+
+    // probeAll twin: per-query probe selection IS a ranking over the sc2
+    // scores the core chain already computes for every vector; candidates,
+    // re-rank and the per-query rn mirror the single-query chain.
+    "ann_knn_ivf" ->
+      s"""WITH ${ivfCoreCtes(16)},
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT sc2.vec_id, sc2.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY sc2.vec_id
+         |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+         |          DESC, sc2.cid) AS rn
+         |    FROM sc2 JOIN nc2 USING (cid) WHERE sc2.vec_id < 10)
+         |  WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a2.vec_id
+         |  FROM a2 JOIN probe p ON a2.cid = p.cid
+         |  WHERE a2.vec_id <> p.query_id),
+         |s AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    (${dotSql("e.embedding", "q.embedding")})
+         |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |         * sqrt(${dotSql("q.embedding", "q.embedding")})) AS cosine
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM s)
+         |SELECT query_id, vec_id, cosine, rn FROM r
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
 
     // Recall twins: the pq/ivfpq probe chains + the shared intersection
     // tail; both top-10 sets are deterministic, so the recall VALUE

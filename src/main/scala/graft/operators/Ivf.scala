@@ -242,6 +242,60 @@ object Ivf {
       .limit(k)
   }
 
+  /** The `nprobe` best list ids for a query vector column, as a pure
+    * expression: the same quantized sq/√norm2q score as [[assignList]]
+    * (and the driver-side math in [[probe]] — identical kernel, identical
+    * tie-break toward the lower cid), ranked by array_sort over
+    * (negscore, cid) structs and sliced. No shuffle, no driver round-trip
+    * — what lets [[probeAll]] select probes for a whole TABLE of queries.
+    */
+  private def probeListsCol(qEmb: Column, cents: Array[(Int, Array[Long])],
+                            nprobe: Int): Column = {
+    val entries = cents.map { case (cid, cq) =>
+      val norm2q = cq.map(c => c * c).sum
+      struct(
+        (lit(0.0) - graft.plans.NativeKernels.quantDot(qEmb, cq, DotScale).cast("double")
+          / sqrt(lit(norm2q.toDouble))).as("negscore"),
+        lit(cid).as("cid"))
+    }
+    transform(slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nprobe),
+      e => e.getField("cid"))
+  }
+
+  /** Set-oriented probe — approximate top-k neighbors for EVERY row of
+    * `queries` (vec_id, embedding) in one plan: per-row probe selection via
+    * [[probeListsCol]], explode to (query, list) pairs, ONE keyed join
+    * against the materialized index's probed lists, exact cosine re-rank
+    * and a query-keyed row_number ≤ k. Emits (query_id, vec_id, cosine,
+    * rn); per-query rows equal [[probe]]'s bit-for-bit (asserted in
+    * IvfSpec/StreamingSpec).
+    *
+    * Scale: the corpus-sized side is the index scan, shuffled once on
+    * `list`; each query joins only its nprobe lists, so total candidate
+    * work is |queries| × nprobe/nlist of the corpus, and the ranking window
+    * is keyed by query (never a global sort). This is the kNN-join through
+    * the IVF index — the batch engine under the streaming probe sink
+    * ([[graft.streaming.Streams.ivfProbeSink]]).
+    */
+  def probeAll(model: IvfModel, queries: DataFrame, k: Int,
+               nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("list",
+        explode(probeListsCol(col("q_emb"), model.centroids, nprobe)))
+    val idx = queries.sparkSession.read.parquet(model.indexPath)
+      .select(col("list"), col("vec_id"), col("embedding"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col("vec_id"))
+    idx.join(q, "list")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cosine", "rn")
+  }
+
   /** One-shot convenience: memoized build (under `indexKey`) + probe.
     * Callers probing more than one corpus in a process must pass distinct
     * keys; prefer explicit [[buildIndex]] + [[probe]] in applications.

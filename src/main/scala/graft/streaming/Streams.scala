@@ -406,6 +406,31 @@ object Streams {
         (floor(col("cosine") * 10000.0 + 0.5) / 10000.0).as("cosine_4dp"))
   }
 
+  /** Streaming ANN probe — the QUERY-side twin of [[semanticDupStream]]'s
+    * index read: each incoming vector is an ANN query against the
+    * materialized IVF index (per-row centroid assign → read only the
+    * probed lists → exact top-k re-rank), appending (query_id, vec_id,
+    * cosine, rn) result rows to `outDir`.
+    *
+    * foreachBatch, not a plan transform, because top-k per query is a
+    * RANKING — it needs either keyed state or a closed candidate set, and
+    * a micro-batch IS the natural closed set: each batch of queries runs
+    * the set-oriented batch engine ([[graft.operators.Ivf.probeAll]], the
+    * per-query-bit-identical form of `Ivf.probe`) with zero streaming
+    * state, and the checkpoint makes delivery exactly-once. The stream
+    * composes with incremental maintenance: `Ivf.appendToIndex` grows the
+    * same index directory between micro-batches.
+    */
+  def ivfProbeSink(queries: DataFrame, model: graft.operators.Ivf.IvfModel,
+                   outDir: String, checkpointDir: String,
+                   k: Int = 10, nprobe: Int = 4): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Ivf.probeAll(model, batch, k, nprobe)
+          .write.mode("append").parquet(outDir)
+      }
+
   /** Streaming decontamination gate — the ingest twin of the batch
     * `cur_decontaminate` flow: each incoming document counts its distinct
     * n-gram shingles against the benchmark probe set and is dropped when

@@ -111,6 +111,22 @@ class IvfSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("probeAll equals the single-query probe for every query") {
+    // expression-side probe selection + keyed ranking must reproduce the
+    // driver-side probe bit-for-bit, query by query
+    val model = Ivf.buildIndex(sfDir, emb)
+    val queries = emb.filter($"vec_id" < 5)
+    val all = Ivf.probeAll(model, queries, 10)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    (0L until 5L).foreach { qid =>
+      val single = Ivf.probe(model, emb, qid, 10)
+        .as[(Long, Double)].collect().toSet
+      assert(all(qid) === single, s"query $qid diverged")
+    }
+  }
+
   test("partial probing keeps useful recall on the corpus") {
     val exact = Similarity.topK(emb, 0L, 10)
       .select("vec_id").as[Long].collect().toSet
