@@ -108,6 +108,18 @@ object SimilarityQueries {
       operators.Ivf.probe(model, emb, 0L, 10)
     }),
 
+    // The composite twin: frozen coarse quantizer assigns the batch, frozen
+    // codebooks encode its residuals, codes append into the existing list
+    // dirs (IvfPqSpec asserts byte-identity) — the trio-completing
+    // incremental path for the billion-vector layout.
+    "ann_incremental_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.IvfPq.buildIncremental(dir,
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+      operators.IvfPq.probe(model, emb, 0L, 10)
+    }),
+
     // The PQ twin of ann_incremental: frozen codebooks encode the new
     // batch, codes append to the existing table (PqSpec asserts existing
     // files stay byte-identical), ADC probe over base+batch codes.
@@ -177,11 +189,25 @@ object SimilarityQueries {
     }),
 
     // Corpus×corpus kNN through LSH buckets + TopK aggregate — the linear
-    // layout for all-pairs similarity. Hash-checked against the inlined-
-    // hyperplane DuckDB twin; recall vs exact kNN asserted in SimilaritySpec.
-    "ann_knn_lsh_all" -> ((s, dir) =>
-      Similarity.knnJoinLsh(Tables.embeddings(s, dir), 3)
-        .orderBy("query_id", "rn")),
+    // layout for all-pairs similarity. Hash width scales with the corpus
+    // (Similarity.autoBits: fixed width makes the bucket self-join
+    // quadratic — measured 49 s at the sf1 fixture with bits=4 pinned); at
+    // the oracle fixture autoBits resolves to 4, so the inlined-hyperplane
+    // DuckDB twin is unchanged. Recall vs exact kNN asserted in
+    // SimilaritySpec; hold recall at higher widths by raising `tables`
+    // per the ann_lsh_plan curve.
+    "ann_knn_lsh_all" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnJoinLsh(emb, 3, bits = Similarity.autoBits(emb.count()))
+        .orderBy("query_id", "rn")
+    }),
+
+    // Hyperplane-LSH banding planner — the dedup_lsh_plan twin for the
+    // ANN knob: closed-form 1 − (1 − p1^bits)^tables detection curve over
+    // θ/π, cosine labels inlined driver-side (pure-math oracled query,
+    // pinned multiplication chains, no transcendentals in-engine).
+    "ann_lsh_plan" -> ((s, _) =>
+      Similarity.lshPlanHyperplane(s, tables = 8, bits = 4)),
 
     // Per-label class centroids, exploded to scalar rows (exact integer
     // sums — see labelCentroids scaladoc).
@@ -522,10 +548,18 @@ object SimilarityQueries {
 
   /** The shared IVF-PQ core: the [[ivfCoreCtes]] coarse chain, residuals
     * `rvd`, and the per-subspace PQ chain over residuals → `c2p`/`a2p`.
+    * A non-empty `trainWhere` restricts BOTH trainings (coarse Lloyd and
+    * residual-codebook Lloyd) to that subset while assignment and encoding
+    * still cover every vector — IvfPq.buildIncremental's semantics.
     */
   private def ivfPqCoreCtes(nlist: Int = 16, subDim: Int = 8,
-                            ksub: Int = 16): String =
-    s"""${ivfCoreCtes(nlist)},
+                            ksub: Int = 16, trainWhere: String = ""): String = {
+    val trvd = if (trainWhere.isEmpty) "rvd" else "trvd"
+    val trvdCte =
+      if (trainWhere.isEmpty) ""
+      else s"trvd AS (SELECT * FROM rvd WHERE $trainWhere),\n"
+    val seedWhere = if (trainWhere.isEmpty) "" else s"\n  WHERE $trainWhere"
+    s"""${ivfCoreCtes(nlist, trainWhere)},
        |rvd AS (
        |  SELECT vd.vec_id,
        |    CAST(vd.dim // $subDim AS INT) AS sub,
@@ -535,17 +569,18 @@ object SimilarityQueries {
        |  FROM vd
        |  JOIN a2 ON a2.vec_id = vd.vec_id
        |  JOIN c2 ON c2.cid = a2.cid AND c2.dim = vd.dim),
-       |pseed AS (
+       |${trvdCte}pseed AS (
        |  SELECT (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
        |      % $ksub) AS cid,
        |    MIN(vec_id) AS svid
-       |  FROM embeddings GROUP BY 1),
+       |  FROM embeddings$seedWhere GROUP BY 1),
        |c0p AS (
-       |  SELECT rvd.sub, s.cid, rvd.sdim, rvd.vq AS cq
-       |  FROM pseed s JOIN rvd ON rvd.vec_id = s.svid),
-       |${pqLloydStep("rvd", "c0p", "a0p", "c1p")},
-       |${pqLloydStep("rvd", "c1p", "a1p", "c2p")},
+       |  SELECT $trvd.sub, s.cid, $trvd.sdim, $trvd.vq AS cq
+       |  FROM pseed s JOIN $trvd ON $trvd.vec_id = s.svid),
+       |${pqLloydStep(trvd, "c0p", "a0p", "c1p")},
+       |${pqLloydStep(trvd, "c1p", "a1p", "c2p")},
        |${pqAssignCte("rvd", "c2p", "a2p")}""".stripMargin
+  }
 
   /** The IVF-PQ probe chain over [[ivfPqCoreCtes]]: probed lists,
     * per-list query residuals, per-list LUTs, ADC ranking, top-`rerank`
@@ -671,6 +706,34 @@ object SimilarityQueries {
     // model, the index-maintenance contract.
     "ann_incremental" -> ivfSql(trainWhere = "vec_id % 5 <> 0"),
     "ann_incremental_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0"),
+    "ann_incremental_ivfpq" ->
+      s"""WITH ${ivfPqCoreCtes(trainWhere = "vec_id % 5 <> 0")},
+         |${ivfPqProbeCtes()}
+         |SELECT e.vec_id,
+         |  (${dotSql("e.embedding", "q.qe")})
+         |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+         |FROM cand JOIN embeddings e USING (vec_id), qe q
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+
+    // pure-math twin: pinned chains over t = i/20, cosine labels as the
+    // SAME driver-computed 4-dp literals the Spark side inlines
+    "ann_lsh_plan" -> {
+      val pb = "1.0" + " * (1.0 - t)" * 4
+      val qb = "1.0" + " * (1.0 - pb)" * 8
+      val cosCase = Similarity.cos4dpByTwentieth
+        .map { case (i, v) => s"WHEN $i THEN $v" }.mkString(" ")
+      s"""WITH g AS (SELECT unnest(range(1, 20)) AS i),
+         |sv AS (SELECT CAST(i AS INT) AS i,
+         |  CAST(i AS DOUBLE) / 20.0 AS t FROM g),
+         |p AS (SELECT i, t, $pb AS pb FROM sv),
+         |q AS (SELECT i, t, $qb AS qb FROM p)
+         |SELECT i, t AS theta_frac,
+         |  CASE i $cosCase END AS cos_s_4dp,
+         |  FLOOR((1.0 - qb) * 1000000.0 + 0.5) / 1000000.0 AS p_detect_6dp
+         |FROM q ORDER BY i""".stripMargin
+    },
 
     // probeAll twin: per-query probe selection IS a ranking over the sc2
     // scores the core chain already computes for every vector; candidates,

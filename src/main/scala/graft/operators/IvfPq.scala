@@ -93,6 +93,46 @@ object IvfPq {
       IvfPqModel(nlist, m, ksub, subDim, iters, coarse, books, path)
     })
 
+  /** The logical (vec_id, codes, list) encoding of vectors under a trained
+    * model — assign with the frozen coarse quantizer, residual-encode with
+    * the frozen codebooks, no write. [[buildIndex]] materializes this;
+    * [[appendToIndex]] appends it for a new batch; exposed for tests.
+    */
+  def encode(model: IvfPqModel, vectors: DataFrame): DataFrame =
+    residuals(vectors, model.coarse)
+      .withColumn("codes", Pq.codesCol(col("embedding"), model.subDim, model.books))
+      .select("vec_id", "codes", "list")
+
+  /** Incremental index maintenance — completes the [[Ivf.appendToIndex]] /
+    * [[Pq.appendToIndex]] trio for the composite index: the new batch is
+    * coarse-assigned and residual-encoded with the FROZEN model (no
+    * retrain) and its code rows append into the existing `list`
+    * directories. Untouched lists are never opened, existing files stay
+    * byte-identical (IvfPqSpec), cost tracks the batch. Per-row exact
+    * integer encoding makes the appended table equal a from-scratch
+    * encode of base∪batch with the same model (the `ann_incremental_ivfpq`
+    * oracle). NOT idempotent — [[buildIncremental]] is the replay-safe
+    * memoized form.
+    */
+  def appendToIndex(model: IvfPqModel, newBatch: DataFrame): Unit =
+    encode(model, newBatch)
+      .write.mode("append").partitionBy("list").parquet(model.indexPath)
+
+  private val incModels =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), IvfPqModel]()
+
+  /** Memoized build-on-base + one append (see [[Ivf.buildIncremental]] for
+    * the replay-safety contract).
+    */
+  def buildIncremental(indexKey: String, base: DataFrame, newBatch: DataFrame,
+                       nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                       iters: Int = 2, dim: Int = 64): IvfPqModel =
+    incModels.computeIfAbsent((indexKey, nlist, m, ksub, iters), _ => {
+      val model = buildIndex(indexKey + "#inc", base, nlist, m, ksub, iters, dim)
+      appendToIndex(model, newBatch)
+      model
+    })
+
   /** PROBE: coarse probe selection (driver math, keeps each probed list's
     * integer IVF score as the ADC base term), per-list residual LUTs
     * (driver math on the tiny codebooks), then ONE pruned scan of the codes

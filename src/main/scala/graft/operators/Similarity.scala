@@ -288,6 +288,65 @@ object Similarity {
     * report hash-compares cross-engine. One linear aggregation, no
     * shuffle beyond the single-row combine.
     */
+  /** Hash width for a corpus of `n` vectors: ceil(log₂(n / targetBucket))
+    * clamped to [minBits, 16] — the growing-corpus rule the
+    * [[lshPlanHyperplane]] curve prices. At FIXED width the bucket
+    * self-join is Σ|bucket|² with |bucket| ≈ n/2^bits: quadratic in corpus
+    * size (measured: ann_knn_lsh_all 49 s at the sf1 fixture with bits=4
+    * pinned). Width growing with log n holds expected bucket size — and
+    * therefore join cost per vector AND per-pair collision probability —
+    * constant as the corpus scales; hold overall recall by raising
+    * `tables` per the planner curve.
+    */
+  def autoBits(n: Long, targetBucket: Double = 64.0, minBits: Int = 4): Int = {
+    require(targetBucket > 0, "targetBucket must be > 0")
+    val need = math.ceil(math.log(math.max(1.0, n / targetBucket)) / math.log(2.0)).toInt
+    math.min(16, math.max(minBits, need))
+  }
+
+  /** Hyperplane-LSH banding planner — the [[Dedup.lshPlan]] twin for the
+    * ANN side: the closed-form detection-probability curve for a
+    * (tables, bits) configuration, the table read BEFORE tuning
+    * [[annTopKLsh]]/[[knnJoinLsh]] (ScaleProbe measures the cost knob;
+    * this is the recall knob). For vectors at angle θ, one random
+    * hyperplane separates them with probability θ/π (Goemans–Williamson),
+    * so a b-bit table collides with p1^b where p1 = 1 − θ/π, and any of T
+    * OR-ed tables fires with P = 1 − (1 − p1^b)^T.
+    *
+    * DETERMINISM — the curve is parameterized by θ/π ∈ {0.05 … 0.95}
+    * directly, so the probability math is pure pinned IEEE arithmetic
+    * (left-associative multiplication chains, never `pow`, and NO arccos
+    * — transcendentals round engine-dependently). The cosine similarity
+    * label per angle is computed ONCE driver-side and inlined as the SAME
+    * 4-dp literal into both engines (the hyperplane-constant discipline
+    * of the bucketSql twin).
+    */
+  def lshPlanHyperplane(spark: org.apache.spark.sql.SparkSession,
+                        tables: Int = 8, bits: Int = 4): DataFrame = {
+    require(tables > 0 && bits > 0, "tables and bits must be > 0")
+    import spark.implicits._
+    val cosDf = Similarity.cos4dpByTwentieth
+      .toSeq.toDF("i", "cos_s_4dp")
+    val t = col("i").cast("double") / 20.0
+    val p1 = lit(1.0) - t
+    val pb = (1 to bits).foldLeft(lit(1.0))((acc, _) => acc * p1)
+    val q = (1 to tables).foldLeft(lit(1.0))((acc, _) => acc * (lit(1.0) - pb))
+    cosDf.select(col("i"), t.as("theta_frac"), col("cos_s_4dp"),
+      (floor((lit(1.0) - q) * 1000000.0 + 0.5) / 1000000.0)
+        .as("p_detect_6dp"))
+      .orderBy("i")
+  }
+
+  /** cos(π·i/20) on the 4-dp grid for i ∈ 1..19 — the shared similarity
+    * labels for [[lshPlanHyperplane]] and its SQL twin (both inline these
+    * exact doubles, so the column is literal-equal by construction).
+    */
+  private[graft] val cos4dpByTwentieth: IndexedSeq[(Int, Double)] =
+    (1 until 20).map { i =>
+      (i, math.floor(math.cos(math.Pi * (i.toDouble / 20.0)) * 10000.0 + 0.5)
+        / 10000.0)
+    }
+
   def embeddingHealth(embeddings: DataFrame, expectedDim: Int): DataFrame = {
     val v = col("embedding")
     val nonfinite = exists(v, x =>

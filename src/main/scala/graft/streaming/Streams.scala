@@ -431,6 +431,30 @@ object Streams {
           .write.mode("append").parquet(outDir)
       }
 
+  /** Streaming index maintenance — the WRITE-side twin of [[ivfProbeSink]]
+    * and the streaming form of `Ivf.appendToIndex`: each micro-batch of
+    * new vectors is assigned with the FROZEN quantizer and appended into
+    * the materialized index's list directories. Together the pair closes
+    * the growing-corpus loop: this sink ingests, [[ivfProbeSink]] (or any
+    * batch probe) immediately sees every landed batch, and no rebuild ever
+    * rewrites standing lists.
+    *
+    * Delivery: the parquet append is not transactional with the
+    * checkpoint, so a crash between them replays the batch — at-least-once
+    * into the index. ANN probing is naturally tolerant (a duplicated
+    * vector ranks once per copy under distinct file rows but identical
+    * (vec_id, cosine) — dedupe on vec_id at read when exactness matters),
+    * which is why the index append can stay a plain file append instead of
+    * paying a staging swap per micro-batch.
+    */
+  def ivfIngestSink(vectors: DataFrame, model: graft.operators.Ivf.IvfModel,
+                    checkpointDir: String): DataStreamWriter[Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Ivf.appendToIndex(model, batch)
+      }
+
   /** Streaming decontamination gate — the ingest twin of the batch
     * `cur_decontaminate` flow: each incoming document counts its distinct
     * n-gram shingles against the benchmark probe set and is dropped when

@@ -21,6 +21,37 @@ class IvfPqSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("code append keeps existing files byte-identical and equals a frozen re-encode") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val incModel = IvfPq.buildIndex(sfDir + "#appendspec", base)
+    val before = FileSnapshots.snapshot(incModel.indexPath)
+    IvfPq.appendToIndex(incModel, batch)
+    val after = FileSnapshots.snapshot(incModel.indexPath)
+    before.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"pre-existing file changed: $p")
+    }
+    assert((after.keySet -- before.keySet).nonEmpty)
+    // stored (vec_id, codes, list) == frozen assignment + residual encode
+    // of the whole union
+    val stored = spark.read.parquet(incModel.indexPath)
+      .select($"vec_id", $"codes", $"list".cast("int").as("list"))
+    val expected = IvfPq.encode(incModel, emb)
+    assert(stored.exceptAll(expected).isEmpty, "stored has codes a fresh encode lacks")
+    assert(expected.exceptAll(stored).isEmpty, "fresh encode has codes the stored index lacks")
+  }
+
+  test("exhaustive full-rerank probe over an incrementally-built index equals brute force") {
+    val incModel = IvfPq.buildIncremental(sfDir + "#appendspec2",
+      emb.filter($"vec_id" % 5 =!= 0), emb.filter($"vec_id" % 5 === 0))
+    val exact = Similarity.topK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val got = IvfPq.probe(incModel, emb, 0L, 10,
+        nprobe = incModel.nlist, rerank = emb.count().toInt)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === exact)
+  }
+
   test("partial probing keeps useful recall") {
     val exact = Similarity.topK(emb, 0L, 10)
       .select("vec_id").as[Long].collect().toSet

@@ -65,6 +65,17 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3) // random-vector corpus floor; planted dups score ~1
   }
 
+  test("autoBits: fixture width stays 4, width grows with log corpus, clamped") {
+    // the oracle anchor: at every fixture scale ≤ 1024 vectors the width
+    // must resolve to 4 so the inlined-hyperplane DuckDB twin stays valid
+    assert(Similarity.autoBits(500) === 4)
+    assert(Similarity.autoBits(1024) === 4)
+    assert(Similarity.autoBits(2000) === 5)
+    assert(Similarity.autoBits(20000) === 9)
+    assert(Similarity.autoBits(1L << 40) === 16) // clamp: 2^16 buckets max
+    assert(Similarity.autoBits(0) === 4)
+  }
+
   test("LSH index is deterministic across invocations") {
     val emb = Tables.embeddings(spark, sfDir)
     val a = Similarity.lshIndex(emb).select("vec_id", "table", "bucket")

@@ -669,6 +669,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming index ingest grows the IVF index to the frozen-assignment union") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val model = graft.operators.Ivf.buildIndex(sfDir + "#ingest", base, nlist = 8)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ing-c").toString
+    val rows = batch.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.ivfIngestSink(
+      input.toDF().toDF("vec_id", "embedding"), model, ckpt).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    // the streamed-in index == one frozen assignment of base ∪ batch
+    val stored = spark.read.parquet(model.indexPath)
+      .select($"vec_id", $"list".cast("int").as("list"))
+    val expected = graft.operators.Ivf.index(emb, model.centroids)
+      .select($"vec_id", $"list")
+    assert(stored.exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(stored).isEmpty)
+    // and the probe sees streamed vectors immediately
+    val probed = graft.operators.Ivf.probe(model, emb, 0L, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = graft.operators.Similarity.topK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probed === exact)
+  }
+
   test("streaming IVF probe equals the batch probe per query") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
