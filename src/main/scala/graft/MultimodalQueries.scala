@@ -50,24 +50,25 @@ object MultimodalQueries {
           sum(length(col("frame")).cast("long")).as("sampled_bytes"))
         .orderBy("asset_id")),
 
-    // Hash-projected features feeding the embedding dedup operator: assets
-    // whose stub features are near-identical (trivially, exact dups of the
-    // underlying bytes). Runs on the planted-clone corpus
-    // (Tables.documentsWithClones) so duplicate pairs actually exist —
-    // on the raw fixture this returned 0 rows and verified nothing.
-    // Oracle: identical bytes ⇒ identical features ⇒ cosine ≈ 1, and
-    // 16-way-hash feature collisions from DIFFERENT bytes don't occur, so
-    // the pair set equals "equal-content asset pairs" — which DuckDB states
-    // directly as text equality. The cosine value itself is excluded
-    // (sqrt(d)·sqrt(d) isn't bit-stable); the pair set is the contract.
+    // Hash-projected features feeding the exact-dup pair operator: assets
+    // whose stub features are IDENTICAL (trivially, exact dups of the
+    // underlying bytes — identical bytes ⇒ identical features, and 16-way
+    // -hash feature collisions from DIFFERENT bytes don't occur). Runs on
+    // the planted-clone corpus (Tables.documentsWithClones) so duplicate
+    // pairs actually exist — on the raw fixture this returned 0 rows and
+    // verified nothing. The DuckDB twin states the same pair set directly
+    // as text equality. Scale note: this was embeddingPairs(·, 0.999999)
+    // through round 4 — a near-1.0 threshold makes the brute-force
+    // crossJoin pure waste (30 s at the sf1 fixture for what IS an
+    // equality join); identicalVectorPairs shuffles once on a vector hash
+    // and verifies equality (sub-second, same rows).
     "mm_feature_dups" -> ((s, dir) => {
       import s.implicits._
       val cloned = Multimodal.assetsFromDocuments(
         Tables.documentsWithClones(s, dir)).as[Multimodal.Asset]
       val feats = Multimodal.features(cloned, 16).toDF()
         .select(col("asset_id").as("vec_id"), col("features").as("embedding"))
-      operators.Dedup.embeddingPairs(feats, 0.999999)
-        .select("vec_a", "vec_b")
+      operators.Dedup.identicalVectorPairs(feats)
         .orderBy("vec_a", "vec_b")
     }),
 

@@ -745,9 +745,32 @@ object Dedup {
         max("span_len").as("max_span"),
         sum("span_len").as("span_tokens"))
 
+  /** All pairs of rows carrying IDENTICAL vectors — the exact-dup shape
+    * for feature/embedding columns (the [[exactByKey]] idea with the
+    * vector itself as the key, emitting intra-group pairs instead of
+    * survivors). One xxhash64 of the vector as the shuffle key, an
+    * equi-join on it, and an exact array-equality verify — so cost is
+    * linear in the corpus plus Σ|dup-group|², never the all-pairs
+    * crossJoin that a near-1.0-threshold [[embeddingPairs]] degenerates
+    * into (measured: the mm_feature_dups query 30 s → sub-second at the
+    * sf1 fixture). Hash collisions cost only wasted verifies; the
+    * equality check makes the output exact.
+    */
+  def identicalVectorPairs(vectors: DataFrame, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val h = xxhash64(col(vecCol))
+    val a = vectors.select(col(idCol).as("vec_a"), col(vecCol).as("e_a"), h.as("hk"))
+    val b = vectors.select(col(idCol).as("vec_b"), col(vecCol).as("e_b"), h.as("hk"))
+    a.join(b, "hk")
+      .filter(col("vec_a") < col("vec_b") && col("e_a") === col("e_b"))
+      .select("vec_a", "vec_b")
+  }
+
   /** Embedding-cosine near-dup pairs ≥ threshold, brute force (exact).
     * O(n²) — ground truth / small-corpus path; at scale use the hyperplane
-    * LSH in Similarity to prune candidates first.
+    * LSH in Similarity to prune candidates first ([[semanticDupPairs]] is
+    * the thresholded scale path; [[identicalVectorPairs]] the exact-dup
+    * one).
     */
   def embeddingPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val v = embeddings.select(col("vec_id"), col("embedding"),

@@ -15,6 +15,23 @@ class DedupSpec extends SparkSpec {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), docSchema)
 
+  test("identicalVectorPairs finds exactly the equal-vector pairs") {
+    // 1,2,5 share a vector; 3,4 share another; 6 unique; 7 shares 6's
+    // hash-relevant prefix but differs — equality verify must reject noise
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f)), (5L, Seq(1.0f, 2.0f)),
+      (3L, Seq(9.0f, 0.0f)), (4L, Seq(9.0f, 0.0f)),
+      (6L, Seq(7.0f, 7.0f)), (7L, Seq(7.0f, 7.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.identicalVectorPairs(vecs)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 5L), (2L, 5L), (3L, 4L)))
+    // agrees with the brute-force near-1 threshold on identical vectors
+    val brute = Dedup.embeddingPairs(vecs.filter($"vec_id" =!= 7), 0.999999)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+  }
+
   test("shingles: 3-grams, distinct, empty for short docs") {
     val out = docs((1L, "a b c d"), (2L, "a b"), (3L, "x y z x y z x y z"))
       .select($"doc_id", Dedup.shingles($"text").as("sh"))
