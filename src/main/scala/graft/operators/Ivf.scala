@@ -242,6 +242,42 @@ object Ivf {
       .limit(k)
   }
 
+  /** Small-file maintenance for the materialized index — the third verb of
+    * the index lifecycle (build → [[appendToIndex]] → compact): every
+    * append adds part-files to its touched lists, and after many
+    * micro-batches (e.g. [[graft.streaming.Streams.ivfIngestSink]]) a hot
+    * list holds hundreds of small files whose per-file open/footer cost
+    * dominates the probe scan ([[graft.sources.Sinks.fileReport]] is the
+    * read that shows it). Rewrites ONLY lists whose data-file count
+    * exceeds `maxFilesPerList` — cold lists are never opened — via the
+    * staging-write + atomic-swap idiom, so the table stays readable
+    * throughout. Content-preserving (probe results identical, asserted in
+    * IvfSpec); returns the compacted list ids. The PQ codes table needs no
+    * special verb: it is a flat parquet dir, so
+    * [[graft.sources.Sinks.compact]] + `swapDirs` apply directly.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, model: IvfModel,
+                   maxFilesPerList: Int = 8,
+                   targetRowsPerFile: Long = 4000000L): Seq[Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(model.indexPath)
+    fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
+      .flatMap { d =>
+        val dataFiles = fs.listStatus(d.getPath).count(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        if (dataFiles <= maxFilesPerList) None
+        else {
+          val staging = d.getPath.toString + "__compact_staging"
+          graft.sources.Sinks.compact(spark, d.getPath.toString, staging,
+            targetRowsPerFile)
+          graft.sources.Sinks.swapDirs(spark, staging, d.getPath.toString)
+          Some(d.getPath.getName.stripPrefix("list=").toInt)
+        }
+      }
+  }
+
   /** The `nprobe` best list ids for a query vector column, as a pure
     * expression: the same quantized sq/√norm2q score as [[assignList]]
     * (and the driver-side math in [[probe]] — identical kernel, identical

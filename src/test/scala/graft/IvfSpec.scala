@@ -100,6 +100,41 @@ class IvfSpec extends SparkSpec {
     assert(expected.exceptAll(stored).isEmpty, "fresh assignment has rows the stored index lacks")
   }
 
+  test("compactIndex rewrites only hot lists, preserves probe results") {
+    // base build + 4 small appends: touched lists accumulate part-files
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val model = Ivf.buildIndex(sfDir + "#compactspec", base, nlist = 8)
+    (0 until 4).foreach { j =>
+      Ivf.appendToIndex(model, emb.filter($"vec_id" % 5 === 0 &&
+        $"vec_id" % 4 === j))
+    }
+    val before = Ivf.probe(model, emb, 0L, 10, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val preSnap = FileSnapshots.snapshot(model.indexPath)
+    def filesPerList(snap: Map[String, (Long, String)]): Map[String, Int] =
+      snap.keys.filter(_.contains("list="))
+        .groupBy(_.split("/")(0)).view.mapValues(_.size).toMap
+    val preCounts = filesPerList(preSnap)
+    assert(preCounts.values.max > 4, "appends should have fragmented a list")
+    val compacted = Ivf.compactIndex(spark, model, maxFilesPerList = 4)
+    assert(compacted.nonEmpty)
+    val postSnap = FileSnapshots.snapshot(model.indexPath)
+    val postCounts = filesPerList(postSnap)
+    // hot lists shrank; cold lists byte-identical
+    compacted.foreach { l =>
+      assert(postCounts(s"list=$l") < preCounts(s"list=$l"))
+    }
+    preSnap.filter { case (p, _) =>
+      p.contains("list=") && !compacted.exists(l => p.startsWith(s"list=$l/"))
+    }.foreach { case (p, sig) =>
+      assert(postSnap.get(p).contains(sig), s"cold-list file changed: $p")
+    }
+    // content-preserving: probe identical
+    val after = Ivf.probe(model, emb, 0L, 10, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(after === before)
+  }
+
   test("exhaustive probe over an incrementally-built index equals brute force on the union") {
     val model = Ivf.buildIncremental(sfDir + "#appendspec2",
       emb.filter($"vec_id" % 5 =!= 0), emb.filter($"vec_id" % 5 === 0),
