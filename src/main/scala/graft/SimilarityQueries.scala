@@ -143,6 +143,17 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // kNN join THROUGH the PQ codes — the set-oriented ADC probe (the
+    // ann_knn_ivf twin for the compressed index): distributed query LUTs,
+    // one codes scan joined to the broadcast LUT, query-keyed ADC rank +
+    // exact re-rank. Per-query rows bit-identical to Pq.probe (PqSpec).
+    "ann_knn_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Pq.buildIndex(dir, emb)
+      operators.Pq.probeAll(model, emb, emb.filter(col("vec_id") < 10), 10)
+        .orderBy("query_id", "rn")
+    }),
+
     // PQ recall@10 self-evaluation — the ann_recall_ivf mirror for the
     // compressed-codes path, so the driver gate sees accuracy regressions
     // in the code path most likely to be tuned (m/ksub/rerank), not just
@@ -758,6 +769,42 @@ object SimilarityQueries {
          |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
          |         * sqrt(${dotSql("q.embedding", "q.embedding")})) AS cosine
          |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM s)
+         |SELECT query_id, vec_id, cosine, rn FROM r
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    // PQ probeAll twin: per-query LUTs over vd × c2, ADC rank per query,
+    // re-rank — the ann_knn_ivf discipline over the codes chain.
+    "ann_knn_pq" ->
+      s"""WITH ${pqCoreCtes()},
+         |qlut AS (
+         |  SELECT vd.vec_id AS query_id, c2.sub, c2.cid,
+         |    CAST(SUM(CAST(FLOOR(vd.v * c2.cq * 1000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS dotq
+         |  FROM vd JOIN c2 ON vd.sub = c2.sub AND vd.sdim = c2.sdim
+         |  WHERE vd.vec_id < 10 GROUP BY 1, 2, 3),
+         |qadc AS (
+         |  SELECT l.query_id, a2.vec_id, CAST(SUM(l.dotq) AS BIGINT) AS adcq
+         |  FROM a2 JOIN qlut l ON a2.sub = l.sub AND a2.cid = l.cid
+         |  WHERE a2.vec_id <> l.query_id GROUP BY 1, 2),
+         |qcand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adcq DESC, vec_id) AS rn
+         |    FROM qadc) WHERE rn <= 50),
+         |s AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    (${dotSql("e.embedding", "q.embedding")})
+         |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |         * sqrt(${dotSql("q.embedding", "q.embedding")})) AS cosine
+         |  FROM qcand c
          |  JOIN embeddings e ON e.vec_id = c.vec_id
          |  JOIN embeddings q ON q.vec_id = c.query_id),
          |r AS (

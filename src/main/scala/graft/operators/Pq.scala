@@ -248,6 +248,66 @@ object Pq {
       .limit(k)
   }
 
+  /** Set-oriented probe — ADC top-k for EVERY row of `queries` in one plan
+    * (the [[Ivf.probeAll]] twin for the compressed-codes path, and the
+    * batch engine under [[graft.streaming.Streams.pqProbeSink]]): the
+    * query LUTs become a distributed aggregation (queries exploded per
+    * (sub, sdim) × the broadcast-small codebook-entry table — the same
+    * exact floor(qv·cq·1e3 + 0.5) longs the driver-side [[probe]]
+    * computes), the codes table is scanned ONCE and joined to the
+    * broadcast LUT on (sub, cid), and ranking is keyed by query
+    * (row_number ≤ rerank on exact-integer ADC scores, then the exact
+    * cosine re-rank ≤ k against `corpus`). Per-query rows equal
+    * [[probe]]'s bit-for-bit (PqSpec).
+    *
+    * Scale: corpus-sized work is one scan of ~4-byte/vector codes ×
+    * |queries| LUT hits with map-side partial aggregation; the LUT table
+    * is |queries| × m × ksub small rows — broadcast-right for the
+    * micro-batch/query-workload shape this serves (for a corpus-sized
+    * query set, use [[graft.operators.Similarity.knnJoinLsh]] or the IVF
+    * path instead).
+    */
+  def probeAll(model: PqModel, corpus: DataFrame, queries: DataFrame,
+               k: Int, rerank: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val entries = for {
+      s <- 0 until model.m
+      (cid, cq) <- model.codebooks(s)
+      d <- 0 until model.subDim
+    } yield (s, cid, d, cq(d))
+    val bookDf = entries.toDF("sub", "cid", "sdim", "cq")
+    val qd = queries.select(col("vec_id").as("query_id"),
+        posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("query_id"),
+        (col("dim") / lit(model.subDim)).cast("int").as("sub"),
+        (col("dim") % lit(model.subDim)).cast("int").as("sdim"),
+        col("f").cast("double").as("qv"))
+    val lut = qd.join(broadcast(bookDf), Seq("sub", "sdim"))
+      .groupBy("query_id", "sub", "cid")
+      .agg(sum(floor(col("qv") * col("cq") * lit(DotScale) + lit(0.5))
+        .cast("long")).as("dotq"))
+    val wAdc = Window.partitionBy("query_id").orderBy(desc("adcq"), col("vec_id"))
+    val cand = spark.read.parquet(model.codesPath)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id").agg(sum("dotq").as("adcq"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select("query_id", "vec_id")
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val wK = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vec_id"))
+    cand.join(corpus.select("vec_id", "embedding"), "vec_id")
+      .join(qe, "query_id")
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cosine", "rn")
+  }
+
   /** One-shot convenience: memoized build (under `indexKey`) + probe. */
   def topKPq(embeddings: DataFrame, queryVecId: Long, k: Int,
              m: Int = 8, ksub: Int = 16, iters: Int = 2,

@@ -304,6 +304,26 @@ object Similarity {
     math.min(16, math.max(minBits, need))
   }
 
+  /** The planner curve's closed-form inverse: OR-tables needed to hit
+    * `targetRecall` for pairs at angle fraction `thetaFrac` = θ/π under
+    * `bits`-wide tables — T = ⌈ln(1 − target) / ln(1 − p1^bits)⌉ with
+    * p1 = 1 − θ/π. Pair with [[autoBits]]: width holds bucket cost
+    * constant as the corpus grows, this holds recall as width grows
+    * (driver-side math; the curve itself is the oracled
+    * [[lshPlanHyperplane]]).
+    */
+  def autoTables(thetaFrac: Double, bits: Int, targetRecall: Double = 0.95,
+                 maxTables: Int = 64): Int = {
+    require(thetaFrac > 0 && thetaFrac < 1, "thetaFrac must be in (0, 1)")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0, 1)")
+    val p1 = 1.0 - thetaFrac
+    val pTable = math.pow(p1, bits.toDouble)
+    if (pTable >= 1.0) 1
+    else math.min(maxTables,
+      math.max(1, math.ceil(math.log(1.0 - targetRecall)
+        / math.log(1.0 - pTable)).toInt))
+  }
+
   /** Hyperplane-LSH banding planner — the [[Dedup.lshPlan]] twin for the
     * ANN side: the closed-form detection-probability curve for a
     * (tables, bits) configuration, the table read BEFORE tuning

@@ -431,6 +431,23 @@ object Streams {
           .write.mode("append").parquet(outDir)
       }
 
+  /** Streaming ANN probe over the COMPRESSED index — [[ivfProbeSink]]'s
+    * twin for the PQ codes table: each micro-batch of query vectors runs
+    * the set-oriented ADC engine ([[graft.operators.Pq.probeAll]], per-
+    * query-bit-identical to `Pq.probe`) and appends (query_id, vec_id,
+    * cosine, rn) exactly-once. Same foreachBatch rationale: top-k per
+    * query is a ranking, and the micro-batch is its closed candidate set.
+    */
+  def pqProbeSink(queries: DataFrame, model: graft.operators.Pq.PqModel,
+                  corpus: DataFrame, outDir: String, checkpointDir: String,
+                  k: Int = 10, rerank: Int = 50): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Pq.probeAll(model, corpus, batch, k, rerank)
+          .write.mode("append").parquet(outDir)
+      }
+
   /** Streaming index maintenance — the WRITE-side twin of [[ivfProbeSink]]
     * and the streaming form of `Ivf.appendToIndex`: each micro-batch of
     * new vectors is assigned with the FROZEN quantizer and appended into

@@ -60,6 +60,19 @@ class PqSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("probeAll equals the single-query probe for every query") {
+    val model = Pq.buildIndex(sfDir, emb)
+    val all = Pq.probeAll(model, emb, emb.filter($"vec_id" < 5), 10)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    (0L until 5L).foreach { qid =>
+      val single = Pq.probe(model, emb, qid, 10)
+        .as[(Long, Double)].collect().toSet
+      assert(all(qid) === single, s"query $qid diverged")
+    }
+  }
+
   test("ADC + exact rerank keeps useful recall vs exact top-k") {
     val exact = Similarity.topK(emb, 0L, 10)
       .select("vec_id").as[Long].collect().toSet

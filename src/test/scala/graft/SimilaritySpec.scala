@@ -76,6 +76,23 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoBits(0) === 4)
   }
 
+  test("autoTables inverts the planner curve: chosen T actually hits the target") {
+    for (thetaFrac <- Seq(0.1, 0.2, 0.3); bits <- Seq(4, 7, 9)) {
+      val t = Similarity.autoTables(thetaFrac, bits, 0.95)
+      val p1 = 1.0 - thetaFrac
+      def recall(tables: Int) = 1.0 - math.pow(1.0 - math.pow(p1, bits), tables)
+      // either the target is met, or the cost clamp kicked in (far pairs at
+      // wide tables — the planner says the target is unaffordable there)
+      if (t < 64) {
+        assert(recall(t) >= 0.95, s"theta=$thetaFrac bits=$bits T=$t")
+        // and T is minimal (one fewer table misses the target), unless T=1
+        if (t > 1) assert(recall(t - 1) < 0.95)
+      }
+    }
+    // defaults sanity: close neighbors at 4 bits need few tables
+    assert(Similarity.autoTables(0.2, 4) <= 8)
+  }
+
   test("LSH index is deterministic across invocations") {
     val emb = Tables.embeddings(spark, sfDir)
     val a = Similarity.lshIndex(emb).select("vec_id", "table", "bucket")

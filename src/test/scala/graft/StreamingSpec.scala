@@ -733,6 +733,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming PQ probe equals the batch probe per query") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = graft.operators.Pq.buildIndex(sfDir, emb)
+    val out = java.nio.file.Files.createTempDirectory("graft-pqp").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pqp-c").toString
+    val rows = emb.filter($"vec_id" < 4)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows.take(2))
+    val q = Streams.pqProbeSink(
+      input.toDF().toDF("vec_id", "embedding"), model, emb, out, ckpt).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(got.keySet === (0L until 4L).toSet)
+    (0L until 4L).foreach { qid =>
+      val batch = graft.operators.Pq.probe(model, emb, qid, 10)
+        .as[(Long, Double)].collect().toSet
+      assert(got(qid) === batch, s"query $qid diverged from batch probe")
+    }
+  }
+
   test("streaming decontamination gate equals the batch contamination filter") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sfDir)
