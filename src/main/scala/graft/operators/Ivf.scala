@@ -242,6 +242,42 @@ object Ivf {
       .limit(k)
   }
 
+  /** Replay-idempotent append — the EXACTLY-ONCE form of [[appendToIndex]]
+    * for streaming ingest, where foreachBatch re-runs a batch after a
+    * crash: the batch is assigned with the frozen quantizer, written to a
+    * per-`batchId` staging dir as ONE file per touched list (micro-batches
+    * are small — a single write task keeps the file layout deterministic
+    * across replays), and each file is MOVED to
+    * `list=X/ingest-<batchId>.parquet` only if that name is absent. A
+    * replayed batch regenerates identical staging content and finds every
+    * destination present → no-op; a crash mid-move resumes file-by-file.
+    * Existing index files are never touched (same append contract).
+    */
+  def appendToIndexIdempotent(model: IvfModel, newBatch: DataFrame,
+                              batchId: Long): Unit = {
+    val spark = newBatch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = model.indexPath + s"__ingest_staging_$batchId"
+    index(newBatch, model.centroids).repartition(1)
+      .write.mode("overwrite").partitionBy("list").parquet(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    fs.listStatus(stagingPath).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
+      .foreach { d =>
+        val dataFiles = fs.listStatus(d.getPath).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        require(dataFiles.size == 1,
+          s"idempotent ingest expects one file per list, got ${dataFiles.size}")
+        val dstDir = new org.apache.hadoop.fs.Path(model.indexPath, d.getPath.getName)
+        fs.mkdirs(dstDir)
+        val dst = new org.apache.hadoop.fs.Path(dstDir, s"ingest-$batchId.parquet")
+        if (!fs.exists(dst) && !fs.rename(dataFiles.head.getPath, dst))
+          throw new java.io.IOException(s"ingest move failed: $dst")
+      }
+    fs.delete(stagingPath, true)
+  }
+
   /** Small-file maintenance for the materialized index — the third verb of
     * the index lifecycle (build → [[appendToIndex]] → compact): every
     * append adds part-files to its touched lists, and after many

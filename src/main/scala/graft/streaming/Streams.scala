@@ -456,20 +456,20 @@ object Streams {
     * batch probe) immediately sees every landed batch, and no rebuild ever
     * rewrites standing lists.
     *
-    * Delivery: the parquet append is not transactional with the
-    * checkpoint, so a crash between them replays the batch — at-least-once
-    * into the index. ANN probing is naturally tolerant (a duplicated
-    * vector ranks once per copy under distinct file rows but identical
-    * (vec_id, cosine) — dedupe on vec_id at read when exactness matters),
-    * which is why the index append can stay a plain file append instead of
-    * paying a staging swap per micro-batch.
+    * Delivery: EXACTLY-ONCE — each micro-batch lands as deterministic
+    * `ingest-<batchId>.parquet` files per touched list
+    * (`Ivf.appendToIndexIdempotent`), so a crash-replayed batch finds its
+    * files already present and is a no-op; a crash mid-move resumes
+    * file-by-file. After many micro-batches, run `Ivf.compactIndex` to
+    * fold the per-batch files (the maintenance verb this sink creates the
+    * need for).
     */
   def ivfIngestSink(vectors: DataFrame, model: graft.operators.Ivf.IvfModel,
                     checkpointDir: String): DataStreamWriter[Row] =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Ivf.appendToIndex(model, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Ivf.appendToIndexIdempotent(model, batch, batchId)
       }
 
   /** Streaming decontamination gate — the ingest twin of the batch

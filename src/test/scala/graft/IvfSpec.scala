@@ -100,6 +100,25 @@ class IvfSpec extends SparkSpec {
     assert(expected.exceptAll(stored).isEmpty, "fresh assignment has rows the stored index lacks")
   }
 
+  test("idempotent append: replaying a batch is a no-op, new batches land") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val model = Ivf.buildIndex(sfDir + "#idemspec", base, nlist = 8)
+    val b1 = emb.filter($"vec_id" % 5 === 0 && $"vec_id" % 2 === 0)
+    val b2 = emb.filter($"vec_id" % 5 === 0 && $"vec_id" % 2 =!= 0)
+    Ivf.appendToIndexIdempotent(model, b1, batchId = 0L)
+    val afterOnce = FileSnapshots.snapshot(model.indexPath)
+    // crash-replay of the SAME batch: byte-identical index, no duplicates
+    Ivf.appendToIndexIdempotent(model, b1, batchId = 0L)
+    assert(FileSnapshots.snapshot(model.indexPath) === afterOnce)
+    // a NEW batch lands; content equals one frozen assignment of the union
+    Ivf.appendToIndexIdempotent(model, b2, batchId = 1L)
+    val stored = spark.read.parquet(model.indexPath)
+      .select($"vec_id", $"list".cast("int").as("list"))
+    val expected = Ivf.index(emb, model.centroids).select($"vec_id", $"list")
+    assert(stored.exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(stored).isEmpty)
+  }
+
   test("compactIndex rewrites only hot lists, preserves probe results") {
     // base build + 4 small appends: touched lists accumulate part-files
     val base = emb.filter($"vec_id" % 5 =!= 0)
