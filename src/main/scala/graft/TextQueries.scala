@@ -168,6 +168,24 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("nsym").as("n_bpe_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // Same contract through the VOCABULARY-JOIN application path — the
+    // shape that scales to production merge tables: the fold work is paid
+    // once per distinct word in the materialized vocab (bounded-depth
+    // passes), tokenizing is one keyed join. Shares text_bpe_tokens'
+    // oracle; chunk=3 forces multiple replay passes so the bounded-depth
+    // machinery is what the gate actually exercises.
+    "text_bpe_tokens_vocab" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = operators.Bpe.trainMergesCached(dir, docs)
+      val vocab = operators.Bpe.buildVocab(docs, merges, chunk = 3)
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .join(vocab.select(col("word"), operators.Bpe.symCount(col("syms")).as("nsym")),
+          Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("nsym").as("n_bpe_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -248,6 +266,20 @@ object TextQueries {
          |SELECT word, freq, syms FROM w8 ORDER BY word""".stripMargin,
 
     "text_bpe_tokens" ->
+      s"""$bpeCtes,
+         |f AS (
+         |  SELECT word, len(string_split(trim(syms, '~'), '~~')) AS nsym
+         |  FROM w8),
+         |d AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(nsym) AS BIGINT) AS n_bpe_tokens
+         |FROM d JOIN f USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // vocab-join application path: identical semantics, identical twin
+    "text_bpe_tokens_vocab" ->
       s"""$bpeCtes,
          |f AS (
          |  SELECT word, len(string_split(trim(syms, '~'), '~~')) AS nsym

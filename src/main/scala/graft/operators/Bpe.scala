@@ -193,10 +193,39 @@ object Bpe {
   /** Segment a word with a trained merge table: the symInit string folded
     * through the merge replaces IN RANK ORDER — a pure expression, applied
     * to unbounded text with no join against the training vocabulary.
-    * (When the text's vocabulary is known to be the training vocabulary, a
-    * broadcast join against the trained symbol table avoids re-folding;
-    * this form is the general one that also handles unseen words.)
+    * DEPTH BOUND: this nests one `replace` per merge into a single
+    * expression — fine at spec-scale tables, pathological at a production
+    * 30k-rule table (the analyzer walks a 30k-deep tree per column). For
+    * large tables materialize the vocabulary once ([[buildVocab]], bounded
+    * passes) and tokenize by join; this form remains the general fallback
+    * that also handles unseen words.
     */
   def segment(w: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(symInit(w))((s, m) => applyMerge(s, m.left, m.right))
+
+  /** Materialized tokenizer vocabulary — the SECOND artifact to ship next
+    * to the merge table: (word, freq, syms) for every corpus word, built
+    * by replaying the merges in rank order in bounded-depth passes
+    * (`chunk` replaces per pass + the lineage-checkpoint rule), so a 30k-
+    * rule table costs 30k/chunk vocab-sized passes instead of one 30k-deep
+    * expression. Tokenizing a corpus then becomes one keyed JOIN of its
+    * words against this table (`text_bpe_tokens_vocab` — same oracle as
+    * the fold path), which is the application shape that actually scales:
+    * the per-word fold work is paid once per DISTINCT word here, not once
+    * per occurrence.
+    */
+  def buildVocab(documents: DataFrame, merges: Seq[Merge],
+                 chunk: Int = 64): DataFrame = {
+    require(chunk >= 1, s"chunk must be >= 1, got $chunk")
+    var wf = wordFreqs(documents).withColumn("syms", symInit(col("word")))
+      .localCheckpoint(true)
+    merges.sortBy(_.rank).grouped(chunk).foreach { g =>
+      val next = g.foldLeft(wf)((df, m) =>
+          df.withColumn("syms", applyMerge(col("syms"), m.left, m.right)))
+        .localCheckpoint(true)
+      graft.CacheScope.releaseCheckpoint(wf)
+      wf = next
+    }
+    wf.select("word", "freq", "syms")
+  }
 }

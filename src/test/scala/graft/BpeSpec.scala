@@ -72,6 +72,17 @@ class BpeSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("buildVocab in small chunks equals the segment-expression fold") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Bpe.trainMergesCached(sfDir, docs)
+    val viaVocab = Bpe.buildVocab(docs, merges, chunk = 3)
+      .select("word", "syms").as[(String, String)].collect().toMap
+    val viaFold = Bpe.wordFreqs(docs)
+      .select(col("word"), Bpe.segment(col("word"), merges).as("syms"))
+      .as[(String, String)].collect().toMap
+    assert(viaVocab === viaFold)
+  }
+
   test("segmentation partitions the word (round-trip) on the corpus vocab") {
     val docs = Tables.documents(spark, sfDir)
     val merges = Bpe.trainMergesCached(sfDir, docs)
