@@ -248,6 +248,33 @@ object Pq {
       .limit(k)
   }
 
+  /** Replay-idempotent append — the exactly-once form of [[appendToIndex]]
+    * for streaming ingest (the [[Ivf.appendToIndexIdempotent]] twin over
+    * the flat codes table): the batch is encoded with the frozen codebooks
+    * into a per-`batchId` staging dir as ONE file (deterministic layout
+    * across replays) and moved to `codes-ingest-<batchId>.parquet` only if
+    * absent — a crash-replayed batch is a no-op.
+    */
+  def appendToIndexIdempotent(model: PqModel, newBatch: DataFrame,
+                              batchId: Long): Unit = {
+    val spark = newBatch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = model.codesPath + s"__ingest_staging_$batchId"
+    encode(model, newBatch).repartition(1)
+      .write.mode("overwrite").parquet(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val dataFiles = fs.listStatus(stagingPath).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    require(dataFiles.size == 1,
+      s"idempotent ingest expects one staged file, got ${dataFiles.size}")
+    val dst = new org.apache.hadoop.fs.Path(model.codesPath,
+      s"codes-ingest-$batchId.parquet")
+    if (!fs.exists(dst) && !fs.rename(dataFiles.head.getPath, dst))
+      throw new java.io.IOException(s"ingest move failed: $dst")
+    fs.delete(stagingPath, true)
+  }
+
   /** Set-oriented probe — ADC top-k for EVERY row of `queries` in one plan
     * (the [[Ivf.probeAll]] twin for the compressed-codes path, and the
     * batch engine under [[graft.streaming.Streams.pqProbeSink]]): the

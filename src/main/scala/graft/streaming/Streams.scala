@@ -448,6 +448,20 @@ object Streams {
           .write.mode("append").parquet(outDir)
       }
 
+  /** [[ivfIngestSink]]'s twin for the compressed index: each micro-batch
+    * of new vectors is encoded with the frozen codebooks and appended to
+    * the codes table exactly-once (`Pq.appendToIndexIdempotent` —
+    * deterministic per-batch file names, replay is a no-op). Pairs with
+    * [[pqProbeSink]] to close the growing-corpus loop for the PQ layout.
+    */
+  def pqIngestSink(vectors: DataFrame, model: graft.operators.Pq.PqModel,
+                   checkpointDir: String): DataStreamWriter[Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Pq.appendToIndexIdempotent(model, batch, batchId)
+      }
+
   /** Streaming index maintenance — the WRITE-side twin of [[ivfProbeSink]]
     * and the streaming form of `Ivf.appendToIndex`: each micro-batch of
     * new vectors is assigned with the FROZEN quantizer and appended into

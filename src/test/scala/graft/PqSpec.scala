@@ -60,6 +60,22 @@ class PqSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("idempotent code append: replaying a batch is a no-op, new batches land") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val model = Pq.buildIndex(sfDir + "#idemspec", base)
+    val b1 = emb.filter($"vec_id" % 5 === 0 && $"vec_id" % 2 === 0)
+    val b2 = emb.filter($"vec_id" % 5 === 0 && $"vec_id" % 2 =!= 0)
+    Pq.appendToIndexIdempotent(model, b1, batchId = 0L)
+    val afterOnce = FileSnapshots.snapshot(model.codesPath)
+    Pq.appendToIndexIdempotent(model, b1, batchId = 0L)
+    assert(FileSnapshots.snapshot(model.codesPath) === afterOnce)
+    Pq.appendToIndexIdempotent(model, b2, batchId = 1L)
+    val stored = spark.read.parquet(model.codesPath)
+    val expected = Pq.encode(model, emb)
+    assert(stored.exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(stored).isEmpty)
+  }
+
   test("probeAll equals the single-query probe for every query") {
     val model = Pq.buildIndex(sfDir, emb)
     val all = Pq.probeAll(model, emb, emb.filter($"vec_id" < 5), 10)

@@ -703,6 +703,31 @@ class StreamingSpec extends SparkSpec {
     assert(probed === exact)
   }
 
+  test("streaming PQ ingest grows the codes table to the frozen-encode union") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val model = graft.operators.Pq.buildIndex(sfDir + "#ingest", base)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pqi-c").toString
+    val rows = batch.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.pqIngestSink(
+      input.toDF().toDF("vec_id", "embedding"), model, ckpt).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val stored = spark.read.parquet(model.codesPath)
+    val expected = graft.operators.Pq.encode(model, emb)
+    assert(stored.exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(stored).isEmpty)
+  }
+
   test("streaming IVF probe equals the batch probe per query") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
