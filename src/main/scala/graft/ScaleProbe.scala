@@ -142,6 +142,9 @@ object ScaleProbe {
         val t4 = System.nanoTime()
         operators.Pq.appendToIndex(pq, batch)
         println(f"PROBE pq_append         mult=$m%-3d ${(System.nanoTime() - t4) / 1e9}%8.2f s")
+        val t5 = System.nanoTime()
+        operators.IvfPq.appendToIndex(ivfpq, batch)
+        println(f"PROBE ivfpq_append      mult=$m%-3d ${(System.nanoTime() - t5) / 1e9}%8.2f s")
         batch.unpersist()
       }
       spark.stop()

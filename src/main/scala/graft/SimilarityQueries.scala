@@ -120,6 +120,21 @@ object SimilarityQueries {
       operators.IvfPq.probe(model, emb, 0L, 10)
     }),
 
+    // The full index LIFECYCLE under the gate: build on base → append the
+    // batch → COMPACT the fragmented lists → probe. Shares ann_incremental's
+    // oracle — hash equality proves compaction is content-preserving
+    // through the whole chain, not just in the spec. (compactIndex is
+    // idempotent: on replayed passes the lists are already within the
+    // file-count threshold and the call is a no-op.)
+    "ann_incremental_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Ivf.buildIncremental(dir + "#compact",
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+      operators.Ivf.compactIndex(s, model, maxFilesPerList = 1)
+      operators.Ivf.probe(model, emb, 0L, 10)
+    }),
+
     // The PQ twin of ann_incremental: frozen codebooks encode the new
     // batch, codes append to the existing table (PqSpec asserts existing
     // files stay byte-identical), ADC probe over base+batch codes.
@@ -716,6 +731,8 @@ object SimilarityQueries {
     // append. Hash equality proves append ≡ from-scratch-write-with-same-
     // model, the index-maintenance contract.
     "ann_incremental" -> ivfSql(trainWhere = "vec_id % 5 <> 0"),
+    // same twin: compaction must not change a single probe result
+    "ann_incremental_compact" -> ivfSql(trainWhere = "vec_id % 5 <> 0"),
     "ann_incremental_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0"),
     "ann_incremental_ivfpq" ->
       s"""WITH ${ivfPqCoreCtes(trainWhere = "vec_id % 5 <> 0")},

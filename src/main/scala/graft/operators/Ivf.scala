@@ -255,27 +255,11 @@ object Ivf {
     */
   def appendToIndexIdempotent(model: IvfModel, newBatch: DataFrame,
                               batchId: Long): Unit = {
-    val spark = newBatch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val staging = model.indexPath + s"__ingest_staging_$batchId"
     index(newBatch, model.centroids).repartition(1)
       .write.mode("overwrite").partitionBy("list").parquet(staging)
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    fs.listStatus(stagingPath).toSeq
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
-      .foreach { d =>
-        val dataFiles = fs.listStatus(d.getPath).toSeq.filter(s => s.isFile &&
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        require(dataFiles.size == 1,
-          s"idempotent ingest expects one file per list, got ${dataFiles.size}")
-        val dstDir = new org.apache.hadoop.fs.Path(model.indexPath, d.getPath.getName)
-        fs.mkdirs(dstDir)
-        val dst = new org.apache.hadoop.fs.Path(dstDir, s"ingest-$batchId.parquet")
-        if (!fs.exists(dst) && !fs.rename(dataFiles.head.getPath, dst))
-          throw new java.io.IOException(s"ingest move failed: $dst")
-      }
-    fs.delete(stagingPath, true)
+    graft.sources.Sinks.ingestStagedLists(newBatch.sparkSession, staging,
+      model.indexPath, batchId)
   }
 
   /** Small-file maintenance for the materialized index — the third verb of

@@ -133,6 +133,21 @@ object IvfPq {
       model
     })
 
+  /** Replay-idempotent append — the exactly-once streaming-ingest form
+    * (the [[Ivf.appendToIndexIdempotent]] contract over the composite
+    * index): frozen-model encode into per-`batchId` staging, one file per
+    * touched list, moved to `list=X/ingest-<batchId>.parquet` only if
+    * absent. Crash-replay is a no-op; mid-move crashes resume per file.
+    */
+  def appendToIndexIdempotent(model: IvfPqModel, newBatch: DataFrame,
+                              batchId: Long): Unit = {
+    val staging = model.indexPath + s"__ingest_staging_$batchId"
+    encode(model, newBatch).repartition(1)
+      .write.mode("overwrite").partitionBy("list").parquet(staging)
+    graft.sources.Sinks.ingestStagedLists(newBatch.sparkSession, staging,
+      model.indexPath, batchId)
+  }
+
   /** PROBE: coarse probe selection (driver math, keeps each probed list's
     * integer IVF score as the ADC base term), per-list residual LUTs
     * (driver math on the tiny codebooks), then ONE pruned scan of the codes

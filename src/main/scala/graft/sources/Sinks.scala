@@ -151,6 +151,36 @@ object Sinks {
     if (fs.exists(target)) Some(spark.read.parquet(tableDir)) else None
   }
 
+  /** The exactly-once ingest move shared by the index append paths
+    * (`Ivf`/`IvfPq.appendToIndexIdempotent`): a `list`-partitioned staging
+    * dir holding ONE data file per list (the writer repartition(1)s to
+    * keep the layout deterministic across replays) has each file moved to
+    * `target/list=X/ingest-<batchId>.parquet` ONLY if that name is absent
+    * — so a crash-replayed batch regenerates identical staging, finds its
+    * destinations present, and is a no-op, and a crash mid-move resumes
+    * file-by-file. Deletes the staging dir when done.
+    */
+  def ingestStagedLists(spark: org.apache.spark.sql.SparkSession,
+                        staging: String, target: String, batchId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    fs.listStatus(stagingPath).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
+      .foreach { d =>
+        val dataFiles = fs.listStatus(d.getPath).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        require(dataFiles.size == 1,
+          s"idempotent ingest expects one file per list, got ${dataFiles.size}")
+        val dstDir = new org.apache.hadoop.fs.Path(target, d.getPath.getName)
+        fs.mkdirs(dstDir)
+        val dst = new org.apache.hadoop.fs.Path(dstDir, s"ingest-$batchId.parquet")
+        if (!fs.exists(dst) && !fs.rename(dataFiles.head.getPath, dst))
+          throw new java.io.IOException(s"ingest move failed: $dst")
+      }
+    fs.delete(stagingPath, true)
+  }
+
   /** Partition-pruned MERGE into a hive-partitioned table: rewrite ONLY the
     * partitions the update batch touches. At 100 TB a daily CDC batch
     * touches a handful of date partitions; rewriting the whole table (what

@@ -462,6 +462,20 @@ object Streams {
         graft.operators.Pq.appendToIndexIdempotent(model, batch, batchId)
       }
 
+  /** [[ivfIngestSink]] for the composite IVF-PQ index: frozen coarse
+    * assign + frozen residual encode per micro-batch, exactly-once into
+    * the list directories (`IvfPq.appendToIndexIdempotent` — the same
+    * `Sinks.ingestStagedLists` contract spec'd for the IVF and PQ sinks).
+    */
+  def ivfPqIngestSink(vectors: DataFrame,
+                      model: graft.operators.IvfPq.IvfPqModel,
+                      checkpointDir: String): DataStreamWriter[Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IvfPq.appendToIndexIdempotent(model, batch, batchId)
+      }
+
   /** Streaming index maintenance — the WRITE-side twin of [[ivfProbeSink]]
     * and the streaming form of `Ivf.appendToIndex`: each micro-batch of
     * new vectors is assigned with the FROZEN quantizer and appended into

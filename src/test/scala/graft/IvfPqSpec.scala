@@ -41,6 +41,23 @@ class IvfPqSpec extends SparkSpec {
     assert(expected.exceptAll(stored).isEmpty, "fresh encode has codes the stored index lacks")
   }
 
+  test("idempotent code append: replaying a batch is a no-op, new batches land") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val incModel = IvfPq.buildIndex(sfDir + "#idemspec", base)
+    val b1 = emb.filter($"vec_id" % 5 === 0 && $"vec_id" % 2 === 0)
+    val b2 = emb.filter($"vec_id" % 5 === 0 && $"vec_id" % 2 =!= 0)
+    IvfPq.appendToIndexIdempotent(incModel, b1, batchId = 0L)
+    val afterOnce = FileSnapshots.snapshot(incModel.indexPath)
+    IvfPq.appendToIndexIdempotent(incModel, b1, batchId = 0L)
+    assert(FileSnapshots.snapshot(incModel.indexPath) === afterOnce)
+    IvfPq.appendToIndexIdempotent(incModel, b2, batchId = 1L)
+    val stored = spark.read.parquet(incModel.indexPath)
+      .select($"vec_id", $"codes", $"list".cast("int").as("list"))
+    val expected = IvfPq.encode(incModel, emb)
+    assert(stored.exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(stored).isEmpty)
+  }
+
   test("exhaustive full-rerank probe over an incrementally-built index equals brute force") {
     val incModel = IvfPq.buildIncremental(sfDir + "#appendspec2",
       emb.filter($"vec_id" % 5 =!= 0), emb.filter($"vec_id" % 5 === 0))
