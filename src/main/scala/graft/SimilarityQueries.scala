@@ -224,7 +224,13 @@ object SimilarityQueries {
     // per the ann_lsh_plan curve.
     "ann_knn_lsh_all" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.knnJoinLsh(emb, 3, bits = Similarity.autoBits(emb.count()))
+      val bits = Similarity.autoBits(emb.count())
+      // the DuckDB twin inlines the bits=4 hyperplane literals; if a fixture
+      // size change moves autoBits off 4 this must fail HERE, not as an
+      // unexplained hash mismatch downstream
+      require(bits == 4, s"oracle twin pinned at bits=4, autoBits gave $bits" +
+        " — regenerate the inlined hyperplanes in annKnnLshAllSql")
+      Similarity.knnJoinLsh(emb, 3, bits = bits)
         .orderBy("query_id", "rn")
     }),
 

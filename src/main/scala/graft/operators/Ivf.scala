@@ -268,34 +268,66 @@ object Ivf {
     * micro-batches (e.g. [[graft.streaming.Streams.ivfIngestSink]]) a hot
     * list holds hundreds of small files whose per-file open/footer cost
     * dominates the probe scan ([[graft.sources.Sinks.fileReport]] is the
-    * read that shows it). Rewrites ONLY lists whose data-file count
-    * exceeds `maxFilesPerList` — cold lists are never opened — via the
-    * staging-write + atomic-swap idiom, so the table stays readable
-    * throughout. Content-preserving (probe results identical, asserted in
-    * IvfSpec); returns the compacted list ids. The PQ codes table needs no
-    * special verb: it is a flat parquet dir, so
-    * [[graft.sources.Sinks.compact]] + `swapDirs` apply directly.
+    * read that shows it). Delegates to [[compactLists]] (shared with the
+    * IVF-PQ layout); returns the compacted list ids.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, model: IvfModel,
+                   maxFilesPerList: Int = 8,
+                   targetRowsPerFile: Long = 4000000L): Seq[Int] =
+    compactLists(spark, model.indexPath, maxFilesPerList, targetRowsPerFile)
+
+  /** Compact any `list`-partitioned index table (IVF raw vectors, IVF-PQ
+    * codes): rewrites ONLY lists whose data-file count exceeds
+    * `maxFilesPerList` — cold lists are never opened. Each hot list is
+    * rewritten into a SIBLING staging tree (`<root>__compact_staging/
+    * list=X`, never inside the table root, where partition discovery would
+    * misread the staging dir as a bogus `list` value and a crash could
+    * leave it poisoning every future read) and atomically swapped in, so
+    * the table stays readable throughout. Orphaned staging trees from a
+    * crashed prior run are removed first. Content-preserving (probe
+    * results identical, asserted in IvfSpec).
+    *
+    * Exactly-once interplay with streaming ingest: compaction folds the
+    * deterministic `ingest-<batchId>.parquet` marker files away, so the
+    * folded batchIds are recorded in the per-list
+    * [[graft.sources.Sinks.IngestManifestName]] (carried forward across
+    * compactions) and `Sinks.ingestStagedLists` consults it — a batch
+    * replayed after crash+compact stays a no-op. PRECONDITION: stop the
+    * ingest stream (checkpoint committed) before compacting — a batch
+    * landing between the snapshot read and the swap would be silently
+    * dropped by the swap; the manifest protects against REPLAYED batches,
+    * not concurrent writers. The flat PQ codes table has the same verb as
+    * [[Pq.compactCodes]].
+    */
+  def compactLists(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                    maxFilesPerList: Int = 8,
                    targetRowsPerFile: Long = 4000000L): Seq[Int] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(model.indexPath)
-    fs.listStatus(root).toSeq
+    val stagingRoot = new org.apache.hadoop.fs.Path(indexPath + "__compact_staging")
+    fs.delete(stagingRoot, true)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val IngestFile = "ingest-(\\d+)\\.parquet".r
+    val done = fs.listStatus(root).toSeq
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
       .flatMap { d =>
-        val dataFiles = fs.listStatus(d.getPath).count(s => s.isFile &&
+        val dataFiles = fs.listStatus(d.getPath).toSeq.filter(s => s.isFile &&
           !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        if (dataFiles <= maxFilesPerList) None
+        if (dataFiles.size <= maxFilesPerList) None
         else {
-          val staging = d.getPath.toString + "__compact_staging"
-          graft.sources.Sinks.compact(spark, d.getPath.toString, staging,
+          val folded = dataFiles.map(_.getPath.getName)
+            .collect { case IngestFile(id) => id.toLong }.toSet
+          val manifest = graft.sources.Sinks.readIngestManifest(fs, d.getPath) ++ folded
+          val staging = new org.apache.hadoop.fs.Path(stagingRoot, d.getPath.getName)
+          graft.sources.Sinks.compact(spark, d.getPath.toString, staging.toString,
             targetRowsPerFile)
-          graft.sources.Sinks.swapDirs(spark, staging, d.getPath.toString)
+          graft.sources.Sinks.writeIngestManifest(fs, staging, manifest)
+          graft.sources.Sinks.swapDirs(spark, staging.toString, d.getPath.toString)
           Some(d.getPath.getName.stripPrefix("list=").toInt)
         }
       }
+    fs.delete(stagingRoot, true)
+    done
   }
 
   /** The `nprobe` best list ids for a query vector column, as a pure

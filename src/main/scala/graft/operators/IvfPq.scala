@@ -58,7 +58,7 @@ object IvfPq {
   }
 
   private val models =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int, Int), IvfPqModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int, Int, Int), IvfPqModel]()
 
   private def indexDir(key: String, nlist: Int, m: Int, ksub: Int, iters: Int): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -77,7 +77,7 @@ object IvfPq {
                  nlist: Int = 16, m: Int = 8, ksub: Int = 16,
                  iters: Int = 2, dim: Int = 64,
                  trainSamplePct: Int = 100): IvfPqModel =
-    models.computeIfAbsent((indexKey, nlist, m, ksub, iters, trainSamplePct), _ => {
+    models.computeIfAbsent((indexKey, nlist, m, ksub, iters, dim, trainSamplePct), _ => {
       val subDim = dim / m
       val trainSet =
         if (trainSamplePct >= 100) embeddings
@@ -119,15 +119,17 @@ object IvfPq {
       .write.mode("append").partitionBy("list").parquet(model.indexPath)
 
   private val incModels =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), IvfPqModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int, Int), IvfPqModel]()
 
   /** Memoized build-on-base + one append (see [[Ivf.buildIncremental]] for
-    * the replay-safety contract).
+    * the replay-safety contract). The memo key covers every model-shaping
+    * parameter including `dim`; the base/batch FRAMES are not — use
+    * distinct indexKeys per (corpus, batch) pair.
     */
   def buildIncremental(indexKey: String, base: DataFrame, newBatch: DataFrame,
                        nlist: Int = 16, m: Int = 8, ksub: Int = 16,
                        iters: Int = 2, dim: Int = 64): IvfPqModel =
-    incModels.computeIfAbsent((indexKey, nlist, m, ksub, iters), _ => {
+    incModels.computeIfAbsent((indexKey, nlist, m, ksub, iters, dim), _ => {
       val model = buildIndex(indexKey + "#inc", base, nlist, m, ksub, iters, dim)
       appendToIndex(model, newBatch)
       model

@@ -132,14 +132,18 @@ object Pq {
   }
 
   private val models =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), PqModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int, Int), PqModel]()
 
   private def codesDir(indexKey: String, m: Int, ksub: Int, iters: Int): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft-pq-" + indexKey.replaceAll("[^A-Za-z0-9._-]", "_") +
         s"-$m-$ksub-$iters").getAbsolutePath
 
-  /** Index BUILD, memoized per (indexKey, m, ksub, iters, trainSamplePct):
+  /** Index BUILD, memoized per (indexKey, m, ksub, iters, dim,
+    * trainSamplePct) — every parameter that shapes the model is in the key,
+    * so two calls differing only in `dim` build two models. Callers must
+    * still use distinct indexKeys per CORPUS (the DataFrame itself is not
+    * part of the key):
     * codebooks train once, the corpus is encoded once and the codes table —
     * m small ints per vector, the whole point of PQ — is written as the
     * scan target for every probe. The in-memory model is m × ksub × subDim
@@ -150,7 +154,7 @@ object Pq {
   def buildIndex(indexKey: String, embeddings: DataFrame,
                  m: Int = 8, ksub: Int = 16, iters: Int = 2,
                  dim: Int = 64, trainSamplePct: Int = 100): PqModel =
-    models.computeIfAbsent((indexKey, m, ksub, iters, trainSamplePct), _ => {
+    models.computeIfAbsent((indexKey, m, ksub, iters, dim, trainSamplePct), _ => {
       val trainSet =
         if (trainSamplePct >= 100) embeddings
         else Curation.hashSample(embeddings, col("vec_id"), trainSamplePct)
@@ -188,15 +192,18 @@ object Pq {
       .write.mode("append").parquet(model.codesPath)
 
   private val incModels =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), PqModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), PqModel]()
 
   /** Memoized build-on-base + one append (see [[Ivf.buildIncremental]] for
-    * the replay-safety contract).
+    * the replay-safety contract). The memo key covers every model-shaping
+    * parameter including `dim`; the base/batch FRAMES are not part of the
+    * key — callers must use distinct indexKeys per (corpus, batch) pair or
+    * the first-built model is silently returned.
     */
   def buildIncremental(indexKey: String, base: DataFrame, newBatch: DataFrame,
                        m: Int = 8, ksub: Int = 16, iters: Int = 2,
                        dim: Int = 64): PqModel =
-    incModels.computeIfAbsent((indexKey, m, ksub, iters), _ => {
+    incModels.computeIfAbsent((indexKey, m, ksub, iters, dim), _ => {
       val model = buildIndex(indexKey + "#inc", base, m, ksub, iters, dim)
       appendToIndex(model, newBatch)
       model
@@ -260,6 +267,10 @@ object Pq {
     val spark = newBatch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    val codesRoot = new org.apache.hadoop.fs.Path(model.codesPath)
+    // batch already ingested AND folded away by compactCodes → no-op
+    if (graft.sources.Sinks.readIngestManifest(fs, codesRoot).contains(batchId))
+      return
     val staging = model.codesPath + s"__ingest_staging_$batchId"
     encode(model, newBatch).repartition(1)
       .write.mode("overwrite").parquet(staging)
@@ -268,11 +279,40 @@ object Pq {
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     require(dataFiles.size == 1,
       s"idempotent ingest expects one staged file, got ${dataFiles.size}")
-    val dst = new org.apache.hadoop.fs.Path(model.codesPath,
+    val dst = new org.apache.hadoop.fs.Path(codesRoot,
       s"codes-ingest-$batchId.parquet")
     if (!fs.exists(dst) && !fs.rename(dataFiles.head.getPath, dst))
       throw new java.io.IOException(s"ingest move failed: $dst")
     fs.delete(stagingPath, true)
+  }
+
+  /** Small-file maintenance for the flat codes table — the [[Ivf.compactLists]]
+    * twin: one staged rewrite + atomic swap, recording the folded
+    * `codes-ingest-<batchId>.parquet` batchIds in the root-level
+    * [[graft.sources.Sinks.IngestManifestName]] (carried forward across
+    * compactions) so a batch replayed after crash+compact stays a no-op in
+    * [[appendToIndexIdempotent]]. Same PRECONDITION as the IVF verb: stop
+    * the ingest stream before compacting — the manifest protects replayed
+    * batches, not concurrent writers. Returns the row count.
+    */
+  def compactCodes(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+                   targetRowsPerFile: Long = 4000000L): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(model.codesPath)
+    val CodesIngest = "codes-ingest-(\\d+)\\.parquet".r
+    val folded = fs.listStatus(root).toSeq.filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case CodesIngest(id) => id.toLong }.toSet
+    val manifest = graft.sources.Sinks.readIngestManifest(fs, root) ++ folded
+    val staging = model.codesPath + "__compact_staging"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val n = graft.sources.Sinks.compact(spark, model.codesPath, staging,
+      targetRowsPerFile)
+    graft.sources.Sinks.writeIngestManifest(fs,
+      new org.apache.hadoop.fs.Path(staging), manifest)
+    graft.sources.Sinks.swapDirs(spark, staging, model.codesPath)
+    n
   }
 
   /** Set-oriented probe — ADC top-k for EVERY row of `queries` in one plan

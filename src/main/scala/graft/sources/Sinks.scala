@@ -151,6 +151,42 @@ object Sinks {
     if (fs.exists(target)) Some(spark.read.parquet(tableDir)) else None
   }
 
+  /** Name of the per-directory ingest manifest: batchIds whose
+    * `ingest-<batchId>.parquet` files a compaction has folded away. The
+    * underscore prefix hides it from Spark's file listing, so data scans
+    * never see it; [[ingestStagedLists]] consults it so a crash-replayed
+    * batch whose marker file was compacted stays a no-op instead of
+    * re-appending.
+    */
+  val IngestManifestName = "_ingest_manifest"
+
+  /** BatchIds recorded as already-ingested-then-compacted for `dir`
+    * (empty set when no manifest exists).
+    */
+  def readIngestManifest(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, IngestManifestName)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  /** Overwrite `dir`'s ingest manifest with `batchIds` (sorted, one per
+    * line — deterministic bytes for a given set).
+    */
+  def writeIngestManifest(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path,
+                          batchIds: Set[Long]): Unit = {
+    if (batchIds.isEmpty) return
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, IngestManifestName), true)
+    try out.write((batchIds.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** The exactly-once ingest move shared by the index append paths
     * (`Ivf`/`IvfPq.appendToIndexIdempotent`): a `list`-partitioned staging
     * dir holding ONE data file per list (the writer repartition(1)s to
@@ -158,7 +194,10 @@ object Sinks {
     * `target/list=X/ingest-<batchId>.parquet` ONLY if that name is absent
     * — so a crash-replayed batch regenerates identical staging, finds its
     * destinations present, and is a no-op, and a crash mid-move resumes
-    * file-by-file. Deletes the staging dir when done.
+    * file-by-file. Batches whose marker files a later compaction folded
+    * away stay no-ops too: `Ivf.compactLists` records folded batchIds in
+    * the per-list [[IngestManifestName]], checked here before the move.
+    * Deletes the staging dir when done.
     */
   def ingestStagedLists(spark: org.apache.spark.sql.SparkSession,
                         staging: String, target: String, batchId: Long): Unit = {
@@ -175,9 +214,42 @@ object Sinks {
         val dstDir = new org.apache.hadoop.fs.Path(target, d.getPath.getName)
         fs.mkdirs(dstDir)
         val dst = new org.apache.hadoop.fs.Path(dstDir, s"ingest-$batchId.parquet")
-        if (!fs.exists(dst) && !fs.rename(dataFiles.head.getPath, dst))
+        if (!readIngestManifest(fs, dstDir).contains(batchId) &&
+            !fs.exists(dst) && !fs.rename(dataFiles.head.getPath, dst))
           throw new java.io.IOException(s"ingest move failed: $dst")
       }
+    fs.delete(stagingPath, true)
+  }
+
+  /** Idempotent single-file append for foreachBatch RESULT sinks (the
+    * probe sinks' delivery contract): the batch result is staged as one
+    * file and moved to `outDir/<fileName>` only if that name is absent, so
+    * a crash-replayed micro-batch — which regenerates identical rows —
+    * finds its file present and is a no-op. A blind mode("append") write
+    * here would duplicate replayed results; this is the same
+    * staged-move-if-absent idiom as [[ingestStagedLists]], flat-dir form.
+    * Callers pass a batchId-derived `fileName` so the name is stable
+    * across replays. Skips the write entirely when the file already
+    * exists (the cheap replay path).
+    */
+  def appendBatchFileIdempotent(df: DataFrame, outDir: String,
+                                fileName: String): Unit = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dstDir = new org.apache.hadoop.fs.Path(outDir)
+    val dst = new org.apache.hadoop.fs.Path(dstDir, fileName)
+    if (fs.exists(dst)) return
+    val staging = outDir + s"__staging_$fileName"
+    df.repartition(1).write.mode("overwrite").parquet(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val dataFiles = fs.listStatus(stagingPath).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    require(dataFiles.size == 1,
+      s"idempotent append expects one staged file, got ${dataFiles.size}")
+    fs.mkdirs(dstDir)
+    if (!fs.exists(dst) && !fs.rename(dataFiles.head.getPath, dst))
+      throw new java.io.IOException(s"idempotent append move failed: $dst")
     fs.delete(stagingPath, true)
   }
 

@@ -417,25 +417,32 @@ object Streams {
     * a micro-batch IS the natural closed set: each batch of queries runs
     * the set-oriented batch engine ([[graft.operators.Ivf.probeAll]], the
     * per-query-bit-identical form of `Ivf.probe`) with zero streaming
-    * state, and the checkpoint makes delivery exactly-once. The stream
-    * composes with incremental maintenance: `Ivf.appendToIndex` grows the
-    * same index directory between micro-batches.
+    * state. Delivery is EXACTLY-ONCE: the checkpoint replays a crashed
+    * batch, and the result lands as a deterministic
+    * `probe-<batchId>.parquet` file written only if absent
+    * ([[graft.sources.Sinks.appendBatchFileIdempotent]]) — a replayed
+    * batch regenerates identical rows and is a no-op, where a blind
+    * append would duplicate them. The stream composes with incremental
+    * maintenance: `Ivf.appendToIndex` grows the same index directory
+    * between micro-batches.
     */
   def ivfProbeSink(queries: DataFrame, model: graft.operators.Ivf.IvfModel,
                    outDir: String, checkpointDir: String,
                    k: Int = 10, nprobe: Int = 4): DataStreamWriter[Row] =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Ivf.probeAll(model, batch, k, nprobe)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Ivf.probeAll(model, batch, k, nprobe),
+          outDir, s"probe-$batchId.parquet")
       }
 
   /** Streaming ANN probe over the COMPRESSED index — [[ivfProbeSink]]'s
     * twin for the PQ codes table: each micro-batch of query vectors runs
     * the set-oriented ADC engine ([[graft.operators.Pq.probeAll]], per-
-    * query-bit-identical to `Pq.probe`) and appends (query_id, vec_id,
-    * cosine, rn) exactly-once. Same foreachBatch rationale: top-k per
+    * query-bit-identical to `Pq.probe`) and delivers (query_id, vec_id,
+    * cosine, rn) exactly-once — same deterministic per-batchId file
+    * contract as [[ivfProbeSink]]. Same foreachBatch rationale: top-k per
     * query is a ranking, and the micro-batch is its closed candidate set.
     */
   def pqProbeSink(queries: DataFrame, model: graft.operators.Pq.PqModel,
@@ -443,9 +450,10 @@ object Streams {
                   k: Int = 10, rerank: Int = 50): DataStreamWriter[Row] =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Pq.probeAll(model, corpus, batch, k, rerank)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Pq.probeAll(model, corpus, batch, k, rerank),
+          outDir, s"probe-$batchId.parquet")
       }
 
   /** [[ivfIngestSink]]'s twin for the compressed index: each micro-batch

@@ -154,6 +154,31 @@ class IvfSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("ingest batch replayed AFTER compaction folded its marker is still a no-op") {
+    // the exactly-once hole compaction would otherwise open: compacting
+    // erases ingest-<batchId>.parquet markers, so a crash-replayed batch
+    // would find its destination absent and re-append — the per-list
+    // manifest written by compactLists must keep the replay a no-op
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val model = Ivf.buildIndex(sfDir + "#manifestspec", base, nlist = 8)
+    val b1 = emb.filter($"vec_id" % 5 === 0)
+    Ivf.appendToIndexIdempotent(model, b1, batchId = 42L)
+    val nBefore = spark.read.parquet(model.indexPath).count()
+    // fold every list (threshold 0 ⇒ every non-empty list rewrites)
+    Ivf.compactIndex(spark, model, maxFilesPerList = 0)
+    assert(FileSnapshots.snapshot(model.indexPath).keys
+      .forall(!_.contains("ingest-42")), "markers should be folded away")
+    val afterCompact = FileSnapshots.snapshot(model.indexPath)
+    Ivf.appendToIndexIdempotent(model, b1, batchId = 42L) // crash replay
+    assert(FileSnapshots.snapshot(model.indexPath) === afterCompact,
+      "replayed batch re-appended after compaction")
+    assert(spark.read.parquet(model.indexPath).count() === nBefore)
+    // staging happened OUTSIDE the table root: no list=...__compact_staging
+    // partition value pollution, and no orphaned staging dir
+    assert(afterCompact.keys.forall(!_.contains("compact_staging")))
+    assert(!new java.io.File(model.indexPath + "__compact_staging").exists())
+  }
+
   test("exhaustive probe over an incrementally-built index equals brute force on the union") {
     val model = Ivf.buildIncremental(sfDir + "#appendspec2",
       emb.filter($"vec_id" % 5 =!= 0), emb.filter($"vec_id" % 5 === 0),

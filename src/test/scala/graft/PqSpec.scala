@@ -76,6 +76,22 @@ class PqSpec extends SparkSpec {
     assert(expected.exceptAll(stored).isEmpty)
   }
 
+  test("compactCodes folds ingest files; replayed batch stays a no-op via manifest") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val model = Pq.buildIndex(sfDir + "#compactspec", base)
+    val b1 = emb.filter($"vec_id" % 5 === 0)
+    Pq.appendToIndexIdempotent(model, b1, batchId = 7L)
+    val nBefore = spark.read.parquet(model.codesPath).count()
+    Pq.compactCodes(spark, model, targetRowsPerFile = 1000000L)
+    val snap = FileSnapshots.snapshot(model.codesPath)
+    assert(snap.keys.forall(!_.contains("codes-ingest-7")),
+      "marker file should be folded away")
+    Pq.appendToIndexIdempotent(model, b1, batchId = 7L) // crash replay
+    assert(FileSnapshots.snapshot(model.codesPath) === snap,
+      "replayed batch re-appended after compactCodes")
+    assert(spark.read.parquet(model.codesPath).count() === nBefore)
+  }
+
   test("probeAll equals the single-query probe for every query") {
     val model = Pq.buildIndex(sfDir, emb)
     val all = Pq.probeAll(model, emb, emb.filter($"vec_id" < 5), 10)

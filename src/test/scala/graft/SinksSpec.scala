@@ -213,6 +213,24 @@ class SinksSpec extends SparkSpec {
     assert(after.getLong(1) === orders.count())
   }
 
+  test("appendBatchFileIdempotent delivers once under replay, twice for distinct batches") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-idem").toString + "/res"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.appendBatchFileIdempotent(b0, out, "probe-0.parquet")
+    val snap = FileSnapshots.snapshot(out)
+    // crash-replayed micro-batch: same deterministic file name → no-op
+    Sinks.appendBatchFileIdempotent(b0, out, "probe-0.parquet")
+    assert(FileSnapshots.snapshot(out) === snap, "replay duplicated the batch")
+    assert(spark.read.parquet(out).count() === 2)
+    // a distinct batch lands alongside
+    Sinks.appendBatchFileIdempotent(Seq((3L, "c")).toDF("id", "v"),
+      out, "probe-1.parquet")
+    assert(spark.read.parquet(out).count() === 3)
+    // no staging litter
+    assert(!new java.io.File(out + "__staging_probe-0.parquet").exists())
+  }
+
   test("upsertPartitions rewrites only touched partitions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pupsert").toString
