@@ -170,6 +170,14 @@ object DedupQueries {
       Dedup.exactSubstrReport(Tables.documentsWithClones(s, dir))
         .orderBy("doc_a", "doc_b")),
 
+    // The REMOVAL step (Lee et al.'s actual dedup): cut every discovered
+    // span from the higher-id document of its pair and reassemble — full
+    // clones collapse to '', partial shares lose exactly the shared run.
+    // The oracle replays spans + per-position cut/keep + reassembly.
+    "dedup_substr_strip" -> ((s, dir) =>
+      Dedup.cutSubstrSpans(Tables.documentsWithClones(s, dir))
+        .orderBy("doc_id")),
+
     // End-to-end SemDeDup collapse with measurable effect: semantic pairs →
     // clusters → keep the min-id representative per cluster → per-label
     // diversity BEFORE vs AFTER. Removing semantic near-dups must raise
@@ -363,6 +371,29 @@ object DedupQueries {
         |  CAST(SUM(span_len) AS BIGINT) AS span_tokens
         |FROM spans GROUP BY doc_a, doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Spans replay + per-position cut/keep twin: cut positions are the
+    // union of [b_start, b_start+span_len) per doc_b (DuckDB range is
+    // [a, b)), reassembly is the text_boilerplate_strip idiom.
+    "dedup_substr_strip" ->
+      s"""${substrBase(10, 20)},
+        |cutpos AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_b AS doc_id,
+        |      unnest(range(b_start, b_start + span_len)) AS p FROM spans)),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS p, l[i] AS token
+        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM sp)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.p, tok.token
+        |  FROM tok ANTI JOIN cutpos
+        |    ON tok.doc_id = cutpos.doc_id AND tok.p = cutpos.p),
+        |agg AS (
+        |  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text
+        |FROM documents2 d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       s"""$clonedDocsCte

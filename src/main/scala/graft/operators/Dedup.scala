@@ -745,6 +745,46 @@ object Dedup {
         max("span_len").as("max_span"),
         sum("span_len").as("span_tokens"))
 
+  /** Exact-substring REMOVAL — the step that makes [[exactSubstrSpans]] an
+    * actual dedup (Lee et al.'s algorithm deletes the duplicated text, it
+    * doesn't just report it): every token position covered by a shared
+    * span in the HIGHER-id document of a pair is cut, and each document's
+    * surviving tokens are reassembled in position order. Keep-first
+    * semantics compose transitively: for span content shared by documents
+    * d₁<d₂<…<dₖ every ordered pair reports, so every copy except d₁'s is
+    * cut — exactly one survives, without any cluster-building step.
+    * Returns (doc_id, clean_text) with a row for EVERY input document
+    * (clean documents pass through verbatim; a fully-duplicated lower-rank
+    * document yields '').
+    *
+    * Scale: the span table is [[exactSubstrSpans]]'s bounded self-join;
+    * cut positions explode one row per covered token — output-sized, at
+    * most the corpus token count; the anti-join is keyed (doc_id, p) and
+    * reassembly is the per-doc-bounded collect of
+    * [[TextAnalysis.stripBoilerplate]] (array_sort makes collect order
+    * deterministic). DedupSpec asserts the fixed point: re-running span
+    * detection on the stripped corpus finds nothing ≥ minLen.
+    */
+  def cutSubstrSpans(documents: DataFrame, minLen: Int = 10, maxDf: Int = 20,
+                     scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val cut = exactSubstrSpans(documents, minLen, maxDf, scope)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("span_len") - 1)).as("pl"))
+      .select(col("doc_id"), col("pl").cast("int").as("p"))
+      .distinct()
+    // same split-on-space positions the span table was built from
+    val toks = documents.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("p", "token")))
+    val kept = toks.join(cut, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("token")))),
+          x => x.getField("token")), " ").as("clean_text"))
+    documents.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** All pairs of rows carrying IDENTICAL vectors — the exact-dup shape
     * for feature/embedding columns (the [[exactByKey]] idea with the
     * vector itself as the key, emitting intra-group pairs instead of

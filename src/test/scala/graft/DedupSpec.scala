@@ -254,6 +254,38 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactSubstrSpans(d, minLen = 10, maxDf = 10).count() === 10)
   }
 
+  test("cutSubstrSpans keeps the first copy, cuts the rest, reaches a fixed point") {
+    // three-way share: the span lives in docs 1 < 2 < 3; keep-first must
+    // leave exactly doc 1's copy without any cluster step
+    val shared = (0 until 20).map(i => s"s$i")
+    val t1 = ((0 until 12).map(i => s"a$i") ++ shared).mkString(" ")
+    val t2 = (shared ++ (0 until 12).map(i => s"b$i")).mkString(" ")
+    val t3 = ((0 until 6).map(i => s"c$i") ++ shared ++
+      (0 until 6).map(i => s"d$i")).mkString(" ")
+    val d = docs((1L, t1), (2L, t2), (3L, t3))
+    val out = Dedup.cutSubstrSpans(d, minLen = 10)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === t1, "lowest-id copy must survive verbatim")
+    assert(out(2L) === (0 until 12).map(i => s"b$i").mkString(" "))
+    assert(out(3L) === ((0 until 6).map(i => s"c$i") ++
+      (0 until 6).map(i => s"d$i")).mkString(" "))
+    // fixed point: span detection over the stripped corpus finds nothing
+    val stripped = Dedup.cutSubstrSpans(d, minLen = 10)
+      .withColumnRenamed("clean_text", "text")
+    assert(Dedup.exactSubstrSpans(stripped, minLen = 10).count() === 0)
+  }
+
+  test("cutSubstrSpans fixed point holds on the planted-clone corpus") {
+    val d = Tables.documentsWithClones(spark, sfDir)
+    val stripped = Dedup.cutSubstrSpans(d)
+      .withColumnRenamed("clean_text", "text")
+    assert(Dedup.exactSubstrSpans(stripped).count() === 0,
+      "re-detection after removal should find no span >= minLen")
+    // clones collapse to '' (full-document spans), originals keep text
+    val emptied = stripped.filter(length($"text") === 0).count()
+    assert(emptied > 0, "planted full clones should have been fully cut")
+  }
+
   test("exactSubstrReport aggregates the span table per pair") {
     val a = (0 until 40).map(i => s"a$i").mkString(" ")
     val d = docs((1L, a), (2L, a))
