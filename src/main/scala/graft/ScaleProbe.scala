@@ -146,6 +146,23 @@ object ScaleProbe {
         operators.IvfPq.appendToIndex(ivfpq, batch)
         println(f"PROBE ivfpq_append      mult=$m%-3d ${(System.nanoTime() - t5) / 1e9}%8.2f s")
         batch.unpersist()
+        // delete: a FIXED tombstone batch against the mult-m index — list
+        // resolution is a column-pruned (vec_id, list) scan + broadcast
+        // join, the write is batch-sized, so cost must stay near-flat as
+        // the corpus grows
+        val delIds = vecs.filter(col("vec_id") % 97 === 3)
+          .select("vec_id").limit(500).persist()
+        delIds.count()
+        val t6 = System.nanoTime()
+        operators.Ivf.deleteFromIndex(ivf, delIds, batchId = 1L)
+        println(f"PROBE ivf_delete        mult=$m%-3d ${(System.nanoTime() - t6) / 1e9}%8.2f s")
+        val t7 = System.nanoTime()
+        operators.Pq.deleteFromIndex(pq, delIds, batchId = 1L)
+        println(f"PROBE pq_delete         mult=$m%-3d ${(System.nanoTime() - t7) / 1e9}%8.2f s")
+        val t8 = System.nanoTime()
+        operators.IvfPq.deleteFromIndex(ivfpq, delIds, batchId = 1L)
+        println(f"PROBE ivfpq_delete      mult=$m%-3d ${(System.nanoTime() - t8) / 1e9}%8.2f s")
+        delIds.unpersist()
       }
       spark.stop()
       return

@@ -135,6 +135,52 @@ object SimilarityQueries {
       operators.Ivf.probe(model, emb, 0L, 10)
     }),
 
+    // The DELETE verb: tombstones land in the sibling table (index files
+    // untouched — IvfSpec asserts byte-identity) and the probe anti-joins
+    // them pruned to the probed lists. The oracle replays a full-corpus
+    // build whose CANDIDATES exclude the deleted ids: probe over
+    // base+tombstones ≡ probe over the survivors under the same quantizer.
+    "ann_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Ivf.buildIndex(dir + "#del", emb)
+      operators.Ivf.deleteFromIndex(model,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), batchId = 0L)
+      operators.Ivf.probe(model, emb, 0L, 10)
+    }),
+
+    // Delete → COMPACT → probe: compaction physically drops the
+    // tombstoned rows and consumes the tombstone table (maxFilesPerList
+    // huge ⇒ only tombstone-carrying lists rewrite); sharing ann_delete's
+    // oracle proves the physical drop is semantically invisible.
+    "ann_delete_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Ivf.buildIndex(dir + "#delc", emb)
+      operators.Ivf.deleteFromIndex(model,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), batchId = 0L)
+      operators.Ivf.compactIndex(s, model, maxFilesPerList = Int.MaxValue)
+      operators.Ivf.probe(model, emb, 0L, 10)
+    }),
+
+    // The flat-codes twin: tombstones mask the ADC ranking BEFORE the
+    // rerank cut (deleted vectors must not consume rerank slots).
+    "ann_delete_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Pq.buildIndex(dir + "#del", emb)
+      operators.Pq.deleteFromIndex(model,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), batchId = 0L)
+      operators.Pq.probe(model, emb, 0L, 10)
+    }),
+
+    // The composite twin: per-list tombstones, pruned anti-join before
+    // the residual-ADC ranking.
+    "ann_delete_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.IvfPq.buildIndex(dir + "#del", emb)
+      operators.IvfPq.deleteFromIndex(model,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), batchId = 0L)
+      operators.IvfPq.probe(model, emb, 0L, 10)
+    }),
+
     // The PQ twin of ann_incremental: frozen codebooks encode the new
     // batch, codes append to the existing table (PqSpec asserts existing
     // files stay byte-identical), ADC probe over base+batch codes.
@@ -427,10 +473,14 @@ object SimilarityQueries {
 
   /** Full DuckDB twin of Ivf.buildIndex(nlist=16, iters=2) +
     * probe(queryVecId=0, k=10, nprobe=4); with `trainWhere`, the twin of
-    * Ivf.buildIncremental (train on base, assign all) + probe.
+    * Ivf.buildIncremental (train on base, assign all) + probe. A non-empty
+    * `deleteWhere` excludes matching vec_ids from the CANDIDATES only —
+    * training and assignment still see them, exactly the semantics of
+    * Ivf.deleteFromIndex's tombstone anti-join over a full-corpus index.
     */
   private def ivfSql(nlist: Int = 16, nprobe: Int = 4, k: Int = 10,
-                     trainWhere: String = ""): String =
+                     trainWhere: String = "", deleteWhere: String = ""): String = {
+    val candNot = if (deleteWhere.isEmpty) "" else s" AND NOT ($deleteWhere)"
     s"""WITH ${ivfCoreCtes(nlist, trainWhere)},
        |probe AS (
        |  SELECT cid FROM (
@@ -442,7 +492,7 @@ object SimilarityQueries {
        |  WHERE rn <= $nprobe),
        |cand AS (
        |  SELECT a2.vec_id FROM a2 JOIN probe USING (cid)
-       |  WHERE a2.vec_id <> 0),
+       |  WHERE a2.vec_id <> 0$candNot),
        |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
        |SELECT e.vec_id,
        |  (${dotSql("e.embedding", "q.qe")})
@@ -451,6 +501,7 @@ object SimilarityQueries {
        |FROM cand JOIN embeddings e USING (vec_id), qe q
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT $k""".stripMargin
+  }
 
   // ---- PQ oracle machinery ----
   //
@@ -535,9 +586,13 @@ object SimilarityQueries {
   }
 
   /** The PQ probe chain over [[pqCoreCtes]]' `c2`/`a2`: query LUT, ADC
-    * ranking, top-`rerank` candidates, query vector.
+    * ranking, top-`rerank` candidates, query vector. `deleteWhere`
+    * excludes ids from the ADC ranking BEFORE the rerank cut (deleted
+    * vectors must not consume rerank slots) — Pq.deleteFromIndex's
+    * semantics.
     */
-  private def pqProbeCtes(rerank: Int = 50): String =
+  private def pqProbeCtes(rerank: Int = 50, deleteWhere: String = ""): String = {
+    val adcNot = if (deleteWhere.isEmpty) "" else s" AND NOT ($deleteWhere)"
     s"""lut AS (
        |  SELECT c2.sub, c2.cid,
        |    CAST(SUM(CAST(FLOOR(vd.v * c2.cq * 1000.0 + 0.5) AS BIGINT))
@@ -547,20 +602,22 @@ object SimilarityQueries {
        |adc AS (
        |  SELECT a2.vec_id, CAST(SUM(l.dotq) AS BIGINT) AS adcq
        |  FROM a2 JOIN lut l ON a2.sub = l.sub AND a2.cid = l.cid
-       |  WHERE a2.vec_id <> 0 GROUP BY 1),
+       |  WHERE a2.vec_id <> 0$adcNot GROUP BY 1),
        |cand AS (
        |  SELECT vec_id FROM adc ORDER BY adcq DESC, vec_id LIMIT $rerank),
        |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)""".stripMargin
+  }
 
   /** Full DuckDB twin of Pq.buildIndex(m=8, ksub=16, iters=2) +
     * probe(queryVecId=0, k=10, rerank=50); with `trainWhere`, the twin of
-    * Pq.buildIncremental + probe.
+    * Pq.buildIncremental + probe; with `deleteWhere`, of deleteFromIndex +
+    * probe.
     */
   private def pqSql(subDim: Int = 8, ksub: Int = 16,
                     rerank: Int = 50, k: Int = 10,
-                    trainWhere: String = ""): String =
+                    trainWhere: String = "", deleteWhere: String = ""): String =
     s"""WITH ${pqCoreCtes(subDim, ksub, trainWhere)},
-       |${pqProbeCtes(rerank)}
+       |${pqProbeCtes(rerank, deleteWhere)}
        |SELECT e.vec_id,
        |  (${dotSql("e.embedding", "q.qe")})
        |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
@@ -619,7 +676,8 @@ object SimilarityQueries {
     * candidates, query vector.
     */
   private def ivfPqProbeCtes(subDim: Int = 8, nprobe: Int = 4,
-                             rerank: Int = 50): String =
+                             rerank: Int = 50, deleteWhere: String = ""): String = {
+    val adcNot = if (deleteWhere.isEmpty) "" else s" AND NOT ($deleteWhere)"
     s"""probe AS (
        |  SELECT cid, sq FROM (
        |    SELECT sc2.cid, sq,
@@ -649,19 +707,22 @@ object SimilarityQueries {
        |  JOIN a2 ON a2.vec_id = a2p.vec_id
        |  JOIN lut l ON l.list = a2.cid AND l.sub = a2p.sub AND l.cid = a2p.cid
        |  JOIN probe p ON p.cid = a2.cid
-       |  WHERE a2p.vec_id <> 0
+       |  WHERE a2p.vec_id <> 0$adcNot
        |  GROUP BY a2p.vec_id, p.sq),
        |cand AS (
        |  SELECT vec_id FROM adc ORDER BY adcq DESC, vec_id LIMIT $rerank),
        |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)""".stripMargin
+  }
 
   /** Full DuckDB twin of IvfPq.buildIndex(nlist=16, m=8, ksub=16, iters=2)
-    * + probe(queryVecId=0, k=10, nprobe=4, rerank=50).
+    * + probe(queryVecId=0, k=10, nprobe=4, rerank=50); with `deleteWhere`,
+    * of deleteFromIndex + probe.
     */
   private def ivfPqSql(nlist: Int = 16, subDim: Int = 8, ksub: Int = 16,
-                       nprobe: Int = 4, rerank: Int = 50, k: Int = 10): String =
+                       nprobe: Int = 4, rerank: Int = 50, k: Int = 10,
+                       deleteWhere: String = ""): String =
     s"""WITH ${ivfPqCoreCtes(nlist, subDim, ksub)},
-       |${ivfPqProbeCtes(subDim, nprobe, rerank)}
+       |${ivfPqProbeCtes(subDim, nprobe, rerank, deleteWhere)}
        |SELECT e.vec_id,
        |  (${dotSql("e.embedding", "q.qe")})
        |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
@@ -739,6 +800,12 @@ object SimilarityQueries {
     "ann_incremental" -> ivfSql(trainWhere = "vec_id % 5 <> 0"),
     // same twin: compaction must not change a single probe result
     "ann_incremental_compact" -> ivfSql(trainWhere = "vec_id % 5 <> 0"),
+    // delete twins: full-corpus build, candidates exclude the deleted ids
+    "ann_delete" -> ivfSql(deleteWhere = "a2.vec_id % 7 = 3"),
+    // same twin: the physical drop must not change a single probe result
+    "ann_delete_compact" -> ivfSql(deleteWhere = "a2.vec_id % 7 = 3"),
+    "ann_delete_pq" -> pqSql(deleteWhere = "a2.vec_id % 7 = 3"),
+    "ann_delete_ivfpq" -> ivfPqSql(deleteWhere = "a2p.vec_id % 7 = 3"),
     "ann_incremental_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0"),
     "ann_incremental_ivfpq" ->
       s"""WITH ${ivfPqCoreCtes(trainWhere = "vec_id % 5 <> 0")},

@@ -165,6 +165,11 @@ object Ivf {
       val path = indexDir(indexKey, nlist, iters)
       index(embeddings, cents)
         .write.mode("overwrite").partitionBy("list").parquet(path)
+      // a from-scratch build is a NEW index: tombstones from a previous
+      // process against the same deterministic path must not outlive it
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        embeddings.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(path)), true)
       IvfModel(nlist, iters, cents, path)
     })
 
@@ -232,14 +237,52 @@ object Ivf {
 
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"))
-    embeddings.sparkSession.read.parquet(model.indexPath)
+    val spark = embeddings.sparkSession
+    val idx = spark.read.parquet(model.indexPath)
       .filter(col("list").isin(probes.toIndexedSeq: _*) &&
         col("vec_id") =!= queryVecId)
+    graft.sources.Sinks.readTombstones(spark,
+        tombstonesPath(model.indexPath), Some(probes.toIndexedSeq))
+      .fold(idx)(t => idx.join(t, Seq("vec_id"), "left_anti"))
       .crossJoin(broadcast(q))
       .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
       .orderBy(desc("cosine"), col("vec_id"))
       .select("vec_id", "cosine")
       .limit(k)
+  }
+
+  private[operators] def tombstonesPath(indexPath: String): String =
+    indexPath + "__tombstones"
+
+  /** DELETE — the fourth verb of the index lifecycle (build → append →
+    * compact → delete), for takedowns and re-embeds: resolve each id's
+    * inverted list by joining the (broadcast-small) delete batch against
+    * the index's two id columns — the index IS the id→list mapping, and
+    * column pruning keeps the resolution scan to vec_id+list — then write
+    * per-list tombstone files into the SIBLING `__tombstones` table (the
+    * append idiom inverted: same `list`-partitioned layout, same
+    * staged-move-if-absent exactly-once contract via
+    * [[graft.sources.Sinks.ingestStagedLists]], so a crash-replayed delete
+    * batch is a no-op). The index's own files are NEVER touched (asserted
+    * in IvfSpec) — deletes are O(tombstone batch) metadata, not a rewrite.
+    *
+    * Probes ([[probe]]/[[probeAll]]) anti-join the tombstone set, pruned
+    * to the probed lists, so deleted vectors stop appearing immediately;
+    * [[compactLists]] physically drops them (and consumes the tombstones)
+    * at the next maintenance window. Ids absent from the index (already
+    * compacted away, or never present) resolve to zero tombstone rows —
+    * replays after physical drop are self-healing no-ops.
+    */
+  def deleteFromIndex(model: IvfModel, ids: DataFrame, batchId: Long): Unit = {
+    val spark = ids.sparkSession
+    val resolved = spark.read.parquet(model.indexPath)
+      .select(col("vec_id"), col("list"))
+      .join(broadcast(ids.select("vec_id")), "vec_id")
+    val tomb = tombstonesPath(model.indexPath)
+    val staging = tomb + s"__ingest_staging_$batchId"
+    resolved.repartition(1)
+      .write.mode("overwrite").partitionBy("list").parquet(staging)
+    graft.sources.Sinks.ingestStagedLists(spark, staging, tomb, batchId)
   }
 
   /** Replay-idempotent append — the EXACTLY-ONCE form of [[appendToIndex]]
@@ -307,25 +350,41 @@ object Ivf {
     val stagingRoot = new org.apache.hadoop.fs.Path(indexPath + "__compact_staging")
     fs.delete(stagingRoot, true)
     val root = new org.apache.hadoop.fs.Path(indexPath)
+    val tombRoot = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath))
     val IngestFile = "ingest-(\\d+)\\.parquet".r
     val done = fs.listStatus(root).toSeq
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
       .flatMap { d =>
         val dataFiles = fs.listStatus(d.getPath).toSeq.filter(s => s.isFile &&
           !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        if (dataFiles.size <= maxFilesPerList) None
+        // a list is rewritten when fragmented OR when it carries tombstones
+        // (the physical-drop half of the delete verb)
+        val listTomb = new org.apache.hadoop.fs.Path(tombRoot, d.getPath.getName)
+        val hasTomb = fs.exists(listTomb)
+        if (dataFiles.size <= maxFilesPerList && !hasTomb) None
         else {
           val folded = dataFiles.map(_.getPath.getName)
             .collect { case IngestFile(id) => id.toLong }.toSet
           val manifest = graft.sources.Sinks.readIngestManifest(fs, d.getPath) ++ folded
           val staging = new org.apache.hadoop.fs.Path(stagingRoot, d.getPath.getName)
-          graft.sources.Sinks.compact(spark, d.getPath.toString, staging.toString,
-            targetRowsPerFile)
+          val rows0 = spark.read.parquet(d.getPath.toString)
+          val rows = if (!hasTomb) rows0
+            else rows0.join(spark.read.parquet(listTomb.toString).select("vec_id"),
+              Seq("vec_id"), "left_anti")
+          val n = rows.count()
+          val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+          rows.repartition(files).write.mode("overwrite").parquet(staging.toString)
           graft.sources.Sinks.writeIngestManifest(fs, staging, manifest)
           graft.sources.Sinks.swapDirs(spark, staging.toString, d.getPath.toString)
+          // tombstones are consumed by the physical drop
+          if (hasTomb) fs.delete(listTomb, true)
           Some(d.getPath.getName.stripPrefix("list=").toInt)
         }
       }
+    // an emptied tombstone table disappears entirely (probes skip the read)
+    if (fs.exists(tombRoot) && fs.listStatus(tombRoot)
+        .forall(s => !s.isDirectory || !s.getPath.getName.startsWith("list=")))
+      fs.delete(tombRoot, true)
     fs.delete(stagingRoot, true)
     done
   }
@@ -372,8 +431,11 @@ object Ivf {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("list",
         explode(probeListsCol(col("q_emb"), model.centroids, nprobe)))
-    val idx = queries.sparkSession.read.parquet(model.indexPath)
+    val idx0 = queries.sparkSession.read.parquet(model.indexPath)
       .select(col("list"), col("vec_id"), col("embedding"))
+    val idx = graft.sources.Sinks.readTombstones(queries.sparkSession,
+        tombstonesPath(model.indexPath))
+      .fold(idx0)(t => idx0.join(t, Seq("vec_id"), "left_anti"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), col("vec_id"))
     idx.join(q, "list")

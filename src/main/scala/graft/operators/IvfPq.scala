@@ -90,6 +90,10 @@ object IvfPq {
         .withColumn("codes", Pq.codesCol(col("embedding"), subDim, books))
         .select("vec_id", "codes", "list")
         .write.mode("overwrite").partitionBy("list").parquet(path)
+      // a from-scratch build is a new index: drop stale tombstones
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        embeddings.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(Ivf.tombstonesPath(path)), true)
       IvfPqModel(nlist, m, ksub, subDim, iters, coarse, books, path)
     })
 
@@ -150,6 +154,25 @@ object IvfPq {
       model.indexPath, batchId)
   }
 
+  /** DELETE for the composite index — [[Ivf.deleteFromIndex]] over the
+    * list-partitioned codes table: resolve lists by joining the broadcast
+    * delete batch against the index's (vec_id, list) columns, write
+    * per-list tombstones exactly-once into the sibling `__tombstones`
+    * table; [[probe]] anti-joins them pruned to the probed lists, and
+    * [[Ivf.compactLists]] over `model.indexPath` physically drops them.
+    */
+  def deleteFromIndex(model: IvfPqModel, ids: DataFrame, batchId: Long): Unit = {
+    val spark = ids.sparkSession
+    val resolved = spark.read.parquet(model.indexPath)
+      .select(col("vec_id"), col("list"))
+      .join(broadcast(ids.select("vec_id")), "vec_id")
+    val tomb = Ivf.tombstonesPath(model.indexPath)
+    val staging = tomb + s"__ingest_staging_$batchId"
+    resolved.repartition(1)
+      .write.mode("overwrite").partitionBy("list").parquet(staging)
+    graft.sources.Sinks.ingestStagedLists(spark, staging, tomb, batchId)
+  }
+
   /** PROBE: coarse probe selection (driver math, keeps each probed list's
     * integer IVF score as the ADC base term), per-list residual LUTs
     * (driver math on the tiny codebooks), then ONE pruned scan of the codes
@@ -197,9 +220,12 @@ object IvfPq {
     val baseDf = probes.toSeq.map { case (cid, sq, _) => (cid, sq) }
       .toDF("list", "baseq")
 
-    val cand = spark.read.parquet(model.indexPath)
+    val idx = spark.read.parquet(model.indexPath)
       .filter(col("list").isin(probes.map(_._1).toIndexedSeq: _*) &&
         col("vec_id") =!= queryVecId)
+    val cand = graft.sources.Sinks.readTombstones(spark,
+        Ivf.tombstonesPath(model.indexPath), Some(probes.map(_._1).toIndexedSeq))
+      .fold(idx)(t => idx.join(t, Seq("vec_id"), "left_anti"))
       .select(col("vec_id"), col("list"),
         posexplode(col("codes")).as(Seq("sub", "cid")))
       .join(broadcast(lutDf), Seq("list", "sub", "cid"))

@@ -164,6 +164,10 @@ object Pq {
       embeddings.select(col("vec_id"),
           codesCol(col("embedding"), subDim, books).as("codes"))
         .write.mode("overwrite").parquet(path)
+      // a from-scratch build is a new index: drop stale tombstones
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        embeddings.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path + "__tombstones"), true)
       PqModel(m, ksub, subDim, iters, books, path)
     })
 
@@ -209,6 +213,26 @@ object Pq {
       model
     })
 
+  /** DELETE for the flat codes table — the [[Ivf.deleteFromIndex]] twin:
+    * the id batch lands as a deterministic `tombstone-<batchId>.parquet`
+    * in the sibling `__tombstones` dir (staged-move-if-absent, so replays
+    * are no-ops); probes anti-join it BEFORE the ADC ranking (deleted
+    * vectors must not consume rerank slots) and [[compactCodes]]
+    * physically drops the rows and consumes the tombstones. No list
+    * resolution needed — the codes table is flat.
+    */
+  def deleteFromIndex(model: PqModel, ids: DataFrame, batchId: Long): Unit =
+    graft.sources.Sinks.appendBatchFileIdempotent(
+      ids.select("vec_id").distinct(),
+      model.codesPath + "__tombstones", s"tombstone-$batchId.parquet")
+
+  private def codesMinusTombstones(spark: org.apache.spark.sql.SparkSession,
+                                   model: PqModel): DataFrame = {
+    val codes = spark.read.parquet(model.codesPath)
+    graft.sources.Sinks.readTombstones(spark, model.codesPath + "__tombstones")
+      .fold(codes)(t => codes.join(t, Seq("vec_id"), "left_anti"))
+  }
+
   /** PROBE: ADC top-`rerank` candidates from the codes table, then exact
     * cosine re-rank to top-k. The lookup table is driver-side integer math
     * on the codebooks (the same quantized partial dots as training, so the
@@ -237,7 +261,7 @@ object Pq {
     }
     val lutDf = lut.toDF("sub", "cid", "dotq")
 
-    val cand = spark.read.parquet(model.codesPath)
+    val cand = codesMinusTombstones(spark, model)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
       .join(broadcast(lutDf), Seq("sub", "cid"))
       .groupBy("vec_id").agg(sum("dotq").as("adcq"))
@@ -307,11 +331,16 @@ object Pq {
     val manifest = graft.sources.Sinks.readIngestManifest(fs, root) ++ folded
     val staging = model.codesPath + "__compact_staging"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    val n = graft.sources.Sinks.compact(spark, model.codesPath, staging,
-      targetRowsPerFile)
+    // the rewrite also physically drops tombstoned rows and consumes the
+    // tombstone table (the delete verb's maintenance half)
+    val rows = codesMinusTombstones(spark, model)
+    val n = rows.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    rows.repartition(files).write.mode("overwrite").parquet(staging)
     graft.sources.Sinks.writeIngestManifest(fs,
       new org.apache.hadoop.fs.Path(staging), manifest)
     graft.sources.Sinks.swapDirs(spark, staging, model.codesPath)
+    fs.delete(new org.apache.hadoop.fs.Path(model.codesPath + "__tombstones"), true)
     n
   }
 
@@ -356,7 +385,7 @@ object Pq {
       .agg(sum(floor(col("qv") * col("cq") * lit(DotScale) + lit(0.5))
         .cast("long")).as("dotq"))
     val wAdc = Window.partitionBy("query_id").orderBy(desc("adcq"), col("vec_id"))
-    val cand = spark.read.parquet(model.codesPath)
+    val cand = codesMinusTombstones(spark, model)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
       .join(broadcast(lut), Seq("sub", "cid"))
       .filter(col("vec_id") =!= col("query_id"))

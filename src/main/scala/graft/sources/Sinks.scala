@@ -221,6 +221,29 @@ object Sinks {
     fs.delete(stagingPath, true)
   }
 
+  /** The tombstoned vec_ids under an index's sibling `__tombstones` dir —
+    * None when no tombstones exist (the common case: probes pay only a
+    * local existence check). For the `list`-partitioned layouts pass the
+    * probed `lists` so the read stays partition-pruned exactly like the
+    * index scan it filters.
+    */
+  def readTombstones(spark: org.apache.spark.sql.SparkSession, tombDir: String,
+                     lists: Option[Seq[Int]] = None): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
+    else {
+      val t = spark.read.parquet(tombDir)
+      val pruned = lists match {
+        case Some(ls) if t.columns.contains("list") =>
+          t.filter(col("list").isin(ls: _*))
+        case _ => t
+      }
+      Some(pruned.select("vec_id"))
+    }
+  }
+
   /** Idempotent single-file append for foreachBatch RESULT sinks (the
     * probe sinks' delivery contract): the batch result is staged as one
     * file and moved to `outDir/<fileName>` only if that name is absent, so

@@ -190,6 +190,34 @@ class IvfSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("deleteFromIndex: index untouched, probes mask, compaction drops physically") {
+    val model = Ivf.buildIndex(sfDir + "#delspec", emb, nlist = 8)
+    val before = FileSnapshots.snapshot(model.indexPath)
+    val ids = emb.filter($"vec_id" % 7 === 3).select("vec_id")
+    Ivf.deleteFromIndex(model, ids, batchId = 0L)
+    // deletes are sibling-table metadata: not one index byte changes
+    assert(FileSnapshots.snapshot(model.indexPath) === before)
+    // replayed delete batch is a no-op on the tombstone table too
+    val tombSnap = FileSnapshots.snapshot(model.indexPath + "__tombstones")
+    Ivf.deleteFromIndex(model, ids, batchId = 0L)
+    assert(FileSnapshots.snapshot(model.indexPath + "__tombstones") === tombSnap)
+    // exhaustive probe over base+tombstones equals brute force over survivors
+    val exact = Similarity.topK(
+        emb.filter($"vec_id" % 7 =!= 3 || $"vec_id" === 0L), 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(Ivf.probe(model, emb, 0L, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq === exact)
+    // compaction physically drops the rows, consumes tombstones, and the
+    // probe result is unchanged through the swap
+    val pBefore = Ivf.probe(model, emb, 0L, 10).as[(Long, Double)].collect().toSeq
+    Ivf.compactIndex(spark, model, maxFilesPerList = Int.MaxValue)
+    assert(!new java.io.File(model.indexPath + "__tombstones").exists())
+    assert(spark.read.parquet(model.indexPath)
+      .filter($"vec_id" % 7 === 3).count() === 0)
+    assert(Ivf.probe(model, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq === pBefore)
+  }
+
   test("probeAll equals the single-query probe for every query") {
     // expression-side probe selection + keyed ranking must reproduce the
     // driver-side probe bit-for-bit, query by query

@@ -105,6 +105,25 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromIndex masks the ADC ranking; compactCodes drops physically") {
+    val model = Pq.buildIndex(sfDir + "#delspec", emb)
+    val before = FileSnapshots.snapshot(model.codesPath)
+    Pq.deleteFromIndex(model,
+      emb.filter($"vec_id" % 7 === 3).select("vec_id"), batchId = 0L)
+    assert(FileSnapshots.snapshot(model.codesPath) === before,
+      "delete must not touch the codes table")
+    val got = Pq.probe(model, emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.forall(_ % 7 != 3), "deleted ids still probed")
+    val pBefore = Pq.probe(model, emb, 0L, 10).as[(Long, Double)].collect().toSeq
+    Pq.compactCodes(spark, model)
+    assert(!new java.io.File(model.codesPath + "__tombstones").exists())
+    assert(spark.read.parquet(model.codesPath)
+      .filter($"vec_id" % 7 === 3).count() === 0)
+    assert(Pq.probe(model, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq === pBefore)
+  }
+
   test("ADC + exact rerank keeps useful recall vs exact top-k") {
     val exact = Similarity.topK(emb, 0L, 10)
       .select("vec_id").as[Long].collect().toSet
