@@ -163,6 +163,25 @@ object ScaleProbe {
         operators.IvfPq.deleteFromIndex(ivfpq, delIds, batchId = 1L)
         println(f"PROBE ivfpq_delete      mult=$m%-3d ${(System.nanoTime() - t8) / 1e9}%8.2f s")
         delIds.unpersist()
+        // drift: a deliberately-skewed append stream (3× clones of the
+        // biggest list) defeats nprobe pruning; rebalance splits the hot
+        // list on a sub-quantizer trained on it alone — cost tracks the
+        // HOT LIST, not the corpus, and max/mean falls back toward 1
+        val assigned = operators.Ivf.index(vecs, ivf.centroids)
+        val hotL = assigned.groupBy("list").count()
+          .orderBy(desc("count"), col("list")).first().getInt(0)
+        val hotVecs = assigned.filter(col("list") === hotL).drop("list")
+        (1 to 3).foreach(i => operators.Ivf.appendToIndex(ivf, hotVecs
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 50000000L))))
+        def ratio(mm: operators.Ivf.IvfModel): Double = {
+          val s = spark.read.parquet(mm.indexPath)
+            .groupBy("list").count().collect().map(_.getLong(1))
+          s.max.toDouble / (s.sum.toDouble / s.length)
+        }
+        val rb = ratio(ivf)
+        val t9 = System.nanoTime()
+        val ivf2 = operators.Ivf.rebalanceIndex(spark, ivf, maxRatio = 2.0)
+        println(f"PROBE ivf_rebalance     mult=$m%-3d ${(System.nanoTime() - t9) / 1e9}%8.2f s  ratio $rb%.1f -> ${ratio(ivf2)}%.1f")
       }
       spark.stop()
       return

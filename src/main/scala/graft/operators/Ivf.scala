@@ -389,6 +389,76 @@ object Ivf {
     done
   }
 
+  /** List re-balance under corpus drift — the maintenance verb that keeps
+    * nprobe pruning effective when sustained appends with a FROZEN
+    * quantizer skew the list sizes (append is correct but a drifting
+    * corpus piles into few lists; `ann_list_sizes` is the detector, this
+    * is the action): every list whose size exceeds `maxRatio` × the mean
+    * is SPLIT — a 2-centroid sub-quantizer is trained on that list's
+    * vectors ONLY (the same exact integer-grid Lloyd as [[trainCentroids]],
+    * so the split is deterministic), its rows are re-assigned between the
+    * two fresh centroid ids and rewritten as two new list directories, and
+    * the returned model carries the updated centroid set. Cold lists are
+    * never opened, never retrained — the standard "split, don't rebuild"
+    * IVF maintenance. Tombstones on a split list are consumed by the
+    * rewrite (rows are being rewritten anyway).
+    *
+    * Content-preserving: the vector SET is unchanged, so an exhaustive
+    * probe over the rebalanced model equals one over the original
+    * (asserted in IvfSpec); only pruning quality changes. Run offline
+    * like [[compactLists]] (stop ingest streams first); the staged write
+    * lands the two new lists before the old directory is removed, so an
+    * interruption leaves either the old layout or a transiently-larger
+    * table, never data loss for readers of the RETURNED models.
+    */
+  def rebalanceIndex(spark: org.apache.spark.sql.SparkSession, model: IvfModel,
+                     maxRatio: Double = 4.0, iters: Int = 2): IvfModel = {
+    val sizes = spark.read.parquet(model.indexPath)
+      .groupBy("list").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    if (sizes.isEmpty) return model
+    val mean = sizes.values.sum.toDouble / sizes.size
+    val hot = sizes.filter { case (_, n) => n > maxRatio * mean }.keys.toSeq.sorted
+    if (hot.isEmpty) return model
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stagingRoot = new org.apache.hadoop.fs.Path(
+      model.indexPath + "__rebalance_staging")
+    fs.delete(stagingRoot, true)
+    var cents = model.centroids.toVector
+    var nextCid = model.centroids.map(_._1).max + 1
+    hot.foreach { cid =>
+      val listDir = new org.apache.hadoop.fs.Path(model.indexPath, s"list=$cid")
+      val listTomb = new org.apache.hadoop.fs.Path(
+        tombstonesPath(model.indexPath), s"list=$cid")
+      val rows0 = spark.read.parquet(listDir.toString)
+      val rows = if (!fs.exists(listTomb)) rows0
+        else rows0.join(spark.read.parquet(listTomb.toString).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      val sub = trainCentroids(rows, 2, iters)
+      if (sub.length >= 2) {
+        val remap = sub.zipWithIndex.map { case ((_, cq), k) => (nextCid + k, cq) }
+        val staging = new org.apache.hadoop.fs.Path(stagingRoot, s"split-$cid")
+        index(rows, remap)
+          .write.mode("overwrite").partitionBy("list").parquet(staging.toString)
+        fs.listStatus(staging).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
+          .foreach { d =>
+            val dst = new org.apache.hadoop.fs.Path(model.indexPath, d.getPath.getName)
+            if (!fs.rename(d.getPath, dst))
+              throw new java.io.IOException(s"rebalance move failed: $dst")
+          }
+        fs.delete(listDir, true)
+        fs.delete(listTomb, true)
+        cents = cents.filterNot(_._1 == cid) ++ remap
+        nextCid += sub.length
+      }
+    }
+    fs.delete(stagingRoot, true)
+    val sorted = cents.sortBy(_._1).toArray
+    model.copy(nlist = sorted.length, centroids = sorted)
+  }
+
   /** The `nprobe` best list ids for a query vector column, as a pure
     * expression: the same quantized sq/√norm2q score as [[assignList]]
     * (and the driver-side math in [[probe]] — identical kernel, identical

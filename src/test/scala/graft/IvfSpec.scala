@@ -218,6 +218,39 @@ class IvfSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq === pBefore)
   }
 
+  test("rebalanceIndex splits skewed lists: exhaustive parity, ratio drops") {
+    val model = Ivf.buildIndex(sfDir + "#rebal", emb, nlist = 8)
+    // drift: clone the biggest list's vectors 3× (re-keyed, identical
+    // embeddings ⇒ identical frozen assignment) and append — that list
+    // now dwarfs the mean, the exact shape sustained skewed appends create
+    val assigned = Ivf.index(emb, model.centroids)
+    val hotList = assigned.groupBy("list").count()
+      .orderBy(desc("count"), $"list").first().getInt(0)
+    val hotVecs = assigned.filter($"list" === hotList).drop("list")
+    (1 to 3).foreach { i =>
+      Ivf.appendToIndex(model, hotVecs
+        .withColumn("vec_id", $"vec_id" + lit(i.toLong * 10000000L)))
+    }
+    def ratio(m: Ivf.IvfModel): Double = {
+      val sizes = spark.read.parquet(m.indexPath)
+        .groupBy("list").count().as[(Int, Long)].collect().map(_._2)
+      sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+    }
+    val before = ratio(model)
+    assert(before > 2.0, s"skew setup failed: ratio $before")
+    val exhaustive = Ivf.probe(model, emb, 0L, 10, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val m2 = Ivf.rebalanceIndex(spark, model, maxRatio = 2.0)
+    assert(m2.centroids.length > model.centroids.length, "no list was split")
+    // content-preserving: exhaustive probe identical through the split
+    assert(Ivf.probe(m2, emb, 0L, 10, nprobe = m2.centroids.length)
+      .as[(Long, Double)].collect().toSeq === exhaustive)
+    assert(ratio(m2) < before, s"ratio did not improve: $before -> ${ratio(m2)}")
+    // row set unchanged
+    assert(spark.read.parquet(m2.indexPath).count() ===
+      emb.count() + 3 * hotVecs.count())
+  }
+
   test("probeAll equals the single-query probe for every query") {
     // expression-side probe selection + keyed ranking must reproduce the
     // driver-side probe bit-for-bit, query by query
