@@ -317,14 +317,15 @@ object DedupQueries {
       |FROM cont WHERE containment >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  // Twin of exactSubstrSpans over the planted-clone corpus: positioned
+  // Twin of exactSubstrSpans over any (doc_id, text) table: positioned
   // 10-gram strings (the Scala side joins on xxhash64 of the same strings —
-  // the standard collision argument), hot-gram cap at df > 20, then the
-  // same gaps-and-islands run recovery. Shared by the span and report
-  // queries (the report aggregates the span CTE).
-  private def substrBase(minLen: Int, maxDf: Int): String =
-    s"""$clonedDocsCte,
-      |sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents2),
+  // the standard collision argument), hot-gram cap at df > maxDf, then the
+  // same gaps-and-islands run recovery. Ends in spans(doc_a, doc_b,
+  // a_start, b_start, span_len); internal names sp/g/occ/hot/cold/m/r.
+  // Shared by the span/report/strip queries and the cur_pretrain flagship.
+  private[graft] def substrChainFrom(table: String, minLen: Int,
+                                     maxDf: Int): String =
+    s"""sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM $table),
       |g AS (SELECT doc_id,
       |  list_transform(range(0, greatest(len(l) - ${minLen - 1}, 0)),
       |    i -> array_to_string(l[i+1:i+$minLen], ' ')) AS gs FROM sp),
@@ -346,6 +347,9 @@ object DedupQueries {
       |  SELECT doc_a, doc_b, MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
       |    COUNT(*) + ${minLen - 1} AS span_len
       |  FROM r GROUP BY doc_a, doc_b, d, isl)""".stripMargin
+
+  private def substrBase(minLen: Int, maxDf: Int): String =
+    s"$clonedDocsCte,\n${substrChainFrom("documents2", minLen, maxDf)}"
 
   val oracle: Map[String, String] = Map(
     "dedup_lsh_plan" -> {

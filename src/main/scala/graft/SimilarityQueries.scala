@@ -272,10 +272,13 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir)
       val bits = Similarity.autoBits(emb.count())
       // the DuckDB twin inlines the bits=4 hyperplane literals; if a fixture
-      // size change moves autoBits off 4 this must fail HERE, not as an
-      // unexplained hash mismatch downstream
-      require(bits == 4, s"oracle twin pinned at bits=4, autoBits gave $bits" +
-        " — regenerate the inlined hyperplanes in annKnnLshAllSql")
+      // size change moves autoBits off 4 this must fail HERE — inside the
+      // Verify gate, where the twin is actually compared — not as an
+      // unexplained hash mismatch downstream. Scale benches (sf1) resolve
+      // wider bits by design and have no twin, so the guard stays silent.
+      require(bits == 4 || !sys.props.contains("graft.oracleGate"),
+        s"oracle twin pinned at bits=4, autoBits gave $bits" +
+          " — regenerate the inlined hyperplanes in annKnnLshAllSql")
       Similarity.knnJoinLsh(emb, 3, bits = bits)
         .orderBy("query_id", "rn")
     }),

@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // oracle-coupling guards (e.g. ann_knn_lsh_all's autoBits==4 pin) fire
+    // only under the correctness gate — scale benches legitimately resolve
+    // different parameters and have no twin to desynchronize from
+    System.setProperty("graft.oracleGate", "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
