@@ -463,11 +463,25 @@ object Streams {
     * [[pqProbeSink]] to close the growing-corpus loop for the PQ layout.
     */
   def pqIngestSink(vectors: DataFrame, model: graft.operators.Pq.PqModel,
-                   checkpointDir: String): DataStreamWriter[Row] =
+                   checkpointDir: String,
+                   compactAboveFiles: Int = 0): DataStreamWriter[Row] =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Pq.appendToIndexIdempotent(model, batch, batchId)
+        // auto-compaction (see ivfIngestSink): fold the flat codes table
+        // once its data-file count exceeds the threshold
+        if (compactAboveFiles > 0) {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          val n = fs.listStatus(
+              new org.apache.hadoop.fs.Path(model.codesPath))
+            .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+          if (n > compactAboveFiles)
+            graft.operators.Pq.compactCodes(batch.sparkSession, model)
+          ()
+        }
       }
 
   /** [[ivfIngestSink]] for the composite IVF-PQ index: frozen coarse
@@ -477,11 +491,17 @@ object Streams {
     */
   def ivfPqIngestSink(vectors: DataFrame,
                       model: graft.operators.IvfPq.IvfPqModel,
-                      checkpointDir: String): DataStreamWriter[Row] =
+                      checkpointDir: String,
+                      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.IvfPq.appendToIndexIdempotent(model, batch, batchId)
+        // auto-compaction (see ivfIngestSink) over the list directories
+        if (compactAboveFiles > 0)
+          graft.operators.Ivf.compactLists(batch.sparkSession, model.indexPath,
+            maxFilesPerList = compactAboveFiles)
+        ()
       }
 
   /** Streaming index maintenance — the WRITE-side twin of [[ivfProbeSink]]
@@ -499,13 +519,28 @@ object Streams {
     * file-by-file. After many micro-batches, run `Ivf.compactIndex` to
     * fold the per-batch files (the maintenance verb this sink creates the
     * need for).
+    *
+    * `compactAboveFiles > 0` arms AUTO-COMPACTION: after each batch
+    * commits, any list whose data-file count exceeds the threshold is
+    * folded by `Ivf.compactLists` — the lifecycle automation that keeps a
+    * long-running ingest stream's file counts bounded without an external
+    * maintenance job ([[graft.sources.Sinks.fileReport]] is the diagnostic
+    * twin of the same decision). Safe inside foreachBatch: compaction is
+    * serialized with the ingest (no concurrent writer), and a batch
+    * replayed after a crash-between-compact-and-checkpoint stays a no-op
+    * via the ingest manifest.
     */
   def ivfIngestSink(vectors: DataFrame, model: graft.operators.Ivf.IvfModel,
-                    checkpointDir: String): DataStreamWriter[Row] =
+                    checkpointDir: String,
+                    compactAboveFiles: Int = 0): DataStreamWriter[Row] =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Ivf.appendToIndexIdempotent(model, batch, batchId)
+        if (compactAboveFiles > 0)
+          graft.operators.Ivf.compactLists(batch.sparkSession, model.indexPath,
+            maxFilesPerList = compactAboveFiles)
+        ()
       }
 
   /** Streaming decontamination gate — the ingest twin of the batch

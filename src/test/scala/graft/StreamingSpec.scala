@@ -728,6 +728,49 @@ class StreamingSpec extends SparkSpec {
     assert(expected.exceptAll(stored).isEmpty)
   }
 
+  test("auto-compacting ingest keeps file counts bounded over a long stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batchRows = emb.filter($"vec_id" % 5 === 0)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val model = graft.operators.Ivf.buildIndex(sfDir + "#autocompact", base,
+      nlist = 8)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ac-c").toString
+
+    // 12 micro-batches, auto-compaction armed at 3 files/list: without it
+    // each touched list would accumulate up to 12 ingest files
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ivfIngestSink(
+      input.toDF().toDF("vec_id", "embedding"), model, ckpt,
+      compactAboveFiles = 3).start()
+    batchRows.grouped(math.max(1, batchRows.length / 12)).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // bounded file counts: compaction folds each list back under the
+    // threshold, so no list can exceed threshold + 1 (one fresh batch file)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val perList = fs.listStatus(
+        new org.apache.hadoop.fs.Path(model.indexPath)).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
+      .map(d => fs.listStatus(d.getPath).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")))
+    assert(perList.nonEmpty && perList.max <= 4,
+      s"auto-compaction failed to bound file counts: $perList")
+
+    // content parity through all the folds: stored == frozen re-assignment
+    val stored = spark.read.parquet(model.indexPath)
+      .select($"vec_id", $"list".cast("int").as("list"))
+    val expected = graft.operators.Ivf.index(emb, model.centroids)
+      .select($"vec_id", $"list")
+    assert(stored.exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(stored).isEmpty)
+  }
+
   test("streaming IVF probe equals the batch probe per query") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
