@@ -15,6 +15,17 @@ object SimilarityQueries {
     "ann_topk" -> ((s, dir) =>
       Similarity.topK(Tables.embeddings(s, dir), 0L, 10)),
 
+    // REBALANCE under the gate: list splits are content-preserving, so an
+    // EXHAUSTIVE probe over the rebalanced index must equal brute-force
+    // top-k bit-for-bit (shares ann_topk's exact-cosine twin) — the same
+    // shared-oracle trick that gates compaction. maxRatio = 1.01 makes the
+    // fixture's natural list imbalance trigger real splits (verified: list ids beyond the original 16 appear in the index).
+    "ann_rebalance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val m = operators.Ivf.buildRebalanced(dir, emb, maxRatio = 1.01)
+      operators.Ivf.probe(m, emb, 0L, 10, nprobe = m.centroids.length)
+    }),
+
     // Exact kNN join: top-3 neighbors for each of the first 10 vectors.
     "ann_knn_join" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -980,6 +991,20 @@ object SimilarityQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
          |SELECT query_id, neighbor_id, cosine, rn FROM r
          |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+
+    // content-preservation proof: the exhaustive probe over the SPLIT
+    // index replays the plain exact top-k — any row lost or duplicated by
+    // the re-balance rewrite breaks the hash
+    "ann_rebalance" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  (${dotSql("e.embedding", "q.qe")})
+         |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+         |FROM embeddings e, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
 
     "ann_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -426,7 +426,10 @@ object Ivf {
       model.indexPath + "__rebalance_staging")
     fs.delete(stagingRoot, true)
     var cents = model.centroids.toVector
-    var nextCid = model.centroids.map(_._1).max + 1
+    // fresh ids clear BOTH the model's centroid ids and every list id on
+    // disk — a stale model (e.g. from a memo) may not know lists an earlier
+    // split created, and colliding with their directories would corrupt them
+    var nextCid = (model.centroids.map(_._1) ++ sizes.keys).max + 1
     hot.foreach { cid =>
       val listDir = new org.apache.hadoop.fs.Path(model.indexPath, s"list=$cid")
       val listTomb = new org.apache.hadoop.fs.Path(
@@ -458,6 +461,21 @@ object Ivf {
     val sorted = cents.sortBy(_._1).toArray
     model.copy(nlist = sorted.length, centroids = sorted)
   }
+
+  private val rebalModels =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IvfModel]()
+
+  /** Memoized build + one re-balance pass — the harness-facing form (the
+    * [[buildIncremental]] pattern): replayed calls get the REBALANCED
+    * model, never a second mutation of the same directory with a stale
+    * centroid set. A fresh JVM rebuilds (mode overwrite) then re-splits —
+    * deterministic, so results never change across replays.
+    */
+  def buildRebalanced(indexKey: String, embeddings: DataFrame,
+                      nlist: Int = 16, maxRatio: Double = 4.0): IvfModel =
+    rebalModels.computeIfAbsent((indexKey, nlist, (maxRatio * 1000).toInt), _ =>
+      rebalanceIndex(embeddings.sparkSession,
+        buildIndex(indexKey + "#rb", embeddings, nlist), maxRatio))
 
   /** The `nprobe` best list ids for a query vector column, as a pure
     * expression: the same quantized sq/√norm2q score as [[assignList]]
