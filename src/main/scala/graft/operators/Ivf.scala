@@ -167,10 +167,13 @@ object Ivf {
         .write.mode("overwrite").partitionBy("list").parquet(path)
       // a from-scratch build is a NEW index: tombstones from a previous
       // process against the same deterministic path must not outlive it
+      // (in-root state — done-markers, _centroids — died with the overwrite)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         embeddings.sparkSession.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(path)), true)
-      IvfModel(nlist, iters, cents, path)
+      val model = IvfModel(nlist, iters, cents, path)
+      saveModel(embeddings.sparkSession, model)
+      model
     })
 
   /** Incremental index maintenance — the growing-corpus path: assign
@@ -254,6 +257,59 @@ object Ivf {
   private[operators] def tombstonesPath(indexPath: String): String =
     indexPath + "__tombstones"
 
+  /** Persist the (tiny) quantizer next to its lists — `_centroids` at the
+    * table root, hidden from scans by the underscore, written via
+    * tmp+rename so readers never see a torn file. This is what makes the
+    * index SELF-DESCRIBING: a restarted process (or the auto-maintaining
+    * ingest sink after a mid-stream re-balance) recovers the model that
+    * matches the directories instead of trusting a possibly-stale
+    * in-memory copy.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: IvfModel): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(model.indexPath, "_centroids.tmp")
+    val dst = new org.apache.hadoop.fs.Path(model.indexPath, "_centroids")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(s"${model.nlist} ${model.iters}\n".getBytes("UTF-8"))
+      model.centroids.foreach { case (cid, cq) =>
+        out.write(s"$cid ${cq.mkString(",")}\n".getBytes("UTF-8"))
+      }
+    } finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"model save rename failed: $dst")
+  }
+
+  /** The persisted quantizer for an index directory, if any. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                indexPath: String): Option[IvfModel] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_centroids")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      val Array(nlist, iters) = lines.head.split(" ").map(_.toInt)
+      val cents = lines.tail.filter(_.nonEmpty).map { l =>
+        val Array(cid, vs) = l.split(" ", 2)
+        (cid.toInt, vs.split(",").map(_.toLong))
+      }.toArray
+      Some(IvfModel(nlist, iters, cents, indexPath))
+    }
+  }
+
+  /** The freshest model for an index: the persisted quantizer if present
+    * (it reflects every committed re-balance), else the caller's copy.
+    */
+  def currentModel(spark: org.apache.spark.sql.SparkSession,
+                   model: IvfModel): IvfModel =
+    loadModel(spark, model.indexPath).getOrElse(model)
+
   /** DELETE — the fourth verb of the index lifecycle (build → append →
     * compact → delete), for takedowns and re-embeds: resolve each id's
     * inverted list by joining the (broadcast-small) delete batch against
@@ -298,11 +354,25 @@ object Ivf {
     */
   def appendToIndexIdempotent(model: IvfModel, newBatch: DataFrame,
                               batchId: Long): Unit = {
+    // batch-level done marker at the table root: once a batch fully
+    // committed, a replay is a no-op even if the MODEL has since evolved
+    // (a post-append re-balance moves rows across lists, so the replay's
+    // per-list move-if-absent alone could re-land them elsewhere). A crash
+    // BEFORE the marker implies the same-batch re-balance never ran, so
+    // the replay regenerates identical staging and resumes file-by-file.
+    val spark = newBatch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(model.indexPath,
+      s"_ingest_done/$batchId")
+    if (fs.exists(marker)) return
     val staging = model.indexPath + s"__ingest_staging_$batchId"
     index(newBatch, model.centroids).repartition(1)
       .write.mode("overwrite").partitionBy("list").parquet(staging)
-    graft.sources.Sinks.ingestStagedLists(newBatch.sparkSession, staging,
+    graft.sources.Sinks.ingestStagedLists(spark, staging,
       model.indexPath, batchId)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
   }
 
   /** Small-file maintenance for the materialized index — the third verb of
@@ -413,27 +483,35 @@ object Ivf {
     */
   def rebalanceIndex(spark: org.apache.spark.sql.SparkSession, model: IvfModel,
                      maxRatio: Double = 4.0, iters: Int = 2): IvfModel = {
-    val sizes = spark.read.parquet(model.indexPath)
-      .groupBy("list").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toMap
-    if (sizes.isEmpty) return model
-    val mean = sizes.values.sum.toDouble / sizes.size
-    val hot = sizes.filter { case (_, n) => n > maxRatio * mean }.keys.toSeq.sorted
-    if (hot.isEmpty) return model
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    // the persisted quantizer is the committed truth: prefer it over the
+    // caller's copy (which may predate an earlier re-balance), and remove
+    // any list directory it doesn't know — the remnant of a split that
+    // crashed before its model save (its source list is still intact, so
+    // deleting the orphan loses nothing)
+    val m0 = loadModel(spark, model.indexPath).getOrElse(model)
+    val known = m0.centroids.map(_._1).toSet
+    fs.listStatus(new org.apache.hadoop.fs.Path(m0.indexPath)).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
+      .filter(d => !known(d.getPath.getName.stripPrefix("list=").toInt))
+      .foreach(d => fs.delete(d.getPath, true))
+    val sizes = spark.read.parquet(m0.indexPath)
+      .groupBy("list").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    if (sizes.isEmpty) return m0
+    val mean = sizes.values.sum.toDouble / sizes.size
+    val hot = sizes.filter { case (_, n) => n > maxRatio * mean }.keys.toSeq.sorted
+    if (hot.isEmpty) return m0
     val stagingRoot = new org.apache.hadoop.fs.Path(
-      model.indexPath + "__rebalance_staging")
+      m0.indexPath + "__rebalance_staging")
     fs.delete(stagingRoot, true)
-    var cents = model.centroids.toVector
-    // fresh ids clear BOTH the model's centroid ids and every list id on
-    // disk — a stale model (e.g. from a memo) may not know lists an earlier
-    // split created, and colliding with their directories would corrupt them
-    var nextCid = (model.centroids.map(_._1) ++ sizes.keys).max + 1
+    var cur = m0
+    var nextCid = (m0.centroids.map(_._1) ++ sizes.keys).max + 1
     hot.foreach { cid =>
-      val listDir = new org.apache.hadoop.fs.Path(model.indexPath, s"list=$cid")
+      val listDir = new org.apache.hadoop.fs.Path(m0.indexPath, s"list=$cid")
       val listTomb = new org.apache.hadoop.fs.Path(
-        tombstonesPath(model.indexPath), s"list=$cid")
+        tombstonesPath(m0.indexPath), s"list=$cid")
       val rows0 = spark.read.parquet(listDir.toString)
       val rows = if (!fs.exists(listTomb)) rows0
         else rows0.join(spark.read.parquet(listTomb.toString).select("vec_id"),
@@ -444,22 +522,29 @@ object Ivf {
         val staging = new org.apache.hadoop.fs.Path(stagingRoot, s"split-$cid")
         index(rows, remap)
           .write.mode("overwrite").partitionBy("list").parquet(staging.toString)
+        // COMMIT ORDER per split: move new lists in → persist the updated
+        // model → delete the old list. A crash before the save leaves the
+        // new dirs as not-in-model orphans (cleaned on the next run, old
+        // list intact); a crash after it leaves the old dir as the orphan
+        // — either way exactly one committed copy of every row survives
         fs.listStatus(staging).toSeq
           .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
           .foreach { d =>
-            val dst = new org.apache.hadoop.fs.Path(model.indexPath, d.getPath.getName)
+            val dst = new org.apache.hadoop.fs.Path(m0.indexPath, d.getPath.getName)
             if (!fs.rename(d.getPath, dst))
               throw new java.io.IOException(s"rebalance move failed: $dst")
           }
+        val cents = (cur.centroids.toVector.filterNot(_._1 == cid) ++ remap)
+          .sortBy(_._1).toArray
+        cur = cur.copy(nlist = cents.length, centroids = cents)
+        saveModel(spark, cur)
         fs.delete(listDir, true)
         fs.delete(listTomb, true)
-        cents = cents.filterNot(_._1 == cid) ++ remap
         nextCid += sub.length
       }
     }
     fs.delete(stagingRoot, true)
-    val sorted = cents.sortBy(_._1).toArray
-    model.copy(nlist = sorted.length, centroids = sorted)
+    cur
   }
 
   private val rebalModels =

@@ -543,6 +543,60 @@ object Streams {
         ()
       }
 
+  /** Streaming takedown sink — the DELETE verb's streaming form, closing
+    * the index lifecycle loop (ingest / probe / delete all drivable from
+    * streams): each micro-batch of (vec_id) rows is applied with
+    * `Ivf.deleteFromIndex`, whose per-batchId staged-move tombstone write
+    * makes crash-replays no-ops, and whose list resolution reads only the
+    * index's two id columns. Probes mask the deleted ids immediately; the
+    * next compaction (or an armed [[ivfIngestSinkAuto]]) drops them
+    * physically. One checkpoint per index — batchIds key the tombstone
+    * files.
+    */
+  def ivfDeleteSink(ids: DataFrame, model: graft.operators.Ivf.IvfModel,
+                    checkpointDir: String): DataStreamWriter[Row] =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Ivf.deleteFromIndex(model, batch, batchId)
+      }
+
+  /** Self-maintaining ingest — [[ivfIngestSink]] plus DRIFT handling: each
+    * batch loads the PERSISTED quantizer (`Ivf.currentModel` — the
+    * committed truth that survives restarts and reflects every earlier
+    * split), appends with it, optionally compacts, and when the max/mean
+    * list ratio exceeds `rebalanceAboveRatio` runs `Ivf.rebalanceIndex`,
+    * which persists the updated model for the NEXT batch. This is the
+    * sink that keeps nprobe pruning effective under a drifting corpus
+    * without any external maintenance job.
+    *
+    * Exactly-once under evolution: the batch-level `_ingest_done` marker
+    * makes a replayed batch a no-op even though a post-append re-balance
+    * moved its rows across lists (the per-list move-if-absent alone could
+    * not guarantee that); a crash before the marker implies the same
+    * batch's re-balance never ran, so the replay regenerates identical
+    * staging. Probe-side readers should resolve `Ivf.currentModel` rather
+    * than hold the initial model.
+    */
+  def ivfIngestSinkAuto(vectors: DataFrame,
+                        model: graft.operators.Ivf.IvfModel,
+                        checkpointDir: String,
+                        compactAboveFiles: Int = 0,
+                        rebalanceAboveRatio: Double = 0.0): DataStreamWriter[Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val m = graft.operators.Ivf.currentModel(spark, model)
+        graft.operators.Ivf.appendToIndexIdempotent(m, batch, batchId)
+        if (compactAboveFiles > 0)
+          graft.operators.Ivf.compactLists(spark, m.indexPath,
+            maxFilesPerList = compactAboveFiles)
+        if (rebalanceAboveRatio > 0.0)
+          graft.operators.Ivf.rebalanceIndex(spark, m, rebalanceAboveRatio)
+        ()
+      }
+
   /** Streaming decontamination gate — the ingest twin of the batch
     * `cur_decontaminate` flow: each incoming document counts its distinct
     * n-gram shingles against the benchmark probe set and is dropped when

@@ -771,6 +771,87 @@ class StreamingSpec extends SparkSpec {
     assert(expected.exceptAll(stored).isEmpty)
   }
 
+  test("streaming takedown sink: deleted ids vanish from probes, replays are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = graft.operators.Ivf.buildIndex(sfDir + "#delsink", emb, nlist = 8)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ds-c").toString
+    val doomed = emb.filter($"vec_id" % 9 === 1)
+      .select("vec_id").as[Long].collect().toSeq
+
+    val input = MemoryStream[Long]
+    input.addData(doomed.take(doomed.length / 2))
+    val q = Streams.ivfDeleteSink(
+      input.toDF().toDF("vec_id"), model, ckpt).start()
+    q.processAllAvailable()
+    input.addData(doomed.drop(doomed.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = graft.operators.Ivf.probe(model, emb, 0L, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.forall(_ % 9 != 1), "streamed delete not masking probes")
+    val exact = graft.operators.Similarity.topK(
+        emb.filter($"vec_id" % 9 =!= 1 || $"vec_id" === 0L), 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === exact, "masked probe diverged from survivor brute force")
+  }
+
+  test("auto-rebalancing ingest keeps the list ratio bounded under skewed drift") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val model = graft.operators.Ivf.buildIndex(sfDir + "#autorebal", base,
+      nlist = 8)
+    // drift stream: every batch clones the SAME list's vectors (re-keyed),
+    // the shape that defeats a frozen quantizer's pruning
+    val assigned = graft.operators.Ivf.index(emb, model.centroids)
+    val hotList = assigned.groupBy("list").count()
+      .orderBy(org.apache.spark.sql.functions.desc("count"), $"list")
+      .first().getInt(0)
+    val hotRows = assigned.filter($"list" === hotList)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ar-c").toString
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ivfIngestSinkAuto(
+      input.toDF().toDF("vec_id", "embedding"), model, ckpt,
+      rebalanceAboveRatio = 2.0).start()
+    (1 to 6).foreach { i =>
+      input.addData(hotRows.map { case (id, e) => (id + i * 10000000L, e) })
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // drift absorbed: the persisted model grew lists and the ratio is bounded
+    val m2 = graft.operators.Ivf.currentModel(spark, model)
+    assert(m2.centroids.length > model.centroids.length, "no split happened")
+    val listSizes = spark.read.parquet(model.indexPath)
+      .groupBy("list").count().as[(Int, Long)].collect().map(_._2)
+    val ratio = listSizes.max.toDouble / (listSizes.sum.toDouble / listSizes.length)
+    assert(ratio <= 4.0, s"ratio unbounded under drift: $ratio")
+    // content intact: every ingested vector present exactly once
+    val stored = spark.read.parquet(model.indexPath).select("vec_id")
+      .as[Long].collect().sorted
+    val expected = (base.select("vec_id").as[Long].collect() ++
+      (1 to 6).flatMap(i => hotRows.map(_._1 + i * 10000000L))).sorted
+    assert(stored.toSeq === expected.toSeq, "row set diverged under auto-rebalance")
+    // probes with the CURRENT model equal brute force over everything
+    // ingested, at exhaustive nprobe — splits never changed an answer
+    val clones = (1 to 6).flatMap(i =>
+      hotRows.map { case (id, e) => (id + i * 10000000L, e) })
+      .toDF("vec_id", "embedding")
+    val survivors = base.select("vec_id", "embedding")
+      .unionByName(clones)
+      .unionByName(emb.filter($"vec_id" === 0L).select("vec_id", "embedding"))
+    val exact = graft.operators.Similarity.topK(survivors, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val got = graft.operators.Ivf.probe(m2, emb, 0L, 10,
+        nprobe = m2.centroids.length)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === exact, "evolved-index probe diverged from brute force")
+  }
+
   test("streaming IVF probe equals the batch probe per query") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
