@@ -94,8 +94,62 @@ object IvfPq {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         embeddings.sparkSession.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(Ivf.tombstonesPath(path)), true)
-      IvfPqModel(nlist, m, ksub, subDim, iters, coarse, books, path)
+      val model = IvfPqModel(nlist, m, ksub, subDim, iters, coarse, books, path)
+      saveModel(embeddings.sparkSession, model)
+      model
     })
+
+  /** Persist coarse quantizer + residual codebooks as a hidden `_model`
+    * file at the table root (tmp+rename) — the [[Ivf.saveModel]] story for
+    * the composite layout.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+                model: IvfPqModel): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(model.indexPath, "_model.tmp")
+    val dst = new org.apache.hadoop.fs.Path(model.indexPath, "_model")
+    val out = fs.create(tmp, true)
+    try {
+      out.write((s"${model.nlist} ${model.m} ${model.ksub} ${model.subDim} " +
+        s"${model.iters}\n").getBytes("UTF-8"))
+      model.coarse.foreach { case (cid, cq) =>
+        out.write(s"C $cid ${cq.mkString(",")}\n".getBytes("UTF-8"))
+      }
+      for (s <- model.books.indices; (cid, cq) <- model.books(s))
+        out.write(s"P $s $cid ${cq.mkString(",")}\n".getBytes("UTF-8"))
+    } finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"model save rename failed: $dst")
+  }
+
+  /** The persisted composite model for an index directory, if any. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                indexPath: String): Option[IvfPqModel] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_model")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      val Array(nlist, m, ksub, subDim, iters) = lines.head.split(" ").map(_.toInt)
+      val coarse = lines.tail.filter(_.startsWith("C ")).map { l =>
+        val Array(_, cid, vs) = l.split(" ", 3)
+        (cid.toInt, vs.split(",").map(_.toLong))
+      }.toArray
+      val bySub = lines.tail.filter(_.startsWith("P ")).map { l =>
+        val Array(_, s, cid, vs) = l.split(" ", 4)
+        (s.toInt, (cid.toInt, vs.split(",").map(_.toLong)))
+      }.groupBy(_._1)
+      val books = Array.tabulate(m)(s =>
+        bySub.getOrElse(s, Vector.empty).map(_._2).sortBy(_._1).toArray)
+      Some(IvfPqModel(nlist, m, ksub, subDim, iters, coarse, books, indexPath))
+    }
+  }
 
   /** The logical (vec_id, codes, list) encoding of vectors under a trained
     * model — assign with the frozen coarse quantizer, residual-encode with

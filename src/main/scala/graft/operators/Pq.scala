@@ -168,8 +168,55 @@ object Pq {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         embeddings.sparkSession.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path + "__tombstones"), true)
-      PqModel(m, ksub, subDim, iters, books, path)
+      val model = PqModel(m, ksub, subDim, iters, books, path)
+      saveModel(embeddings.sparkSession, model)
+      model
     })
+
+  /** Persist the (tiny) codebooks next to the codes table — `_codebooks`
+    * at the table root (hidden from scans, tmp+rename atomic), the
+    * [[Ivf.saveModel]] story for the compressed layout: a restarted
+    * process probes a standing codes table without retraining.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: PqModel): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(model.codesPath, "_codebooks.tmp")
+    val dst = new org.apache.hadoop.fs.Path(model.codesPath, "_codebooks")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(s"${model.m} ${model.ksub} ${model.subDim} ${model.iters}\n"
+        .getBytes("UTF-8"))
+      for (s <- model.codebooks.indices; (cid, cq) <- model.codebooks(s))
+        out.write(s"$s $cid ${cq.mkString(",")}\n".getBytes("UTF-8"))
+    } finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"codebook save rename failed: $dst")
+  }
+
+  /** The persisted codebooks for a codes table, if any. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                codesPath: String): Option[PqModel] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(codesPath, "_codebooks")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      val Array(m, ksub, subDim, iters) = lines.head.split(" ").map(_.toInt)
+      val bySub = lines.tail.filter(_.nonEmpty).map { l =>
+        val Array(s, cid, vs) = l.split(" ", 3)
+        (s.toInt, (cid.toInt, vs.split(",").map(_.toLong)))
+      }.groupBy(_._1)
+      val books = Array.tabulate(m)(s =>
+        bySub.getOrElse(s, Vector.empty).map(_._2).sortBy(_._1).toArray)
+      Some(PqModel(m, ksub, subDim, iters, books, codesPath))
+    }
+  }
 
   /** Encode vectors with a trained model — the logical codes table, no
     * write: (vec_id, codes). [[buildIndex]] materializes this;
@@ -341,6 +388,8 @@ object Pq {
       new org.apache.hadoop.fs.Path(staging), manifest)
     graft.sources.Sinks.swapDirs(spark, staging, model.codesPath)
     fs.delete(new org.apache.hadoop.fs.Path(model.codesPath + "__tombstones"), true)
+    // the swap replaced the whole dir — restore the persisted codebooks
+    saveModel(spark, model)
     n
   }
 

@@ -94,4 +94,20 @@ class IvfPqSpec extends SparkSpec {
         "index scan reads raw embeddings — must read codes only")
     }
   }
+
+  test("persisted composite model round-trips exactly") {
+    val loaded = IvfPq.loadModel(spark, model.indexPath).get
+    assert(loaded.nlist === model.nlist && loaded.m === model.m &&
+      loaded.ksub === model.ksub && loaded.subDim === model.subDim)
+    assert(loaded.coarse.map(_._1).toSeq === model.coarse.map(_._1).toSeq)
+    assert(loaded.coarse.zip(model.coarse)
+      .forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq })
+    loaded.books.zip(model.books).foreach { case (a, b) =>
+      assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
+      assert(a.zip(b).forall { case ((_, x), (_, y)) => x.toSeq == y.toSeq })
+    }
+    val p = IvfPq.probe(model, emb, 0L, 10).as[(Long, Double)].collect().toSeq
+    assert(IvfPq.probe(loaded, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq === p)
+  }
 }

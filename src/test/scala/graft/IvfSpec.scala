@@ -251,6 +251,29 @@ class IvfSpec extends SparkSpec {
       emb.count() + 3 * hotVecs.count())
   }
 
+  test("persisted model round-trips exactly and survives the lifecycle verbs") {
+    val model = Ivf.buildIndex(sfDir + "#persist", emb, nlist = 8)
+    val loaded = Ivf.loadModel(spark, model.indexPath).get
+    assert(loaded.nlist === model.nlist && loaded.iters === model.iters)
+    assert(loaded.centroids.map(_._1).toSeq === model.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.zip(model.centroids)
+      .forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq })
+    // a probe with the LOADED model is bit-identical — the restart story
+    val a = Ivf.probe(model, emb, 0L, 10).as[(Long, Double)].collect().toSeq
+    assert(Ivf.probe(loaded, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq === a)
+    // append + compact keep the persisted file intact; rebalance updates it
+    Ivf.appendToIndexIdempotent(model,
+      emb.filter($"vec_id" % 11 === 0)
+        .withColumn("vec_id", $"vec_id" + 77000000L), batchId = 5L)
+    Ivf.compactIndex(spark, model, maxFilesPerList = 0)
+    assert(Ivf.loadModel(spark, model.indexPath).get.centroids.length ===
+      model.centroids.length)
+    val m2 = Ivf.rebalanceIndex(spark, model, maxRatio = 1.01)
+    assert(Ivf.loadModel(spark, model.indexPath).get.centroids.map(_._1).toSeq ===
+      m2.centroids.map(_._1).toSeq)
+  }
+
   test("probeAll equals the single-query probe for every query") {
     // expression-side probe selection + keyed ranking must reproduce the
     // driver-side probe bit-for-bit, query by query

@@ -124,6 +124,25 @@ class PqSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq === pBefore)
   }
 
+  test("persisted codebooks round-trip exactly and survive compaction") {
+    val model = Pq.buildIndex(sfDir + "#persist", emb)
+    val loaded = Pq.loadModel(spark, model.codesPath).get
+    assert(loaded.m === model.m && loaded.ksub === model.ksub &&
+      loaded.subDim === model.subDim)
+    assert(loaded.codebooks.length === model.codebooks.length)
+    loaded.codebooks.zip(model.codebooks).foreach { case (a, b) =>
+      assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
+      assert(a.zip(b).forall { case ((_, x), (_, y)) => x.toSeq == y.toSeq })
+    }
+    val p = Pq.probe(model, emb, 0L, 10).as[(Long, Double)].collect().toSeq
+    assert(Pq.probe(loaded, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq === p)
+    // compactCodes swaps the whole dir — the codebooks must come back
+    Pq.compactCodes(spark, model)
+    assert(Pq.loadModel(spark, model.codesPath).nonEmpty,
+      "codebooks lost across compaction swap")
+  }
+
   test("ADC + exact rerank keeps useful recall vs exact top-k") {
     val exact = Similarity.topK(emb, 0L, 10)
       .select("vec_id").as[Long].collect().toSet
