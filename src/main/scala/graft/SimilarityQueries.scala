@@ -192,6 +192,40 @@ object SimilarityQueries {
       operators.IvfPq.probe(model, emb, 0L, 10)
     }),
 
+    // THE LIFECYCLE CAPSTONE: every maintenance verb chained under one
+    // hash — build on base → frozen append → tombstone delete → compact
+    // (physical drop) → re-balance (splits at 1.05) → EXHAUSTIVE probe.
+    // The oracle is brute-force top-k over survivors with the train-on-base
+    // quantizer replayed: any row lost, duplicated, resurrected or moved
+    // wrongly by ANY verb breaks the hash. Replay-safe: the append is
+    // memoized, delete/compact self-heal, and rebalance loads the
+    // PERSISTED model (a second pass finds the ratio already bounded).
+    "ann_lifecycle" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Ivf.buildIncremental(dir + "#life",
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+      operators.Ivf.deleteFromIndex(model,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), batchId = 0L)
+      operators.Ivf.compactIndex(s, model, maxFilesPerList = Int.MaxValue)
+      val m2 = operators.Ivf.rebalanceIndex(s, model, maxRatio = 1.05)
+      operators.Ivf.probe(m2, emb, 0L, 10, nprobe = m2.centroids.length)
+    }),
+
+    // The compressed-layout capstone: incremental encode → delete →
+    // codes-table compaction → full-rerank probe, against the
+    // train-on-base + candidates-minus-deleted twin.
+    "ann_lifecycle_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Pq.buildIncremental(dir + "#life",
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+      operators.Pq.deleteFromIndex(model,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), batchId = 0L)
+      operators.Pq.compactCodes(s, model)
+      operators.Pq.probe(model, emb, 0L, 10)
+    }),
+
     // The PQ twin of ann_incremental: frozen codebooks encode the new
     // batch, codes append to the existing table (PqSpec asserts existing
     // files stay byte-identical), ADC probe over base+batch codes.
@@ -814,6 +848,23 @@ object SimilarityQueries {
     "ann_incremental" -> ivfSql(trainWhere = "vec_id % 5 <> 0"),
     // same twin: compaction must not change a single probe result
     "ann_incremental_compact" -> ivfSql(trainWhere = "vec_id % 5 <> 0"),
+    // lifecycle capstones: the IVF chain ends in an EXHAUSTIVE probe over
+    // a rebalance-evolved quantizer, so its twin is plain brute force over
+    // the survivors; the PQ chain keeps the default rerank, so its twin
+    // replays the train-on-base ADC ranking minus the deleted candidates
+    "ann_lifecycle" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  (${dotSql("e.embedding", "q.qe")})
+         |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+         |FROM embeddings e, q
+         |WHERE e.vec_id <> 0 AND NOT (e.vec_id % 7 = 3)
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "ann_lifecycle_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0",
+      deleteWhere = "a2.vec_id % 7 = 3"),
+
     // delete twins: full-corpus build, candidates exclude the deleted ids
     "ann_delete" -> ivfSql(deleteWhere = "a2.vec_id % 7 = 3"),
     // same twin: the physical drop must not change a single probe result
