@@ -561,6 +561,32 @@ object Streams {
         graft.operators.Ivf.deleteFromIndex(model, batch, batchId)
       }
 
+  /** [[ivfDeleteSink]] for the compressed-codes layout — same per-batchId
+    * staged-move tombstone contract, so the three-layout takedown story is
+    * symmetric: `Pq.deleteFromIndex` resolves nothing (the codes table is
+    * flat), it just lands the batch's ids as a tombstone file the ADC
+    * probe masks BEFORE its rerank cut.
+    */
+  def pqDeleteSink(ids: DataFrame, model: graft.operators.Pq.PqModel,
+                   checkpointDir: String): DataStreamWriter[Row] =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Pq.deleteFromIndex(model, batch, batchId)
+      }
+
+  /** [[ivfDeleteSink]] for the composite layout — tombstones land per
+    * coarse list (resolved by the same column-pruned (vec_id, list) join),
+    * pruned-list probes anti-join only the tombstones of probed lists.
+    */
+  def ivfPqDeleteSink(ids: DataFrame, model: graft.operators.IvfPq.IvfPqModel,
+                      checkpointDir: String): DataStreamWriter[Row] =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IvfPq.deleteFromIndex(model, batch, batchId)
+      }
+
   /** Self-maintaining ingest — [[ivfIngestSink]] plus DRIFT handling: each
     * batch loads the PERSISTED quantizer (`Ivf.currentModel` — the
     * committed truth that survives restarts and reflects every earlier

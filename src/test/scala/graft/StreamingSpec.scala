@@ -797,6 +797,51 @@ class StreamingSpec extends SparkSpec {
     assert(got === exact, "masked probe diverged from survivor brute force")
   }
 
+  test("PQ and IVF-PQ takedown sinks match their batch delete verb bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val doomed = emb.filter($"vec_id" % 9 === 1)
+      .select("vec_id").as[Long].collect().toSeq
+
+    // builds are deterministic, so a second index with the same params over
+    // the same corpus is identical — the batch-path twin for exact parity
+    val pqS = graft.operators.Pq.buildIndex(sfDir + "#pqdelsink", emb)
+    val pqB = graft.operators.Pq.buildIndex(sfDir + "#pqdelbatch", emb)
+    graft.operators.Pq.deleteFromIndex(pqB,
+      emb.filter($"vec_id" % 9 === 1).select("vec_id"), batchId = 0L)
+    val pin = MemoryStream[Long]
+    pin.addData(doomed.take(doomed.length / 2))
+    val pq1 = Streams.pqDeleteSink(pin.toDF().toDF("vec_id"), pqS,
+      java.nio.file.Files.createTempDirectory("graft-pds-c").toString).start()
+    pq1.processAllAvailable()
+    pin.addData(doomed.drop(doomed.length / 2))
+    pq1.processAllAvailable()
+    pq1.stop()
+    val pGot = graft.operators.Pq.probe(pqS, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(pGot.map(_._1).forall(_ % 9 != 1), "PQ streamed delete not masking")
+    assert(pGot === graft.operators.Pq.probe(pqB, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq, "PQ stream/batch delete diverged")
+
+    val ipS = graft.operators.IvfPq.buildIndex(sfDir + "#ipdelsink", emb)
+    val ipB = graft.operators.IvfPq.buildIndex(sfDir + "#ipdelbatch", emb)
+    graft.operators.IvfPq.deleteFromIndex(ipB,
+      emb.filter($"vec_id" % 9 === 1).select("vec_id"), batchId = 0L)
+    val iin = MemoryStream[Long]
+    iin.addData(doomed)
+    val ip1 = Streams.ivfPqDeleteSink(iin.toDF().toDF("vec_id"), ipS,
+      java.nio.file.Files.createTempDirectory("graft-ids-c").toString).start()
+    ip1.processAllAvailable()
+    ip1.stop()
+    val iGot = graft.operators.IvfPq.probe(ipS, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(iGot.map(_._1).forall(_ % 9 != 1),
+      "IVF-PQ streamed delete not masking")
+    assert(iGot === graft.operators.IvfPq.probe(ipB, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq,
+      "IVF-PQ stream/batch delete diverged")
+  }
+
   test("auto-rebalancing ingest keeps the list ratio bounded under skewed drift") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
