@@ -226,6 +226,24 @@ object SimilarityQueries {
       operators.Pq.probe(model, emb, 0L, 10)
     }),
 
+    // The composite-layout capstone completes the trio: incremental
+    // residual encode → per-list tombstone delete → compactLists' physical
+    // drop (the IVF-PQ codes dir IS a list-partitioned table, so the verb
+    // is shared; Int.MaxValue threshold → only tombstoned lists rewrite)
+    // → pruned residual-ADC probe. Replay-safe like the others: the
+    // post-drop delete replay resolves zero (vec_id, list) rows.
+    "ann_lifecycle_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.IvfPq.buildIncremental(dir + "#life",
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+      operators.IvfPq.deleteFromIndex(model,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), batchId = 0L)
+      operators.Ivf.compactLists(s, model.indexPath,
+        maxFilesPerList = Int.MaxValue)
+      operators.IvfPq.probe(model, emb, 0L, 10)
+    }),
+
     // The PQ twin of ann_incremental: frozen codebooks encode the new
     // batch, codes append to the existing table (PqSpec asserts existing
     // files stay byte-identical), ADC probe over base+batch codes.
@@ -864,6 +882,19 @@ object SimilarityQueries {
          |LIMIT 10""".stripMargin,
     "ann_lifecycle_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0",
       deleteWhere = "a2.vec_id % 7 = 3"),
+    // composite capstone twin: train-on-base coarse+residual books,
+    // candidates minus the deleted ids — the physical drop must land the
+    // exact same ranking the tombstone mask produced
+    "ann_lifecycle_ivfpq" ->
+      s"""WITH ${ivfPqCoreCtes(trainWhere = "vec_id % 5 <> 0")},
+         |${ivfPqProbeCtes(deleteWhere = "a2p.vec_id % 7 = 3")}
+         |SELECT e.vec_id,
+         |  (${dotSql("e.embedding", "q.qe")})
+         |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+         |FROM cand JOIN embeddings e USING (vec_id), qe q
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
 
     // delete twins: full-corpus build, candidates exclude the deleted ids
     "ann_delete" -> ivfSql(deleteWhere = "a2.vec_id % 7 = 3"),
