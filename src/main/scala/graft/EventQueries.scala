@@ -286,6 +286,16 @@ object EventQueries {
     "events_seasonal_anomaly" -> ((s, dir) =>
       seasonalAnomaly(Tables.events(s, dir))),
 
+    // CUSUM mean-shift changepoints over the gap-filled hourly matrix:
+    // the sequential CUSUM recursion in closed prefix-sum/window form
+    // (Stats.cusumChangepoints) — sustained drifts that per-cell z-scores
+    // (events_rate_anomaly) miss because no single hour is extreme.
+    "events_changepoint" -> ((s, dir) =>
+      operators.Stats.cusumChangepoints(
+        denseHourlyCounts(Tables.events(s, dir)),
+        "event_type", "hour", "n_events")
+        .orderBy("hour", "event_type")),
+
     // The HLL MERGE path under the oracle gate: per-(type, day) sketches
     // rolled up by register-max into a per-type estimate. Register-max
     // merge is lossless, so the estimate must equal events_distinct_hll's
@@ -595,6 +605,64 @@ object EventQueries {
         |FROM dense
         |WINDOW w AS (PARTITION BY event_type ORDER BY hour
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY hour, event_type""".stripMargin,
+
+    // gapfill twin composed with the closed-form CUSUM: exact integer
+    // prefix sums, pinned double spellings for k± drift lines, running
+    // min/max as pure selection — mirrors Stats.cusumChangepoints token
+    // for token.
+    "events_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+        |    date_trunc('hour', MAX(ts)) AS hi
+        |  FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |dense AS (
+        |  SELECT h.hour, t.event_type, COALESCE(n_events, 0) AS n_events
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN hourly ON hourly.hour = h.hour
+        |    AND hourly.event_type = t.event_type),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(n_events) AS sv, SUM(n_events * n_events) AS sq
+        |  FROM dense GROUP BY 1),
+        |p AS (
+        |  SELECT d.hour, d.event_type, d.n_events,
+        |    CAST(SUM(d.n_events) OVER w AS DOUBLE) AS c,
+        |    CAST(ROW_NUMBER() OVER w AS DOUBLE) AS rn,
+        |    CAST(sv AS DOUBLE) / n AS mu,
+        |    CASE WHEN CAST(sq AS DOUBLE) / n
+        |            - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)
+        |            > 0.0
+        |         THEN sqrt(CAST(sq AS DOUBLE) / n
+        |            - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n))
+        |         END AS sigma
+        |  FROM dense d JOIN s USING (event_type)
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d2 AS (
+        |  SELECT hour, event_type, n_events, sigma,
+        |    c - rn * (mu + 0.5 * sigma) AS dup,
+        |    c - rn * (mu - 0.5 * sigma) AS ddn
+        |  FROM p),
+        |cz AS (
+        |  SELECT hour, event_type, n_events, sigma,
+        |    dup - LEAST(0.0, MIN(dup) OVER w) AS cup,
+        |    GREATEST(0.0, MAX(ddn) OVER w) - ddn AS cdn
+        |  FROM d2
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT hour, event_type, n_events,
+        |  FLOOR(cup * 10000.0 + 0.5) / 10000.0 AS cusum_up_4dp,
+        |  FLOOR(cdn * 10000.0 + 0.5) / 10000.0 AS cusum_dn_4dp
+        |FROM cz WHERE cup > 4.0 * sigma OR cdn > 4.0 * sigma
         |ORDER BY hour, event_type""".stripMargin,
 
     "events_gapfill" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deterministic distributed statistics over cent-grid measures.
   *
@@ -235,5 +236,65 @@ object Stats {
           .when(col("v") > col("cut_hi"), "hi")
           .otherwise("none"))
       .drop("cut_lo", "cut_hi")
+  }
+
+  /** CUSUM mean-shift changepoint detection over a keyed, ordered series
+    * (e.g. the gap-filled hourly counts matrix). The textbook recursion
+    *
+    *   S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − k⁺)        k⁺ = μ + slack·σ  (upward)
+    *   S⁻ᵢ = max(0, S⁻ᵢ₋₁ + k⁻ − xᵢ)        k⁻ = μ − slack·σ  (downward)
+    *
+    * is sequential as written — a driver loop at 100 TB. It has a closed
+    * form over prefix sums: with dᵢ = Σ_{j≤i} xⱼ − i·k⁺,
+    *
+    *   S⁺ᵢ = dᵢ − min(0, min_{j≤i} dⱼ)
+    *   S⁻ᵢ = max(0, max_{j≤i} eⱼ) − eᵢ      eᵢ = Σ_{j≤i} xⱼ − i·k⁻
+    *
+    * so the whole detector is ONE keyed window pass: an exact integer
+    * running sum plus a running min/max (selection, not float
+    * accumulation — the doubles compared are each computed by the same
+    * pinned spelling in both engines, making the op SQL-oracle-able).
+    * Rows where S⁺ or S⁻ exceeds h·σ are flagged.
+    *
+    * Scale: μ/σ come from exact integer sufficient statistics (one partial-
+    * agg shuffle, group-count-sized output, broadcast back). The keyed
+    * window is single-task per group, acceptable for the same reason as
+    * [[graft.EventQueries]]'s moving average: its input is the POST-
+    * AGGREGATION series (span × keys cells), not the raw events — metadata-
+    * scale even when the underlying scan is 100 TB.
+    *
+    * `valueCol` must be integral (counts); `ordCol` must be unique per
+    * group (true of a gap-filled time grid). Constant groups (σ = 0) emit
+    * nothing, by the [[zScore]] null-guard convention.
+    */
+  def cusumChangepoints(series: DataFrame, groupCol: String, ordCol: String,
+                        valueCol: String, slack: Double = 0.5,
+                        h: Double = 4.0): DataFrame = {
+    val stats = series.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("sv"),
+        sum((col(valueCol) * col(valueCol)).cast("decimal(38,0)")).as("sq"))
+    val w = Window.partitionBy(groupCol).orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mu = col("sv").cast("double") / col("n")
+    val ex2 = col("sq").cast("double") / col("n")
+    val prefixed = series.join(broadcast(stats), groupCol)
+      .withColumn("mu", mu)
+      .withColumn("sigma",
+        when(ex2 - mu * mu > 0.0, sqrt(ex2 - mu * mu)))
+      .withColumn("c", sum(col(valueCol)).over(w).cast("double"))
+      .withColumn("rn", row_number().over(w).cast("double"))
+      .withColumn("dup",
+        col("c") - col("rn") * (col("mu") + lit(slack) * col("sigma")))
+      .withColumn("ddn",
+        col("c") - col("rn") * (col("mu") - lit(slack) * col("sigma")))
+    prefixed
+      .withColumn("cup", col("dup") - least(lit(0.0), min("dup").over(w)))
+      .withColumn("cdn", greatest(lit(0.0), max("ddn").over(w)) - col("ddn"))
+      .filter(col("cup") > lit(h) * col("sigma") ||
+        col("cdn") > lit(h) * col("sigma"))
+      .select(col(groupCol), col(ordCol), col(valueCol),
+        (floor(col("cup") * 10000.0 + 0.5) / 10000.0).as("cusum_up_4dp"),
+        (floor(col("cdn") * 10000.0 + 0.5) / 10000.0).as("cusum_dn_4dp"))
   }
 }
