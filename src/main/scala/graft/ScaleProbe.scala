@@ -140,6 +140,12 @@ object ScaleProbe {
         val ivfpq = operators.IvfPq.buildIndex(s"probe-ivfpq-$m", vecs)
         println(f"PROBE ivfpq_build       mult=$m%-3d ${(System.nanoTime() - t2) / 1e9}%8.2f s")
         time("ivfpq_probe", m, operators.IvfPq.probe(ivfpq, vecs, 0L, 10))
+        // SQ8: training is one min/max aggregation (cheapest build of the
+        // four), the probe scans 64-byte codes — near-flat per unit
+        val t2s = System.nanoTime()
+        val sq = operators.Sq.buildIndex(s"probe-sq-$m", vecs)
+        println(f"PROBE sq_build          mult=$m%-3d ${(System.nanoTime() - t2s) / 1e9}%8.2f s")
+        time("sq_probe", m, operators.Sq.probe(sq, vecs, 0L, 10))
         // SemDeDup within-cluster pairs: Σ|cluster|² — at fixed nlist the
         // per-cluster size grows with the corpus, so the probe shows the
         // documented super-linear drift that raising nlist (the knob,
@@ -162,6 +168,9 @@ object ScaleProbe {
         val t5 = System.nanoTime()
         operators.IvfPq.appendToIndex(ivfpq, batch)
         println(f"PROBE ivfpq_append      mult=$m%-3d ${(System.nanoTime() - t5) / 1e9}%8.2f s")
+        val t5s = System.nanoTime()
+        operators.Sq.appendToIndex(sq, batch)
+        println(f"PROBE sq_append         mult=$m%-3d ${(System.nanoTime() - t5s) / 1e9}%8.2f s")
         batch.unpersist()
         // delete: a FIXED tombstone batch against the mult-m index — list
         // resolution is a column-pruned (vec_id, list) scan + broadcast
@@ -179,6 +188,9 @@ object ScaleProbe {
         val t8 = System.nanoTime()
         operators.IvfPq.deleteFromIndex(ivfpq, delIds, batchId = 1L)
         println(f"PROBE ivfpq_delete      mult=$m%-3d ${(System.nanoTime() - t8) / 1e9}%8.2f s")
+        val t8s = System.nanoTime()
+        operators.Sq.deleteFromIndex(sq, delIds, batchId = 1L)
+        println(f"PROBE sq_delete         mult=$m%-3d ${(System.nanoTime() - t8s) / 1e9}%8.2f s")
         delIds.unpersist()
         // drift: a deliberately-skewed append stream (3× clones of the
         // biggest list) defeats nprobe pruning; rebalance splits the hot

@@ -255,6 +255,75 @@ object SimilarityQueries {
       operators.Pq.probe(model, emb, 0L, 10)
     }),
 
+    // SQ8 scalar quantization — the FOURTH index layout (per-dimension
+    // 8-bit codes, 4× compression at full per-dim resolution): training is
+    // a single min/max pass (no Lloyd, no seeds), probe is exact-integer
+    // ADC over reconstructed codes + cosine re-rank. Hash-checked against
+    // a DuckDB twin that replays params, encoding and the ADC ranking
+    // (sqSql below); determinism/saturation/lifecycle are SqSpec'd.
+    "ann_topk_sq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Sq.probe(operators.Sq.buildIndex(dir, emb), emb, 0L, 10)
+    }),
+
+    // SQ recall@10 — ann_recall_ivf's discipline for the scalar layout.
+    "ann_recall_sq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val sq = operators.Sq
+        .probe(operators.Sq.buildIndex(dir, emb), emb, 0L, 10)
+        .select("vec_id")
+      val exact = Similarity.topK(emb, 0L, 10).select("vec_id")
+      sq.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("k"), col("n_hits"),
+          (col("n_hits").cast("double") / 10.0).as("recall"))
+    }),
+
+    // Frozen-params append: min/max trained on the base corpus only, the
+    // batch encoded with those params (out-of-range values SATURATE at the
+    // code boundaries — the oracle clamps identically). Completes the
+    // incremental quartet.
+    "ann_incremental_sq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Sq.buildIncremental(dir,
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+      operators.Sq.probe(model, emb, 0L, 10)
+    }),
+
+    // Tombstone delete over the flat codes table — masked BEFORE the
+    // rerank cut, Pq.deleteFromIndex's contract.
+    "ann_delete_sq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Sq.buildIndex(dir + "#del", emb)
+      operators.Sq.deleteFromIndex(model,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), batchId = 0L)
+      operators.Sq.probe(model, emb, 0L, 10)
+    }),
+
+    // The scalar-layout capstone: build on base → frozen append →
+    // tombstone delete → compactCodes (physical drop, manifest carried)
+    // → probe, against the train-on-base + candidates-minus-deleted twin.
+    "ann_lifecycle_sq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Sq.buildIncremental(dir + "#life",
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+      operators.Sq.deleteFromIndex(model,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), batchId = 0L)
+      operators.Sq.compactCodes(s, model)
+      operators.Sq.probe(model, emb, 0L, 10)
+    }),
+
+    // Set-oriented SQ probe — ann_knn_pq's shape: one codes scan for all
+    // ten queries, query-keyed ADC ranking, per-query re-rank.
+    "ann_knn_sq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Sq.probeAll(operators.Sq.buildIndex(dir, emb), emb,
+        emb.filter(col("vec_id") < 10), 10)
+        .orderBy("query_id", "rn")
+    }),
+
     // kNN join THROUGH the IVF index — the set-oriented probe (per-row
     // expression probe selection, one keyed join against the probed lists,
     // query-keyed ranking): the batch engine under the streaming probe
@@ -797,6 +866,87 @@ object SimilarityQueries {
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT $k""".stripMargin
 
+  // ---- SQ8 oracle machinery ----
+  //
+  // The simplest replay of the four: params are per-dimension MIN/MAX
+  // SELECTIONS on the 1e-6 grid (no iterations), codes are exact floor
+  // divisions of non-negative numerators, reconstruction is long
+  // arithmetic on a common ×255 grid, and the ADC ranking sums
+  // identically-rounded FLOOR(q·recon·1e3 + 0.5) terms — every step a
+  // correctly-rounded function of exact integers, so both engines agree
+  // bit-for-bit (Sq.scala's contract).
+
+  /** The shared SQ core: quantized coordinates `vd`, per-dim params `prm`
+    * (min/span on the training subset), and the full encoding `codes`
+    * with the saturation clamp (append-path values outside the trained
+    * range land on the code boundaries — Sq.codesCol's LEAST/GREATEST).
+    * A non-empty `trainWhere` restricts the min/max pass to that subset
+    * while `codes` still encodes every vector — Sq.buildIncremental's
+    * semantics.
+    */
+  private def sqCoreCtes(trainWhere: String = ""): String = {
+    val tvd = if (trainWhere.isEmpty) "vd" else "tvd"
+    val tvdCte =
+      if (trainWhere.isEmpty) ""
+      else s"tvd AS (SELECT * FROM vd WHERE $trainWhere),\n"
+    s"""idx AS (
+       |  SELECT vec_id, embedding,
+       |    unnest(range(1, len(embedding) + 1)) AS i
+       |  FROM embeddings),
+       |vd AS (
+       |  SELECT vec_id, i - 1 AS dim,
+       |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v,
+       |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS vq
+       |  FROM idx),
+       |${tvdCte}prm AS (
+       |  SELECT dim, MIN(vq) AS mn, MAX(vq) - MIN(vq) AS sp
+       |  FROM $tvd GROUP BY dim),
+       |codes AS (
+       |  SELECT vd.vec_id, vd.dim, p.mn, p.sp,
+       |    CASE WHEN p.sp = 0 THEN 0
+       |         ELSE ((LEAST(GREATEST(vd.vq, p.mn), p.mn + p.sp) - p.mn)
+       |               * 255) // p.sp
+       |    END AS code
+       |  FROM vd JOIN prm p USING (dim))""".stripMargin
+  }
+
+  /** The SQ probe chain over [[sqCoreCtes]]' `codes`: reconstruct each
+    * code on the ×255 long grid, integer-ADC rank, top-`rerank`
+    * candidates, query vector. `deleteWhere` excludes ids BEFORE the
+    * rerank cut — Sq.deleteFromIndex's semantics.
+    */
+  private def sqProbeCtes(rerank: Int = 50, deleteWhere: String = ""): String = {
+    val adcNot = if (deleteWhere.isEmpty) "" else s" AND NOT ($deleteWhere)"
+    s"""adc AS (
+       |  SELECT c.vec_id,
+       |    CAST(SUM(CAST(FLOOR(q.v
+       |      * CAST(c.mn * 255 + c.code * c.sp AS DOUBLE)
+       |      * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS adcq
+       |  FROM codes c JOIN vd q USING (dim)
+       |  WHERE q.vec_id = 0 AND c.vec_id <> 0$adcNot
+       |  GROUP BY 1),
+       |cand AS (
+       |  SELECT vec_id FROM adc ORDER BY adcq DESC, vec_id LIMIT $rerank),
+       |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)""".stripMargin
+  }
+
+  /** Full DuckDB twin of Sq.buildIndex(dim=64) + probe(queryVecId=0,
+    * k=10, rerank=50); with `trainWhere`, of buildIncremental + probe;
+    * with `deleteWhere`, of deleteFromIndex + probe.
+    */
+  private def sqSql(rerank: Int = 50, k: Int = 10,
+                    trainWhere: String = "", deleteWhere: String = ""): String =
+    s"""WITH ${sqCoreCtes(trainWhere)},
+       |${sqProbeCtes(rerank, deleteWhere)}
+       |SELECT e.vec_id,
+       |  (${dotSql("e.embedding", "q.qe")})
+       |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+       |FROM cand JOIN embeddings e USING (vec_id), qe q
+       |ORDER BY cosine DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+
   /** Shared recall-intersection tail: approximate top-10 (exact re-rank of
     * `cand`) ∩ exact top-10, both deterministic, as k/n_hits/recall — the
     * `ann_recall_ivf` shape reused by the PQ and IVF-PQ recall twins.
@@ -903,6 +1053,51 @@ object SimilarityQueries {
     "ann_delete_pq" -> pqSql(deleteWhere = "a2.vec_id % 7 = 3"),
     "ann_delete_ivfpq" -> ivfPqSql(deleteWhere = "a2p.vec_id % 7 = 3"),
     "ann_incremental_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0"),
+
+    // SQ8 twins: min/max replay, clamped encoding, exact-integer ADC.
+    "ann_topk_sq" -> sqSql(),
+    "ann_recall_sq" ->
+      s"""WITH ${sqCoreCtes()},
+         |${sqProbeCtes()},
+         |$recallTailSql""".stripMargin,
+    "ann_incremental_sq" -> sqSql(trainWhere = "vec_id % 5 <> 0"),
+    "ann_delete_sq" -> sqSql(deleteWhere = "c.vec_id % 7 = 3"),
+    "ann_lifecycle_sq" -> sqSql(trainWhere = "vec_id % 5 <> 0",
+      deleteWhere = "c.vec_id % 7 = 3"),
+
+    // probeAll twin — the ann_knn_pq discipline over the scalar codes:
+    // query-keyed ADC, per-query rerank cut, exact-cosine re-rank.
+    "ann_knn_sq" ->
+      s"""WITH ${sqCoreCtes()},
+         |qadc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |    CAST(SUM(CAST(FLOOR(q.v
+         |      * CAST(c.mn * 255 + c.code * c.sp AS DOUBLE)
+         |      * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS adcq
+         |  FROM codes c JOIN vd q USING (dim)
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |qcand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adcq DESC, vec_id) AS rn
+         |    FROM qadc) WHERE rn <= 50),
+         |s AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    (${dotSql("e.embedding", "q.embedding")})
+         |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |         * sqrt(${dotSql("q.embedding", "q.embedding")})) AS cosine
+         |  FROM qcand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM s)
+         |SELECT query_id, vec_id, cosine, rn FROM r
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
     "ann_incremental_ivfpq" ->
       s"""WITH ${ivfPqCoreCtes(trainWhere = "vec_id % 5 <> 0")},
          |${ivfPqProbeCtes()}

@@ -60,8 +60,10 @@ object Tables {
         .otherwise(col("embedding")))
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS); normalized here so downstream
-    * operators always see a micros TimestampType `ts` column.
+  /** events.parquet has carried TIMESTAMP(NANOS) (older driver fixtures)
+    * or micros with isAdjustedToUTC=false, which Spark 4 infers as
+    * TIMESTAMP_NTZ; normalized here so downstream operators always see a
+    * micros TimestampType `ts` column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
@@ -70,6 +72,12 @@ object Tables {
         // session read nanos as long (spark.sql.legacy.parquet.nanosAsLong);
         // integer `div`, not `/` — double division loses ulps at 1e18 nanos
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // wall-clock micros; every session here pins
+        // spark.sql.session.timeZone=UTC, so the cast is micros-identity
+        // and matches the DuckDB oracle's naive read of the same file
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -587,6 +587,62 @@ object Streams {
         graft.operators.IvfPq.deleteFromIndex(model, batch, batchId)
       }
 
+  /** [[pqProbeSink]] for the scalar-quantized (SQ8) layout — the fourth
+    * index's streaming probe: each micro-batch of query vectors runs the
+    * set-oriented integer-ADC engine (`Sq.probeAll`, per-query-
+    * bit-identical to `Sq.probe`) and delivers (query_id, vec_id, cosine,
+    * rn) exactly-once via the same deterministic per-batchId file
+    * contract.
+    */
+  def sqProbeSink(queries: DataFrame, model: graft.operators.Sq.SqModel,
+                  corpus: DataFrame, outDir: String, checkpointDir: String,
+                  k: Int = 10, rerank: Int = 50): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Sq.probeAll(model, corpus, batch, k, rerank),
+          outDir, s"probe-$batchId.parquet")
+      }
+
+  /** [[pqIngestSink]] for the SQ8 codes table: frozen per-dim params
+    * encode each micro-batch (out-of-range values saturate), exactly-once
+    * via `Sq.appendToIndexIdempotent`; `compactAboveFiles > 0` arms the
+    * same in-stream auto-compaction over the flat codes table.
+    */
+  def sqIngestSink(vectors: DataFrame, model: graft.operators.Sq.SqModel,
+                   checkpointDir: String,
+                   compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sq.appendToIndexIdempotent(model, batch, batchId)
+        if (compactAboveFiles > 0) {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          val n = fs.listStatus(
+              new org.apache.hadoop.fs.Path(model.codesPath))
+            .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+          if (n > compactAboveFiles)
+            graft.operators.Sq.compactCodes(batch.sparkSession, model)
+          ()
+        }
+      }
+
+  /** [[pqDeleteSink]] for the SQ8 layout — flat codes table, so the
+    * tombstone batch needs no list resolution; the ADC probe masks the
+    * ids BEFORE its rerank cut. Completes the four-layout symmetry:
+    * ingest / probe / delete drivable from streams on every index.
+    */
+  def sqDeleteSink(ids: DataFrame, model: graft.operators.Sq.SqModel,
+                   checkpointDir: String): DataStreamWriter[Row] =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sq.deleteFromIndex(model, batch, batchId)
+      }
+
   /** Self-maintaining ingest — [[ivfIngestSink]] plus DRIFT handling: each
     * batch loads the PERSISTED quantizer (`Ivf.currentModel` — the
     * committed truth that survives restarts and reflects every earlier

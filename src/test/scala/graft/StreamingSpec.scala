@@ -1169,4 +1169,81 @@ class StreamingSpec extends SparkSpec {
     assert(user1Last.nonEmpty && user1Last.forall { case (_, e, s) => e == 1L && s == 1L })
     assert(user1Last.length >= 2) // initial update + post-expiry restart
   }
+
+  test("streaming SQ ingest grows the codes table to the frozen-encode union") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val model = graft.operators.Sq.buildIndex(sfDir + "#ingest", base)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sqi-c").toString
+    val rows = batch.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.sqIngestSink(
+      input.toDF().toDF("vec_id", "embedding"), model, ckpt).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val stored = spark.read.parquet(model.codesPath)
+    val expected = graft.operators.Sq.encode(model, emb)
+    assert(stored.exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(stored).isEmpty)
+  }
+
+  test("streaming SQ probe and takedown match their batch verbs") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+
+    // probe sink: per-query parity with the batch probe
+    val model = graft.operators.Sq.buildIndex(sfDir, emb)
+    val out = java.nio.file.Files.createTempDirectory("graft-sqp").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sqp-c").toString
+    val rows = emb.filter($"vec_id" < 4)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows.take(2))
+    val q = Streams.sqProbeSink(
+      input.toDF().toDF("vec_id", "embedding"), model, emb, out, ckpt).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(got.keySet === (0L until 4L).toSet)
+    (0L until 4L).foreach { qid =>
+      val batch = graft.operators.Sq.probe(model, emb, qid, 10)
+        .as[(Long, Double)].collect().toSet
+      assert(got(qid) === batch, s"query $qid diverged from batch probe")
+    }
+
+    // takedown sink: streamed delete ≡ the batch verb bit-for-bit (builds
+    // are deterministic, so a twin index gives exact parity)
+    val doomed = emb.filter($"vec_id" % 9 === 1)
+      .select("vec_id").as[Long].collect().toSeq
+    val sqS = graft.operators.Sq.buildIndex(sfDir + "#sqdelsink", emb)
+    val sqB = graft.operators.Sq.buildIndex(sfDir + "#sqdelbatch", emb)
+    graft.operators.Sq.deleteFromIndex(sqB,
+      emb.filter($"vec_id" % 9 === 1).select("vec_id"), batchId = 0L)
+    val din = MemoryStream[Long]
+    din.addData(doomed.take(doomed.length / 2))
+    val dq = Streams.sqDeleteSink(din.toDF().toDF("vec_id"), sqS,
+      java.nio.file.Files.createTempDirectory("graft-sds-c").toString).start()
+    dq.processAllAvailable()
+    din.addData(doomed.drop(doomed.length / 2))
+    dq.processAllAvailable()
+    dq.stop()
+    val sGot = graft.operators.Sq.probe(sqS, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(sGot.map(_._1).forall(_ % 9 != 1), "SQ streamed delete not masking")
+    assert(sGot === graft.operators.Sq.probe(sqB, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq, "SQ stream/batch delete diverged")
+  }
 }
