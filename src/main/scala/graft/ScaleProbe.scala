@@ -146,6 +146,12 @@ object ScaleProbe {
         val sq = operators.Sq.buildIndex(s"probe-sq-$m", vecs)
         println(f"PROBE sq_build          mult=$m%-3d ${(System.nanoTime() - t2s) / 1e9}%8.2f s")
         time("sq_probe", m, operators.Sq.probe(sq, vecs, 0L, 10))
+        // IVF-SQ8 composite: pruned lists × 64-byte residual codes — the
+        // probe reads nprobe/nlist of the codes, so it must stay flat
+        val t2i = System.nanoTime()
+        val ivfsq = operators.IvfSq.buildIndex(s"probe-ivfsq-$m", vecs)
+        println(f"PROBE ivfsq_build       mult=$m%-3d ${(System.nanoTime() - t2i) / 1e9}%8.2f s")
+        time("ivfsq_probe", m, operators.IvfSq.probe(ivfsq, vecs, 0L, 10))
         // SemDeDup within-cluster pairs: Σ|cluster|² — at fixed nlist the
         // per-cluster size grows with the corpus, so the probe shows the
         // documented super-linear drift that raising nlist (the knob,
@@ -171,6 +177,9 @@ object ScaleProbe {
         val t5s = System.nanoTime()
         operators.Sq.appendToIndex(sq, batch)
         println(f"PROBE sq_append         mult=$m%-3d ${(System.nanoTime() - t5s) / 1e9}%8.2f s")
+        val t5i = System.nanoTime()
+        operators.IvfSq.appendToIndex(ivfsq, batch)
+        println(f"PROBE ivfsq_append      mult=$m%-3d ${(System.nanoTime() - t5i) / 1e9}%8.2f s")
         batch.unpersist()
         // delete: a FIXED tombstone batch against the mult-m index — list
         // resolution is a column-pruned (vec_id, list) scan + broadcast
@@ -191,6 +200,9 @@ object ScaleProbe {
         val t8s = System.nanoTime()
         operators.Sq.deleteFromIndex(sq, delIds, batchId = 1L)
         println(f"PROBE sq_delete         mult=$m%-3d ${(System.nanoTime() - t8s) / 1e9}%8.2f s")
+        val t8i = System.nanoTime()
+        operators.IvfSq.deleteFromIndex(ivfsq, delIds, batchId = 1L)
+        println(f"PROBE ivfsq_delete      mult=$m%-3d ${(System.nanoTime() - t8i) / 1e9}%8.2f s")
         delIds.unpersist()
         // drift: a deliberately-skewed append stream (3× clones of the
         // biggest list) defeats nprobe pruning; rebalance splits the hot

@@ -315,6 +315,58 @@ object SimilarityQueries {
       operators.Sq.probe(model, emb, 0L, 10)
     }),
 
+    // IVF-SQ8 — the coarse-pruning composite over scalar-quantized
+    // RESIDUALS (FAISS `IVF,SQ8`): the compression ladder's middle point
+    // (IVF-Flat → IVF-SQ8 4× → IVF-PQ 64×). Probes prune to nprobe lists
+    // AND read only 64-byte codes; ADC = 255·coarse-term + residual terms
+    // on the common integer grid. Hash-checked against a DuckDB twin
+    // composing the coarse Lloyd replay with the residual min/max chain.
+    "ann_topk_ivfsq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.IvfSq.probe(operators.IvfSq.buildIndex(dir, emb), emb, 0L, 10)
+    }),
+
+    // recall@10 for the composite — the family health discipline.
+    "ann_recall_ivfsq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val apx = operators.IvfSq
+        .probe(operators.IvfSq.buildIndex(dir, emb), emb, 0L, 10)
+        .select("vec_id")
+      val exact = Similarity.topK(emb, 0L, 10).select("vec_id")
+      apx.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("k"), col("n_hits"),
+          (col("n_hits").cast("double") / 10.0).as("recall"))
+    }),
+
+    // The fifth-layout capstone: build on base → frozen append → tombstone
+    // delete → compactLists' physical drop (the codes dir IS a
+    // list-partitioned table, so the verb is shared with IVF/IVF-PQ) →
+    // pruned residual-ADC probe, against the train-on-base +
+    // candidates-minus-deleted twin.
+    "ann_lifecycle_ivfsq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.IvfSq.buildIncremental(dir + "#life",
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+      operators.IvfSq.deleteFromIndex(model,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), batchId = 0L)
+      operators.Ivf.compactLists(s, model.indexPath,
+        maxFilesPerList = Int.MaxValue)
+      operators.IvfSq.probe(model, emb, 0L, 10)
+    }),
+
+    // SQ drift health — per-dim saturation counts of a new batch against
+    // params frozen on the base corpus: the ann_list_sizes balance story
+    // for the scalar layout (mass on codes 0/255 = ADC resolution
+    // collapse = time to retrain at the next compaction window).
+    "ann_sq_saturation" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Sq.buildIndex(dir + "#sat",
+        emb.filter(col("vec_id") % 5 =!= 0))
+      operators.Sq.saturationReport(model, emb.filter(col("vec_id") % 5 === 0))
+    }),
+
     // Set-oriented SQ probe — ann_knn_pq's shape: one codes scan for all
     // ten queries, query-keyed ADC ranking, per-query re-rank.
     "ann_knn_sq" -> ((s, dir) => {
@@ -947,6 +999,101 @@ object SimilarityQueries {
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT $k""".stripMargin
 
+  // ---- IVF-SQ8 oracle machinery ----
+  //
+  // Composition of the coarse replay with the scalar chain: the coarse
+  // half IS ivfCoreCtes (vd, md5 seeds, two Lloyd steps → c2, assignment
+  // a2, probe selection keeping the integer q·c term), residuals rq =
+  // vq − cq are exact on-grid longs, the min/max pass and clamped
+  // encoding mirror sqCoreCtes over them, and the ADC ranking is
+  // 255·sq + Σ floor(qr·recon255·1e3 + 0.5) — all exact longs on the
+  // common ×(255·1e9) grid. Final re-rank = the ann_topk cosine twin.
+
+  /** The shared IVF-SQ core: [[ivfCoreCtes]]' coarse chain, per-dim
+    * residual longs `rvdq`, the residual min/max params `sprm` (trained on
+    * `trainWhere`'s subset when non-empty — IvfSq.buildIncremental's
+    * semantics), and the clamped encoding `scodes` covering every vector.
+    */
+  private def ivfSqCoreCtes(nlist: Int = 16, trainWhere: String = ""): String = {
+    val tsrc = if (trainWhere.isEmpty) "rvdq" else "trvdq"
+    val tsrcCte =
+      if (trainWhere.isEmpty) ""
+      else s"trvdq AS (SELECT * FROM rvdq WHERE $trainWhere),\n"
+    s"""${ivfCoreCtes(nlist, trainWhere)},
+       |rvdq AS (
+       |  SELECT vd.vec_id, vd.dim, vd.vq - c2.cq AS rq
+       |  FROM vd
+       |  JOIN a2 ON a2.vec_id = vd.vec_id
+       |  JOIN c2 ON c2.cid = a2.cid AND c2.dim = vd.dim),
+       |${tsrcCte}sprm AS (
+       |  SELECT dim, MIN(rq) AS mn, MAX(rq) - MIN(rq) AS sp
+       |  FROM $tsrc GROUP BY dim),
+       |scodes AS (
+       |  SELECT r.vec_id, r.dim, p.mn, p.sp,
+       |    CASE WHEN p.sp = 0 THEN 0
+       |         ELSE ((LEAST(GREATEST(r.rq, p.mn), p.mn + p.sp) - p.mn)
+       |               * 255) // p.sp
+       |    END AS code
+       |  FROM rvdq r JOIN sprm p USING (dim))""".stripMargin
+  }
+
+  /** The IVF-SQ probe chain over [[ivfSqCoreCtes]]: probed lists with
+    * their integer q·c scores, per-(list, dim) query residuals, the
+    * pruned ADC ranking on the ×(255·1e9) grid, top-`rerank` candidates,
+    * query vector. `deleteWhere` excludes ids BEFORE the rerank cut.
+    */
+  private def ivfSqProbeCtes(nprobe: Int = 4, rerank: Int = 50,
+                             deleteWhere: String = ""): String = {
+    val adcNot = if (deleteWhere.isEmpty) "" else s" AND NOT ($deleteWhere)"
+    s"""probe AS (
+       |  SELECT cid, sq FROM (
+       |    SELECT sc2.cid, sq,
+       |      ROW_NUMBER() OVER (
+       |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+       |          DESC, sc2.cid) AS rn
+       |    FROM sc2 JOIN nc2 USING (cid) WHERE sc2.vec_id = 0)
+       |  WHERE rn <= $nprobe),
+       |qres AS (
+       |  SELECT p.cid AS list, vd.dim,
+       |    (vd.v - CAST(c2.cq AS DOUBLE) / 1000000.0) AS qr
+       |  FROM probe p
+       |  JOIN c2 ON c2.cid = p.cid
+       |  JOIN vd ON vd.dim = c2.dim
+       |  WHERE vd.vec_id = 0),
+       |adc AS (
+       |  SELECT s.vec_id,
+       |    CAST(255 * p.sq AS BIGINT)
+       |      + CAST(SUM(CAST(FLOOR(q.qr
+       |          * CAST(s.mn * 255 + s.code * s.sp AS DOUBLE)
+       |          * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS adcq
+       |  FROM scodes s
+       |  JOIN a2 ON a2.vec_id = s.vec_id
+       |  JOIN probe p ON p.cid = a2.cid
+       |  JOIN qres q ON q.list = a2.cid AND q.dim = s.dim
+       |  WHERE s.vec_id <> 0$adcNot
+       |  GROUP BY s.vec_id, p.sq),
+       |cand AS (
+       |  SELECT vec_id FROM adc ORDER BY adcq DESC, vec_id LIMIT $rerank),
+       |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)""".stripMargin
+  }
+
+  /** Full DuckDB twin of IvfSq.buildIndex(nlist=16, iters=2) +
+    * probe(queryVecId=0, k=10, nprobe=4, rerank=50); `trainWhere` →
+    * buildIncremental's semantics, `deleteWhere` → deleteFromIndex's.
+    */
+  private def ivfSqSql(nlist: Int = 16, nprobe: Int = 4, rerank: Int = 50,
+                       k: Int = 10, trainWhere: String = "",
+                       deleteWhere: String = ""): String =
+    s"""WITH ${ivfSqCoreCtes(nlist, trainWhere)},
+       |${ivfSqProbeCtes(nprobe, rerank, deleteWhere)}
+       |SELECT e.vec_id,
+       |  (${dotSql("e.embedding", "q.qe")})
+       |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+       |FROM cand JOIN embeddings e USING (vec_id), qe q
+       |ORDER BY cosine DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+
   /** Shared recall-intersection tail: approximate top-10 (exact re-rank of
     * `cand`) ∩ exact top-10, both deterministic, as k/n_hits/recall — the
     * `ann_recall_ivf` shape reused by the PQ and IVF-PQ recall twins.
@@ -1054,6 +1201,15 @@ object SimilarityQueries {
     "ann_delete_ivfpq" -> ivfPqSql(deleteWhere = "a2p.vec_id % 7 = 3"),
     "ann_incremental_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0"),
 
+    // IVF-SQ8 twins: coarse Lloyd replay ∘ residual min/max chain.
+    "ann_topk_ivfsq" -> ivfSqSql(),
+    "ann_recall_ivfsq" ->
+      s"""WITH ${ivfSqCoreCtes()},
+         |${ivfSqProbeCtes()},
+         |$recallTailSql""".stripMargin,
+    "ann_lifecycle_ivfsq" -> ivfSqSql(trainWhere = "vec_id % 5 <> 0",
+      deleteWhere = "s.vec_id % 7 = 3"),
+
     // SQ8 twins: min/max replay, clamped encoding, exact-integer ADC.
     "ann_topk_sq" -> sqSql(),
     "ann_recall_sq" ->
@@ -1061,6 +1217,34 @@ object SimilarityQueries {
          |${sqProbeCtes()},
          |$recallTailSql""".stripMargin,
     "ann_incremental_sq" -> sqSql(trainWhere = "vec_id % 5 <> 0"),
+    // saturation twin: train-on-base params replayed, batch coordinates
+    // counted outside [mn, mn+sp] per dim
+    "ann_sq_saturation" ->
+      s"""WITH idx AS (
+         |  SELECT vec_id, embedding,
+         |    unnest(range(1, len(embedding) + 1)) AS i
+         |  FROM embeddings),
+         |vd AS (
+         |  SELECT vec_id, i - 1 AS dim,
+         |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS vq
+         |  FROM idx),
+         |tvd AS (SELECT * FROM vd WHERE vec_id % 5 <> 0),
+         |prm AS (
+         |  SELECT dim, MIN(vq) AS mn, MAX(vq) - MIN(vq) AS sp
+         |  FROM tvd GROUP BY dim),
+         |b AS (
+         |  SELECT vd.dim, vd.vq, p.mn, p.sp
+         |  FROM vd JOIN prm p USING (dim)
+         |  WHERE vd.vec_id % 5 = 0)
+         |SELECT dim,
+         |  CAST(SUM(CASE WHEN vq < mn THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         |  CAST(SUM(CASE WHEN vq > mn + sp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_high,
+         |  COUNT(*) AS n_values,
+         |  CAST(SUM(CASE WHEN vq < mn OR vq > mn + sp THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*) AS clamp_frac
+         |FROM b GROUP BY dim ORDER BY dim""".stripMargin,
     "ann_delete_sq" -> sqSql(deleteWhere = "c.vec_id % 7 = 3"),
     "ann_lifecycle_sq" -> sqSql(trainWhere = "vec_id % 5 <> 0",
       deleteWhere = "c.vec_id % 7 = 3"),

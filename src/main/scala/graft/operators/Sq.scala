@@ -79,7 +79,8 @@ object Sq {
     * rows are in range by construction). The `div` is exact: the numerator
     * is reduced to a multiple of the span via pmod before the divide.
     */
-  private def codesCol(v: Column, mins: Array[Long], spans: Array[Long]): Column = {
+  private[operators] def codesCol(v: Column, mins: Array[Long],
+                                  spans: Array[Long]): Column = {
     val mnLit = typedLit(mins.toSeq)
     val spLit = typedLit(spans.toSeq)
     transform(v, (f, d) => {
@@ -364,6 +365,35 @@ object Sq {
     fs.delete(new org.apache.hadoop.fs.Path(model.codesPath + "__tombstones"), true)
     saveModel(spark, model)
     n
+  }
+
+  /** Drift health check — the [[Ivf]] `ann_list_sizes` story for the
+    * scalar layout: per dimension, how many of a batch's values fall
+    * OUTSIDE the trained [min, min+span] range (and thus saturate at the
+    * code boundaries under [[appendToIndex]]). Frozen params are correct
+    * for determinism, but a drifting corpus pushes mass onto codes 0/255
+    * where ADC resolution collapses; a rising `clamp_frac` is the signal
+    * to retrain + re-encode (the [[compactCodes]] window is the natural
+    * point). One linear pass over the batch, 64-row output.
+    */
+  def saturationReport(model: SqModel, batch: DataFrame): DataFrame = {
+    val mnLit = typedLit(model.mins.toSeq)
+    val spLit = typedLit(model.spans.toSeq)
+    batch.select(posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("dim"),
+        floor(col("f").cast("double") * VecScale + 0.5).cast("long").as("vq"))
+      .withColumn("mn", element_at(mnLit, col("dim") + 1))
+      .withColumn("sp", element_at(spLit, col("dim") + 1))
+      .groupBy("dim")
+      .agg(
+        sum(when(col("vq") < col("mn"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("vq") > col("mn") + col("sp"), 1L).otherwise(0L))
+          .as("n_high"),
+        count(lit(1)).as("n_values"))
+      .withColumn("clamp_frac",
+        (col("n_low") + col("n_high")).cast("double")
+          / col("n_values").cast("double"))
+      .orderBy("dim")
   }
 
   /** One-shot convenience: memoized build (under `indexKey`) + probe. */

@@ -587,6 +587,39 @@ object Streams {
         graft.operators.IvfPq.deleteFromIndex(model, batch, batchId)
       }
 
+  /** [[ivfPqIngestSink]] for the IVF-SQ8 composite: frozen coarse assign +
+    * frozen-grid residual encode per micro-batch (out-of-range values
+    * saturate), exactly-once into the list directories via the shared
+    * `Sinks.ingestStagedLists` contract; `compactAboveFiles > 0` arms the
+    * same in-stream auto-compaction over the lists.
+    */
+  def ivfSqIngestSink(vectors: DataFrame,
+                      model: graft.operators.IvfSq.IvfSqModel,
+                      checkpointDir: String,
+                      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IvfSq.appendToIndexIdempotent(model, batch, batchId)
+        if (compactAboveFiles > 0)
+          graft.operators.Ivf.compactLists(batch.sparkSession, model.indexPath,
+            maxFilesPerList = compactAboveFiles)
+        ()
+      }
+
+  /** [[ivfPqDeleteSink]] for the IVF-SQ8 composite — per-list tombstones
+    * resolved by the same column-pruned (vec_id, list) join; pruned-list
+    * probes anti-join only the tombstones of probed lists. Ingest and
+    * takedown are now stream-drivable on all five materialized layouts.
+    */
+  def ivfSqDeleteSink(ids: DataFrame, model: graft.operators.IvfSq.IvfSqModel,
+                      checkpointDir: String): DataStreamWriter[Row] =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IvfSq.deleteFromIndex(model, batch, batchId)
+      }
+
   /** [[pqProbeSink]] for the scalar-quantized (SQ8) layout — the fourth
     * index's streaming probe: each micro-batch of query vectors runs the
     * set-oriented integer-ADC engine (`Sq.probeAll`, per-query-

@@ -143,6 +143,21 @@ class SqSpec extends SparkSpec {
       "params lost across compaction swap")
   }
 
+  test("saturation report: zero clamps on the training corpus itself") {
+    // params are the corpus min/max, so nothing in the corpus can fall
+    // outside them — and a shifted batch must show up as clamped
+    val model = Sq.buildIndex(sfDir + "#spec", emb)
+    val self = Sq.saturationReport(model, emb)
+      .agg(sum("n_low").as("lo"), sum("n_high").as("hi"))
+      .as[(Long, Long)].collect()(0)
+    assert(self === ((0L, 0L)))
+    val shifted = emb.withColumn("embedding",
+      transform($"embedding", x => (x + lit(10.0f)).cast("float")))
+    val drift = Sq.saturationReport(model, shifted)
+      .agg(sum("n_high").as("hi")).as[Long].collect()(0)
+    assert(drift > 0L, "a +10 shift must clamp high")
+  }
+
   test("8-bit ADC + exact rerank keeps high recall vs exact top-k") {
     // full per-dimension resolution: SQ8 should beat PQ's 0.5 floor easily
     val exact = Similarity.topK(emb, 0L, 10)

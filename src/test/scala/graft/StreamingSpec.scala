@@ -1170,6 +1170,50 @@ class StreamingSpec extends SparkSpec {
     assert(user1Last.length >= 2) // initial update + post-expiry restart
   }
 
+  test("streaming IVF-SQ ingest and takedown match their batch verbs") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+
+    // ingest: streamed-in codes table == frozen re-encode of the union
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batchRows = emb.filter($"vec_id" % 5 === 0)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val model = graft.operators.IvfSq.buildIndex(sfDir + "#ingest", base)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-isqi-c").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(batchRows.take(batchRows.length / 2))
+    val q = Streams.ivfSqIngestSink(
+      input.toDF().toDF("vec_id", "embedding"), model, ckpt).start()
+    q.processAllAvailable()
+    input.addData(batchRows.drop(batchRows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    val stored = spark.read.parquet(model.indexPath)
+      .select($"vec_id", $"codes", $"list".cast("int").as("list"))
+    val expected = graft.operators.IvfSq.encode(model, emb)
+    assert(stored.exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(stored).isEmpty)
+
+    // takedown: streamed delete ≡ the batch verb bit-for-bit
+    val doomed = emb.filter($"vec_id" % 9 === 1)
+      .select("vec_id").as[Long].collect().toSeq
+    val sS = graft.operators.IvfSq.buildIndex(sfDir + "#isqdelsink", emb)
+    val sB = graft.operators.IvfSq.buildIndex(sfDir + "#isqdelbatch", emb)
+    graft.operators.IvfSq.deleteFromIndex(sB,
+      emb.filter($"vec_id" % 9 === 1).select("vec_id"), batchId = 0L)
+    val din = MemoryStream[Long]
+    din.addData(doomed)
+    val dq = Streams.ivfSqDeleteSink(din.toDF().toDF("vec_id"), sS,
+      java.nio.file.Files.createTempDirectory("graft-isqd-c").toString).start()
+    dq.processAllAvailable()
+    dq.stop()
+    val got = graft.operators.IvfSq.probe(sS, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1).forall(_ % 9 != 1), "IVF-SQ streamed delete not masking")
+    assert(got === graft.operators.IvfSq.probe(sB, emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq, "IVF-SQ stream/batch delete diverged")
+  }
+
   test("streaming SQ ingest grows the codes table to the frozen-encode union") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
