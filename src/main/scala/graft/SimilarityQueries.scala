@@ -356,6 +356,25 @@ object SimilarityQueries {
       operators.IvfSq.probe(model, emb, 0L, 10)
     }),
 
+    // Set-oriented composite probes — the ann_knn_pq discipline through
+    // the pruned layouts: per-row probe selection (expression ranking,
+    // keeping the integer base term), distributed per-query LUTs /
+    // residual grids, ONE scan of the probed lists' codes, query-keyed
+    // ADC + re-rank. The batch engines under the composite probe sinks.
+    "ann_knn_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.IvfPq.probeAll(operators.IvfPq.buildIndex(dir, emb), emb,
+        emb.filter(col("vec_id") < 10), 10)
+        .orderBy("query_id", "rn")
+    }),
+
+    "ann_knn_ivfsq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.IvfSq.probeAll(operators.IvfSq.buildIndex(dir, emb), emb,
+        emb.filter(col("vec_id") < 10), 10)
+        .orderBy("query_id", "rn")
+    }),
+
     // SQ drift health — per-dim saturation counts of a new batch against
     // params frozen on the base corpus: the ann_list_sizes balance story
     // for the scalar layout (mass on codes 0/255 = ADC resolution
@@ -1200,6 +1219,117 @@ object SimilarityQueries {
     "ann_delete_pq" -> pqSql(deleteWhere = "a2.vec_id % 7 = 3"),
     "ann_delete_ivfpq" -> ivfPqSql(deleteWhere = "a2p.vec_id % 7 = 3"),
     "ann_incremental_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0"),
+
+    // Composite probeAll twins — the ann_knn_pq discipline with a
+    // query-keyed probe selection over the sc2 scores the core chains
+    // already compute, per-query residual LUTs / grids, and the ADC
+    // ranking keyed by (query, vec) with the coarse base term.
+    "ann_knn_ivfpq" ->
+      s"""WITH ${ivfPqCoreCtes()},
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, cid, sq FROM (
+         |    SELECT sc2.vec_id, sc2.cid, sq,
+         |      ROW_NUMBER() OVER (PARTITION BY sc2.vec_id
+         |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+         |          DESC, sc2.cid) AS rn
+         |    FROM sc2 JOIN nc2 USING (cid) WHERE sc2.vec_id < 10)
+         |  WHERE rn <= 4),
+         |qrv AS (
+         |  SELECT p.query_id, p.cid AS list,
+         |    CAST(vd.dim // 8 AS INT) AS sub,
+         |    CAST(vd.dim % 8 AS INT) AS sdim,
+         |    (vd.v - CAST(c2.cq AS DOUBLE) / 1000000.0) AS qr
+         |  FROM qprobe p
+         |  JOIN c2 ON c2.cid = p.cid
+         |  JOIN vd ON vd.dim = c2.dim AND vd.vec_id = p.query_id),
+         |qlut AS (
+         |  SELECT q.query_id, q.list, c.sub, c.cid,
+         |    CAST(SUM(CAST(FLOOR(q.qr * c.cq * 1000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS dotq
+         |  FROM qrv q JOIN c2p c ON c.sub = q.sub AND c.sdim = q.sdim
+         |  GROUP BY 1, 2, 3, 4),
+         |qadc AS (
+         |  SELECT l.query_id, a2p.vec_id,
+         |    CAST(SUM(l.dotq) AS BIGINT) + p.sq AS adcq
+         |  FROM a2p
+         |  JOIN a2 ON a2.vec_id = a2p.vec_id
+         |  JOIN qlut l ON l.list = a2.cid AND l.sub = a2p.sub
+         |    AND l.cid = a2p.cid
+         |  JOIN qprobe p ON p.query_id = l.query_id AND p.cid = a2.cid
+         |  WHERE a2p.vec_id <> l.query_id
+         |  GROUP BY l.query_id, a2p.vec_id, p.sq),
+         |qcand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adcq DESC, vec_id) AS rn
+         |    FROM qadc) WHERE rn <= 50),
+         |s AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    (${dotSql("e.embedding", "q.embedding")})
+         |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |         * sqrt(${dotSql("q.embedding", "q.embedding")})) AS cosine
+         |  FROM qcand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM s)
+         |SELECT query_id, vec_id, cosine, rn FROM r
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    "ann_knn_ivfsq" ->
+      s"""WITH ${ivfSqCoreCtes()},
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, cid, sq FROM (
+         |    SELECT sc2.vec_id, sc2.cid, sq,
+         |      ROW_NUMBER() OVER (PARTITION BY sc2.vec_id
+         |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+         |          DESC, sc2.cid) AS rn
+         |    FROM sc2 JOIN nc2 USING (cid) WHERE sc2.vec_id < 10)
+         |  WHERE rn <= 4),
+         |qres AS (
+         |  SELECT p.query_id, p.cid AS list, vd.dim,
+         |    (vd.v - CAST(c2.cq AS DOUBLE) / 1000000.0) AS qr
+         |  FROM qprobe p
+         |  JOIN c2 ON c2.cid = p.cid
+         |  JOIN vd ON vd.dim = c2.dim AND vd.vec_id = p.query_id),
+         |qadc AS (
+         |  SELECT q.query_id, s.vec_id,
+         |    CAST(255 * p.sq AS BIGINT)
+         |      + CAST(SUM(CAST(FLOOR(q.qr
+         |          * CAST(s.mn * 255 + s.code * s.sp AS DOUBLE)
+         |          * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS adcq
+         |  FROM scodes s
+         |  JOIN a2 ON a2.vec_id = s.vec_id
+         |  JOIN qprobe p ON p.cid = a2.cid
+         |  JOIN qres q ON q.query_id = p.query_id AND q.list = a2.cid
+         |    AND q.dim = s.dim
+         |  WHERE s.vec_id <> p.query_id
+         |  GROUP BY q.query_id, s.vec_id, p.sq),
+         |qcand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adcq DESC, vec_id) AS rn
+         |    FROM qadc) WHERE rn <= 50),
+         |s AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    (${dotSql("e.embedding", "q.embedding")})
+         |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |         * sqrt(${dotSql("q.embedding", "q.embedding")})) AS cosine
+         |  FROM qcand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM s)
+         |SELECT query_id, vec_id, cosine, rn FROM r
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
 
     // IVF-SQ8 twins: coarse Lloyd replay ∘ residual min/max chain.
     "ann_topk_ivfsq" -> ivfSqSql(),

@@ -582,6 +582,26 @@ object Ivf {
       e => e.getField("cid"))
   }
 
+  /** [[probeListsCol]] keeping the exact integer q·c term per probed list
+    * — structs (cid, baseq) — for the composite layouts whose ADC ranking
+    * needs the coarse score as its base term ([[IvfPq.probeAll]] /
+    * [[IvfSq.probeAll]]). Identical ranking and tie-break.
+    */
+  private[operators] def probeStructsCol(qEmb: Column,
+                                         cents: Array[(Int, Array[Long])],
+                                         nprobe: Int): Column = {
+    val entries = cents.map { case (cid, cq) =>
+      val norm2q = cq.map(c => c * c).sum
+      val sq = graft.plans.NativeKernels.quantDot(qEmb, cq, DotScale)
+      struct(
+        (lit(0.0) - sq.cast("double") / sqrt(lit(norm2q.toDouble)))
+          .as("negscore"),
+        lit(cid).as("cid"),
+        sq.as("baseq"))
+    }
+    slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nprobe)
+  }
+
   /** Set-oriented probe — approximate top-k neighbors for EVERY row of
     * `queries` (vec_id, embedding) in one plan: per-row probe selection via
     * [[probeListsCol]], explode to (query, list) pairs, ONE keyed join

@@ -299,6 +299,82 @@ object IvfPq {
       .limit(k)
   }
 
+  /** Set-oriented probe — pruned residual-ADC top-k for EVERY row of
+    * `queries` in one plan (the [[Pq.probeAll]] shape over the composite):
+    * per-row probe selection via `Ivf.probeStructsCol` (keeping each
+    * probed list's integer q·c base term), distributed per-(query, list)
+    * residual LUTs against the broadcast codebook rows, ONE keyed join
+    * against the probed lists of the codes table, query-keyed ADC ranking
+    * (baseq + Σlut, exact longs), exact re-rank. Per-query rows equal
+    * [[probe]]'s bit-for-bit (IvfPqSpec). Scale: candidate work is
+    * |queries| × nprobe/nlist of the ~4-byte codes; LUTs are
+    * |queries|·nprobe·m·ksub rows — broadcast-tiny for micro-batch query
+    * sets; ranking windows are keyed by query.
+    */
+  def probeAll(model: IvfPqModel, corpus: DataFrame, queries: DataFrame,
+               k: Int, nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qp = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("p",
+        explode(Ivf.probeStructsCol(col("q_emb"), model.coarse, nprobe)))
+      .select(col("query_id"), col("q_emb"),
+        col("p.cid").as("list"), col("p.baseq").as("baseq"))
+    val centDf = model.coarse.toSeq.flatMap { case (cid, cq) =>
+      cq.indices.map(d => (cid, d, cq(d)))
+    }.toDF("list", "dim", "cq")
+    // per-(query, list, sub, cid) LUT: the query's residual against the
+    // list centroid, dotted with every codebook entry on the shared grid
+    val booksDf = (for {
+      s <- model.books.indices
+      (pcid, pcq) <- model.books(s)
+      d <- 0 until model.subDim
+    } yield (s, pcid, d, pcq(d))).toDF("sub", "cid", "sdim", "pcq")
+    val lut = qp
+      .select(col("query_id"), col("list"), col("baseq"),
+        posexplode(col("q_emb")).as(Seq("dim", "f")))
+      .join(broadcast(centDf), Seq("list", "dim"))
+      .select(col("query_id"), col("list"), col("baseq"),
+        (col("dim") / model.subDim).cast("int").as("sub"),
+        pmod(col("dim"), lit(model.subDim)).as("sdim"),
+        (col("f").cast("double") - col("cq").cast("double") / lit(VecScale))
+          .as("qr"))
+      .join(broadcast(booksDf), Seq("sub", "sdim"))
+      .groupBy("query_id", "list", "baseq", "sub", "cid")
+      .agg(sum(floor(col("qr") * col("pcq").cast("double") * lit(DotScale)
+        + lit(0.5)).cast("long")).as("dotq"))
+
+    val idx0 = spark.read.parquet(model.indexPath)
+      .select(col("vec_id"), col("codes"), col("list").cast("int").as("list"))
+    val idx = graft.sources.Sinks.readTombstones(spark,
+        Ivf.tombstonesPath(model.indexPath))
+      .fold(idx0)(t => idx0.join(t, Seq("vec_id"), "left_anti"))
+    val wAdc = Window.partitionBy("query_id").orderBy(desc("adcq"), col("vec_id"))
+    val cand = idx
+      .select(col("vec_id"), col("list"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(lut), Seq("list", "sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id", "baseq").agg(sum("dotq").as("rq"))
+      .select(col("query_id"), col("vec_id"),
+        (col("rq") + col("baseq")).as("adcq"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select("query_id", "vec_id")
+
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val wK = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vec_id"))
+    cand.join(corpus.select("vec_id", "embedding"), "vec_id")
+      .join(qe, "query_id")
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cosine", "rn")
+  }
+
   /** One-shot convenience: memoized build (under `indexKey`) + probe. */
   def topKIvfPq(embeddings: DataFrame, queryVecId: Long, k: Int,
                 nlist: Int = 16, m: Int = 8, ksub: Int = 16,

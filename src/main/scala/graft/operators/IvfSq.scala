@@ -256,6 +256,76 @@ object IvfSq {
       .limit(k)
   }
 
+  /** Set-oriented probe — pruned residual-ADC top-k for EVERY row of
+    * `queries` in one plan (the [[Sq.probeAll]] shape over the composite):
+    * per-row probe selection via `Ivf.probeStructsCol` (keeping each
+    * probed list's integer q·c base term), query residuals against the
+    * broadcast centroid rows, ONE keyed join against the probed lists of
+    * the codes table, query-keyed ADC ranking on the ×(255·1e9) grid,
+    * exact re-rank. Per-query rows equal [[probe]]'s bit-for-bit
+    * (IvfSqSpec). Scale: candidate work is |queries| × nprobe/nlist of
+    * the 64-byte codes; ranking windows are keyed by query.
+    */
+  def probeAll(model: IvfSqModel, corpus: DataFrame, queries: DataFrame,
+               k: Int, nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // (query_id, list, baseq) probe table + per-(list, dim) residual grid
+    val qp = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("p",
+        explode(Ivf.probeStructsCol(col("q_emb"), model.coarse, nprobe)))
+      .select(col("query_id"), col("q_emb"),
+        col("p.cid").as("list"), col("p.baseq").as("baseq"))
+    val centDf = model.coarse.toSeq.flatMap { case (cid, cq) =>
+      cq.indices.map(d => (cid, d, cq(d)))
+    }.toDF("list", "dim", "cq")
+    val mnLit = typedLit(model.mins.toSeq)
+    val spLit = typedLit(model.spans.toSeq)
+    val qd = qp
+      .select(col("query_id"), col("list"), col("baseq"),
+        posexplode(col("q_emb")).as(Seq("dim", "f")))
+      .join(broadcast(centDf), Seq("list", "dim"))
+      .select(col("query_id"), col("list"), col("baseq"), col("dim"),
+        (col("f").cast("double") - col("cq").cast("double") / lit(VecScale))
+          .as("qr"),
+        element_at(mnLit, col("dim") + 1).as("mn"),
+        element_at(spLit, col("dim") + 1).as("sp"))
+
+    val idx0 = spark.read.parquet(model.indexPath)
+      .select(col("vec_id"), col("codes"), col("list").cast("int").as("list"))
+    val idx = graft.sources.Sinks.readTombstones(spark,
+        Ivf.tombstonesPath(model.indexPath))
+      .fold(idx0)(t => idx0.join(t, Seq("vec_id"), "left_anti"))
+    val wAdc = Window.partitionBy("query_id").orderBy(desc("adcq"), col("vec_id"))
+    val cand = idx
+      .select(col("vec_id"), col("list"),
+        posexplode(col("codes")).as(Seq("dim", "code")))
+      .join(broadcast(qd), Seq("list", "dim"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("term", floor(col("qr")
+        * (col("mn") * lit(255L) + col("code").cast("long") * col("sp"))
+          .cast("double")
+        * lit(DotScale) + lit(0.5)).cast("long"))
+      .groupBy("query_id", "vec_id", "baseq").agg(sum("term").as("rq"))
+      .select(col("query_id"), col("vec_id"),
+        (col("rq") + lit(255L) * col("baseq")).as("adcq"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select("query_id", "vec_id")
+
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val wK = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vec_id"))
+    cand.join(corpus.select("vec_id", "embedding"), "vec_id")
+      .join(qe, "query_id")
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cosine", "rn")
+  }
+
   /** One-shot convenience: memoized build (under `indexKey`) + probe. */
   def topKIvfSq(embeddings: DataFrame, queryVecId: Long, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, rerank: Int = 50,

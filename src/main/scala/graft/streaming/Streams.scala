@@ -587,6 +587,41 @@ object Streams {
         graft.operators.IvfPq.deleteFromIndex(model, batch, batchId)
       }
 
+  /** [[pqProbeSink]] for the IVF-PQ composite — each micro-batch of query
+    * vectors runs the set-oriented pruned residual-ADC engine
+    * (`IvfPq.probeAll`, per-query-bit-identical to `IvfPq.probe`) and
+    * delivers (query_id, vec_id, cosine, rn) exactly-once via the same
+    * deterministic per-batchId file contract.
+    */
+  def ivfPqProbeSink(queries: DataFrame,
+                     model: graft.operators.IvfPq.IvfPqModel,
+                     corpus: DataFrame, outDir: String, checkpointDir: String,
+                     k: Int = 10, nprobe: Int = 4,
+                     rerank: Int = 50): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.IvfPq.probeAll(model, corpus, batch, k, nprobe, rerank),
+          outDir, s"probe-$batchId.parquet")
+      }
+
+  /** [[ivfPqProbeSink]] for the IVF-SQ8 composite — with this, all five
+    * materialized layouts drive ingest, probe AND takedown from streams.
+    */
+  def ivfSqProbeSink(queries: DataFrame,
+                     model: graft.operators.IvfSq.IvfSqModel,
+                     corpus: DataFrame, outDir: String, checkpointDir: String,
+                     k: Int = 10, nprobe: Int = 4,
+                     rerank: Int = 50): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.IvfSq.probeAll(model, corpus, batch, k, nprobe, rerank),
+          outDir, s"probe-$batchId.parquet")
+      }
+
   /** [[ivfPqIngestSink]] for the IVF-SQ8 composite: frozen coarse assign +
     * frozen-grid residual encode per micro-batch (out-of-range values
     * saturate), exactly-once into the list directories via the shared

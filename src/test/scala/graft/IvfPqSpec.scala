@@ -95,6 +95,20 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("probeAll equals the single-query probe for every query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = IvfPq.buildIndex(sfDir, emb)
+    val all = IvfPq.probeAll(model, emb, emb.filter($"vec_id" < 5), 10)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    (0L until 5L).foreach { qid =>
+      val single = IvfPq.probe(model, emb, qid, 10)
+        .as[(Long, Double)].collect().toSet
+      assert(all(qid) === single, s"query $qid diverged")
+    }
+  }
+
   test("persisted composite model round-trips exactly") {
     val loaded = IvfPq.loadModel(spark, model.indexPath).get
     assert(loaded.nlist === model.nlist && loaded.m === model.m &&

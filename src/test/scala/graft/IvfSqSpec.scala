@@ -89,6 +89,19 @@ class IvfSqSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq === p)
   }
 
+  test("probeAll equals the single-query probe for every query") {
+    val model = IvfSq.buildIndex(sfDir, emb)
+    val all = IvfSq.probeAll(model, emb, emb.filter($"vec_id" < 5), 10)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    (0L until 5L).foreach { qid =>
+      val single = IvfSq.probe(model, emb, qid, 10)
+        .as[(Long, Double)].collect().toSet
+      assert(all(qid) === single, s"query $qid diverged")
+    }
+  }
+
   test("partial probing keeps useful recall and beats the PQ floor") {
     // 8 bits per residual dimension: recall should sit well above PQ's
     val exact = Similarity.topK(emb, 0L, 10)

@@ -1214,6 +1214,51 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq, "IVF-SQ stream/batch delete diverged")
   }
 
+  test("streaming composite probes equal their batch probes per query") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = emb.filter($"vec_id" < 4)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+
+    def drive(start: MemoryStream[(Long, Seq[Float])] =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+              out: String): Map[Long, Set[(Long, Double)]] = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      input.addData(rows.take(2))
+      val q = start(input).start()
+      q.processAllAvailable()
+      input.addData(rows.drop(2))
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(out)
+        .select("query_id", "vec_id", "cosine")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    }
+
+    val pqM = graft.operators.IvfPq.buildIndex(sfDir, emb)
+    val out1 = java.nio.file.Files.createTempDirectory("graft-ipqp").toString + "/res"
+    val got1 = drive(in => Streams.ivfPqProbeSink(
+      in.toDF().toDF("vec_id", "embedding"), pqM, emb, out1,
+      java.nio.file.Files.createTempDirectory("graft-ipqp-c").toString), out1)
+    (0L until 4L).foreach { qid =>
+      val batch = graft.operators.IvfPq.probe(pqM, emb, qid, 10)
+        .as[(Long, Double)].collect().toSet
+      assert(got1(qid) === batch, s"IVF-PQ query $qid diverged")
+    }
+
+    val sqM = graft.operators.IvfSq.buildIndex(sfDir, emb)
+    val out2 = java.nio.file.Files.createTempDirectory("graft-isqp").toString + "/res"
+    val got2 = drive(in => Streams.ivfSqProbeSink(
+      in.toDF().toDF("vec_id", "embedding"), sqM, emb, out2,
+      java.nio.file.Files.createTempDirectory("graft-isqp-c").toString), out2)
+    (0L until 4L).foreach { qid =>
+      val batch = graft.operators.IvfSq.probe(sqM, emb, qid, 10)
+        .as[(Long, Double)].collect().toSet
+      assert(got2(qid) === batch, s"IVF-SQ query $qid diverged")
+    }
+  }
+
   test("streaming SQ ingest grows the codes table to the frozen-encode union") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
