@@ -356,6 +356,36 @@ object SimilarityQueries {
       operators.IvfSq.probe(model, emb, 0L, 10)
     }),
 
+    // FILTERED vector search — "nearest neighbors WHERE <predicate>", the
+    // production retrieval shape. Exact path: the predicate prunes before
+    // ranking and pushes into the parquet scan. Index path: the SQ ADC
+    // ranking semi-joins the allowed ids BEFORE the rerank cut (filtered-
+    // out vectors never consume rerank slots — post-filtering the top-k
+    // is the starvation anti-pattern this avoids).
+    "ann_topk_filtered" -> ((s, dir) =>
+      Similarity.topKWhere(Tables.embeddings(s, dir), 0L, 10,
+        col("label") === 3)),
+
+    "ann_topk_sq_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Sq.probeFiltered(operators.Sq.buildIndex(dir, emb), emb, 0L, 10,
+        emb.filter(col("label") === 3).select("vec_id"))
+    }),
+
+    // The pruned-lists mechanism: allow-list semi-join on the probed
+    // lists' candidates before the exact ranking (every probe now takes
+    // `allowed`; Pq/IvfPq/IvfSq variants are spec-gated). NOTE the
+    // fixture returns 9 < k rows — a selective filter can leave fewer
+    // than k matches inside nprobe lists; widening nprobe (or the exact
+    // topKWhere path) is the recall knob, and the oracle replays the
+    // same under-full result, which is exactly the semantics a filtered
+    // pruned probe should have.
+    "ann_topk_ivf_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Ivf.probe(operators.Ivf.buildIndex(dir, emb), emb, 0L, 10,
+        allowed = Some(emb.filter(col("label") === 3).select("vec_id")))
+    }),
+
     // Random projection (Johnson–Lindenstrauss) — the STORAGE op: ±1-sign
     // exact-integer projection 64 → 16 dims (4× fewer bytes before any
     // index), partition-order-free longs the oracle replays bit-for-bit.
@@ -1266,6 +1296,27 @@ object SimilarityQueries {
     "ann_delete_pq" -> pqSql(deleteWhere = "a2.vec_id % 7 = 3"),
     "ann_delete_ivfpq" -> ivfPqSql(deleteWhere = "a2p.vec_id % 7 = 3"),
     "ann_incremental_pq" -> pqSql(trainWhere = "vec_id % 5 <> 0"),
+
+    // Filtered-search twins: exact = brute force under the predicate;
+    // index = the sqSql chain with non-matching ids excluded from the ADC
+    // ranking before the rerank cut (the deleteWhere machinery inverted
+    // into an allow-list via a subquery).
+    "ann_topk_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  (${dotSql("e.embedding", "q.qe")})
+         |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+         |FROM embeddings e, q
+         |WHERE e.vec_id <> 0 AND e.label = 3
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "ann_topk_sq_filtered" -> sqSql(deleteWhere =
+      "c.vec_id IN (SELECT e2.vec_id FROM embeddings e2 " +
+        "WHERE e2.label IS DISTINCT FROM 3)"),
+    "ann_topk_ivf_filtered" -> ivfSql(deleteWhere =
+      "a2.vec_id IN (SELECT e2.vec_id FROM embeddings e2 " +
+        "WHERE e2.label IS DISTINCT FROM 3)"),
 
     // RP twins: inlined sign matrix, exact-integer projection replay.
     "ann_rp_project" ->

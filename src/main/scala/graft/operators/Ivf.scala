@@ -224,7 +224,8 @@ object Ivf {
     * an exact cosine re-rank of the candidates.
     */
   def probe(model: IvfModel, embeddings: DataFrame, queryVecId: Long,
-            k: Int, nprobe: Int = 4): DataFrame = {
+            k: Int, nprobe: Int = 4,
+            allowed: Option[DataFrame] = None): DataFrame = {
     val qVec = embeddings.filter(col("vec_id") === queryVecId)
       .select(transform(col("embedding"), _.cast("double")).as("e"))
       .collect()(0).getSeq[Double](0).toArray
@@ -244,9 +245,14 @@ object Ivf {
     val idx = spark.read.parquet(model.indexPath)
       .filter(col("list").isin(probes.toIndexedSeq: _*) &&
         col("vec_id") =!= queryVecId)
-    graft.sources.Sinks.readTombstones(spark,
+    val live = graft.sources.Sinks.readTombstones(spark,
         tombstonesPath(model.indexPath), Some(probes.toIndexedSeq))
       .fold(idx)(t => idx.join(t, Seq("vec_id"), "left_anti"))
+    // filtered search: the allow-list semi-joins BEFORE the ranking (a
+    // keyed distributed join — no broadcast assumption), so excluded
+    // vectors never reach the top-k window
+    allowed.fold(live)(a =>
+        live.join(a.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
       .crossJoin(broadcast(q))
       .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
       .orderBy(desc("cosine"), col("vec_id"))

@@ -234,7 +234,8 @@ object IvfPq {
     * the top `rerank` ADC candidates.
     */
   def probe(model: IvfPqModel, embeddings: DataFrame, queryVecId: Long,
-            k: Int, nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+            k: Int, nprobe: Int = 4, rerank: Int = 50,
+            allowed: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val qVec = embeddings.filter(col("vec_id") === queryVecId)
@@ -277,9 +278,12 @@ object IvfPq {
     val idx = spark.read.parquet(model.indexPath)
       .filter(col("list").isin(probes.map(_._1).toIndexedSeq: _*) &&
         col("vec_id") =!= queryVecId)
-    val cand = graft.sources.Sinks.readTombstones(spark,
+    val live = graft.sources.Sinks.readTombstones(spark,
         Ivf.tombstonesPath(model.indexPath), Some(probes.map(_._1).toIndexedSeq))
       .fold(idx)(t => idx.join(t, Seq("vec_id"), "left_anti"))
+    // filtered search: mask BEFORE the ADC ranking (see Pq.probe)
+    val cand = allowed.fold(live)(a =>
+        live.join(a.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
       .select(col("vec_id"), col("list"),
         posexplode(col("codes")).as(Seq("sub", "cid")))
       .join(broadcast(lutDf), Seq("list", "sub", "cid"))

@@ -288,7 +288,8 @@ object Pq {
     * are touched only for the `rerank` candidates.
     */
   def probe(model: PqModel, embeddings: DataFrame, queryVecId: Long,
-            k: Int, rerank: Int = 50): DataFrame = {
+            k: Int, rerank: Int = 50,
+            allowed: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val qVec = embeddings.filter(col("vec_id") === queryVecId)
@@ -308,7 +309,12 @@ object Pq {
     }
     val lutDf = lut.toDF("sub", "cid", "dotq")
 
-    val cand = codesMinusTombstones(spark, model)
+    val codes0 = codesMinusTombstones(spark, model)
+    // filtered search: mask BEFORE the ADC ranking so excluded vectors
+    // never consume rerank slots (the starvation anti-pattern)
+    val codes = allowed.fold(codes0)(a =>
+      codes0.join(a.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
+    val cand = codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
       .join(broadcast(lutDf), Seq("sub", "cid"))
       .groupBy("vec_id").agg(sum("dotq").as("adcq"))

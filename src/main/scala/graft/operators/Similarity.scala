@@ -34,6 +34,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** FILTERED exact top-k — "nearest neighbors WHERE <predicate>", the
+    * production retrieval shape (lang/source/date gates composed with
+    * vector search). The predicate lands BEFORE the ranking, so it prunes
+    * candidates instead of starving the top-k, and because it is a plain
+    * Column on the corpus scan Catalyst pushes it into the parquet reader
+    * (PushedFilters — asserted in PlansSpec-style SimilaritySpec) — at
+    * 100 TB the filter skips row groups, not rows. The query vector is
+    * resolved from the UNFILTERED corpus (the query need not satisfy its
+    * own predicate).
+    */
+  def topKWhere(embeddings: DataFrame, queryVecId: Long, k: Int,
+                where: Column): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.filter(where)
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .select("vec_id", "cosine")
+      .limit(k)
+  }
+
   /** Exact kNN join: top-k neighbors for every query row (broadcast the
     * query set, window-rank per query). Query set must be driver-small;
     * for corpus×corpus kNN use the LSH path instead.

@@ -265,6 +265,32 @@ object Sq {
       .limit(k)
   }
 
+  /** FILTERED probe — the index path of the "neighbors WHERE <predicate>"
+    * shape: the caller materializes the predicate as an `allowed` id
+    * frame (at scale: a filtered scan of the attributes table, pushed
+    * down), and the ADC ranking SEMI-JOINS it BEFORE the rerank cut — a
+    * keyed distributed join, no broadcast assumption — so filtered-out
+    * vectors never consume rerank slots and the top-k can't starve. One
+    * extra shuffle vs [[probe]], same codes-scan cost.
+    */
+  def probeFiltered(model: SqModel, embeddings: DataFrame, queryVecId: Long,
+                    k: Int, allowed: DataFrame, rerank: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cand = adcScores(spark, model, queryDims(embeddings, queryVecId, model))
+      .filter(col("vec_id") =!= queryVecId)
+      .join(allowed.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
+      .orderBy(desc("adcq"), col("vec_id"))
+      .limit(rerank)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .select("vec_id", "cosine")
+      .limit(k)
+  }
+
   /** Set-oriented probe — ADC top-k for EVERY row of `queries` in one
     * plan (the [[Pq.probeAll]] twin): queries exploded per dim join the
     * broadcast param table, the codes table is scanned ONCE, and ranking

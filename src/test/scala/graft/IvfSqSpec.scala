@@ -102,6 +102,23 @@ class IvfSqSpec extends SparkSpec {
     }
   }
 
+  test("probe plan prunes to probed lists AND reads only codes, never vectors") {
+    val df = SparkEntry.queries("ann_topk_ivfsq")(spark, sfDir)
+    val scans = PlansSpec.unwrapped(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val idxScans = scans.filter(_.partitionFilters.exists(
+      _.references.exists(_.name == "list")))
+    assert(idxScans.nonEmpty,
+      s"no pruned index scan in:\n${df.queryExecution.executedPlan}")
+    idxScans.foreach { s =>
+      assert(s.selectedPartitions.partitionCount <= 4,
+        s"probe reads ${s.selectedPartitions.partitionCount} list dirs (> nprobe)")
+      assert(!s.schema.fieldNames.contains("embedding"),
+        "index scan reads raw embeddings — must read codes only")
+    }
+  }
+
   test("partial probing keeps useful recall and beats the PQ floor") {
     // 8 bits per residual dimension: recall should sit well above PQ's
     val exact = Similarity.topK(emb, 0L, 10)

@@ -129,6 +129,61 @@ class SimilaritySpec extends SparkSpec {
     assert(clean.getLong(5) === clean.getLong(0)) // every row ok
   }
 
+  test("filtered top-k: predicate prunes before ranking and pushes to the scan") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Similarity.topKWhere(emb, 0L, 10, $"label" === 3)
+      .as[(Long, Double)].collect().toSeq
+    // every result satisfies the predicate, and equals brute force over
+    // the pre-filtered corpus (query vector resolved from the full table)
+    val labels = emb.filter($"vec_id".isin(got.map(_._1): _*))
+      .select("label").as[Int].collect()
+    assert(labels.nonEmpty && labels.forall(_ === 3))
+    // the label predicate reaches the parquet scan as a pushed filter
+    val df = Similarity.topKWhere(emb, 0L, 10, $"label" === 3)
+    val scans = PlansSpec.unwrapped(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters")
+      .exists(_.contains("EqualTo(label,3)"))),
+      s"label predicate not pushed:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("filtered probes equal filtered brute force on every layout (exhaustive)") {
+    // exhaustive settings (nprobe = nlist, corpus-sized rerank) make each
+    // index a pure enumerator, so the filtered probe must reproduce the
+    // exact filtered top-k — proving the allow-list masks the candidate
+    // set, not the result set, on all four materialized layouts
+    val emb = Tables.embeddings(spark, sfDir)
+    val allow = emb.filter($"label" === 3).select("vec_id")
+    val all = emb.count().toInt + 10
+    val exact = Similarity.topKWhere(emb, 0L, 10, $"label" === 3)
+      .as[(Long, Double)].collect().toSeq
+
+    val sq = graft.operators.Sq.buildIndex(sfDir + "#fspec", emb)
+    assert(graft.operators.Sq.probeFiltered(sq, emb, 0L, 10, allow, rerank = all)
+      .as[(Long, Double)].collect().toSeq === exact, "SQ diverged")
+
+    val ivf = graft.operators.Ivf.buildIndex(sfDir + "#fspec", emb)
+    assert(graft.operators.Ivf.probe(ivf, emb, 0L, 10,
+        nprobe = ivf.centroids.length, allowed = Some(allow))
+      .as[(Long, Double)].collect().toSeq === exact, "IVF diverged")
+
+    val pq = graft.operators.Pq.buildIndex(sfDir + "#fspec", emb)
+    assert(graft.operators.Pq.probe(pq, emb, 0L, 10, rerank = all,
+        allowed = Some(allow))
+      .as[(Long, Double)].collect().toSeq === exact, "PQ diverged")
+
+    val isq = graft.operators.IvfSq.buildIndex(sfDir + "#fspec", emb)
+    assert(graft.operators.IvfSq.probe(isq, emb, 0L, 10,
+        nprobe = isq.nlist, rerank = all, allowed = Some(allow))
+      .as[(Long, Double)].collect().toSeq === exact, "IVF-SQ diverged")
+
+    val ipq = graft.operators.IvfPq.buildIndex(sfDir + "#fspec", emb)
+    assert(graft.operators.IvfPq.probe(ipq, emb, 0L, 10,
+        nprobe = ipq.nlist, rerank = all, allowed = Some(allow))
+      .as[(Long, Double)].collect().toSeq === exact, "IVF-PQ diverged")
+  }
+
   test("random projection is deterministic across partitionings") {
     val emb = Tables.embeddings(spark, sfDir)
     val a = Similarity.randomProject(emb).orderBy("vec_id")
