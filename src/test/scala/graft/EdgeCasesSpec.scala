@@ -71,6 +71,49 @@ class EdgeCasesSpec extends SparkSpec {
     assert(rj.count() === 0) // inner join semantics: no intervals, no rows
   }
 
+  test("SQ on a tiny corpus with constant dimensions (span 0) stays exact") {
+    // dims with zero spread encode as code 0 on every vector and the
+    // reconstruction contributes a constant — ranking must be unaffected;
+    // at 100 TB a padded or dead embedding dimension is exactly this
+    val tiny = Seq(
+      (0L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.5f)),
+      (1L, Array.tabulate(64)(i => if (i == 0) 0.9f else 0.5f)),
+      (2L, Array.tabulate(64)(i => if (i == 0) -1.0f else 0.5f))
+    ).toDF("vec_id", "embedding")
+    val m = Sq.buildIndex("edge-sq-tiny", tiny)
+    assert(m.spans.drop(1).forall(_ === 0L), "dims 1..63 must have span 0")
+    val got = Sq.probe(m, tiny, 0L, 2, rerank = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Similarity.topK(tiny, 0L, 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === exact)
+  }
+
+  test("IVF-SQ builds and probes when the corpus is smaller than nlist") {
+    // 3 vectors, nlist 16: md5-bucket seeding yields <= 3 live lists;
+    // training, encoding and the pruned probe must all survive
+    val tiny = Seq(
+      (0L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.5f)),
+      (1L, Array.tabulate(64)(i => if (i == 0) 0.9f else 0.5f)),
+      (2L, Array.tabulate(64)(i => if (i == 0) -1.0f else 0.5f))
+    ).toDF("vec_id", "embedding")
+    val m = IvfSq.buildIndex("edge-ivfsq-tiny", tiny)
+    val got = IvfSq.probe(m, tiny, 0L, 2,
+      nprobe = m.coarse.length, rerank = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Similarity.topK(tiny, 0L, 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === exact)
+  }
+
+  test("filtered search with an empty allow-list returns empty, not errors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val none = emb.filter($"label" === -999).select("vec_id")
+    assert(Similarity.topKWhere(emb, 0L, 10, $"label" === -999).count() === 0)
+    val sq = Sq.buildIndex(sfDir + "#edgespec", emb)
+    assert(Sq.probeFiltered(sq, emb, 0L, 10, none).count() === 0)
+  }
+
   test("similarity on a single-vector corpus yields no neighbors") {
     val one = Seq((0L, Array.fill(Similarity.dim)(0.5f), "x"))
       .toDF("vec_id", "embedding", "label")
