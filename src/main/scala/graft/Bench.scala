@@ -97,8 +97,18 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     // stop Spark BEFORE the stdout line so the JSON is the program's last
-    // word — nothing can interleave after it for a tail-scraping parser
+    // word — nothing can interleave after it for a tail-scraping parser.
+    // The driver scans only the last ~2000 chars of output; at 168 queries
+    // the full per-query JSON is ~8 KB and its head falls outside the
+    // window (rounds 3-6 all recorded parsed:null). So stdout gets a
+    // COMPACT summary line guaranteed to fit — the per-query maps live in
+    // BENCH_LAST.json / BENCH_HISTORY.jsonl, which this line points at.
     spark.stop()
-    println(json)
+    val nQueries = ordered.size
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,""" +
+        s""""passes":$passes,"n_queries":$nQueries,"sec_per_query":${total / math.max(1, nQueries - failed.size)},""" +
+        s""""host":$host,"errors":$errs,"sf":"$sfDir","queries_file":"BENCH_LAST.json"}"""
+    println(compact)
   }
 }

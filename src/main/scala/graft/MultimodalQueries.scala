@@ -72,6 +72,53 @@ object MultimodalQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // REAL media decode (round 7): blobs are genuine PPM files built by
+    // MediaCodecs.encodePpm from the generative pixel law; the query
+    // decodes them with the full P6 parser and reports header dims +
+    // position-weighted raster stats. The oracle rebuilds the law in pure
+    // SQL and never sees a byte — any header/raster bug hash-mismatches.
+    "mm_decode_ppm" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeImages(
+        Multimodal.mediaAssetsFromDocuments(Tables.documents(s, dir))
+          .filter(_.fmt == "ppm"))
+        .toDF().orderBy("asset_id")
+    }),
+
+    // Same end-to-end law check through the BMP container: BGR channel
+    // order, 4-byte row padding, bottom-up rows — the decoder must undo all
+    // three or wsum_val breaks (widths cover every padding class).
+    "mm_decode_bmp" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeImages(
+        Multimodal.mediaAssetsFromDocuments(Tables.documents(s, dir))
+          .filter(_.fmt == "bmp"))
+        .toDF().orderBy("asset_id")
+    }),
+
+    // WAV chunk-walk decode: sample_rate read from the fmt chunk, stats
+    // over signed int16 samples from the data chunk.
+    "mm_decode_wav" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeAudio(
+        Multimodal.mediaAssetsFromDocuments(Tables.documents(s, dir))
+          .filter(_.fmt == "wav"))
+        .toDF().orderBy("asset_id")
+    }),
+
+    // aHash over REAL decoded pixels (both image formats) via the fused
+    // native kernel — the perceptual-dedup fingerprint fed by an actual
+    // decode, not text-byte stand-ins. Oracle rebuilds pixel codes from the
+    // law and inlines the same 64 block terms.
+    "mm_phash_media" -> ((s, dir) => {
+      import s.implicits._
+      val codes = Multimodal.decodedPixelCodes(
+        Multimodal.mediaAssetsFromDocuments(Tables.documents(s, dir)))
+      codes.select(col("asset_id"),
+        Multimodal.aHash64FromCodes(col("codes")).as("phash"))
+        .orderBy("asset_id")
+    }),
+
     // Perceptual-hash near-dup: 64-bit aHash over each blob's bytes,
     // pairs within Hamming ≤ 3 via the pigeonhole banding join — the
     // image-dedup pipeline on the planted-clone corpus (clones pair at
@@ -110,7 +157,70 @@ object MultimodalQueries {
       |    CAST(length(text) * 10 AS INT) AS duration_ms
       |  FROM documents)""".stripMargin
 
+  // SQL twin of the media generative law (Multimodal.mediaPixelLaw /
+  // mediaDims): per-asset pixel stream rebuilt by unnest(range(n)) — the
+  // oracle never parses a media file, so a decoder that survives the hash
+  // compare provably round-tripped the real container format.
+  private def imageLawSql(fmtMod: Int): String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, CAST(8 + (doc_id % 8) * 4 AS INT) AS width,
+       |         CAST(8 + (doc_id % 4) * 4 AS INT) AS height
+       |  FROM documents WHERE doc_id % 3 = $fmtMod),
+       |idx AS (
+       |  SELECT doc_id, width, height,
+       |         unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS i
+       |  FROM dims),
+       |px AS (
+       |  SELECT doc_id, width, height, i, (doc_id * 131 + i * 7) % 256 AS v
+       |  FROM idx)
+       |SELECT doc_id AS asset_id, width, height,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vals, CAST(SUM(v) AS BIGINT) AS sum_val,
+       |  CAST(SUM((i + 1) * v) AS BIGINT) AS wsum_val,
+       |  CAST(MIN(v) AS INT) AS min_val, CAST(MAX(v) AS INT) AS max_val
+       |FROM px GROUP BY 1, 2, 3 ORDER BY asset_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "mm_decode_ppm" -> imageLawSql(0),
+    "mm_decode_bmp" -> imageLawSql(1),
+
+    "mm_decode_wav" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |         CAST(200 + (doc_id % 16) * 50 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |idx AS (
+        |  SELECT doc_id, sample_rate, unnest(range(0, n)) AS i FROM dims),
+        |sm AS (
+        |  SELECT doc_id, sample_rate, i,
+        |         (doc_id * 37 + i * 11) % 4096 - 2048 AS v
+        |  FROM idx)
+        |SELECT doc_id AS asset_id, sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vals, CAST(SUM(v) AS BIGINT) AS sum_val,
+        |  CAST(SUM((i + 1) * v) AS BIGINT) AS wsum_val,
+        |  CAST(MIN(v) AS INT) AS min_val, CAST(MAX(v) AS INT) AS max_val
+        |FROM sm GROUP BY 1, 2 ORDER BY asset_id""".stripMargin,
+
+    // aHash over law-rebuilt pixel codes: same 64 inline block terms as
+    // mm_phash_dups, with `codes` = the generative pixel list (both image
+    // formats, doc_id % 3 IN (0, 1)).
+    "mm_phash_media" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |         CAST(8 + (doc_id % 8) * 4 AS BIGINT)
+         |           * (8 + (doc_id % 4) * 4) * 3 AS n
+         |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+         |d AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(0, n),
+         |      i -> (doc_id * 131 + i * 7) % 256) AS codes
+         |  FROM dims),
+         |t AS (
+         |  SELECT doc_id, n, codes,
+         |    COALESCE(CAST(list_sum(codes) AS BIGINT), 0) AS total
+         |  FROM d)
+         |SELECT doc_id AS asset_id, CAST($phashTerms AS BIGINT) AS phash
+         |FROM t ORDER BY asset_id""".stripMargin,
+
     // Equal-content asset pairs on the planted-clone corpus — see the
     // mm_feature_dups query comment for why text equality is the exact twin.
     "mm_feature_dups" ->

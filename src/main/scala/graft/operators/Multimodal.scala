@@ -168,6 +168,133 @@ object Multimodal {
     assets.mapPartitions(_.map(a =>
       AssetFeatures(a.asset_id, MultimodalStub.features(a.content, dim))))
   }
+
+  // ------------------------------------------------------- real media decode
+  // Round-7 upgrade: the decode path below is NOT a stub — the blobs are
+  // real PPM/BMP/WAV files (built by [[MediaCodecs]] encoders from a
+  // deterministic generative law) and the decoders are full parsers. The
+  // DuckDB oracle rebuilds the law in SQL without ever seeing the bytes, so
+  // the encode→decode round trip through real container formats is what
+  // gets hash-verified (mm_decode_ppm / mm_decode_bmp / mm_decode_wav).
+
+  /** A media file row: real encoded bytes + the format tag. */
+  case class MediaAsset(asset_id: Long, fmt: String, content: Array[Byte])
+
+  /** Decoded-image statistics. width/height come from the file HEADER (not
+    * carried-along metadata), n/sum/min/max from the decoded raster, and
+    * `wsum_val` = Σ (i+1)·pixel_i over the normalized top-down RGB order —
+    * position-weighted so channel-swap / row-order / padding bugs cannot
+    * cancel out the way permutation-invariant stats would let them.
+    */
+  case class ImageStats(asset_id: Long, width: Int, height: Int, n_vals: Long,
+    sum_val: Long, wsum_val: Long, min_val: Int, max_val: Int)
+
+  /** Decoded-audio statistics; sample_rate parsed from the fmt chunk. */
+  case class AudioStats(asset_id: Long, sample_rate: Int, n_vals: Long,
+    sum_val: Long, wsum_val: Long, min_val: Int, max_val: Int)
+
+  /** The generative law, mirrored verbatim in the DuckDB oracle SQL:
+    * pixel i of asset `id` is (id·131 + i·7) mod 256 over the top-down RGB
+    * raster. Stride 7 (coprime to 256) makes any decoder misalignment —
+    * off-by-one raster start, wrong row stride — shift every value.
+    */
+  def mediaPixelLaw(id: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((id * 131 + i.toLong * 7) % 256).toByte)
+
+  /** Audio law: sample i = ((id·37 + i·11) mod 4096) − 2048 (int16 range). */
+  def mediaSampleLaw(id: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(i => (((id * 37 + i.toLong * 11) % 4096) - 2048).toShort)
+
+  /** Image dims by id: widths hit every (w·3 mod 4) padding class so the BMP
+    * row-stride logic is exercised at all alignments.
+    */
+  def mediaDims(id: Long): (Int, Int) =
+    ((8 + (id % 8) * 4).toInt, (8 + (id % 4) * 4).toInt)
+
+  def mediaRate(id: Long): Int = (8000 + (id % 4) * 4000).toInt
+  def mediaSampleCount(id: Long): Int = (200 + (id % 16) * 50).toInt
+
+  /** Deterministic real media files from `documents` ids: fmt cycles
+    * ppm/bmp/wav by doc_id mod 3; content is the law encoded through the
+    * real container format. Pure per-row byte work inside mapPartitions —
+    * blobs are born on executors and never shuffled.
+    */
+  def mediaAssetsFromDocuments(documents: DataFrame): Dataset[MediaAsset] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      (id % 3) match {
+        case 0 =>
+          val (w, h) = mediaDims(id)
+          MediaAsset(id, "ppm", MediaCodecs.encodePpm(w, h, mediaPixelLaw(id, w * h * 3)))
+        case 1 =>
+          val (w, h) = mediaDims(id)
+          MediaAsset(id, "bmp", MediaCodecs.encodeBmp(w, h, mediaPixelLaw(id, w * h * 3)))
+        case _ =>
+          MediaAsset(id, "wav",
+            MediaCodecs.encodeWav(mediaRate(id), mediaSampleLaw(id, mediaSampleCount(id))))
+      }
+    })
+  }
+
+  private def imageStatsOf(id: Long, im: MediaCodecs.Image): ImageStats = {
+    val px = im.pixels
+    var sum = 0L; var wsum = 0L; var mn = 255; var mx = 0
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      sum += v; wsum += (i + 1L) * v
+      if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    ImageStats(id, im.width, im.height, px.length.toLong, sum, wsum,
+      if (px.isEmpty) 0 else mn, mx)
+  }
+
+  /** Real image decode (PPM or BMP per the fmt tag) → normalized-raster
+    * statistics. Batched mapPartitions; decoded frames live only inside the
+    * iterator.
+    */
+  def decodeImages(assets: Dataset[MediaAsset]): Dataset[ImageStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.collect {
+      case a if a.fmt == "ppm" => imageStatsOf(a.asset_id, MediaCodecs.decodePpm(a.content))
+      case a if a.fmt == "bmp" => imageStatsOf(a.asset_id, MediaCodecs.decodeBmp(a.content))
+    })
+  }
+
+  /** Real WAV decode → sample statistics (signed int16 values). */
+  def decodeAudio(assets: Dataset[MediaAsset]): Dataset[AudioStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.collect { case a if a.fmt == "wav" =>
+      val au = MediaCodecs.decodeWav(a.content)
+      val s = au.samples
+      var sum = 0L; var wsum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < s.length) {
+        val v = s(i).toInt
+        sum += v; wsum += (i + 1L) * v
+        if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      AudioStats(a.asset_id, au.sampleRate, s.length.toLong, sum, wsum,
+        if (s.isEmpty) 0 else mn, if (s.isEmpty) 0 else mx)
+    })
+  }
+
+  /** Decoded pixel codes (unsigned bytes as longs) per image asset — feeds
+    * [[aHash64FromCodes]] so the perceptual-hash dedup path runs over REAL
+    * decoded pixels, not stand-in text bytes.
+    */
+  def decodedPixelCodes(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.collect {
+      case a if a.fmt == "ppm" =>
+        (a.asset_id, MediaCodecs.decodePpm(a.content).pixels.map(b => (b & 0xff).toLong))
+      case a if a.fmt == "bmp" =>
+        (a.asset_id, MediaCodecs.decodeBmp(a.content).pixels.map(b => (b & 0xff).toLong))
+    }).toDF("asset_id", "codes")
+  }
 }
 
 /** The stubbed kernels — every function here would call a real codec in
