@@ -134,9 +134,21 @@ object Ivf {
   private val models =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), IvfModel]()
 
+  /** Filesystem-safe AND injective directory token for an index key: the
+    * readable sanitized form plus an md5 prefix of the RAW key. Sanitizing
+    * alone maps distinct keys ("a/b", "a_b") to one directory, silently
+    * sharing/overwriting an index — the hash makes the mapping injective
+    * while keeping the name human-readable.
+    */
+  private[graft] def dirToken(key: String): String =
+    key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+
   private def indexDir(indexKey: String, nlist: Int, iters: Int): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivf-" + indexKey.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "graft-ivf-" + dirToken(indexKey) +
         s"-$nlist-$iters").getAbsolutePath
 
   /** Index BUILD, memoized per (indexKey, nlist, iters, trainSamplePct):
@@ -339,7 +351,9 @@ object Ivf {
     val spark = ids.sparkSession
     val resolved = spark.read.parquet(model.indexPath)
       .select(col("vec_id"), col("list"))
-      .join(broadcast(ids.select("vec_id")), "vec_id")
+      .join(ids.select("vec_id"), "vec_id") // no broadcast hint: AQE picks
+      // broadcast for small batches; a 100 TB-scale mass takedown must be
+      // allowed to shuffle instead of materializing on the driver
     val tomb = tombstonesPath(model.indexPath)
     val staging = tomb + s"__ingest_staging_$batchId"
     resolved.repartition(1)
@@ -411,11 +425,15 @@ object Ivf {
     * folded batchIds are recorded in the per-list
     * [[graft.sources.Sinks.IngestManifestName]] (carried forward across
     * compactions) and `Sinks.ingestStagedLists` consults it — a batch
-    * replayed after crash+compact stays a no-op. PRECONDITION: stop the
-    * ingest stream (checkpoint committed) before compacting — a batch
-    * landing between the snapshot read and the swap would be silently
-    * dropped by the swap; the manifest protects against REPLAYED batches,
-    * not concurrent writers. The flat PQ codes table has the same verb as
+    * replayed after crash+compact stays a no-op. PRECONDITION: no OTHER
+    * concurrent writer during the compact — a batch landing between the
+    * snapshot read and the swap would be silently dropped by the swap; the
+    * manifest protects against REPLAYED batches, not concurrent writers.
+    * Calling this from inside the single ingest stream's own foreachBatch
+    * (the `compactAboveFiles` knob on the streaming sinks) is safe:
+    * micro-batches are serialized, so nothing can land mid-compact. Two
+    * ingest streams sharing one index would genuinely race — stop all but
+    * one first. The flat PQ codes table has the same verb as
     * [[Pq.compactCodes]].
     */
   def compactLists(spark: org.apache.spark.sql.SparkSession, indexPath: String,

@@ -62,7 +62,7 @@ object IvfPq {
 
   private def indexDir(key: String, nlist: Int, m: Int, ksub: Int, iters: Int): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivfpq-" + key.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "graft-ivfpq-" + Ivf.dirToken(key) +
         s"-$nlist-$m-$ksub-$iters").getAbsolutePath
 
   /** Index BUILD, memoized: coarse training, residual PQ training (ONE
@@ -209,8 +209,9 @@ object IvfPq {
   }
 
   /** DELETE for the composite index — [[Ivf.deleteFromIndex]] over the
-    * list-partitioned codes table: resolve lists by joining the broadcast
-    * delete batch against the index's (vec_id, list) columns, write
+    * list-partitioned codes table: resolve lists by joining the delete
+    * batch against the index's (vec_id, list) columns (AQE broadcasts
+    * small batches; mass takedowns shuffle), write
     * per-list tombstones exactly-once into the sibling `__tombstones`
     * table; [[probe]] anti-joins them pruned to the probed lists, and
     * [[Ivf.compactLists]] over `model.indexPath` physically drops them.
@@ -219,7 +220,9 @@ object IvfPq {
     val spark = ids.sparkSession
     val resolved = spark.read.parquet(model.indexPath)
       .select(col("vec_id"), col("list"))
-      .join(broadcast(ids.select("vec_id")), "vec_id")
+      .join(ids.select("vec_id"), "vec_id") // no broadcast hint: AQE picks
+      // broadcast for small batches; a 100 TB-scale mass takedown must be
+      // allowed to shuffle instead of materializing on the driver
     val tomb = Ivf.tombstonesPath(model.indexPath)
     val staging = tomb + s"__ingest_staging_$batchId"
     resolved.repartition(1)

@@ -50,7 +50,7 @@ object IvfSq {
 
   private def indexDir(key: String, nlist: Int, iters: Int): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivfsq-" + key.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "graft-ivfsq-" + Ivf.dirToken(key) +
         s"-$nlist-$iters").getAbsolutePath
 
   /** Index BUILD, memoized: coarse training, residual min/max training
@@ -181,7 +181,9 @@ object IvfSq {
     val spark = ids.sparkSession
     val resolved = spark.read.parquet(model.indexPath)
       .select(col("vec_id"), col("list"))
-      .join(broadcast(ids.select("vec_id")), "vec_id")
+      .join(ids.select("vec_id"), "vec_id") // no broadcast hint: AQE picks
+      // broadcast for small batches; a 100 TB-scale mass takedown must be
+      // allowed to shuffle instead of materializing on the driver
     val tomb = Ivf.tombstonesPath(model.indexPath)
     val staging = tomb + s"__ingest_staging_$batchId"
     resolved.repartition(1)

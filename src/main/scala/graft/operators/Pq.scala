@@ -136,7 +136,7 @@ object Pq {
 
   private def codesDir(indexKey: String, m: Int, ksub: Int, iters: Int): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-pq-" + indexKey.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "graft-pq-" + Ivf.dirToken(indexKey) +
         s"-$m-$ksub-$iters").getAbsolutePath
 
   /** Index BUILD, memoized per (indexKey, m, ksub, iters, dim,
@@ -368,9 +368,10 @@ object Pq {
     * `codes-ingest-<batchId>.parquet` batchIds in the root-level
     * [[graft.sources.Sinks.IngestManifestName]] (carried forward across
     * compactions) so a batch replayed after crash+compact stays a no-op in
-    * [[appendToIndexIdempotent]]. Same PRECONDITION as the IVF verb: stop
-    * the ingest stream before compacting — the manifest protects replayed
-    * batches, not concurrent writers. Returns the row count.
+    * [[appendToIndexIdempotent]]. Same PRECONDITION as the IVF verb: no
+    * OTHER concurrent writer (the manifest protects replayed batches, not
+    * concurrent ones); the single ingest stream's own foreachBatch may
+    * call this safely — micro-batches serialize. Returns the row count.
     */
   def compactCodes(spark: org.apache.spark.sql.SparkSession, model: PqModel,
                    targetRowsPerFile: Long = 4000000L): Long = {

@@ -210,13 +210,14 @@ object Similarity {
   }
 
   /** EXACT-integer dimensionality reduction — the op that cuts vector
-    * storage 4× (64 floats → 16 longs, or 16 floats after the /1e6·√outDim
-    * rescale) BEFORE indexing, at 100 TB the cheapest lever on every
-    * downstream ANN/dedup cost: out_d = Σ_j sign_dj · vq_j over the 1e-6
-    * grid (vq = floor(v·1e6 + 0.5)) — sums of longs, so the projection is
-    * partition-order-free, byte-stable across sessions and replayed
-    * bit-for-bit by the oracle. Rankings use the longs directly; |out_d| ≤
-    * dim·|vq|max ≈ 1.3e8, and projected dot products stay < 2^62.
+    * storage 4× (64 float32 = 256 B → 16 int32 = 64 B) BEFORE indexing, at
+    * 100 TB the cheapest lever on every downstream ANN/dedup cost:
+    * out_d = Σ_j sign_dj · vq_j over the 1e-6 grid (vq = floor(v·1e6+0.5))
+    * — integer sums, so the projection is partition-order-free, byte-stable
+    * across sessions and replayed bit-for-bit by the oracle. |out_d| ≤
+    * dim·|vq|max ≈ 1.3e8, 16× inside int32 (the narrowing is CHECKED —
+    * a vector outside the unit-ish scale contract raises, never wraps),
+    * and dot products are computed in long (16·(1.3e8)² < 2^62).
     */
   def randomProject(vectors: DataFrame, outDim: Int = 16): DataFrame = {
     val signs = rpSigns(outDim)
@@ -228,11 +229,17 @@ object Similarity {
           (q, s) => q * s),
         lit(0L), (acc, x) => acc + x)
     }: _*)
-    vectors.select(col("vec_id"), proj.as("proj"))
+    // checked narrowing to the storage dtype: int32 is the whole point of
+    // the op (4× vs float32), and wrapping silently would corrupt rankings
+    val narrowed = transform(proj, x =>
+      when(abs(x) > lit(Int.MaxValue.toLong),
+        raise_error(concat(lit("rp projection overflows int32: "), x.cast("string"))))
+        .otherwise(x).cast("int"))
+    vectors.select(col("vec_id"), narrowed.as("proj"))
   }
 
   /** JL-prefiltered top-k: rank ALL vectors by the exact-integer projected
-    * dot product (16 longs per vector instead of 64 floats — the scan is
+    * dot product (16 int32 per vector instead of 64 float32 — the scan is
     * 1/4 the bytes and the arithmetic 1/4 the multiplies), take the top
     * `rerank`, exact-cosine re-rank just those. Two knobs: `outDim`
     * (distortion ∝ 1/√outDim) and `rerank` — at 64→16 dims the projected
@@ -249,7 +256,8 @@ object Similarity {
     val cand = projAll.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(qProj))
       .withColumn("score",
-        aggregate(zip_with(col("proj"), col("q_proj"), _ * _),
+        aggregate(zip_with(col("proj"), col("q_proj"),
+          (a, b) => a.cast("long") * b),
           lit(0L), (a, x) => a + x))
       .orderBy(desc("score"), col("vec_id"))
       .select("vec_id")

@@ -98,7 +98,7 @@ object Sq {
 
   private def codesDir(indexKey: String, dim: Int): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-sq-" + indexKey.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "graft-sq-" + Ivf.dirToken(indexKey) +
         s"-$dim").getAbsolutePath
 
   /** Index BUILD, memoized per (indexKey, dim). Callers must use distinct
@@ -366,8 +366,11 @@ object Sq {
   /** Small-file maintenance — [[Pq.compactCodes]]'s contract over this
     * layout: staged rewrite + atomic swap, tombstoned rows physically
     * dropped and the tombstone table consumed, folded ingest batchIds
-    * carried in the root manifest. PRECONDITION: stop the ingest stream
-    * (checkpoint committed) before compacting. Returns the row count.
+    * carried in the root manifest. PRECONDITION: no OTHER concurrent
+    * writer — the single ingest stream's own foreachBatch may call this
+    * safely (micro-batches serialize; `compactAboveFiles` relies on it),
+    * but two ingest streams sharing one model would race. Returns the row
+    * count.
     */
   def compactCodes(spark: org.apache.spark.sql.SparkSession, model: SqModel,
                    targetRowsPerFile: Long = 4000000L): Long = {

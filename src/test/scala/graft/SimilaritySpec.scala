@@ -186,12 +186,25 @@ class SimilaritySpec extends SparkSpec {
 
   test("random projection is deterministic across partitionings") {
     val emb = Tables.embeddings(spark, sfDir)
-    val a = Similarity.randomProject(emb).orderBy("vec_id")
-      .as[(Long, Seq[Long])].collect().toSeq
+    val projected = Similarity.randomProject(emb)
+    // the storage claim: element type IS int32 (4x vs float32), not long
+    assert(projected.schema("proj").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ===
+      org.apache.spark.sql.types.IntegerType)
+    val a = projected.orderBy("vec_id")
+      .as[(Long, Seq[Int])].collect().toSeq
     val b = Similarity.randomProject(emb.repartition(7)).orderBy("vec_id")
-      .as[(Long, Seq[Long])].collect().toSeq
+      .as[(Long, Seq[Int])].collect().toSeq
     assert(a === b)
     assert(a.forall(_._2.length === 16))
+  }
+
+  test("index directory naming is injective for colliding sanitized keys") {
+    val d1 = graft.operators.Ivf.dirToken("a/b")
+    val d2 = graft.operators.Ivf.dirToken("a_b")
+    assert(d1 !== d2, "distinct keys must not share an index directory")
+    // still filesystem-safe and readable
+    assert(d1.matches("[A-Za-z0-9._-]+"))
   }
 
   test("JL-prefiltered top-k keeps useful recall vs exact") {
