@@ -69,6 +69,36 @@ object SimilarityQueries {
           (col("n_hits").cast("double") / 10.0).as("recall"))
     }),
 
+    // Measured recall@10-vs-nprobe calibration curve on a 4-query holdout
+    // sample — each exact neighbor's list rank yields the whole monotone
+    // curve in one pass (a neighbor in the query's rank-r list is found
+    // iff nprobe >= r). This is the table the auto-nprobe knob reads.
+    "ann_nprobe_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Ivf
+        .nprobeCurve(operators.Ivf.buildIndex(dir, emb), emb,
+          Seq(0L, 2L, 4L, 6L), 10)
+        .orderBy("nprobe")
+    }),
+
+    // Auto-chosen probe width from a target recall (90%), at TWO corpus
+    // sizes — the manual nprobe knob replaced by the measured curve (the
+    // autoBits/autoTables discipline applied to list pruning). IvfSpec
+    // asserts the floor holds and that the chosen width actually prunes.
+    "ann_autonprobe" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qids = Seq(0L, 2L, 4L, 6L)
+      Seq(("full", emb, dir), ("half", emb.filter(col("vec_id") % 2 === 0), dir + "#half"))
+        .map { case (tag, corpus, key) =>
+          val model = operators.Ivf.buildIndex(key, corpus)
+          val (np, hits) = operators.Ivf.autoNprobe(model, corpus, qids, 10, 90)
+          (tag, corpus.count(), np.toLong, hits, hits.toDouble / 40.0)
+        }
+        .toDF("corpus", "n_vectors", "nprobe_auto", "n_hits", "recall")
+        .orderBy("corpus")
+    }),
+
     // PQ (product-quantization) approximate top-10 — the compressed-codes
     // ANN path (4-bit codes, ADC scoring, exact re-rank of 50 candidates).
     // Hash-checked against a DuckDB twin that replays per-subspace seeding,
@@ -693,16 +723,20 @@ object SimilarityQueries {
     * every vector: exactly Ivf.buildIncremental's semantics (frozen
     * quantizer from the base corpus, batch assigned and appended).
     */
-  private[graft] def ivfCoreCtes(nlist: Int, trainWhere: String = ""): String = {
+  private[graft] def ivfCoreCtes(nlist: Int, trainWhere: String = "",
+                                 corpusWhere: String = ""): String = {
     val tvd = if (trainWhere.isEmpty) "vd" else "tvd"
     val tvdCte =
       if (trainWhere.isEmpty) ""
       else s"tvd AS (SELECT * FROM vd WHERE $trainWhere),\n"
-    val seedWhere = if (trainWhere.isEmpty) "" else s"\n  WHERE $trainWhere"
+    val seedConds = Seq(corpusWhere, trainWhere).filter(_.nonEmpty)
+    val seedWhere =
+      if (seedConds.isEmpty) "" else "\n  WHERE " + seedConds.mkString(" AND ")
+    val idxWhere = if (corpusWhere.isEmpty) "" else s"\n  WHERE $corpusWhere"
     s"""idx AS (
        |  SELECT vec_id, embedding,
        |    unnest(range(1, len(embedding) + 1)) AS i
-       |  FROM embeddings),
+       |  FROM embeddings$idxWhere),
        |vd AS (
        |  SELECT vec_id, i - 1 AS dim,
        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v,
@@ -1212,8 +1246,79 @@ object SimilarityQueries {
        |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall
        |FROM apxk JOIN exk USING (vec_id)""".stripMargin
 
+  /** Shared core of the nprobe-calibration twins: the IVF core (optionally
+    * corpus-restricted), per-query centroid ranks from the same sc2/nc2
+    * scores the build twin already has, exact top-10 ground truth for the
+    * 4-query holdout, and the cumulative recall-vs-nprobe curve `cum`.
+    */
+  private def nprobeCurveCtes(corpusWhere: String = ""): String = {
+    val exWhere = if (corpusWhere.isEmpty) "" else s" AND $corpusWhere"
+    s"""${ivfCoreCtes(16, "", corpusWhere)},
+       |qs AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id IN (0, 2, 4, 6)),
+       |qrank AS (
+       |  SELECT sc2.vec_id AS qid, sc2.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY sc2.vec_id
+       |      ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+       |        DESC, sc2.cid) AS list_rank
+       |  FROM sc2 JOIN nc2 USING (cid)
+       |  WHERE sc2.vec_id IN (0, 2, 4, 6)),
+       |ex AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY (${dotSql("e.embedding", "q.qe")})
+       |          / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |             * sqrt(${dotSql("q.qe", "q.qe")})) DESC, e.vec_id) AS rn
+       |    FROM embeddings e, qs q
+       |    WHERE e.vec_id <> q.qid$exWhere)
+       |  WHERE rn <= 10),
+       |hitsr AS (
+       |  SELECT ex.qid, qrank.list_rank
+       |  FROM ex JOIN a2 USING (vec_id)
+       |  JOIN qrank ON qrank.qid = ex.qid AND qrank.cid = a2.cid),
+       |curve AS (
+       |  SELECT CAST(list_rank AS BIGINT) AS nprobe, COUNT(*) AS n_at
+       |  FROM hitsr GROUP BY 1),
+       |cum AS (
+       |  SELECT nprobe,
+       |    CAST(SUM(n_at) OVER (ORDER BY nprobe ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS n_hits
+       |  FROM curve)""".stripMargin
+  }
+
+  /** One corpus's ann_autonprobe row: smallest curve step with recall >=
+    * 90% of the 40 (= 4 queries x k 10) ground-truth slots.
+    */
+  private def autoNprobeRowSql(tag: String, corpusWhere: String): String = {
+    val nvWhere = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
+    s"""SELECT * FROM (
+       |WITH ${nprobeCurveCtes(corpusWhere)},
+       |chosen AS (
+       |  SELECT nprobe, n_hits FROM cum WHERE n_hits >= 36
+       |  ORDER BY nprobe LIMIT 1)
+       |SELECT '$tag' AS corpus, nv.n AS n_vectors,
+       |  chosen.nprobe AS nprobe_auto, chosen.n_hits,
+       |  CAST(chosen.n_hits AS DOUBLE) / 40.0 AS recall
+       |FROM chosen,
+       |  (SELECT COUNT(*) AS n FROM embeddings$nvWhere) nv)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "ann_topk_ivf" -> ivfSql(),
+
+    "ann_nprobe_curve" ->
+      s"""WITH ${nprobeCurveCtes()}
+         |SELECT nprobe, n_hits,
+         |  CAST(n_hits AS DOUBLE) / 40.0 AS recall
+         |FROM cum ORDER BY nprobe""".stripMargin,
+
+    "ann_autonprobe" ->
+      s"""${autoNprobeRowSql("full", "")}
+         |UNION ALL
+         |${autoNprobeRowSql("half", "vec_id % 2 = 0")}
+         |ORDER BY corpus""".stripMargin,
 
     // Recall twin: the ivfSql probe chain and the ann_topk exact chain as
     // CTEs, intersected. Both top-10 sets are fully deterministic (vec_id

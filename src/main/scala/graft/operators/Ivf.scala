@@ -275,6 +275,98 @@ object Ivf {
   private[operators] def tombstonesPath(indexPath: String): String =
     indexPath + "__tombstones"
 
+  /** Per-query centroid ranking, driver-side — the same quantized score
+    * [[probe]] uses to pick its lists, factored out so calibration
+    * ([[nprobeCurve]]) provably ranks lists exactly as serving probes do.
+    */
+  private def listRanks(cents: Array[(Int, Array[Long])],
+                        qVec: Array[Double]): Array[(Int, Int)] =
+    cents.map { case (cid, cq) =>
+      val norm2q = cq.map(c => c * c).sum
+      var sq = 0L
+      var d = 0
+      val n = math.min(qVec.length, cq.length)
+      while (d < n) { sq += math.floor(qVec(d) * cq(d) * DotScale + 0.5).toLong; d += 1 }
+      (cid, sq.toDouble / math.sqrt(norm2q.toDouble))
+    }.sortBy { case (cid, s) => (-s, cid) }
+      .zipWithIndex.map { case ((cid, _), i) => (cid, i + 1) }
+
+  /** Measured recall@k-vs-nprobe curve for a prebuilt index, evaluated on
+    * a deterministic holdout query sample — the calibration table the
+    * [[autoNprobe]] knob reads, and the empirical answer to "how wide must
+    * probes be for the recall I want" (the `autoBits`/`autoTables`
+    * discipline applied to list pruning).
+    *
+    * Method: because IVF-Flat probes rank lists once and scan them in
+    * order, a neighbor assigned to the query's rank-r list is found by
+    * every probe with nprobe ≥ r and missed below — so ONE pass computing
+    * each exact neighbor's list rank yields the entire monotone curve, no
+    * per-nprobe re-probing. Emits (nprobe, n_hits, recall) for each rank
+    * where the curve steps; recall at any other nprobe is the preceding
+    * step's value.
+    *
+    * Cost: exact ground truth is one corpus scan scoring all |queryIds|
+    * queries at once (k-bounded [[graft.functions.TopK]] aggregate — ≤ k
+    * rows per partition per query through the shuffle), plus model-sized
+    * driver math and a (queries × nlist)-row broadcast join. At warehouse
+    * scale this runs once per build against a fixed holdout set, amortized
+    * like training itself. Calibrate against a compacted index: the curve
+    * reads live assignments but not tombstones.
+    */
+  def nprobeCurve(model: IvfModel, embeddings: DataFrame,
+                  queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qVecs = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val ranks = queryIds.flatMap { qid =>
+      listRanks(model.centroids, qVecs(qid)).map { case (cid, r) => (qid, cid, r) }
+    }.toDF("qid", "cid", "list_rank")
+    // exact ground truth for ALL queries in one corpus pass
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val exact = embeddings
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .groupBy("qid")
+      .agg(graft.functions.TopK.topK(k)(col("vec_id"), col("cosine")).as("top"))
+      .select(col("qid"), explode(col("top").getField("id")).as("vec_id"))
+    val asg = spark.read.parquet(model.indexPath)
+      .select(col("vec_id"), col("list").cast("int").as("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("nprobe") // curve-sized frame (≤ nlist rows): global is fine
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    exact.join(asg, "vec_id")
+      .join(broadcast(ranks), Seq("qid", "cid"))
+      .groupBy(col("list_rank").cast("long").as("nprobe"))
+      .agg(count(lit(1)).as("n_at_rank"))
+      .withColumn("n_hits", sum("n_at_rank").over(w))
+      .withColumn("recall",
+        col("n_hits").cast("double") / (k.toLong * queryIds.length))
+      .select("nprobe", "n_hits", "recall")
+  }
+
+  /** Recall-targeted probe width: the smallest nprobe whose measured
+    * recall@k on the holdout sample meets `targetRecallPct` — the manual
+    * recall knob replaced by a measurement, chosen per index at build/
+    * calibration time and stored with the model like any other parameter.
+    * Returns (nprobe, n_hits at that width); never exceeds nlist (the
+    * curve always reaches recall 1.0 there: an exhaustive IVF-Flat probe
+    * is the exact search). Deterministic end-to-end — hash-oracled as
+    * `ann_autonprobe` at two corpus sizes.
+    */
+  def autoNprobe(model: IvfModel, embeddings: DataFrame, queryIds: Seq[Long],
+                 k: Int = 10, targetRecallPct: Int = 90): (Int, Long) = {
+    val need = (targetRecallPct.toLong * k * queryIds.length + 99L) / 100L
+    val steps = nprobeCurve(model, embeddings, queryIds, k)
+      .orderBy("nprobe")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    steps.collectFirst { case (np, hits) if hits >= need => (np.toInt, hits) }
+      .getOrElse((model.centroids.length, steps.lastOption.map(_._2).getOrElse(0L)))
+  }
+
   /** Persist the (tiny) quantizer next to its lists — `_centroids` at the
     * table root, hidden from scans by the underscore, written via
     * tmp+rename so readers never see a torn file. This is what makes the

@@ -290,6 +290,29 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("nprobe curve is monotone, ends exact, and autoNprobe holds its floor") {
+    val qids = Seq(0L, 2L, 4L, 6L)
+    val model = Ivf.buildIndex(sfDir + "#autonp", emb)
+    val curve = Ivf.nprobeCurve(model, emb, qids, 10)
+      .orderBy("nprobe").as[(Long, Long, Double)].collect()
+    assert(curve.nonEmpty)
+    // cumulative hits never decrease, and the exhaustive width is exact:
+    // an IVF-Flat probe at nprobe = nlist IS the brute-force search
+    assert(curve.sliding(2).forall(w => w.length < 2 || w(0)._2 <= w(1)._2))
+    assert(curve.last._1 <= model.centroids.length.toLong)
+    assert(curve.last._3 === 1.0, s"curve tail ${curve.last} not exact")
+    // the auto knob meets its floor at BOTH corpus sizes and actually
+    // prunes (chosen width strictly below nlist — not a scan in disguise)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val halfModel = Ivf.buildIndex(sfDir + "#autonp-half", half)
+    for ((m, corpus, tag) <- Seq((model, emb, "full"), (halfModel, half, "half"))) {
+      val (np, hits) = Ivf.autoNprobe(m, corpus, qids, 10, 90)
+      val recall = hits.toDouble / (10 * qids.length)
+      assert(recall >= 0.9, s"$tag: recall $recall under target at nprobe $np")
+      assert(np < m.centroids.length, s"$tag: auto nprobe $np does not prune")
+    }
+  }
+
   test("partial probing keeps useful recall on the corpus") {
     val exact = Similarity.topK(emb, 0L, 10)
       .select("vec_id").as[Long].collect().toSet
