@@ -171,41 +171,37 @@ object CurationQueries {
     // One query, one fully composed DuckDB twin; every stage's fragment is
     // its own query's proven twin, chained. Every stage is a linear/keyed
     // shape — the whole chain holds the 100 TB contract of its parts.
-    "cur_pretrain" -> ((s, dir) => {
-      import graft.operators.{Dedup, TextAnalysis}
+    "cur_pretrain" -> ((s, dir) =>
+      operators.Pretrain.full(Tables.documentsWithClones(s, dir),
+          Tables.documents(s, dir).filter(col("doc_id") % 100 === 0),
+          graft.CacheScope.global)
+        .orderBy("doc_id", "chunk_no")),
+
+    // The INCREMENTAL flagship — the production corpus-refresh shape: the
+    // previous run's artifacts (pair table, survivor set, gated stage-4
+    // output) absorb a deterministic diff (1/70 dropped, 1/30 edited,
+    // 1/40 re-keyed copies added), and only the dirty docs plus their
+    // provably-affected neighbors (shared-gram frontier — see Pretrain's
+    // soundness argument) go through the expensive per-document stages.
+    // The DuckDB twin recomputes the ENTIRE six-stage pipeline from
+    // scratch on the edited corpus: hash equality across engines is the
+    // incremental ≡ full proof. PretrainSpec measures the frontier and
+    // asserts it stays diff-sized.
+    "cur_pretrain_incr" -> ((s, dir) => {
       val scope = graft.CacheScope.global
-      val docs0 = Tables.documentsWithClones(s, dir)
-      // 1. collapse: exact clones AND natural near-dups fold to one doc
-      val collapsed = scope.persist(Dedup.collapseNearDups(docs0,
-        Dedup.minhashPairs(docs0, 0.5, scope = scope), col("n_chars"), scope))
-      // 2. cut verbatim shared spans from the lower-ranked pair side
-      val stripped = Dedup.cutSubstrSpans(collapsed, scope = scope)
-        .filter(col("clean_text") =!= "")
-        .join(collapsed.select("doc_id", "lang"), "doc_id")
-        .select(col("doc_id"), col("clean_text").as("text"), col("lang"))
-      // 3. drop docs sharing >= 5 shingles with the benchmark probe set
-      val hits = TextAnalysis.contaminationHits(stripped,
-          Tables.documents(s, dir).filter(col("doc_id") % 100 === 0))
-        .filter(col("n_hits") >= 5)
-      val decon = stripped.join(hits, Seq("doc_id"), "left_anti")
-      // 4. quality gate on the cleaned text
-      val gated = scope.persist(decon
-        .join(TextAnalysis.qualityScore(decon).select("doc_id", "quality"),
-          "doc_id")
-        .filter(col("quality") >= 0.5)
-        .select(col("doc_id"), col("lang"), col("text"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens")))
-      // 5. temperature-scaled per-lang budgets computed over the SURVIVORS
-      val budgets = Curation.temperedBudgets(gated, "lang", col("n_tokens"),
-        totalBudget = 8000L)
-      val sel = Curation.mixtureSample(gated, "lang", col("doc_id"),
-        col("n_tokens"), budgets, scope = scope)
-      // 6. pack the selected docs into fixed-capacity training bins
-      Curation.packSequences(
-          Curation.chunk(gated.join(sel.select("doc_id"), "doc_id"), 64, 8),
-          256, 8)
-        .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
-          col("shard"), col("bin"), col("bin_tokens_before"))
+      val prev = Tables.documentsWithClones(s, dir)
+      val cur = prev.filter(col("doc_id") % 70 =!= 3)
+        .withColumn("text", when(col("doc_id") % 30 === 0,
+          concat(col("text"), lit(" qqedit"))).otherwise(col("text")))
+        .unionByName(prev.filter(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 900000L))
+      val probe = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
+      // the previous run's artifacts come from the materialized state
+      // (memoized parquet tables — the nightly-run output the refresh
+      // starts from), so this query's cost IS the increment
+      operators.Pretrain.incremental(prev, cur, probe,
+          operators.Pretrain.buildState(dir + "#pretrain", prev, probe, scope),
+          scope)
         .orderBy("doc_id", "chunk_no")
     }),
 
@@ -365,6 +361,141 @@ object CurationQueries {
       |        / (CAST(raw_tot AS DOUBLE) + 1024)) * 1000000000.0 + 0.5)
       |      AS BIGINT) AS lnwq
       |  FROM bt, tot)""".stripMargin
+
+  /** The six-stage flagship chain over `corpus` (a CTE name): exact-
+    * jaccard collapse (recursive closure, keep longest) -> substring-span
+    * strip -> probe-set decontamination -> quality gate -> tempered
+    * per-lang budgets (HUGEINT split) -> shard-partitioned packing.
+    * `extraCtes` lets the incremental twin splice the edited-corpus
+    * derivation between the clone CTE and the chain. Each fragment is the
+    * proven twin of its stage's own query, chained through docs3..docs6.
+    */
+  private def pretrainSql(corpus: String, extraCtes: String = ""): String =
+    s"""WITH RECURSIVE ${DedupQueries.clonedDocsCte.stripPrefix("WITH ")},
+         |$extraCtes${DedupQueries.jaccardBaseFrom(corpus)},
+         |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM jp
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS d FROM jp),
+         |walk(id, label) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, w2.label FROM edges e JOIN walk w2 ON w2.id = e.d),
+         |cl AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+         |cda AS (
+         |  SELECT d2.doc_id, d2.text, d2.lang, d2.n_chars,
+         |    COALESCE(cl.cluster_id, d2.doc_id) AS clid
+         |  FROM $corpus d2 LEFT JOIN cl ON cl.id = d2.doc_id),
+         |crk AS (
+         |  SELECT doc_id, text, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY clid
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM cda),
+         |docs3 AS (SELECT doc_id, text, lang FROM crk WHERE rn = 1),
+         |${DedupQueries.substrChainFrom("docs3", 10, 20)},
+         |cutpos AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_b AS doc_id,
+         |      unnest(range(b_start, b_start + span_len)) AS p FROM spans)),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS p, l[i] AS token
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM sp)),
+         |keptk AS (
+         |  SELECT tok.doc_id, tok.p, tok.token
+         |  FROM tok ANTI JOIN cutpos
+         |    ON tok.doc_id = cutpos.doc_id AND tok.p = cutpos.p),
+         |stext AS (
+         |  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS text
+         |  FROM keptk GROUP BY doc_id),
+         |docs4 AS (
+         |  SELECT d3.doc_id, st.text, d3.lang
+         |  FROM docs3 d3 JOIN stext st USING (doc_id)
+         |  WHERE st.text <> ''),
+         |pw AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+         |      i -> string_split(text, ' ')[i] || ' ' ||
+         |           string_split(text, ' ')[i+1] || ' ' ||
+         |           string_split(text, ' ')[i+2])) AS shs
+         |  FROM documents WHERE doc_id % 100 = 0),
+         |probe AS (SELECT DISTINCT unnest(shs) AS s1 FROM pw),
+         |dw AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+         |      i -> string_split(text, ' ')[i] || ' ' ||
+         |           string_split(text, ' ')[i+1] || ' ' ||
+         |           string_split(text, ' ')[i+2])) AS shs
+         |  FROM docs4),
+         |dsh AS (SELECT doc_id, unnest(shs) AS s1 FROM dw),
+         |hits AS (
+         |  SELECT doc_id FROM dsh JOIN probe USING (s1)
+         |  GROUP BY doc_id HAVING COUNT(*) >= 5),
+         |docs5 AS (
+         |  SELECT docs4.* FROM docs4 ANTI JOIN hits USING (doc_id)),
+         |qx AS (
+         |  SELECT doc_id,
+         |    FLOOR((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) * 0.3
+         |      + LEAST(CAST(len(list_filter(string_split(text, ' '),
+         |          tk -> tk IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3)
+         |      * 10000.0 + 0.5) / 10000.0 AS quality
+         |  FROM docs5),
+         |docs6 AS (
+         |  SELECT docs5.doc_id, docs5.lang, docs5.text,
+         |    CAST(len(string_split(docs5.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM docs5 JOIN qx USING (doc_id) WHERE qx.quality >= 0.5),
+         |mt AS (
+         |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok FROM docs6
+         |  GROUP BY 1 HAVING SUM(n_tokens) > 0),
+         |mw AS (
+         |  SELECT lang,
+         |    CAST(FLOOR(exp(0.5 * ln(CAST(tok AS DOUBLE))) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS wq
+         |  FROM mt),
+         |mb AS (
+         |  SELECT lang,
+         |    (8000::HUGEINT * wq::HUGEINT) // (SELECT SUM(wq) FROM mw)
+         |      AS budget
+         |  FROM mw),
+         |mr AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY
+         |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |        / 4294967296.0, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+         |  FROM docs6),
+         |sel AS (
+         |  SELECT mr.doc_id FROM mr JOIN mb ON mr.lang = mb.lang
+         |  WHERE mr.running <= mb.budget),
+         |pt AS (
+         |  SELECT docs6.doc_id, string_split(docs6.text, ' ') AS toks,
+         |    len(string_split(docs6.text, ' ')) AS n
+         |  FROM docs6 SEMI JOIN sel ON docs6.doc_id = sel.doc_id),
+         |pc AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN n <= 64 THEN 1
+         |         ELSE CAST(CEIL((n - 64) / 56.0) AS INT) + 1 END AS n_chunks
+         |  FROM pt),
+         |pe AS (
+         |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_no FROM pc),
+         |pch AS (
+         |  SELECT doc_id, chunk_no,
+         |    len(list_slice(toks, chunk_no * 56 + 1, chunk_no * 56 + 64)) AS n_tok,
+         |    $bucket8 AS shard
+         |  FROM pe),
+         |pp AS (
+         |  SELECT doc_id, chunk_no, shard,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY shard
+         |      ORDER BY doc_id, chunk_no ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      - n_tok AS prefix
+         |  FROM pch)
+         |SELECT doc_id, chunk_no, shard,
+         |  CAST(FLOOR(CAST(prefix AS DOUBLE) / 256.0) AS BIGINT) AS bin,
+         |  prefix % 256 AS bin_tokens_before
+         |FROM pp ORDER BY doc_id, chunk_no""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "cur_weighted" ->
@@ -623,132 +754,22 @@ object CurationQueries {
     // decontamination → quality gate → tempered per-lang budgets (HUGEINT
     // split) → shard-partitioned packing. Each fragment is the proven twin
     // of its stage's own query, chained through docs3..docs6.
-    "cur_pretrain" ->
-      s"""WITH RECURSIVE ${DedupQueries.clonedDocsCte.stripPrefix("WITH ")},
-         |${DedupQueries.jaccardBaseFrom("documents2")},
-         |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
-         |edges AS (
-         |  SELECT doc_a AS s, doc_b AS d FROM jp
-         |  UNION ALL
-         |  SELECT doc_b AS s, doc_a AS d FROM jp),
-         |walk(id, label) AS (
-         |  SELECT s, s FROM edges
-         |  UNION
-         |  SELECT e.s, w2.label FROM edges e JOIN walk w2 ON w2.id = e.d),
-         |cl AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
-         |cda AS (
-         |  SELECT d2.doc_id, d2.text, d2.lang, d2.n_chars,
-         |    COALESCE(cl.cluster_id, d2.doc_id) AS clid
-         |  FROM documents2 d2 LEFT JOIN cl ON cl.id = d2.doc_id),
-         |crk AS (
-         |  SELECT doc_id, text, lang,
-         |    ROW_NUMBER() OVER (PARTITION BY clid
-         |      ORDER BY n_chars DESC, doc_id) AS rn
-         |  FROM cda),
-         |docs3 AS (SELECT doc_id, text, lang FROM crk WHERE rn = 1),
-         |${DedupQueries.substrChainFrom("docs3", 10, 20)},
-         |cutpos AS (
-         |  SELECT DISTINCT doc_id, p FROM (
-         |    SELECT doc_b AS doc_id,
-         |      unnest(range(b_start, b_start + span_len)) AS p FROM spans)),
-         |tok AS (
-         |  SELECT doc_id, i - 1 AS p, l[i] AS token
-         |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM sp)),
-         |keptk AS (
-         |  SELECT tok.doc_id, tok.p, tok.token
-         |  FROM tok ANTI JOIN cutpos
-         |    ON tok.doc_id = cutpos.doc_id AND tok.p = cutpos.p),
-         |stext AS (
-         |  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS text
-         |  FROM keptk GROUP BY doc_id),
-         |docs4 AS (
-         |  SELECT d3.doc_id, st.text, d3.lang
-         |  FROM docs3 d3 JOIN stext st USING (doc_id)
-         |  WHERE st.text <> ''),
-         |pw AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-         |      i -> string_split(text, ' ')[i] || ' ' ||
-         |           string_split(text, ' ')[i+1] || ' ' ||
-         |           string_split(text, ' ')[i+2])) AS shs
-         |  FROM documents WHERE doc_id % 100 = 0),
-         |probe AS (SELECT DISTINCT unnest(shs) AS s1 FROM pw),
-         |dw AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-         |      i -> string_split(text, ' ')[i] || ' ' ||
-         |           string_split(text, ' ')[i+1] || ' ' ||
-         |           string_split(text, ' ')[i+2])) AS shs
-         |  FROM docs4),
-         |dsh AS (SELECT doc_id, unnest(shs) AS s1 FROM dw),
-         |hits AS (
-         |  SELECT doc_id FROM dsh JOIN probe USING (s1)
-         |  GROUP BY doc_id HAVING COUNT(*) >= 5),
-         |docs5 AS (
-         |  SELECT docs4.* FROM docs4 ANTI JOIN hits USING (doc_id)),
-         |qx AS (
-         |  SELECT doc_id,
-         |    FLOOR((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-         |      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |        / len(string_split(text, ' ')) * 0.3
-         |      + LEAST(CAST(len(list_filter(string_split(text, ' '),
-         |          tk -> tk IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
-         |        / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3)
-         |      * 10000.0 + 0.5) / 10000.0 AS quality
-         |  FROM docs5),
-         |docs6 AS (
-         |  SELECT docs5.doc_id, docs5.lang, docs5.text,
-         |    CAST(len(string_split(docs5.text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM docs5 JOIN qx USING (doc_id) WHERE qx.quality >= 0.5),
-         |mt AS (
-         |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok FROM docs6
-         |  GROUP BY 1 HAVING SUM(n_tokens) > 0),
-         |mw AS (
-         |  SELECT lang,
-         |    CAST(FLOOR(exp(0.5 * ln(CAST(tok AS DOUBLE))) * 1000000.0 + 0.5)
-         |      AS BIGINT) AS wq
-         |  FROM mt),
-         |mb AS (
-         |  SELECT lang,
-         |    (8000::HUGEINT * wq::HUGEINT) // (SELECT SUM(wq) FROM mw)
-         |      AS budget
-         |  FROM mw),
-         |mr AS (
-         |  SELECT doc_id, lang, n_tokens,
-         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY
-         |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-         |        / 4294967296.0, doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
-         |  FROM docs6),
-         |sel AS (
-         |  SELECT mr.doc_id FROM mr JOIN mb ON mr.lang = mb.lang
-         |  WHERE mr.running <= mb.budget),
-         |pt AS (
-         |  SELECT docs6.doc_id, string_split(docs6.text, ' ') AS toks,
-         |    len(string_split(docs6.text, ' ')) AS n
-         |  FROM docs6 SEMI JOIN sel ON docs6.doc_id = sel.doc_id),
-         |pc AS (
-         |  SELECT doc_id, toks,
-         |    CASE WHEN n <= 64 THEN 1
-         |         ELSE CAST(CEIL((n - 64) / 56.0) AS INT) + 1 END AS n_chunks
-         |  FROM pt),
-         |pe AS (
-         |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_no FROM pc),
-         |pch AS (
-         |  SELECT doc_id, chunk_no,
-         |    len(list_slice(toks, chunk_no * 56 + 1, chunk_no * 56 + 64)) AS n_tok,
-         |    $bucket8 AS shard
-         |  FROM pe),
-         |pp AS (
-         |  SELECT doc_id, chunk_no, shard,
-         |    CAST(SUM(n_tok) OVER (PARTITION BY shard
-         |      ORDER BY doc_id, chunk_no ROWS UNBOUNDED PRECEDING) AS BIGINT)
-         |      - n_tok AS prefix
-         |  FROM pch)
-         |SELECT doc_id, chunk_no, shard,
-         |  CAST(FLOOR(CAST(prefix AS DOUBLE) / 256.0) AS BIGINT) AS bin,
-         |  prefix % 256 AS bin_tokens_before
-         |FROM pp ORDER BY doc_id, chunk_no""".stripMargin,
+    "cur_pretrain" -> pretrainSql("documents2"),
+
+    // The incremental twin is the same chain FULLY RECOMPUTED over the
+    // edited corpus — DuckDB never sees the increment, so the hash match
+    // proves incremental ≡ full across engines.
+    "cur_pretrain_incr" -> pretrainSql("documents2c",
+      """documents2c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 30 = 0 THEN text || ' qqedit' ELSE text END
+        |      AS text,
+        |    lang, source, n_chars
+        |  FROM documents2 WHERE doc_id % 70 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 900000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents2 WHERE doc_id % 40 = 0),
+        |""".stripMargin),
 
     // Quality-ranked per-source running sums (the cur_budget window twin,
     // partitioned by source, against the CASE budget).

@@ -30,6 +30,30 @@ object ScaleProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val annMode = args.headOption.contains("ann")
     val bpeMode = args.headOption.contains("bpe")
+    val pretrainMode = args.headOption.contains("pretrain")
+
+    if (pretrainMode) {
+      // `pretrain [reps]`: per-stage wall-time table for the cur_pretrain
+      // flagship (the breakdown behind its bench number) — run reps times
+      // so BASELINE.md can record min/median and pin the run-to-run spread
+      val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val docs0 = Tables.documentsWithClones(spark, dir)
+      val probe = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 100 === 0)
+      for (r <- 1 to reps) {
+        val sc = new CacheScope
+        val t0 = System.nanoTime()
+        val rows = try operators.Pretrain.stageTimings(docs0, probe, sc)
+          finally { sc.release(); spark.catalog.clearCache() }
+        val total = (System.nanoTime() - t0) / 1e9
+        rows.foreach { case (st, sec, n) =>
+          println(f"PROBE pretrain_$st%-20s rep=$r%-2d ${sec}%8.2f s  rows=$n%d")
+        }
+        println(f"PROBE pretrain_total          rep=$r%-2d ${total}%8.2f s")
+      }
+      spark.stop()
+      return
+    }
 
     if (bpeMode) {
       // per-merge cost vs merge count: sequential (batch=1) pays one Spark
@@ -111,16 +135,31 @@ object ScaleProbe {
     }
 
     if (annMode) {
+      // extra args pick the corpus multipliers (default 1 5) — `ann 1 10`
+      // on the sf1 fixture is the 2·10⁴ → 2·10⁵-vector decade probe
+      val annMults = args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 5)
+        case ms => ms
+      }
       // the (tables, bits) knob: at fixed bits the bucket self-join cost is
       // Σ|bucket|² and grows quadratically with corpus size; raising bits
-      // keeps buckets constant-sized and the cost linear — demonstrate both
-      for ((m, bits) <- Seq((1, 4), (5, 4), (5, 7)))
+      // keeps buckets constant-sized and the cost linear. The default sweep
+      // demonstrates both regimes; a custom-mult run (the decade probe)
+      // uses autoBits at each size — the knob a deployment would actually
+      // turn, whose per-unit cost must stay flat
+      val lshSweep =
+        if (args.drop(1).isEmpty) Seq((1, 4), (5, 4), (5, 7))
+        else annMults.map { m =>
+          (m, operators.Similarity.autoBits(
+            Tables.embeddings(spark, dir).count() * m))
+        }
+      for ((m, bits) <- lshSweep)
         time(s"knn_lsh_bits$bits", m,
           operators.Similarity.knnJoinLsh(blowUpVecs(m), 3, tables = 8, bits = bits))
       // build/probe split for the index-shaped paths: build pays training +
       // the index write (once per corpus), probes must stay near-flat as the
       // corpus grows (IVF scans nprobe/nlist of it, PQ scans 4-byte codes)
-      for (m <- Seq(1, 5)) {
+      for (m <- annMults) {
         // materialize the blown-up corpus: probes must be measured against
         // a real table, not a derived 5-way-union chain that re-evaluates
         // inside every broadcast/join subtree of the probe

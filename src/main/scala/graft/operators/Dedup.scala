@@ -693,19 +693,25 @@ object Dedup {
     * report, truncated at the excluded positions — the documented,
     * engine-portable semantics.
     */
+  /** Rolling `minLen`-token gram hashes of `text` (one xxhash64 per token
+    * window) — the occurrence primitive shared by the span family and the
+    * incremental-pretrain frontier computation in [[Pretrain]].
+    */
+  private[operators] def gramHashes(textCol: Column, minLen: Int): Column = {
+    val toks = split(textCol, " ")
+    when(size(toks) < minLen, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - minLen),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(minLen))))))
+  }
+
   def exactSubstrSpans(documents: DataFrame, minLen: Int = 10,
                        maxDf: Int = 20,
                        scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    val gramHashes = {
-      val toks = split(col("text"), " ")
-      when(size(toks) < minLen, array().cast("array<long>"))
-        .otherwise(transform(sequence(lit(0), size(toks) - minLen),
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(minLen))))))
-    }
     // persist: the occurrence table feeds the hot-gram count AND both join
     // sides — without it the scan + gram hashing runs three times
     val occ = scope.persist(documents
-      .select(col("doc_id"), posexplode(gramHashes).as(Seq("pos", "h"))))
+      .select(col("doc_id"),
+        posexplode(gramHashes(col("text"), minLen)).as(Seq("pos", "h"))))
     // persist: the (tiny) hot-gram set anti-joins BOTH sides of the match
     // join — uncached, the df-count aggregation over occ runs twice
     val hot = scope.persist(occ.select("doc_id", "h").distinct()
@@ -782,6 +788,62 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("p"), col("token")))),
           x => x.getField("token")), " ").as("clean_text"))
     documents.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** [[cutSubstrSpans]] restricted to a TARGET doc set — the incremental
+    * recompute primitive: spans are cut from the HIGHER-id (doc_b) side of
+    * a pair, so a target doc's clean text depends only on spans where IT
+    * is doc_b; the doc_a partner side must stay unrestricted (any corpus
+    * doc can donate a span), and the hot-gram df cap must stay CORPUS-
+    * global (a df computed inside the target subset would resurrect grams
+    * the full run capped). Returns (doc_id, clean_text) for every TARGET
+    * document, equal row-for-row to the full [[cutSubstrSpans]] output
+    * filtered to the targets (asserted in DedupSpec).
+    *
+    * Scale: the b-side of the match join is target-sized; each cold gram
+    * joins ≤ maxDf partners, so span cost is ∝ targets, not corpus. The
+    * corpus-side occurrence/df pass is one linear hash scan — at warehouse
+    * scale the incrementally-maintained gram-postings table
+    * ([[Pretrain]]'s artifact discipline).
+    */
+  def cutSubstrSpansFor(documents: DataFrame, targets: DataFrame,
+                        minLen: Int = 10, maxDf: Int = 20,
+                        scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val tids = targets.select(col("doc_id"))
+    val occ = scope.persist(documents
+      .select(col("doc_id"),
+        posexplode(gramHashes(col("text"), minLen)).as(Seq("pos", "h"))))
+    val hot = scope.persist(occ.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h"))
+    val cold = occ.join(hot, Seq("h"), "left_anti")
+    val a = cold.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("h"))
+    val b = cold.join(tids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
+    val cut = a.join(b, "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("d", col("pos_a") - col("pos_b"))
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "d", "isl")
+      .agg(min("pos_b").cast("long").as("b_start"),
+        (count(lit(1)) + (minLen - 1)).as("span_len"))
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("span_len") - 1)).as("pl"))
+      .select(col("doc_id"), col("pl").cast("int").as("p"))
+      .distinct()
+    val toks = documents.join(tids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "token")))
+    val kept = toks.join(cut, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("token")))),
+          x => x.getField("token")), " ").as("clean_text"))
+    tids.join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 

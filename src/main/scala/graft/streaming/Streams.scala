@@ -770,6 +770,29 @@ object Streams {
       .drop("probe_sh", "n_hits")
   }
 
+  /** The STREAMING pretraining-corpus flagship: every micro-batch of new
+    * documents is absorbed into the full six-stage `cur_pretrain` state
+    * (collapse → substring strip → decontamination → quality gate →
+    * tempered mixture → packing) through the INCREMENTAL machinery — the
+    * batch and its shared-gram frontier go through the expensive text
+    * stages, the standing corpus's artifacts are reused, and the
+    * metadata-sized global stages (budgets, packing) are recomputed —
+    * then committed as a new state version
+    * ([[graft.operators.Pretrain.absorbBatch]]'s versioned-dir + pointer
+    * protocol, exactly-once under crash replay). After any batch,
+    * [[graft.operators.Pretrain.packedSnapshot]] equals the batch
+    * `Pretrain.full` over every document ingested so far (parity in
+    * StreamingSpec) — a training set that is always current and never
+    * rebuilt from scratch.
+    */
+  def pretrainIngestSink(docs: DataFrame, probe: DataFrame, stateDir: String,
+                         checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Pretrain.absorbBatch(batch, probe, stateDir, batchId)
+      }
+
   /** Streaming Bloom-prefiltered exact dedup — the ingest twin of
     * [[graft.operators.Dedup.bloomNovel]]: each micro-batch row tests the
     * broadcast serialized corpus filter (codegen'd BloomFilterMightContain,

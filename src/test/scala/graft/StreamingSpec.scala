@@ -1335,4 +1335,49 @@ class StreamingSpec extends SparkSpec {
     assert(sGot === graft.operators.Sq.probe(sqB, emb, 0L, 10)
       .as[(Long, Double)].collect().toSeq, "SQ stream/batch delete diverged")
   }
+
+  test("streaming pretrain flagship equals the batch build on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pretrain
+    val docs = Tables.documents(spark, sfDir)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // batch 1 bootstraps; batch 2 appends re-keyed clones of every 4th doc
+    // (new near-dup pairs AND new substring spans against standing docs —
+    // the frontier machinery has to bite, not just append)
+    val b1 = docs
+    val b2 = docs.filter(_._1 % 4 == 0)
+      .map(d => d.copy(_1 = d._1 + 150000L))
+    val probe = Tables.documents(spark, sfDir).filter($"doc_id" % 100 === 0)
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-pts").toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pts-c").toString
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val q = Streams.pretrainIngestSink(
+      input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      probe, stateDir, ckpt).start()
+    input.addData(b1)
+    q.processAllAvailable()
+    // mid-stream snapshot must equal the batch build over batch 1 alone
+    val snap1 = Pretrain.packedSnapshot(spark, stateDir).get
+      .orderBy("doc_id", "chunk_no")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val full1 = Pretrain.full(b1.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        probe, new CacheScope)
+      .orderBy("doc_id", "chunk_no")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(snap1 === full1, "bootstrap snapshot diverged from batch build")
+    input.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val snap2 = Pretrain.packedSnapshot(spark, stateDir).get
+      .orderBy("doc_id", "chunk_no")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val full2 = Pretrain.full(
+        (b1 ++ b2).toDF("doc_id", "text", "lang", "source", "n_chars"),
+        probe, new CacheScope)
+      .orderBy("doc_id", "chunk_no")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(snap2.nonEmpty)
+    assert(snap2 === full2, "incremental snapshot diverged from batch build")
+  }
 }
