@@ -314,7 +314,8 @@ object Ivf {
     * reads live assignments but not tombstones.
     */
   def nprobeCurve(model: IvfModel, embeddings: DataFrame,
-                  queryIds: Seq[Long], k: Int = 10): DataFrame = {
+                  queryIds: Seq[Long], k: Int = 10,
+                  scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val qVecs = embeddings.filter(col("vec_id").isin(queryIds: _*))
@@ -335,14 +336,20 @@ object Ivf {
       .select(col("qid"), explode(col("top").getField("id")).as("vec_id"))
     val asg = spark.read.parquet(model.indexPath)
       .select(col("vec_id"), col("list").cast("int").as("cid"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("nprobe") // curve-sized frame (≤ nlist rows): global is fine
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    exact.join(asg, "vec_id")
-      .join(broadcast(ranks), Seq("qid", "cid"))
-      .groupBy(col("list_rank").cast("long").as("nprobe"))
-      .agg(count(lit(1)).as("n_at_rank"))
-      .withColumn("n_hits", sum("n_at_rank").over(w))
+    // per-rank hit counts, persisted so the exact ground-truth corpus pass
+    // runs once; the cumulative sum is then a broadcast triangular
+    // self-join over the model-sized (≤ nlist rows) curve table — NOT a
+    // partitionless window, which would global-sort on one task and break
+    // the plan invariant every registered query holds
+    val byRank = scope.persist(
+      exact.join(asg, "vec_id")
+        .join(broadcast(ranks), Seq("qid", "cid"))
+        .groupBy(col("list_rank").cast("long").as("nprobe"))
+        .agg(count(lit(1)).as("n_at_rank")))
+    byRank.as("a")
+      .join(broadcast(byRank.as("b")), col("b.nprobe") <= col("a.nprobe"))
+      .groupBy(col("a.nprobe").as("nprobe"))
+      .agg(sum(col("b.n_at_rank")).as("n_hits"))
       .withColumn("recall",
         col("n_hits").cast("double") / (k.toLong * queryIds.length))
       .select("nprobe", "n_hits", "recall")
@@ -360,9 +367,12 @@ object Ivf {
   def autoNprobe(model: IvfModel, embeddings: DataFrame, queryIds: Seq[Long],
                  k: Int = 10, targetRecallPct: Int = 90): (Int, Long) = {
     val need = (targetRecallPct.toLong * k * queryIds.length + 99L) / 100L
-    val steps = nprobeCurve(model, embeddings, queryIds, k)
-      .orderBy("nprobe")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sc = new graft.CacheScope
+    val steps =
+      try nprobeCurve(model, embeddings, queryIds, k, sc)
+        .orderBy("nprobe")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      finally sc.release()
     steps.collectFirst { case (np, hits) if hits >= need => (np.toInt, hits) }
       .getOrElse((model.centroids.length, steps.lastOption.map(_._2).getOrElse(0L)))
   }
