@@ -36,6 +36,29 @@ final class CacheScope {
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  private val checkpoints = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Eager `localCheckpoint` tracked for [[release]]: materializes `df`
+    * once and REPLACES its logical plan with a `LogicalRDD` scan of the
+    * stored partitions. Unlike [[persist]] (which caches data but leaves
+    * the full plan tree in place, so every subsequent action re-analyzes
+    * it), this truncates lineage — the tool for a deep-pipeline boundary
+    * whose downstream launches many small jobs (measured on the pretrain
+    * flagship: stages 5–6 fell from 20–50 s to seconds once `gated`
+    * stopped dragging the whole stage-1..4 tree into each mixture/pack
+    * job's analysis). Same data, same results; cost-only, like the
+    * label-propagation rounds in [[operators.Dedup.nearDupClusters]].
+    * Cluster note: local checkpoints don't survive executor loss — a
+    * nightly production run materializes these boundaries as tables
+    * instead ([[operators.Pretrain.buildState]] / the versioned stream
+    * state), which has the same plan-truncating effect.
+    */
+  private[graft] def checkpoint(df: DataFrame): DataFrame = synchronized {
+    val out = df.localCheckpoint(true)
+    checkpoints += out
+    out
+  }
+
   /** Unpersist every DataFrame acquired in this scope (non-blocking) and
     * forget the handles. Safe to call repeatedly; only affects blocks this
     * scope acquired.
@@ -43,6 +66,8 @@ final class CacheScope {
   def release(): Unit = synchronized {
     handles.foreach(_.unpersist(blocking = false))
     handles.clear()
+    checkpoints.foreach(CacheScope.releaseCheckpoint)
+    checkpoints.clear()
   }
 
   /** Number of currently-held handles (diagnostics/tests). */

@@ -75,7 +75,12 @@ object Pretrain {
     val pairs = scope.persist(Dedup.minhashPairs(docs0, 0.5, scope = scope))
     val collapsed = scope.persist(
       Dedup.collapseNearDups(docs0, pairs, col("n_chars"), scope))
-    val gated = scope.persist(
+    // checkpoint, not persist: `gated` is the boundary stages 5–6 hammer
+    // with many small jobs (budget collects, mixture phases, packing) —
+    // truncating its six-stage lineage here is what keeps those jobs
+    // planning against a scan instead of the whole pipeline tree (see
+    // CacheScope.checkpoint; measured 3–10× on the flagship)
+    val gated = scope.checkpoint(
       gateStages(Dedup.cutSubstrSpans(collapsed, scope = scope),
         collapsed, probe))
     State(pairs, collapsed.select("doc_id"), gated)
@@ -183,12 +188,15 @@ object Pretrain {
         TextAnalysis.contaminationHits(stripped, probe)
           .filter(col("n_hits") >= 5),
         Seq("doc_id"), "left_anti"))
-    val gated = t("4_quality_gate")(decon
+    val gated0 = t("4_quality_gate")(decon
       .join(TextAnalysis.qualityScore(decon).select("doc_id", "quality"),
         "doc_id")
       .filter(col("quality") >= 0.5)
       .select(col("doc_id"), col("lang"), col("text"),
         size(split(col("text"), " ")).cast("long").as("n_tokens")))
+    // mirror [[state]]'s lineage cut (data already cached, so this is a
+    // cache read + partition store, billed to no stage)
+    val gated = scope.checkpoint(gated0)
     val sel = t("5_tempered_mixture")(
       Curation.mixtureSample(gated, "lang", col("doc_id"), col("n_tokens"),
         Curation.temperedBudgets(gated, "lang", col("n_tokens"), 8000L),
@@ -373,7 +381,7 @@ object Pretrain {
             .join(inc.collapsed.select("doc_id"), Seq("doc_id"), "left_semi")
             .join(inc.affected, Seq("doc_id"), "left_anti")
           (cur, inc.pairs, inc.collapsed.select("doc_id"),
-            scope.persist(reused.unionByName(gatedAff)))
+            scope.checkpoint(reused.unionByName(gatedAff)))
       }
       cur.write.mode("overwrite").parquet(s"$vdir/corpus")
       pairs.write.mode("overwrite").parquet(s"$vdir/pairs")
@@ -413,6 +421,8 @@ object Pretrain {
     val reused = prevState.gated
       .join(inc.collapsed.select("doc_id"), Seq("doc_id"), "left_semi")
       .join(inc.affected, Seq("doc_id"), "left_anti")
-    pack(reused.unionByName(gatedAff), scope)
+    // same boundary cut as [[state]]: pack's many small jobs must plan
+    // against a scan, not the frontier-rebuild tree
+    pack(scope.checkpoint(reused.unionByName(gatedAff)), scope)
   }
 }
