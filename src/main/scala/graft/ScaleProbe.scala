@@ -197,6 +197,14 @@ object ScaleProbe {
         // same as LSH bits) flattens; reuses the ivf index built above
         time("semdedup", m,
           operators.Dedup.semanticDupPairs(vecs, 0.4, s"probe-ivf-$m"))
+        // the knob, turned: autoNlist holds list width constant, so the
+        // same Σ|list|² join must go flat per unit (build timed apart)
+        val anl = operators.Similarity.autoNlist(vecs.count())
+        val tA = System.nanoTime()
+        operators.Ivf.buildIndex(s"probe-ivfa-$m", vecs, nlist = anl)
+        println(f"PROBE ivf_build_auto    mult=$m%-3d ${(System.nanoTime() - tA) / 1e9}%8.2f s  nlist=$anl")
+        time(s"semdedup_auto", m,
+          operators.Dedup.semanticDupPairs(vecs, 0.4, s"probe-ivfa-$m", nlist = anl))
         // incremental append: a FIXED batch appended to the mult-m index —
         // the maintenance cost must track the batch, not the corpus (the
         // mutation runs last so the probes above measured the clean index)

@@ -99,6 +99,25 @@ object SimilarityQueries {
         .orderBy("corpus")
     }),
 
+    // IVF capacity planner — autoNlist's table form: centroid count that
+    // holds the list width at the 2048-row target across corpus decades
+    // (actual corpus + 10⁵…10¹¹), with the quantizer size it implies.
+    // The row where nlist hits the 65 536 broadcast cap shows list_width
+    // re-growing — the documented "shard the coarse quantizer past this
+    // point" frontier. Pure integer driver math, replayed by the twin.
+    "ann_nlist_plan" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      (Seq(emb.count()) ++ Seq(100000L, 10000000L, 1000000000L, 100000000000L))
+        .map { n =>
+          val nl = operators.Similarity.autoNlist(n).toLong
+          (n, nl, (n + nl - 1) / nl, nl * dim)
+        }
+        .toDF("n_vectors", "nlist", "list_width", "centroid_values")
+        .orderBy("n_vectors")
+    }),
+
     // PQ (product-quantization) approximate top-10 — the compressed-codes
     // ANN path (4-bit codes, ADC scoring, exact re-rank of 50 candidates).
     // Hash-checked against a DuckDB twin that replays per-subspace seeding,
@@ -1319,6 +1338,24 @@ object SimilarityQueries {
          |UNION ALL
          |${autoNprobeRowSql("half", "vec_id % 2 = 0")}
          |ORDER BY corpus""".stripMargin,
+
+    // autoNlist's integer formula replayed: nlist = clamp(⌈n/2048⌉, 8,
+    // 65536), width = ⌈n/nlist⌉, quantizer = nlist·dim values.
+    "ann_nlist_plan" ->
+      """WITH d AS (SELECT CAST(len(embedding) AS BIGINT) AS dim
+        |           FROM embeddings LIMIT 1),
+        |ns AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+        |  UNION ALL SELECT 100000 UNION ALL SELECT 10000000
+        |  UNION ALL SELECT 1000000000 UNION ALL SELECT 100000000000),
+        |plan AS (
+        |  SELECT n,
+        |    LEAST(65536, GREATEST(8, (n + 2047) // 2048)) AS nlist
+        |  FROM ns)
+        |SELECT n AS n_vectors, CAST(nlist AS BIGINT) AS nlist,
+        |  CAST((n + nlist - 1) // nlist AS BIGINT) AS list_width,
+        |  CAST(nlist * d.dim AS BIGINT) AS centroid_values
+        |FROM plan, d ORDER BY n_vectors""".stripMargin,
 
     // Recall twin: the ivfSql probe chain and the ann_topk exact chain as
     // CTEs, intersected. Both top-10 sets are fully deterministic (vec_id

@@ -107,22 +107,25 @@ object Ivf {
     cents
   }
 
-  /** Per-row argmax-cosine centroid id as a pure expression: array of
-    * (−score, cid) structs → array_min → cid, where score is the exact
-    * quantized sq/√norm2q (see object scaladoc). One [[graft.plans.QuantDot]]
-    * kernel call per centroid, no shuffle; ties break toward the lower cid
-    * (the SQL twin orders by score DESC, cid).
+  /** Per-row argmax-cosine centroid id as a pure expression, where score
+    * is the exact quantized sq/√norm2q (see object scaladoc). One fused
+    * [[graft.plans.QuantArgmin]] kernel call per row, no shuffle; ties
+    * break toward the lower cid (the SQL twin orders by score DESC, cid).
     */
-  private def assignList(v: Column, cents: Array[(Int, Array[Long])]): Column = {
-    val entries = cents.map { case (cid, cq) =>
-      val norm2q = cq.map(c => c * c).sum // exact: ≪ 2^63 at any sane dim
-      struct(
-        (lit(0.0) - graft.plans.NativeKernels.quantDot(v, cq, DotScale).cast("double")
-          / sqrt(lit(norm2q.toDouble))).as("negscore"),
-        lit(cid).as("cid"))
-    }
-    array_min(array(entries.toIndexedSeq: _*)).getField("cid")
-  }
+  private def assignList(v: Column, cents: Array[(Int, Array[Long])]): Column =
+    // fused QuantArgmin kernel, NOT array_min(array(struct(QuantDot…))):
+    // the struct-array form inlines one loop per centroid into the
+    // generated method, blowing the codegen budget past a few dozen
+    // centroids and dropping the projection to interpreted eval (measured
+    // 200 s vs 8 s for an nlist=98 build). Bit-identical scoring and
+    // tie-break — asserted against the struct form in NativeKernelsSpec.
+    graft.plans.NativeKernels.quantArgmin(v,
+      cents.map(_._1),
+      cents.map(_._2),
+      cents.map { case (_, cq) =>
+        math.sqrt(cq.map(c => c * c).sum.toDouble) // exact: ≪ 2^63 at sane dim
+      },
+      DotScale)
 
   /** (vec_id, embedding, …, list) — the logical inverted-list assignment,
     * one narrow pass. [[buildIndex]] materializes this `list`-partitioned;
@@ -696,37 +699,27 @@ object Ivf {
     * — what lets [[probeAll]] select probes for a whole TABLE of queries.
     */
   private def probeListsCol(qEmb: Column, cents: Array[(Int, Array[Long])],
-                            nprobe: Int): Column = {
-    val entries = cents.map { case (cid, cq) =>
-      val norm2q = cq.map(c => c * c).sum
-      struct(
-        (lit(0.0) - graft.plans.NativeKernels.quantDot(qEmb, cq, DotScale).cast("double")
-          / sqrt(lit(norm2q.toDouble))).as("negscore"),
-        lit(cid).as("cid"))
-    }
-    transform(slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nprobe),
-      e => e.getField("cid"))
-  }
+                            nprobe: Int): Column =
+    transform(probeStructsCol(qEmb, cents, nprobe), e => e.getField("cid"))
 
   /** [[probeListsCol]] keeping the exact integer q·c term per probed list
     * — structs (cid, baseq) — for the composite layouts whose ADC ranking
     * needs the coarse score as its base term ([[IvfPq.probeAll]] /
-    * [[IvfSq.probeAll]]). Identical ranking and tie-break.
+    * [[IvfSq.probeAll]]). Identical ranking and tie-break. Fused
+    * [[graft.plans.QuantTopLists]] kernel for the same reason
+    * [[assignList]] fused: the slice(array_sort(array(struct…))) form's
+    * generated code grows with nlist and drops to interpreted eval past a
+    * few dozen centroids — with autoNlist-sized quantizers that cliff sat
+    * on the whole-table probe path.
     */
   private[operators] def probeStructsCol(qEmb: Column,
                                          cents: Array[(Int, Array[Long])],
-                                         nprobe: Int): Column = {
-    val entries = cents.map { case (cid, cq) =>
-      val norm2q = cq.map(c => c * c).sum
-      val sq = graft.plans.NativeKernels.quantDot(qEmb, cq, DotScale)
-      struct(
-        (lit(0.0) - sq.cast("double") / sqrt(lit(norm2q.toDouble)))
-          .as("negscore"),
-        lit(cid).as("cid"),
-        sq.as("baseq"))
-    }
-    slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nprobe)
-  }
+                                         nprobe: Int): Column =
+    graft.plans.NativeKernels.quantTopLists(qEmb,
+      cents.map(_._1),
+      cents.map(_._2),
+      cents.map { case (_, cq) => math.sqrt(cq.map(c => c * c).sum.toDouble) },
+      DotScale, nprobe)
 
   /** Set-oriented probe — approximate top-k neighbors for EVERY row of
     * `queries` (vec_id, embedding) in one plan: per-row probe selection via

@@ -402,6 +402,31 @@ object Similarity {
     math.min(16, math.max(minBits, need))
   }
 
+  /** [[autoBits]]'s IVF sibling: centroid count that holds the TARGET LIST
+    * WIDTH constant as the corpus grows — nlist = ⌈n / targetList⌉,
+    * clamped. At a fixed nlist every per-list cost drifts linearly with
+    * the corpus: a probe scans nprobe·(n/nlist) rows and SemDeDup's
+    * within-list pair join is Σ|list|² = n²/nlist (the decade probe
+    * measured that drift at 3.6×/10× corpus on nlist=16). Holding width
+    * at `targetList` makes the probe scan nprobe·targetList rows and the
+    * SemDeDup join n·targetList pairs — both FLAT per unit (re-measured
+    * flat in the same probe).
+    *
+    * The price is quantizer size: the centroid table is collected and
+    * broadcast (nlist × dim values), so nlist cannot grow unbounded —
+    * `maxNlist` (default 65 536 ≈ 32 MB at dim 64 — still
+    * broadcast-small) caps it, and the scaladoc'd move past the cap at
+    * 10⁹+ vectors is raising targetList or sharding the coarse quantizer
+    * (a two-level IVF), not an unbounded driver collect. Pure integer
+    * driver math, mirrored 1:1 by the `ann_nlist_plan` oracle.
+    */
+  def autoNlist(n: Long, targetList: Long = 2048L, minNlist: Int = 8,
+                maxNlist: Int = 65536): Int = {
+    require(targetList > 0, "targetList must be > 0")
+    val need = ((n + targetList - 1) / targetList).toInt
+    math.min(maxNlist, math.max(minNlist, need))
+  }
+
   /** The planner curve's closed-form inverse: OR-tables needed to hit
     * `targetRecall` for pairs at angle fraction `thetaFrac` = θ/π under
     * `bits`-wide tables — T = ⌈ln(1 − target) / ln(1 − p1^bits)⌉ with

@@ -51,6 +51,17 @@ object NativeKernels {
 
   def aHash64(codes: Column): Column =
     ColumnBridge.column(AHash64(ColumnBridge.expression(codes)))
+
+  def quantArgmin(v: Column, ids: Array[Int], weights: Array[Array[Long]],
+                  sqrtNorms: Array[Double], scale: Double): Column =
+    ColumnBridge.column(QuantArgmin(ColumnBridge.expression(v), ids, weights,
+      sqrtNorms, scale))
+
+  def quantTopLists(v: Column, ids: Array[Int], weights: Array[Array[Long]],
+                    sqrtNorms: Array[Double], scale: Double,
+                    nprobe: Int): Column =
+    ColumnBridge.column(QuantTopLists(ColumnBridge.expression(v), ids,
+      weights, sqrtNorms, scale, nprobe))
 }
 
 /** Dot product of two numeric arrays (float or double elements) as double.
@@ -393,6 +404,220 @@ case class QuantDot(child: Expression, weights: Array[Long], scale: Double)
   }
 
   override protected def withNewChildInternal(newChild: Expression): QuantDot =
+    copy(child = newChild)
+}
+
+/** Fused argmax-cosine centroid assignment: for an embedding row, returns
+  * ids(i) of the centroid maximizing score_i = quantDot_i / sqrtNorms(i)
+  * (double division of the exact integer dot — bit-identical to the
+  * [[QuantDot]]-per-centroid formulation), ties toward the LOWER centroid
+  * id and doubles ordered by `java.lang.Double.compare` — exactly the
+  * `array_min(array(struct(−score, cid)…))` semantics this replaces.
+  *
+  * Why a fused kernel and not the struct-array expression: that form
+  * inlines one QuantDot loop + struct allocation PER CENTROID into a
+  * single generated method, so its size grows with nlist and past a few
+  * dozen centroids it blows the JIT/Janino budget and the whole projection
+  * drops to interpreted eval — measured 200 s for an nlist=98 build that
+  * this kernel does in ~8 s. Here nlist scales the REFERENCE ARRAYS, not
+  * the generated code: one 2-D loop, whole-stage-codegen-friendly at any
+  * nlist the driver can hold.
+  */
+case class QuantArgmin(child: Expression, ids: Array[Int],
+                       weights: Array[Array[Long]], sqrtNorms: Array[Double],
+                       scale: Double)
+    extends UnaryExpression {
+
+  require(ids.length == weights.length && ids.length == sqrtNorms.length &&
+    ids.length > 0, "ids/weights/sqrtNorms must be same-length and non-empty")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quant_argmin"
+
+  private def elemIsDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val isD = elemIsDouble
+    var bestNeg = 0.0
+    var bestId = 0
+    var c = 0
+    while (c < weights.length) {
+      val w = weights(c)
+      val n = math.min(a.numElements(), w.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val x = if (isD) a.getDouble(i) else a.getFloat(i).toDouble
+        acc += math.floor(x * w(i) * scale + 0.5).toLong
+        i += 1
+      }
+      val neg = 0.0 - acc.toDouble / sqrtNorms(c)
+      val cmp = java.lang.Double.compare(neg, bestNeg)
+      if (c == 0 || cmp < 0 || (cmp == 0 && ids(c) < bestId)) {
+        bestNeg = neg; bestId = ids(c)
+      }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("quantArgminW", weights, "long[][]")
+    val idRef = ctx.addReferenceObj("quantArgminIds", ids, "int[]")
+    val nrmRef = ctx.addReferenceObj("quantArgminNorms", sqrtNorms, "double[]")
+    val get = if (elemIsDouble) "getDouble" else "getFloat"
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val w = ctx.freshName("w")
+      val neg = ctx.freshName("neg")
+      val cmp = ctx.freshName("cmp")
+      val bestNeg = ctx.freshName("bestNeg")
+      val bestId = ctx.freshName("bestId")
+      s"""
+         |double $bestNeg = 0.0;
+         |int $bestId = 0;
+         |for (int $c = 0; $c < $wRef.length; $c++) {
+         |  long[] $w = $wRef[$c];
+         |  int $n = java.lang.Math.min($v.numElements(), $w.length);
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (long) java.lang.Math.floor(
+         |      ((double) $v.$get($i)) * ((double) $w[$i]) * $scale + 0.5);
+         |  }
+         |  double $neg = 0.0 - ((double) $acc) / $nrmRef[$c];
+         |  int $cmp = java.lang.Double.compare($neg, $bestNeg);
+         |  if ($c == 0 || $cmp < 0 || ($cmp == 0 && $idRef[$c] < $bestId)) {
+         |    $bestNeg = $neg; $bestId = $idRef[$c];
+         |  }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantArgmin =
+    copy(child = newChild)
+}
+
+/** Fused top-`nprobe` probe-list selection: [[QuantArgmin]]'s sibling for
+  * the query side. Scores every centroid exactly as QuantArgmin does
+  * (negscore = −quantDot/sqrtNorm, `java.lang.Double.compare` ordering,
+  * ties toward the lower cid) and returns the best `nprobe` as
+  * `array<struct<cid:int, baseq:long>>` in rank order — `baseq` is the
+  * exact integer q·c dot the composite layouts' ADC ranking needs as its
+  * base term. Replaces `slice(array_sort(array(struct…)), 1, nprobe)`,
+  * which inlines one loop per centroid and falls off codegen past a few
+  * dozen centroids (the [[QuantArgmin]] scaladoc's cliff, on the probe
+  * path). Selection is a bounded insertion (O(nlist·nprobe) compares),
+  * so nlist scales only the reference arrays.
+  *
+  * Codegen note: the kernel body lives in [[topLists]] and the generated
+  * code calls it through a reference object — one virtual call per row
+  * keeps the projection inside whole-stage codegen with generated-code
+  * size independent of nlist (the idiomatic escape for expressions whose
+  * inline form would grow with model size).
+  */
+case class QuantTopLists(child: Expression, ids: Array[Int],
+                         weights: Array[Array[Long]],
+                         sqrtNorms: Array[Double], scale: Double, nprobe: Int)
+    extends UnaryExpression {
+
+  require(ids.length == weights.length && ids.length == sqrtNorms.length &&
+    ids.length > 0, "ids/weights/sqrtNorms must be same-length and non-empty")
+  require(nprobe > 0, "nprobe must be > 0")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("baseq", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quant_top_lists"
+
+  private def elemIsDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double>, got ${other.sql}")
+    }
+
+  /** The whole kernel, shared verbatim by interpreted eval and codegen. */
+  def topLists(a: ArrayData): ArrayData = {
+    val isD = elemIsDouble
+    val m = math.min(nprobe, weights.length)
+    val negs = new Array[Double](m)
+    val cids = new Array[Int](m)
+    val bases = new Array[Long](m)
+    var filled = 0
+    var c = 0
+    while (c < weights.length) {
+      val w = weights(c)
+      val n = math.min(a.numElements(), w.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val x = if (isD) a.getDouble(i) else a.getFloat(i).toDouble
+        acc += math.floor(x * w(i) * scale + 0.5).toLong
+        i += 1
+      }
+      val neg = 0.0 - acc.toDouble / sqrtNorms(c)
+      val cid = ids(c)
+      var pos = filled
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(neg, negs(pos - 1))
+        cmp < 0 || (cmp == 0 && cid < cids(pos - 1))
+      }) pos -= 1
+      if (pos < m) {
+        var j = math.min(filled, m - 1)
+        while (j > pos) {
+          negs(j) = negs(j - 1); cids(j) = cids(j - 1); bases(j) = bases(j - 1)
+          j -= 1
+        }
+        negs(pos) = neg; cids(pos) = cid; bases(pos) = acc
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    val rows = new Array[Any](filled)
+    var r = 0
+    while (r < filled) {
+      rows(r) = InternalRow(cids(r), bases(r))
+      r += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    topLists(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("quantTopLists", this,
+      classOf[QuantTopLists].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $self.topLists($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantTopLists =
     copy(child = newChild)
 }
 

@@ -108,6 +108,110 @@ class NativeKernelsSpec extends SparkSpec {
     assert(edge(0)._1 === 0L) // empty blob → zero hash
   }
 
+  test("QuantArgmin matches the array_min(struct(QuantDot…)) form bit-for-bit") {
+    // the struct-array formulation QuantArgmin replaced (verbatim
+    // semantics: negscore = −dot/√norm2, Double.compare ordering, ties →
+    // lower cid) — kept here as the executable spec of those semantics
+    def structForm(v: org.apache.spark.sql.Column,
+                   cents: Array[(Int, Array[Long])]): org.apache.spark.sql.Column = {
+      val entries = cents.map { case (cid, cq) =>
+        val norm2q = cq.map(c => c * c).sum
+        struct(
+          (lit(0.0) - NativeKernels.quantDot(v, cq, 1000.0).cast("double")
+            / sqrt(lit(norm2q.toDouble))).as("negscore"),
+          lit(cid).as("cid"))
+      }
+      array_min(array(entries.toIndexedSeq: _*)).getField("cid")
+    }
+    def kernelForm(v: org.apache.spark.sql.Column,
+                   cents: Array[(Int, Array[Long])]): org.apache.spark.sql.Column =
+      NativeKernels.quantArgmin(v, cents.map(_._1), cents.map(_._2),
+        cents.map { case (_, cq) => math.sqrt(cq.map(c => c * c).sum.toDouble) },
+        1000.0)
+
+    val emb = Tables.embeddings(spark, sfDir)
+    // deterministic pseudo-centroids of assorted ids, including a
+    // duplicated one (tie → lower cid). No zero-norm centroid: ANSI mode
+    // makes the struct form's division THROW on one (so production
+    // quantizers provably never fed it one), while the kernel's Java
+    // division yields NaN, which Double.compare ranks last — strictly
+    // more lenient on an input the old form rejected.
+    val dim = 64
+    def cent(seed: Int): Array[Long] =
+      Array.tabulate(dim)(i => ((seed * 2654435761L + i * 40503L) % 2000L) - 1000L)
+    val dup = cent(7)
+    val cents: Array[(Int, Array[Long])] =
+      Array(3 -> cent(1), 11 -> cent(7), 4 -> cent(6),
+        9 -> dup, 25 -> cent(2), 31 -> cent(3), 12 -> cent(4)).sortBy(_._1)
+    val diff = emb.select(
+        structForm($"embedding", cents).as("a"),
+        kernelForm($"embedding", cents).as("b"))
+      .filter($"a" =!= $"b")
+    assert(diff.count() === 0)
+    // wide-centroid regression: 98 centroids — the width where the struct
+    // form dropped to interpreted eval — must still agree exactly
+    val wide: Array[(Int, Array[Long])] =
+      Array.tabulate(98)(c => c -> cent(c + 100))
+    val diffW = emb.limit(200).select(
+        structForm($"embedding", wide).as("a"),
+        kernelForm($"embedding", wide).as("b"))
+      .filter($"a" =!= $"b")
+    assert(diffW.count() === 0)
+  }
+
+  test("QuantTopLists matches the slice(array_sort(struct…)) form bit-for-bit") {
+    // the probe-side formulation QuantTopLists replaced, kept as the
+    // executable spec: ascending (negscore, cid) sort, top-nprobe slice,
+    // exact integer q·c carried as baseq
+    def sortForm(v: org.apache.spark.sql.Column,
+                 cents: Array[(Int, Array[Long])],
+                 nprobe: Int): org.apache.spark.sql.Column = {
+      val entries = cents.map { case (cid, cq) =>
+        val norm2q = cq.map(c => c * c).sum
+        val sq = NativeKernels.quantDot(v, cq, 1000.0)
+        struct(
+          (lit(0.0) - sq.cast("double") / sqrt(lit(norm2q.toDouble)))
+            .as("negscore"),
+          lit(cid).as("cid"),
+          sq.as("baseq"))
+      }
+      transform(slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nprobe),
+        e => struct(e.getField("cid").as("cid"), e.getField("baseq").as("baseq")))
+    }
+    def kernelForm(v: org.apache.spark.sql.Column,
+                   cents: Array[(Int, Array[Long])],
+                   nprobe: Int): org.apache.spark.sql.Column =
+      NativeKernels.quantTopLists(v, cents.map(_._1), cents.map(_._2),
+        cents.map { case (_, cq) => math.sqrt(cq.map(c => c * c).sum.toDouble) },
+        1000.0, nprobe)
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = 64
+    def cent(seed: Int): Array[Long] =
+      Array.tabulate(dim)(i => ((seed * 2654435761L + i * 40503L) % 2000L) - 1000L)
+    val dup = cent(5)
+    val cents: Array[(Int, Array[Long])] =
+      Array(2 -> cent(1), 17 -> dup, 5 -> dup, 8 -> cent(2), 23 -> cent(3),
+        40 -> cent(4), 41 -> cent(8)).sortBy(_._1)
+    // nprobe interior, == nlist, and > nlist (slice caps at array length)
+    for (np <- Seq(3, cents.length, cents.length + 5)) {
+      val diff = emb.select(
+          sortForm($"embedding", cents, np).as("a"),
+          kernelForm($"embedding", cents, np).as("b"))
+        .filter(not($"a" <=> $"b"))
+      assert(diff.count() === 0, s"mismatch at nprobe=$np")
+    }
+    // wide-quantizer regression: 98 centroids, where the sort form's
+    // generated code fell off codegen
+    val wide: Array[(Int, Array[Long])] =
+      Array.tabulate(98)(c => c -> cent(c + 200))
+    val diffW = emb.limit(200).select(
+        sortForm($"embedding", wide, 4).as("a"),
+        kernelForm($"embedding", wide, 4).as("b"))
+      .filter(not($"a" <=> $"b"))
+    assert(diffW.count() === 0)
+  }
+
   test("SQL registration via GraftExtensions works") {
     val dot = spark.sql(
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")

@@ -76,6 +76,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoBits(0) === 4)
   }
 
+  test("autoNlist holds list width at the target until the broadcast cap") {
+    assert(Similarity.autoNlist(200) === 8)        // floor clamp
+    assert(Similarity.autoNlist(20000) === 10)
+    assert(Similarity.autoNlist(200000) === 98)
+    // inside the cap, the implied width never exceeds the target
+    for (n <- Seq(100000L, 10000000L, 100000000L)) {
+      val nl = Similarity.autoNlist(n)
+      assert((n + nl - 1) / nl <= 2048, s"width blew past target at n=$n")
+    }
+    // past the cap the quantizer stops growing (broadcast-small contract)
+    assert(Similarity.autoNlist(100000000000L) === 65536)
+  }
+
   test("autoTables inverts the planner curve: chosen T actually hits the target") {
     for (thetaFrac <- Seq(0.1, 0.2, 0.3); bits <- Seq(4, 7, 9)) {
       val t = Similarity.autoTables(thetaFrac, bits, 0.95)
