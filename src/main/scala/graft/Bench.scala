@@ -62,7 +62,11 @@ object Bench {
     // every pass reports null and is excluded from the totals (its name is
     // in "errors").
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 micro-benches named queries (the
+    // Verify idiom; the driver sets no env and always benches the surface)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples: Map[String, Seq[Double]] =
       (1 to passes).flatMap(_ =>
         ordered.map { case (n, fn) => n -> timeOnce(n, fn) })

@@ -32,6 +32,35 @@ object ScaleProbe {
     val bpeMode = args.headOption.contains("bpe")
     val pretrainMode = args.headOption.contains("pretrain")
 
+    if (args.headOption.contains("pretrainIncr")) {
+      // `pretrainIncr [reps]`: the refresh query's cost split — one-time
+      // state build (the memoized nightly artifact) vs the per-refresh
+      // increment, the breakdown behind cur_pretrain_incr's bench number
+      val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val prev = Tables.documentsWithClones(spark, dir)
+      val probe = Tables.documents(spark, dir).filter(col("doc_id") % 100 === 0)
+      val cur = prev.filter(col("doc_id") % 70 =!= 3)
+        .withColumn("text", when(col("doc_id") % 30 === 0,
+          concat(col("text"), lit(" qqedit"))).otherwise(col("text")))
+        .unionByName(prev.filter(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 900000L))
+      val t0 = System.nanoTime()
+      val st = operators.Pretrain.buildState(dir + "#probeIncr", prev, probe,
+        CacheScope.global)
+      CacheScope.global.release(); spark.catalog.clearCache()
+      println(f"PROBE incr_build_state        ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      for (r <- 1 to reps) {
+        val sc = new CacheScope
+        val t1 = System.nanoTime()
+        try {
+          val n = operators.Pretrain.incremental(prev, cur, probe, st, sc).count()
+          println(f"PROBE incr_refresh     rep=$r%-2d ${(System.nanoTime() - t1) / 1e9}%8.2f s  rows=$n%d")
+        } finally { sc.release(); spark.catalog.clearCache() }
+      }
+      spark.stop()
+      return
+    }
+
     if (pretrainMode) {
       // `pretrain [reps]`: per-stage wall-time table for the cur_pretrain
       // flagship (the breakdown behind its bench number) — run reps times

@@ -49,29 +49,44 @@ import org.apache.spark.sql.functions._
   *     and the ≤ budget selected docs — recipe-sized, recomputed in full.
   *
   * Artifact discipline at 100 TB: [[State]] (pair table, survivor ids,
-  * gated stage-4 output) is what a nightly full run persists; the linear
-  * helper passes here that rebuild gram occurrences / signatures from the
-  * corpus stand in for the incrementally-maintained postings/signature
-  * tables a warehouse deployment would keep (append/delete by doc — the
-  * same lifecycle the ANN indexes already implement). The expensive
+  * gated stage-4 output, and the survivors' GRAM POSTINGS (doc_id, h)) is
+  * what a nightly full run persists. The postings table is the
+  * incrementally-maintained occurrence index a warehouse deployment keeps
+  * (append/delete by doc — the same lifecycle the ANN indexes implement):
+  * a refresh updates it by dropping departed/changed docs' rows and
+  * exploding grams for the diff only, so the frontier discovery pays
+  * postings SCANS plus diff-sized text work, never a full-corpus
+  * re-hash (measured: the sf0.1 refresh query halved when the two
+  * corpus-wide gram explodes became postings maintenance). The expensive
   * per-document text stages run ONLY on the frontier either way — that is
   * the measured cost-∝-diff claim (PretrainSpec counts them).
   */
 object Pretrain {
 
   /** The reusable artifacts a full run leaves behind: near-dup pairs,
-    * collapse-surviving doc ids, and the gated stage-4 output
-    * (doc_id, lang, clean text, n_tokens).
+    * collapse-surviving doc ids, the gated stage-4 output
+    * (doc_id, lang, clean text, n_tokens), and the survivors' distinct
+    * gram postings (doc_id, h) — the maintained occurrence index the
+    * refresh's frontier discovery reads instead of re-hashing the corpus.
+    * `occ` is built with [[increment]]'s `minLen` (default 10); a caller
+    * overriding minLen must build state with the same value.
     */
   final case class State(pairs: DataFrame, survivors: DataFrame,
-                         gated: DataFrame)
+                         gated: DataFrame, occ: DataFrame)
+
+  /** Distinct (doc_id, h) gram postings of `docs` — [[State.occ]]'s shape. */
+  private def occOf(docs: DataFrame, minLen: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(Dedup.gramHashes(col("text"), minLen)).as("h"))
+      .distinct()
 
   /** Stage-1..4 chain on a full corpus; persists the three artifacts in
     * `scope`. `probe` is the decontamination benchmark set (static across
     * refreshes by contract).
     */
   def state(docs0: DataFrame, probe: DataFrame,
-            scope: graft.CacheScope = graft.CacheScope.global): State = {
+            scope: graft.CacheScope = graft.CacheScope.global,
+            minLen: Int = 10): State = {
     val pairs = scope.persist(Dedup.minhashPairs(docs0, 0.5, scope = scope))
     val collapsed = scope.persist(
       Dedup.collapseNearDups(docs0, pairs, col("n_chars"), scope))
@@ -83,7 +98,8 @@ object Pretrain {
     val gated = scope.checkpoint(
       gateStages(Dedup.cutSubstrSpans(collapsed, scope = scope),
         collapsed, probe))
-    State(pairs, collapsed.select("doc_id"), gated)
+    State(pairs, collapsed.select("doc_id"), gated,
+      occOf(collapsed, minLen))
   }
 
   /** Stages 2(tail)–4 shared by full and incremental: strip-output join
@@ -150,10 +166,12 @@ object Pretrain {
       st.pairs.write.mode("overwrite").parquet(dir + "/pairs")
       st.survivors.write.mode("overwrite").parquet(dir + "/survivors")
       st.gated.write.mode("overwrite").parquet(dir + "/gated")
+      st.occ.write.mode("overwrite").parquet(dir + "/occ")
       val spark = docs0.sparkSession
       State(spark.read.parquet(dir + "/pairs"),
         spark.read.parquet(dir + "/survivors"),
-        spark.read.parquet(dir + "/gated"))
+        spark.read.parquet(dir + "/gated"),
+        spark.read.parquet(dir + "/occ"))
     })
 
   /** Diagnostic twin of [[full]] with a hard materialization barrier after
@@ -214,12 +232,20 @@ object Pretrain {
     * run; everything else reuses `prevState.gated`.
     */
   final case class Increment(pairs: DataFrame, collapsed: DataFrame,
-                             affected: DataFrame)
+                             affected: DataFrame, occ: DataFrame)
 
   def increment(prevDocs: DataFrame, curDocs: DataFrame, prevState: State,
                 scope: graft.CacheScope = graft.CacheScope.global,
                 minLen: Int = 10, maxDf: Int = 20): Increment = {
-    val diff = scope.persist(
+    // checkpoints, not persists, at every boundary of this chain: each
+    // artifact is read by several later steps, and under persist() every
+    // one of those reads re-analyzes the whole upstream tree (diff →
+    // pairs → collapse → postings → frontier compounds per step) — the
+    // same driver-side disease the flagship's stage 5–6 had; measured,
+    // the cuts took the sf0.1 refresh from ~2× the full rebuild back
+    // under it. Data-identical (PretrainSpec bit-identity runs through
+    // this path).
+    val diff = scope.checkpoint(
       Curation.snapshotDiff(prevDocs, curDocs, "doc_id", md5(col("text"))))
     val dirty = diff.filter(col("status").isin("added", "changed"))
       .select("doc_id")
@@ -238,11 +264,11 @@ object Pretrain {
         greatest(col("new_id"), col("corpus_id")).as("doc_b"),
         col("jaccard"))
       .distinct()
-    val pairsCur = scope.persist(
+    val pairsCur = scope.checkpoint(
       keptPairs.select("doc_a", "doc_b", "jaccard").unionByName(newPairs))
     // survivors: global recompute, pair-table-sized clustering + one
     // narrow-column window — metadata cost, no text work
-    val collapsed = scope.persist(
+    val collapsed = scope.checkpoint(
       Dedup.collapseNearDups(curDocs, pairsCur, col("n_chars"), scope))
     val survCur = collapsed.select("doc_id")
     val survPrev = prevState.survivors
@@ -252,26 +278,31 @@ object Pretrain {
       diff.filter(col("status") === "changed").select("doc_id"),
       Seq("doc_id"), "left_semi")
     val changedCurSurv = survCur.join(dirty, Seq("doc_id"), "left_semi")
+    // postings MAINTENANCE, not recomputation: the previous run's stored
+    // (doc_id, h) table carries over for docs that still survive with
+    // unchanged text; only the fresh set — survivors entering the index
+    // plus surviving docs whose text changed — re-explodes grams from
+    // text. The refresh's gram work is diff-sized; everything downstream
+    // reads postings scans.
+    val freshIds = entered.unionByName(changedCurSurv).distinct()
+    val occPrev = prevState.occ
+    val occCur = scope.checkpoint(
+      occPrev.join(survCur, Seq("doc_id"), "left_semi")
+        .join(diff.filter(col("status") === "changed").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .unionByName(occOf(
+          collapsed.join(freshIds, Seq("doc_id"), "left_semi"), minLen)))
     // delta grams: prev text for docs leaving/changing out, cur text for
     // docs entering/changing in — both sides, so span appearance AND
-    // disappearance are caught
-    def gramsOf(docs: DataFrame, ids: DataFrame): DataFrame =
-      docs.join(ids, Seq("doc_id"), "left_semi")
-        .select(explode(Dedup.gramHashes(col("text"), minLen)).as("h"))
-        .distinct()
-    val deltaGrams = scope.persist(
-      gramsOf(prevDocs, leftS.unionByName(changedPrevSurv).distinct())
+    // disappearance are caught. Both sides read from postings (leavers/
+    // changers are prev survivors ⊆ occPrev; the fresh set's rows were
+    // just computed into occCur) — no corpus text is touched here.
+    val deltaGrams = scope.checkpoint(
+      occPrev.join(leftS.unionByName(changedPrevSurv).distinct(),
+          Seq("doc_id"), "left_semi").select("h")
         .unionByName(
-          gramsOf(collapsed, entered.unionByName(changedCurSurv).distinct()))
+          occCur.join(freshIds, Seq("doc_id"), "left_semi").select("h"))
         .distinct())
-    // corpus-side distinct gram occurrences (at warehouse scale: the
-    // maintained postings tables; here one linear hash pass per corpus)
-    def occOf(docs: DataFrame): DataFrame =
-      docs.select(col("doc_id"),
-          explode(Dedup.gramHashes(col("text"), minLen)).as("h"))
-        .distinct()
-    val occCur = scope.persist(occOf(collapsed))
-    val occPrev = occOf(prevDocs.join(survPrev, Seq("doc_id"), "left_semi"))
     // a gram matters only if it is cold (df ≤ maxDf) in at least one run:
     // hot-in-both grams produce no spans either way. This also bounds the
     // partner join: each joined gram fans out to ≤ maxDf documents.
@@ -287,9 +318,9 @@ object Pretrain {
       .select("h")
     val partners = occCur.join(coldish, Seq("h"), "left_semi")
       .select("doc_id").distinct()
-    val affected = scope.persist(
+    val affected = scope.checkpoint(
       partners.unionByName(entered).unionByName(changedCurSurv).distinct())
-    Increment(pairsCur, collapsed, affected)
+    Increment(pairsCur, collapsed, affected, occCur)
   }
 
   // ---- streaming refresh: versioned state store ----
@@ -359,17 +390,18 @@ object Pretrain {
     if (fs.exists(done)) { commitPointer(spark, stateDir, batchId); return }
     val scope = new graft.CacheScope
     try {
-      val (cur, pairs, survivors, gated) = latestVersion(spark, stateDir) match {
+      val (cur, pairs, survivors, gated, occ) = latestVersion(spark, stateDir) match {
         case None =>
           val cur = scope.persist(batch0)
           val st = state(cur, probe, scope)
-          (cur, st.pairs, st.survivors, st.gated)
+          (cur, st.pairs, st.survivors, st.gated, st.occ)
         case Some(pv) =>
           val prev = spark.read.parquet(s"$stateDir/v$pv/corpus")
           val prevState = State(
             spark.read.parquet(s"$stateDir/v$pv/pairs"),
             spark.read.parquet(s"$stateDir/v$pv/survivors"),
-            spark.read.parquet(s"$stateDir/v$pv/gated"))
+            spark.read.parquet(s"$stateDir/v$pv/gated"),
+            spark.read.parquet(s"$stateDir/v$pv/occ"))
           val batch = batch0.select(prev.columns.map(col).toIndexedSeq: _*)
             .join(prev.select("doc_id"), Seq("doc_id"), "left_anti")
           val cur = scope.persist(prev.unionByName(batch))
@@ -381,12 +413,13 @@ object Pretrain {
             .join(inc.collapsed.select("doc_id"), Seq("doc_id"), "left_semi")
             .join(inc.affected, Seq("doc_id"), "left_anti")
           (cur, inc.pairs, inc.collapsed.select("doc_id"),
-            scope.checkpoint(reused.unionByName(gatedAff)))
+            scope.checkpoint(reused.unionByName(gatedAff)), inc.occ)
       }
       cur.write.mode("overwrite").parquet(s"$vdir/corpus")
       pairs.write.mode("overwrite").parquet(s"$vdir/pairs")
       survivors.write.mode("overwrite").parquet(s"$vdir/survivors")
       gated.write.mode("overwrite").parquet(s"$vdir/gated")
+      occ.write.mode("overwrite").parquet(s"$vdir/occ")
       pack(gated, scope).write.mode("overwrite").parquet(s"$vdir/packed")
       fs.create(done, true).close()
       val prevV = latestVersion(spark, stateDir)
