@@ -36,14 +36,27 @@ object ScaleProbe {
       // `pretrainIncr [reps]`: the refresh query's cost split — one-time
       // state build (the memoized nightly artifact) vs the per-refresh
       // increment, the breakdown behind cur_pretrain_incr's bench number
-      val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val reps = args.drop(1).filterNot(_ == "fixed").headOption
+        .map(_.toInt).getOrElse(3)
+      // `fixed`: a CONSTANT-size diff (10 dropped, 30 edited, 20 added)
+      // regardless of corpus size — run at two SF_DIRs to measure the
+      // cost-∝-diff claim across a corpus decade; default is the
+      // cur_pretrain_incr recipe (diff ∝ corpus)
+      val fixedDiff = args.drop(1).contains("fixed")
       val prev = Tables.documentsWithClones(spark, dir)
       val probe = Tables.documents(spark, dir).filter(col("doc_id") % 100 === 0)
-      val cur = prev.filter(col("doc_id") % 70 =!= 3)
-        .withColumn("text", when(col("doc_id") % 30 === 0,
-          concat(col("text"), lit(" qqedit"))).otherwise(col("text")))
-        .unionByName(prev.filter(col("doc_id") % 40 === 0)
-          .withColumn("doc_id", col("doc_id") + 900000L))
+      val cur =
+        if (fixedDiff)
+          prev.filter(col("doc_id") >= 10)
+            .withColumn("text", when(col("doc_id") < 40,
+              concat(col("text"), lit(" qqedit"))).otherwise(col("text")))
+            .unionByName(prev.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+              .withColumn("doc_id", col("doc_id") + 900000L))
+        else prev.filter(col("doc_id") % 70 =!= 3)
+          .withColumn("text", when(col("doc_id") % 30 === 0,
+            concat(col("text"), lit(" qqedit"))).otherwise(col("text")))
+          .unionByName(prev.filter(col("doc_id") % 40 === 0)
+            .withColumn("doc_id", col("doc_id") + 900000L))
       val t0 = System.nanoTime()
       val st = operators.Pretrain.buildState(dir + "#probeIncr", prev, probe,
         CacheScope.global)

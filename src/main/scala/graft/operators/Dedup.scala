@@ -292,23 +292,43 @@ object Dedup {
   def minhashPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
                           threshold: Double, n: Int = 3, k: Int = 128,
                           bands: Int = 32,
-                          scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    // shingle-less docs dropped for the same NaN-pair reason as minhashPairs
-    val prep = (d: DataFrame) => scope.persist(
-      d.select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .withColumn("sig", minhashSignatureFromHashes(col("sh"), k)))
-    val nw = prep(newDocs)
-    val cp = prep(corpus)
-    val bN = lshBuckets(nw.select("doc_id", "sig"), "doc_id", "sig", bands, k)
+                          scope: graft.CacheScope = graft.CacheScope.global): DataFrame =
+    minhashPairsAgainstSigs(
+      scope.persist(shingleSigs(newDocs, n, k)),
+      scope.persist(shingleSigs(corpus, n, k)),
+      threshold, k, bands)
+
+  /** The (doc_id, sh, sig) table both batch and incremental near-dup paths
+    * hash from text — exposed so a refresh can MAINTAIN it like the
+    * pretrain postings (drop departed/changed rows, re-hash only the diff)
+    * instead of re-shingling the corpus per refresh. Deterministic per
+    * document, so carried-over rows are bit-identical to recomputation.
+    * Shingle-less docs dropped for the same NaN-pair reason as
+    * [[minhashPairs]].
+    */
+  def shingleSigs(docs: DataFrame, n: Int = 3, k: Int = 128): DataFrame =
+    docs.select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
+
+  /** [[minhashPairsAgainst]] on pre-hashed [[shingleSigs]] tables: band
+    * bucketing is sig-array arithmetic and the verify join reads stored
+    * shingle sets — no text is touched, which is what makes a maintained
+    * signature table turn the refresh's pair probe into scans + a
+    * diff-sized bucket join.
+    */
+  def minhashPairsAgainstSigs(newSigs: DataFrame, corpusSigs: DataFrame,
+                              threshold: Double, k: Int = 128,
+                              bands: Int = 32): DataFrame = {
+    val bN = lshBuckets(newSigs.select("doc_id", "sig"), "doc_id", "sig", bands, k)
       .withColumnRenamed("doc_id", "new_id")
-    val bC = lshBuckets(cp.select("doc_id", "sig"), "doc_id", "sig", bands, k)
+    val bC = lshBuckets(corpusSigs.select("doc_id", "sig"), "doc_id", "sig", bands, k)
       .withColumnRenamed("doc_id", "corpus_id")
     val cands = bN.join(bC, Seq("band", "bucket"))
       .select("new_id", "corpus_id").distinct()
     cands
-      .join(nw.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
-      .join(cp.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(corpusSigs.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
           size(array_union(col("sh_n"), col("sh_c"))))

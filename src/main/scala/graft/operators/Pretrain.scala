@@ -69,7 +69,13 @@ object Pretrain {
     * gram postings (doc_id, h) — the maintained occurrence index the
     * refresh's frontier discovery reads instead of re-hashing the corpus.
     * `occ` is built with [[increment]]'s `minLen` (default 10); a caller
-    * overriding minLen must build state with the same value.
+    * overriding minLen must build state with the same value. (A maintained
+    * [[Dedup.shingleSigs]] table was also tried here and measured COST-
+    * NEUTRAL-to-slower at sf0.1–sf1 — storing the fat (sh, sig) rows costs
+    * as much as re-hashing ~1 KB documents — so the refresh re-signs from
+    * text; with long web documents the balance flips, and
+    * [[Dedup.minhashPairsAgainstSigs]] is the drop-in for a deployment
+    * that maintains the signature table.)
     */
   final case class State(pairs: DataFrame, survivors: DataFrame,
                          gated: DataFrame, occ: DataFrame)
