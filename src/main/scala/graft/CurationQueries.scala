@@ -125,6 +125,22 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Decontamination, SPAN level (the surgical alternative to
+    // cur_decontaminate's whole-doc drop): the benchmark is every 100th
+    // doc's 20-token middle excerpt (tokens 10..29) — the "leaked
+    // benchmark question" — and exactly the token runs ≥ 10 a document
+    // shares verbatim with any excerpt are cut; everything else survives.
+    // Source docs lose precisely their excerpted middles; untouched docs
+    // pass through verbatim. No hot-gram cap here by contract (recall is
+    // mandatory for decontamination — see cutContaminatedSpans scaladoc).
+    "cur_decontaminate_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("bench_id"),
+          array_join(slice(split(col("text"), " "), 11, 20), " ").as("text"))
+      Dedup.cutContaminatedSpans(docs, bench).orderBy("doc_id")
+    }),
+
     // THE end-to-end corpus build, composed from this library's own
     // operators: strip cross-document boilerplate → re-score quality on
     // the CLEANED text and gate at 0.5 → exact-dedup the survivors
@@ -694,6 +710,54 @@ object CurationQueries {
         |  GROUP BY doc_id HAVING COUNT(*) >= 5)
         |SELECT doc_id, source FROM documents
         |ANTI JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Cross-corpus span replay: benchmark excerpts (tokens 10..29 of every
+    // 100th doc) gram-joined against corpus grams — NO doc ordering, NO
+    // hot-gram cap (see the Scala scaladoc) — then the same
+    // gaps-and-islands run recovery and per-position cut/keep/reassembly
+    // as dedup_substr_strip.
+    "cur_decontaminate_spans" ->
+      """WITH bsp AS (
+        |  SELECT doc_id AS bench_id,
+        |    string_split(text, ' ')[11:30] AS l
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |bg AS (SELECT bench_id,
+        |  list_transform(range(0, greatest(len(l) - 9, 0)),
+        |    i -> array_to_string(l[i+1:i+10], ' ')) AS gs FROM bsp),
+        |bocc AS (SELECT bench_id, unnest(gs) AS gr,
+        |  unnest(range(0, len(gs))) AS pos_a FROM bg),
+        |sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_transform(range(0, greatest(len(l) - 9, 0)),
+        |    i -> array_to_string(l[i+1:i+10], ' ')) AS gs FROM sp),
+        |docc AS (SELECT doc_id, unnest(gs) AS gr,
+        |  unnest(range(0, len(gs))) AS pos_b FROM g),
+        |m AS (
+        |  SELECT d.doc_id, b.bench_id, d.pos_b, d.pos_b - b.pos_a AS dd
+        |  FROM docc d JOIN bocc b ON d.gr = b.gr),
+        |r AS (
+        |  SELECT *, pos_b - ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id, bench_id, dd ORDER BY pos_b) AS isl FROM m),
+        |spans AS (
+        |  SELECT doc_id, MIN(pos_b) AS b_start, COUNT(*) + 9 AS span_len
+        |  FROM r GROUP BY doc_id, bench_id, dd, isl),
+        |cutpos AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id,
+        |      unnest(range(b_start, b_start + span_len)) AS p FROM spans)),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS p, l[i] AS token
+        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM sp)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.p, tok.token
+        |  FROM tok ANTI JOIN cutpos
+        |    ON tok.doc_id = cutpos.doc_id AND tok.p = cutpos.p),
+        |agg AS (
+        |  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // The composed pipeline twin: boilerplate CTEs → strip reassembly →

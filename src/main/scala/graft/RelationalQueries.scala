@@ -306,6 +306,27 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // SCD2 history reconstruction — the HISTORY read of the same append
+    // log orders_upsert compacts: two update waves over the base snapshot
+    // become per-key validity intervals (valid_from/valid_to/is_current),
+    // ready for point-in-time joins. One keyed lead() window.
+    "orders_scd2" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val base = o.withColumn("version", lit(0L))
+      val u1 = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("version", lit(1L))
+      val u2 = o.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("version", lit(2L))
+      operators.Upsert.scd2History(
+          base.unionByName(u1).unionByName(u2), Seq("o_orderkey"), "version")
+        .orderBy("o_orderkey", "version")
+    }),
+
     "quantiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
@@ -657,6 +678,29 @@ object RelationalQueries {
         |  FROM u)
         |SELECT o_orderkey, o_totalprice, o_orderstatus, version
         |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "orders_scd2" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |    CAST(0 AS BIGINT) AS version
+        |  FROM orders),
+        |u1 AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+        |    'U' AS o_orderstatus, CAST(1 AS BIGINT) AS version
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |u2 AS (
+        |  SELECT o_orderkey, o_totalprice * 3 AS o_totalprice,
+        |    'X' AS o_orderstatus, CAST(2 AS BIGINT) AS version
+        |  FROM orders WHERE o_orderkey % 20 = 0),
+        |lg AS (SELECT * FROM base UNION ALL SELECT * FROM u1
+        |       UNION ALL SELECT * FROM u2)
+        |SELECT o_orderkey, o_totalprice, o_orderstatus, version,
+        |  version AS valid_from,
+        |  LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+        |    AS valid_to,
+        |  (LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+        |    IS NULL) AS is_current
+        |FROM lg ORDER BY o_orderkey, version""".stripMargin,
 
     "quantiles" ->
       """SELECT l_returnflag,

@@ -24,11 +24,13 @@ object SparkEntry {
     SalesQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ EventQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries ++ CurationQueries.queries
+      MultimodalQueries.queries ++ CurationQueries.queries ++
+      WebQueries.queries
 
   def oracleSql: Map[String, String] =
     SalesQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ EventQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
-      MultimodalQueries.oracle ++ CurationQueries.oracle
+      MultimodalQueries.oracle ++ CurationQueries.oracle ++
+      WebQueries.oracle
 }

@@ -60,6 +60,41 @@ object Tables {
         .otherwise(col("embedding")))
   }
 
+  /** `documents` plus a deterministic dirty `url` column — the
+    * web-provenance fixture for [[graft.operators.WebCuration]]. The corpus
+    * tables carry no URLs, so the canonicalizer would have nothing real to
+    * normalize; this derivation plants every mess the canonical form must
+    * erase, keyed on doc_id mods: mixed-case schemes/hosts (`HTTPS`,
+    * `WWW.`, `.Example.CO.UK`), default ports on their matching scheme
+    * (%7), a load-bearing `:8080` (%11), trailing slashes (%2), tracking
+    * params wrapped around keepers in unsorted order (%9 ≠ 0), and
+    * fragments (%6). Hosts embed `source` as a subdomain label so
+    * registered-domain grouping genuinely collapses subdomains. SQL twin:
+    * [[WebQueries.urlsCte]].
+    */
+  def documentsWithUrls(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val scheme = when(id % 4 === 0, "HTTPS")
+      .when(id % 4 === 1, "http").otherwise("https")
+    val www = when(id % 3 === 0, "WWW.").otherwise("")
+    val suffix = when(id % 5 === 0, "CO.UK")
+      .when(id % 5 === 1, "ORG").otherwise("com")
+    val port = when(id % 7 === 0,
+        when(id % 4 === 1, ":80").otherwise(":443"))
+      .when(id % 11 === 0, ":8080").otherwise("")
+    val trail = when(id % 2 === 1, "/").otherwise("")
+    val query = when(id % 9 === 0, "")
+      .otherwise(concat(lit("?utm_source=feed&id="), ids,
+        lit("&b=2&utm_campaign=Spring&a=1")))
+    val frag = when(id % 6 === 0, "#Sec2").otherwise("")
+    d.withColumn("url", concat(
+      scheme, lit("://"), www, col("source"), lit("-"),
+      (id % 13).cast("string"), lit(".Example."), suffix, port,
+      lit("/Docs/"), col("lang"), lit("/"), ids, trail, query, frag))
+  }
+
   /** events.parquet has carried TIMESTAMP(NANOS) (older driver fixtures)
     * or micros with isAdjustedToUTC=false, which Spark 4 infers as
     * TIMESTAMP_NTZ; normalized here so downstream operators always see a

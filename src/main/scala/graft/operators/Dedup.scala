@@ -867,6 +867,74 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Span-level decontamination — the surgical form of benchmark
+    * decontamination: instead of dropping every document that overlaps the
+    * held-out benchmark ([[TextAnalysis.contaminationHits]] + the
+    * `cur_decontaminate` anti-join, which discards a 10k-token document
+    * over one leaked question), CUT exactly the token runs (≥ minLen) the
+    * document shares verbatim with any benchmark text and keep the rest —
+    * [[cutSubstrSpans]]'s machinery pointed across two corpora. Returns
+    * (doc_id, clean_text) for EVERY corpus document; documents sharing
+    * nothing with the benchmark pass through verbatim.
+    *
+    * Differences from the within-corpus span family, both deliberate:
+    * no `doc_a < doc_b` ordering (the sides are different corpora — every
+    * benchmark hit cuts), and NO hot-gram df cap — a decontamination pass
+    * must not skip a gram because it is popular; recall is the contract.
+    * Fan-out is bounded instead by the benchmark side: each corpus gram
+    * matches at most the benchmark's occurrences of that hash, and the
+    * corpus-side scan prunes to candidate grams via the hash join (AQE
+    * broadcasts the benchmark-sized build side). Cost ∝ corpus grams +
+    * matched grams — linear in the corpus at any scale, benchmark-sized
+    * state. Unlike the within-corpus strip (where most documents carry
+    * cuts), a decontamination pass touches a sliver of the corpus, so
+    * only TOUCHED documents go through token explode + reassembly — the
+    * untouched majority passes through as a column rename, no shuffle.
+    *
+    * `benchmark` needs (bench_id, text); its texts are never modified.
+    */
+  def cutContaminatedSpans(documents: DataFrame, benchmark: DataFrame,
+                           minLen: Int = 10,
+                           scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val occB = scope.persist(benchmark.select(col("bench_id"),
+      posexplode(gramHashes(col("text"), minLen)).as(Seq("pos_a", "h"))))
+    val occD = documents.select(col("doc_id"),
+      posexplode(gramHashes(col("text"), minLen)).as(Seq("pos_b", "h")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "bench_id", "d").orderBy("pos_b")
+    // persist: cut positions feed the touched-doc semi-join AND the
+    // anti-join below — uncached, the gram join runs twice
+    val cut = scope.persist(occD.join(occB, "h")
+      .withColumn("d", col("pos_b") - col("pos_a"))
+      .withColumn("isl", col("pos_b") - row_number().over(w))
+      .groupBy("doc_id", "bench_id", "d", "isl")
+      .agg(min("pos_b").cast("long").as("b_start"),
+        (count(lit(1)) + (minLen - 1)).as("span_len"))
+      .select(col("doc_id"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("span_len") - 1)).as("pl"))
+      .select(col("doc_id"), col("pl").cast("int").as("p"))
+      .distinct())
+    val toks = documents.join(cut.select("doc_id").distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "token")))
+    val rebuilt = toks.join(cut, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("token")))),
+          x => x.getField("token")), " ").as("clean_text"))
+    val untouched = documents.join(cut.select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text").as("clean_text"))
+    // a fully-cut doc drops out of `rebuilt`'s groupBy — restore as ''
+    val emptied = documents.select("doc_id")
+      .join(cut.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .join(rebuilt.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("").as("clean_text"))
+    untouched.unionByName(rebuilt).unionByName(emptied)
+  }
+
   /** All pairs of rows carrying IDENTICAL vectors — the exact-dup shape
     * for feature/embedding columns (the [[exactByKey]] idea with the
     * vector itself as the key, emitting intra-group pairs instead of

@@ -36,4 +36,28 @@ object Upsert {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** Slowly-changing-dimension type 2 reconstruction — the HISTORY view of
+    * the same append log [[keepLatest]] compacts to current state: every
+    * (key, version) row becomes a validity interval
+    * `[valid_from = its version, valid_to = the key's next version)`,
+    * open-ended (`valid_to` NULL, `is_current` true) on the latest row.
+    * The point-in-time join "what did this dimension row say when the
+    * fact happened" is then a plain range predicate
+    * `valid_from <= v AND (valid_to IS NULL OR v < valid_to)`.
+    *
+    * Scale design: ONE keyed window (`lead` over partitionBy key), zero
+    * extra shuffles beyond it, output = input rows — history tables are
+    * what the log already is, just annotated. Same uniqueness contract as
+    * [[keepLatest]]: versions must be unique within a key (duplicate
+    * versions would make `lead` partition-order-dependent).
+    */
+  def scd2History(rows: DataFrame, keyCols: Seq[String],
+                  versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2History needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).asc)
+    rows.withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

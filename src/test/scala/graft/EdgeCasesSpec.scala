@@ -136,6 +136,28 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("scd2History: intervals chain per key, latest row open-ended") {
+    val rows = Seq(
+      (1L, "a", 0L), (1L, "b", 2L), (1L, "c", 1L), // chain 0 → 1 → 2
+      (2L, "x", 0L))                               // single version
+      .toDF("k", "v", "version")
+    val got = graft.operators.Upsert.scd2History(rows, Seq("k"), "version")
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got === Seq(
+      (1L, "a", 0L, Some(1L), false),
+      (1L, "c", 1L, Some(2L), false),
+      (1L, "b", 2L, None, true),
+      (2L, "x", 0L, None, true)))
+    // point-in-time read at version 1 sees exactly the v=1 state
+    val asOf = graft.operators.Upsert.scd2History(rows, Seq("k"), "version")
+      .filter(col("valid_from") <= 1 &&
+        (col("valid_to").isNull || col("valid_to") > 1))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(asOf === Set((1L, "c"), (2L, "x")))
+  }
+
   test("z-outliers: constant-value groups yield no outliers, not NaN rows") {
     // σ = 0 makes z a 0/0 NaN; NaN > threshold is false in Spark AND DuckDB,
     // so constant groups must contribute zero rows identically on both
