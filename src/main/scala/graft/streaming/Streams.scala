@@ -770,6 +770,33 @@ object Streams {
       .drop("probe_sh", "n_hits")
   }
 
+  /** Streaming SPAN-level decontamination — the surgical twin of
+    * [[decontaminateStream]] (which drops whole documents): each
+    * micro-batch of documents runs
+    * [[graft.operators.Dedup.cutContaminatedSpans]] against the STATIC
+    * benchmark, so exactly the token runs shared with the benchmark are
+    * cut and the cleaned rows land in `outDir`. Per-document output
+    * depends only on (document, benchmark) — no cross-batch state — so
+    * the stream is the batch operator applied per batch, bit-for-bit
+    * (parity in StreamingSpec). The span machinery needs keyed windows,
+    * which streaming DataFrames can't host → foreachBatch, with
+    * [[graft.sources.Sinks.appendBatchFileIdempotent]]'s deterministic
+    * per-batch file names making crash replays no-ops.
+    */
+  def spanDecontaminateSink(docs: DataFrame, benchmark: DataFrame,
+                            outDir: String, checkpointDir: String,
+                            minLen: Int = 10): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scope = new graft.CacheScope
+        val cleaned = graft.operators.Dedup
+          .cutContaminatedSpans(batch, benchmark, minLen, scope)
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          cleaned, outDir, s"batch-$batchId.parquet")
+        scope.release()
+      }
+
   /** The STREAMING pretraining-corpus flagship: every micro-batch of new
     * documents is absorbed into the full six-stage `cur_pretrain` state
     * (collapse → substring strip → decontamination → quality gate →

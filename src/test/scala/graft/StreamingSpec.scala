@@ -985,6 +985,42 @@ class StreamingSpec extends SparkSpec {
     assert(contaminated.nonEmpty) // the gate actually dropped something
   }
 
+  test("streaming span decontamination equals the batch cut, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("bench_id"),
+        array_join(slice(split($"text", " "), 11, 20), " ").as("text"))
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val outDir = java.nio.file.Files
+      .createTempDirectory("span-decon-sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("span-decon-ckpt").toString
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.spanDecontaminateSink(
+      input.toDF().toDF("doc_id", "text"), bench, outDir, ckpt).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .as[(Long, String)].collect().toMap
+    val batch = graft.operators.Dedup.cutContaminatedSpans(docs, bench)
+      .as[(Long, String)].collect().toMap
+    assert(got === batch)
+    // the cut actually bit: benchmark-source docs lost their middles
+    assert(got.exists { case (id, t) => rows.toMap.apply(id) != t })
+    // replaying batch 0's file delivery is a no-op (exactly-once)
+    val before = spark.read.parquet(outDir).count()
+    graft.sources.Sinks.appendBatchFileIdempotent(
+      docs.limit(3).select($"doc_id", $"text".as("clean_text")),
+      outDir, "batch-0.parquet")
+    assert(spark.read.parquet(outDir).count() === before)
+  }
+
   test("streaming bloom dedup equals the batch bloomNovel output") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.documents(spark, sfDir)
