@@ -186,6 +186,25 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("nsym").as("n_bpe_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // Unigram-LM tokenizer vocabulary (SentencePiece's other half, next
+    // to BPE): every single char + the 60 heaviest multi-char substrings,
+    // scored ln(cnt/total) on the 1e-9 integer grid.
+    "text_unigram_vocab" -> ((s, dir) =>
+      operators.Unigram.trainVocab(Tables.documents(s, dir), topMulti = 60)
+        .select("piece", "cnt", "score_q")
+        .orderBy("piece")),
+
+    // Per-document maximum-likelihood token counts: Viterbi segmentation
+    // once per DISTINCT word (12 chained keyed argmax steps), then one
+    // word-level join — exact-integer scores so the argmax replays
+    // bit-for-bit in the twin's 12-step CTE chain.
+    "text_unigram_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = operators.Unigram.trainVocab(docs, topMulti = 60)
+      operators.Unigram.tokenCounts(docs, vocab, maxWordLen = 12)
+        .orderBy("doc_id")
     })
   )
 
@@ -252,7 +271,82 @@ object TextQueries {
     (w0 +: rounds).mkString(",\n")
   }
 
+  // ---- Unigram-LM tokenizer oracle machinery ----
+  //
+  // Training is one substring-count pass (exact integer counts, 1e-9-grid
+  // ln scores) and Viterbi is 12 chained keyed argmax steps — so the twin
+  // replays the whole thing: candidate pieces per (split point, length),
+  // top-60 multi-char selection, then CTEs s0..s12 where s_j extends the
+  // previous ≤ 4 states by one vocab piece and keeps the per-word argmax
+  // (sq DESC, split point ASC — the same total order as the Scala side).
+  // Built by plain concatenation (no stripMargin) so embedding in the
+  // final oracle string can't re-strip SQL lines.
+
+  private val unigramVocabCtes: String =
+    """wf AS MATERIALIZED (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word),
+    pc AS MATERIALIZED (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(flatten(list_transform(range(0, len(word)),
+          i -> list_transform(range(1, least(4, len(word) - i) + 1),
+            n -> word[i+1:i+n])))) AS piece
+        FROM wf)
+      GROUP BY piece),
+    multis AS MATERIALIZED (
+      SELECT piece, cnt FROM pc WHERE len(piece) > 1
+      ORDER BY cnt DESC, piece LIMIT 60),
+    kept AS MATERIALIZED (
+      SELECT piece, cnt FROM pc WHERE len(piece) = 1
+      UNION ALL SELECT piece, cnt FROM multis),
+    tot AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM kept),
+    voc AS MATERIALIZED (
+      SELECT piece, cnt,
+        CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+          * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+      FROM kept, tot)"""
+
+  private def unigramSegCtes(maxLen: Int): String = {
+    val s0 =
+      """s0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS sq, CAST(0 AS BIGINT) AS np
+         FROM (SELECT word FROM wf))"""
+    val steps = (1 to maxLen).map { j =>
+      val cands = (math.max(0, j - 4) until j).map { i =>
+        s"""SELECT s.word, $i AS i, s.sq + v.score_q AS sq, s.np + 1 AS np
+           FROM s$i s JOIN voc v ON v.piece = s.word[${i + 1}:$j]
+           WHERE len(s.word) >= $j"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""s$j AS MATERIALIZED (
+        SELECT word, sq, np FROM (
+          SELECT word, sq, np, ROW_NUMBER() OVER (
+            PARTITION BY word ORDER BY sq DESC, i) AS rn
+          FROM ($cands))
+        WHERE rn = 1)"""
+    }
+    val segUnion = (1 to maxLen)
+      .map(j => s"SELECT word, np, sq FROM s$j WHERE len(word) = $j")
+      .mkString("\n      UNION ALL\n      ")
+    (s0 +: steps).mkString(",\n    ") +
+      s",\n    seg AS MATERIALIZED (\n      $segUnion)"
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_unigram_vocab" ->
+      s"""WITH $unigramVocabCtes
+         SELECT piece, cnt, score_q FROM voc ORDER BY piece""",
+
+    "text_unigram_tokens" ->
+      s"""WITH $unigramVocabCtes,
+         ${unigramSegCtes(12)},
+         occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+         SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(np) AS BIGINT) AS n_pieces,
+           CAST(SUM(sq) AS BIGINT) AS score_q
+         FROM occ JOIN seg USING (word)
+         GROUP BY doc_id ORDER BY doc_id""",
+
     "text_bpe_merges" ->
       s"""$bpeCtes
          |SELECT * FROM (

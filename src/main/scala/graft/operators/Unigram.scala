@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer — the OTHER major subword family next to [[Bpe]]
+  * (SentencePiece's default; Kudo 2018). Where BPE composes greedily from
+  * learned merges, unigram scores every candidate piece independently and
+  * segments each word by the maximum-likelihood decomposition (Viterbi).
+  *
+  * Training here is the frequency-initialization half of Kudo's algorithm
+  * (his seed vocabulary IS substring frequency; the EM prune loop is the
+  * declared simplification): candidate pieces are all substrings of
+  * length ≤ [[MaxPiece]] over the corpus word-frequency table, the kept
+  * vocabulary is every single character (segmentability guarantee) plus
+  * the top-`topMulti` multi-char pieces by (count desc, piece asc), and
+  * each piece scores ln(count / total-kept-count) quantized to the 1e-9
+  * integer grid — [[TextAnalysis.lmScore]]'s determinism trick, so
+  * Viterbi's argmax (and therefore every segmentation) replays
+  * bit-for-bit in DuckDB.
+  *
+  * Scale design (the [[Bpe]] discipline throughout): the piece table is
+  * one explode + partial agg over DISTINCT words (vocab-bounded, never
+  * per-occurrence); Viterbi runs once per distinct word as `maxWordLen`
+  * chained keyed argmax steps over the word table joined to the
+  * broadcast-small vocabulary; documents then pay one word-level join —
+  * segmentation cost is per distinct word, token counting per occurrence.
+  */
+object Unigram {
+
+  /** Longest candidate piece, in characters. */
+  val MaxPiece = 4
+
+  /** All substrings of `w` with length 1..[[MaxPiece]], one row each
+    * (positions × lengths, flattened) — the candidate generator.
+    */
+  private def allPieces(w: Column): Column =
+    flatten(transform(sequence(lit(0), length(w) - 1),
+      i => transform(sequence(lit(1), least(lit(MaxPiece), length(w) - i)),
+        n => w.substr(i + 1, n))))
+
+  /** Unigram vocabulary over the corpus: (piece, cnt, score_q) — every
+    * single character plus the `topMulti` heaviest multi-char substrings,
+    * scored ln(cnt/total) on the 1e-9 long grid. `cnt` weights each
+    * substring occurrence by its word's corpus frequency.
+    */
+  def trainVocab(documents: DataFrame, topMulti: Int = 60): DataFrame = {
+    val wf = Bpe.wordFreqs(documents)
+    val counts = wf
+      .select(col("freq"), explode(allPieces(col("word"))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+    val singles = counts.filter(length(col("piece")) === 1)
+    val multis = counts.filter(length(col("piece")) > 1)
+      .orderBy(desc("cnt"), col("piece")).limit(topMulti)
+    val kept = singles.unionByName(multis)
+    val total = kept.agg(sum("cnt")).first().getLong(0)
+    kept.withColumn("score_q",
+      floor(log(col("cnt").cast("double") / total) * 1000000000.0 + 0.5)
+        .cast("long"))
+  }
+
+  /** Maximum-likelihood segmentation of every distinct word — Viterbi as
+    * `maxWordLen` chained argmax steps: state(j) = the best quantized
+    * score over decompositions of the word's first j characters, each
+    * step extending the previous ≤ [[MaxPiece]] states by one vocabulary
+    * piece, ties broken toward the LONGER final piece (smaller split
+    * point), which is a total order because the split point determines
+    * the candidate. Returns (word, n_pieces, score_q). Requires every
+    * word ≤ `maxWordLen` chars (the corpus-normalization contract —
+    * SentencePiece's max_sentencepiece_length plays the same role) and
+    * every character in the vocabulary (guaranteed when `vocab` was
+    * trained on the same corpus).
+    */
+  def segmentWords(words: DataFrame, vocab: DataFrame,
+                   maxWordLen: Int = 12,
+                   scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val ws = words.select("word").distinct()
+    val over = ws.filter(length(col("word")) > maxWordLen).count()
+    require(over == 0,
+      s"$over words exceed maxWordLen=$maxWordLen — raise it or normalize the corpus")
+    // checkpoint, not persist: state(j) reads the previous FOUR states,
+    // so the uncut lineage branches 4-way per step — a 4^maxWordLen-node
+    // tree the analyzer would walk per downstream job (the measured
+    // pretrain stage-5/6 disease; this one hangs outright at 12 steps).
+    // Each state is word-table-sized, so the eager cut is cheap.
+    val v = scope.checkpoint(vocab.select(col("piece"), col("score_q")))
+    // states(j): (word, sq, np) for words with length ≥ j; state 0 is the
+    // empty prefix of every word
+    var states = Vector(scope.checkpoint(ws.select(col("word"),
+      lit(0L).as("sq"), lit(0L).as("np"))))
+    for (j <- 1 to maxWordLen) {
+      val cands = (math.max(0, j - MaxPiece) until j).map { i =>
+        states(i)
+          .filter(length(col("word")) >= j)
+          .select(col("word"), lit(i).as("i"),
+            col("word").substr(i + 1, j - i).as("piece"),
+            col("sq"), col("np"))
+      }.reduce(_ unionByName _)
+      val scored = cands.join(v, "piece")
+        .select(col("word"), col("i"),
+          (col("sq") + col("score_q")).as("sq"), (col("np") + 1).as("np"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("word").orderBy(desc("sq"), col("i"))
+      states = states :+ scope.checkpoint(scored
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select("word", "sq", "np"))
+    }
+    (1 to maxWordLen).map { j =>
+      states(j).filter(length(col("word")) === j)
+    }.reduce(_ unionByName _)
+      .select(col("word"), col("np").as("n_pieces"), col("sq").as("score_q"))
+  }
+
+  /** Per-document unigram token statistics: each word occurrence carries
+    * its distinct-word segmentation — (doc_id, n_words, n_pieces,
+    * score_q), all exact longs. One explode, one word-keyed join, one
+    * keyed agg.
+    */
+  def tokenCounts(documents: DataFrame, vocab: DataFrame,
+                  maxWordLen: Int = 12,
+                  scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val occ = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val seg = segmentWords(occ.select("word"), vocab, maxWordLen, scope)
+    occ.join(seg, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_pieces"),
+        sum("score_q").as("score_q"))
+  }
+}

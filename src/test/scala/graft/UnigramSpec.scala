@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Unigram
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainVocab: hand-checked counts and scores on a 3-word corpus") {
+    // words: "ab"×2, "b"×1 → pieces a:2, ab:2, b:3; total = 7
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val got = Unigram.trainVocab(docs, topMulti = 60)
+      .select("piece", "cnt", "score_q")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    def sq(c: Long) = math.floor(math.log(c.toDouble / 7) * 1e9 + 0.5).toLong
+    assert(got === Seq(("a", 2L, sq(2)), ("ab", 2L, sq(2)), ("b", 3L, sq(3))))
+  }
+
+  test("segmentation prefers the higher-likelihood decomposition") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(docs, topMulti = 60)
+    val seg = Unigram.segmentWords(Seq("ab", "b").toDF("word"), vocab)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // ln(2/7) > ln(2/7)+ln(3/7): the single piece "ab" wins over a+b
+    assert(seg("ab") === 1L)
+    assert(seg("b") === 1L)
+  }
+
+  test("chars-only vocabulary segments every word into its characters") {
+    val docs = Tables.documents(spark, sfDir)
+    val vocab = Unigram.trainVocab(docs, topMulti = 0)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+    val seg = Unigram.segmentWords(words, vocab)
+    assert(seg.filter(col("n_pieces") =!= length(col("word"))).count() === 0)
+  }
+
+  test("Viterbi equals brute-force enumeration with the same tie law") {
+    val docs = Tables.documents(spark, sfDir)
+    val vocab = Unigram.trainVocab(docs, topMulti = 60)
+    val scores = vocab.select("piece", "score_q")
+      .as[(String, Long)].collect().toMap
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .distinct().as[String].collect()
+    def decomps(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(Unigram.MaxPiece, w.length)).flatMap { n =>
+        val head = w.take(n)
+        if (scores.contains(head)) decomps(w.drop(n)).map(head +: _)
+        else Seq.empty
+      }
+    // brute-force argmax: total score desc, then longer FINAL piece wins at
+    // every suffix boundary — realized by comparing the reversed piece-
+    // length sequence descending (the DP's (sq desc, i asc) at each step)
+    val got = Unigram.segmentWords(words.toSeq.toDF("word"), vocab)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for (w <- words) {
+      val all = decomps(w)
+      assert(all.nonEmpty, s"word $w not segmentable")
+      val best = all.maxBy(d =>
+        (d.map(scores).sum, d.reverse.map(_.length).toVector)
+      )(Ordering.Tuple2(Ordering.Long, Ordering.Implicits.seqOrdering[Vector, Int]))
+      val (np, sq) = got(w)
+      assert(sq === best.map(scores).sum, s"score mismatch for $w")
+      assert(np === best.length.toLong, s"piece count mismatch for $w: got $np, best $best")
+    }
+  }
+
+  test("tokenCounts: per-doc sums tie out against the word segmentation") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val vocab = Unigram.trainVocab(Tables.documents(spark, sfDir), topMulti = 60)
+    val got = Unigram.tokenCounts(docs, vocab)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val seg = Unigram.segmentWords(
+        docs.select(explode(split(col("text"), " ")).as("word")), vocab)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    for ((id, text) <- rows) {
+      val ws = text.split(" ").toSeq
+      val (_, nw, np, sq) = got(id)
+      assert(nw === ws.length.toLong)
+      assert(np === ws.map(w => seg(w)._1).sum)
+      assert(sq === ws.map(w => seg(w)._2).sum)
+    }
+  }
+
+  test("overlong words are rejected loudly") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(docs, topMulti = 0)
+    intercept[IllegalArgumentException] {
+      Unigram.segmentWords(Seq("a" * 13).toDF("word"), vocab, maxWordLen = 12)
+    }
+  }
+}
