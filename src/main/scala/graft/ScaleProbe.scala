@@ -140,8 +140,10 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    val webMode = args.headOption.contains("web")
     val mults =
-      if (annMode || args.isEmpty) Seq(1, 10) else args.toSeq.map(_.toInt)
+      if (annMode || webMode || args.isEmpty) Seq(1, 10)
+      else args.toSeq.map(_.toInt)
 
     def blowUp(mult: Int): DataFrame = {
       val docs = Tables.documents(spark, dir)
@@ -312,6 +314,68 @@ object ScaleProbe {
         val t9 = System.nanoTime()
         val ivf2 = operators.Ivf.rebalanceIndex(spark, ivf, maxRatio = 2.0)
         println(f"PROBE ivf_rebalance     mult=$m%-3d ${(System.nanoTime() - t9) / 1e9}%8.2f s  ratio $rb%.1f -> ${ratio(ivf2)}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
+    if (webMode) {
+      // round-7 family probe: span decontamination, unigram tokenizer,
+      // URL canon/dedup, host PageRank — each against a growing corpus
+      // with the production-shaped fixed side (fixed benchmark, fixed
+      // link law). `web 1 5` on sf0.1 = 5.8k → 29k docs.
+      val webMults = args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 5)
+        case ms => ms
+      }
+      for (m <- webMults) {
+        // persist: the blown-up corpus' derived text (regexp per copy)
+        // otherwise re-inlines into every downstream subterm — the probe
+        // ran fine on fallback, but one Generate stage's duplicated
+        // upstream grew past Janino's 64 KB method limit
+        val corpus = CacheScope.global.persist(blowUp(m))
+        // FIXED benchmark: copy-0 excerpts — matches exist (copy 0 shares
+        // its salted grams), benchmark side constant as the corpus grows
+        val bench = corpus.filter(col("doc_id") < 10000000L &&
+            col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("bench_id"),
+            array_join(slice(split(col("text"), " "), 11, 20), " ").as("text"))
+        time("span_decon", m,
+          operators.Dedup.cutContaminatedSpans(corpus, bench))
+        // unigram: vocab pass + 12 DP steps over DISTINCT words (vocab
+        // grows ∝ salt prefixes), then the per-occurrence join
+        // global scope: time() releases it AFTER materialization — an
+        // eagerly-released local scope would drop the DP checkpoints the
+        // un-materialized plan still needs
+        time("unigram_tokens", m, operators.Unigram.tokenCounts(corpus,
+          operators.Unigram.trainVocab(corpus, 60)))
+        val webCorpus = Tables.withSyntheticUrl(corpus)
+        time("url_canon", m, webCorpus.select(col("doc_id"),
+          operators.WebCuration.canonicalizeUrl(col("url")).as("c")))
+        time("url_dedup", m, webCorpus
+          .withColumn("canon_url",
+            operators.WebCuration.canonicalizeUrl(col("url")))
+          .groupBy("canon_url")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies")))
+        time("host_pagerank", m, {
+          // persist: the regex-heavy canon+host pass feeds the count, both
+          // union legs AND the target-side join — uncached it runs 4×
+          val hosts = CacheScope.global.persist(webCorpus
+            .withColumn("canon_url",
+              operators.WebCuration.canonicalizeUrl(col("url")))
+            .select(col("doc_id"),
+              operators.WebCuration.hostOf(col("canon_url")).as("host")))
+          val n = hosts.count()
+          val lk = hosts.select(col("host").as("src"),
+              ((col("doc_id") * 31 + 7) % n).as("tid"))
+            .unionByName(hosts.select(col("host").as("src"),
+              ((col("doc_id") * 17 + 3) % n).as("tid")))
+          val e = lk.join(hosts.select(col("doc_id").as("tid"),
+              col("host").as("dst")), "tid")
+            .filter(col("src") =!= col("dst"))
+            .groupBy("src", "dst").agg(count(lit(1)).as("wt"))
+          operators.WebCuration.pageRank(CacheScope.global.persist(e))
+        })
       }
       spark.stop()
       return

@@ -72,8 +72,13 @@ object Tables {
     * registered-domain grouping genuinely collapses subdomains. SQL twin:
     * [[WebQueries.urlsCte]].
     */
-  def documentsWithUrls(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir)
+  def documentsWithUrls(spark: SparkSession, dir: String): DataFrame =
+    withSyntheticUrl(documents(spark, dir))
+
+  /** The dirty-URL law applied to any (doc_id, lang, source) table — split
+    * out so ScaleProbe can attach URLs to blown-up corpora.
+    */
+  def withSyntheticUrl(d: DataFrame): DataFrame = {
     val id = col("doc_id")
     val ids = id.cast("string")
     val scheme = when(id % 4 === 0, "HTTPS")

@@ -717,12 +717,8 @@ object Dedup {
     * window) — the occurrence primitive shared by the span family and the
     * incremental-pretrain frontier computation in [[Pretrain]].
     */
-  private[operators] def gramHashes(textCol: Column, minLen: Int): Column = {
-    val toks = split(textCol, " ")
-    when(size(toks) < minLen, array().cast("array<long>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - minLen),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(minLen))))))
-  }
+  private[operators] def gramHashes(textCol: Column, minLen: Int): Column =
+    graft.plans.NativeKernels.gramHashes(split(textCol, " "), minLen)
 
   def exactSubstrSpans(documents: DataFrame, minLen: Int = 10,
                        maxDf: Int = 20,

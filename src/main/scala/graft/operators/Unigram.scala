@@ -32,12 +32,13 @@ object Unigram {
   val MaxPiece = 4
 
   /** All substrings of `w` with length 1..[[MaxPiece]], one row each
-    * (positions × lengths, flattened) — the candidate generator.
+    * (positions × lengths, flattened) — the candidate generator; the fused
+    * [[graft.plans.AllSubstrings]] kernel (the nested-HOF spelling
+    * re-inlined `w` per subterm and blew the probe corpus' generated
+    * explode stage past Janino's 64 KB limit).
     */
   private def allPieces(w: Column): Column =
-    flatten(transform(sequence(lit(0), length(w) - 1),
-      i => transform(sequence(lit(1), least(lit(MaxPiece), length(w) - i)),
-        n => w.substr(i + 1, n))))
+    graft.plans.NativeKernels.allSubstrings(w, MaxPiece)
 
   /** Unigram vocabulary over the corpus: (piece, cnt, score_q) — every
     * single character plus the `topMulti` heaviest multi-char substrings,
@@ -75,9 +76,15 @@ object Unigram {
                    maxWordLen: Int = 12,
                    scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
     val ws = words.select("word").distinct()
-    val over = ws.filter(length(col("word")) > maxWordLen).count()
-    require(over == 0,
-      s"$over words exceed maxWordLen=$maxWordLen — raise it or normalize the corpus")
+    // one pass answers both the contract check and the loop depth: steps
+    // beyond the longest actual word would compute empty states (the SQL
+    // twin keeps its fixed-depth chain — its surplus CTEs are empty, so
+    // the outputs agree)
+    val actualMax = ws.agg(max(length(col("word"))).as("m"))
+      .first().getAs[Number](0) match { case null => 0; case n => n.intValue }
+    require(actualMax <= maxWordLen,
+      s"longest word has $actualMax chars > maxWordLen=$maxWordLen — " +
+        "raise it or normalize the corpus")
     // checkpoint, not persist: state(j) reads the previous FOUR states,
     // so the uncut lineage branches 4-way per step — a 4^maxWordLen-node
     // tree the analyzer would walk per downstream job (the measured
@@ -88,25 +95,31 @@ object Unigram {
     // empty prefix of every word
     var states = Vector(scope.checkpoint(ws.select(col("word"),
       lit(0L).as("sq"), lit(0L).as("np"))))
-    for (j <- 1 to maxWordLen) {
+    for (j <- 1 to actualMax) {
       val cands = (math.max(0, j - MaxPiece) until j).map { i =>
         states(i)
           .filter(length(col("word")) >= j)
-          .select(col("word"), lit(i).as("i"),
+          .select(col("word"), lit(i.toLong).as("i"),
             col("word").substr(i + 1, j - i).as("piece"),
             col("sq"), col("np"))
       }.reduce(_ unionByName _)
+      // argmax by (sq desc, i asc) as a max_by PARTIAL aggregate — the
+      // (sq, −i) key is unique per candidate (one candidate per split
+      // point), so the tie law is total and map-side combine replaces the
+      // window's sort shuffle
       val scored = cands.join(v, "piece")
         .select(col("word"), col("i"),
           (col("sq") + col("score_q")).as("sq"), (col("np") + 1).as("np"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("word").orderBy(desc("sq"), col("i"))
       states = states :+ scope.checkpoint(scored
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select("word", "sq", "np"))
+        .groupBy("word")
+        .agg(max_by(struct(col("sq"), col("np")),
+          struct(col("sq"), (-col("i")).as("ni"))).as("m"))
+        .select(col("word"), col("m.sq").as("sq"), col("m.np").as("np")))
     }
-    (1 to maxWordLen).map { j =>
+    if (actualMax == 0)
+      return ws.select(col("word"), lit(0L).as("n_pieces"), lit(0L).as("score_q"))
+        .limit(0)
+    (1 to actualMax).map { j =>
       states(j).filter(length(col("word")) === j)
     }.reduce(_ unionByName _)
       .select(col("word"), col("np").as("n_pieces"), col("sq").as("score_q"))

@@ -43,6 +43,12 @@ object NativeKernels {
   def hashedShingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(HashedShingles(ColumnBridge.expression(tokens), n))
 
+  def gramHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(GramHashes(ColumnBridge.expression(tokens), n))
+
+  def allSubstrings(s: Column, maxLen: Int): Column =
+    ColumnBridge.column(AllSubstrings(ColumnBridge.expression(s), maxLen))
+
   def md5Hash64(tokens: Column): Column =
     ColumnBridge.column(Md5Hash64(ColumnBridge.expression(tokens)))
 
@@ -236,7 +242,19 @@ object HashedShingles {
   /** Kernel shared by eval and codegen (codegen emits a call, so the loop is
     * one JIT-compiled method either way).
     */
-  def compute(toks: ArrayData, n: Int): GenericArrayData = {
+  def compute(toks: ArrayData, n: Int): GenericArrayData =
+    hashWindows(toks, n, dedup = true)
+
+  /** One xxhash64 (seed 42) per n-token window over the space-joined gram
+    * bytes; `dedup` keeps first-seen distinct hashes (the shingle-set form),
+    * otherwise every position reports (the positioned-gram form). Public —
+    * codegen calls it through the object's STATIC forwarder, which scalac
+    * only emits for public members (a package-private kernel compiles here
+    * but silently fails Janino at run time, dropping the stage to
+    * interpreted eval).
+    */
+  def hashWindows(toks: ArrayData, n: Int,
+                  dedup: Boolean): GenericArrayData = {
     val ntok = toks.numElements()
     if (ntok < n) return new GenericArrayData(Array.emptyLongArray)
     val tokens = new Array[org.apache.spark.unsafe.types.UTF8String](ntok)
@@ -247,7 +265,7 @@ object HashedShingles {
       i += 1
     }
     var buf = new Array[Byte](64)
-    val seen = new java.util.HashSet[java.lang.Long]()
+    val seen = if (dedup) new java.util.HashSet[java.lang.Long]() else null
     val out = new Array[Long](ntok - n + 1)
     var m = 0
     var w = 0
@@ -267,11 +285,110 @@ object HashedShingles {
       }
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
-      if (seen.add(h)) { out(m) = h; m += 1 }
+      if (seen == null || seen.add(h)) { out(m) = h; m += 1 }
       w += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
+}
+
+/** Every substring of the input with 1..maxLen CHARACTERS (code points),
+  * ordered by start position then length — bit-identical to
+  * `flatten(transform(sequence(0, length(s)-1), i =>
+  * transform(sequence(1, least(maxLen, length(s)-i)), n => substr(s, i+1,
+  * n))))`, the unigram-tokenizer candidate generator, but fused: that
+  * nested HOF re-inlines the child ~length×maxLen times (64 KB codegen
+  * blowups on derived children) and evaluates interpreted. Null → null;
+  * empty string → empty array.
+  */
+case class AllSubstrings(child: Expression, maxLen: Int) extends UnaryExpression {
+  require(maxLen >= 1, "maxLen must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "all_substrings"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    AllSubstrings.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.AllSubstrings.compute($c, $maxLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): AllSubstrings =
+    copy(child = newChild)
+}
+
+object AllSubstrings {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+              maxLen: Int): GenericArrayData = {
+    val nChars = s.numChars()
+    if (nChars == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](
+      nChars * maxLen)
+    var i = 0
+    while (i < nChars) {
+      val top = math.min(maxLen, nChars - i)
+      var n = 1
+      while (n <= top) {
+        // substringSQL is code-point-indexed, matching substr(s, i+1, n)
+        out.add(s.substringSQL(i + 1, n))
+        n += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Positioned n-token gram hashes: element i = xxhash64 of the space-joined
+  * tokens [i, i+n) — [[HashedShingles]] WITHOUT the distinct filter, so the
+  * output index IS the gram's start position (the span-dedup families join
+  * on (pos, hash)). Bit-identical to
+  * `transform(sequence(0, size(toks)-n), i => xxhash64(concat_ws(" ",
+  * slice(toks, i+1, n))))` for null-free token arrays, but fused: the HOF
+  * spelling is interpreted AND re-inlines the token-array child per
+  * reference — a derived text column (e.g. an excerpt slice) gets its
+  * expression tree duplicated into every subterm, which measurably grew one
+  * probe's generated stage past Janino's 64 KB method limit and dropped the
+  * whole stage to interpreted eval. Fewer than n tokens → empty array.
+  */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<string>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HashedShingles.hashWindows(input.asInstanceOf[ArrayData], n, dedup = false)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashedShingles.hashWindows($c, $n, false);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
 }
 
 /** Engine-portable 64-bit md5 token hashes: array<string> → array<long>,

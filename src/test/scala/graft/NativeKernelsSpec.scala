@@ -85,6 +85,48 @@ class NativeKernelsSpec extends SparkSpec {
     assert(short === Seq.empty)
   }
 
+  test("GramHashes equals the positioned HOF chain, all positions kept") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val toks = split($"text", " ")
+    // the pre-kernel spelling of Dedup.gramHashes, verbatim
+    val hof = when(size(toks) < 10, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 10),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(10))))))
+    val diff = docs.select(
+        NativeKernels.gramHashes(split($"text", " "), 10).as("a"),
+        hof.as("b"))
+      .filter($"a" =!= $"b")
+    assert(diff.count() === 0)
+    // repeated grams keep EVERY position (no distinct filter)
+    val rep = Seq("a b a b a b").toDF("text")
+      .select(NativeKernels.gramHashes(split($"text", " "), 2).as("a"))
+      .as[Seq[Long]].head()
+    assert(rep.length === 5)
+    assert(rep.distinct.length === 2)
+    val short = Seq("one two").toDF("text")
+      .select(NativeKernels.gramHashes(split($"text", " "), 3).as("a"))
+      .as[Seq[Long]].head()
+    assert(short === Seq.empty)
+  }
+
+  test("AllSubstrings equals the nested-HOF substring chain") {
+    val words = Tables.documents(spark, sfDir).limit(50)
+      .select(explode(split($"text", " ")).as("w")).distinct()
+    val hof = flatten(transform(sequence(lit(0), length($"w") - 1),
+      i => transform(sequence(lit(1), least(lit(4), length($"w") - i)),
+        n => $"w".substr(i + 1, n))))
+    val diff = words.select(
+        NativeKernels.allSubstrings($"w", 4).as("a"), hof.as("b"))
+      .filter($"a" =!= $"b")
+    assert(diff.count() === 0)
+    val edge = Seq("", "é↑x").toDF("w")
+      .select(NativeKernels.allSubstrings($"w", 2).as("a"))
+      .as[Seq[String]].collect()
+    assert(edge(0) === Seq.empty)
+    // code-point indexing: multi-byte chars slice whole
+    assert(edge(1) === Seq("é", "é↑", "↑", "↑x", "x"))
+  }
+
   test("AHash64 kernel matches the HOF reference bit-for-bit") {
     import graft.operators.Multimodal
     val docs = Tables.documents(spark, sfDir)
