@@ -96,6 +96,19 @@ object MultimodalQueries {
         .toDF().orderBy("asset_id")
     }),
 
+    // Compressed-format decode (round 8, retires the stub on a real-world
+    // format): every document becomes a genuine PNG — zlib-deflated IDAT,
+    // filter type varied per scanline (None/Sub/Up/Average/Paeth), CRC'd
+    // chunks — and the decoder must inflate + reconstruct all five filters
+    // for the law stats to hash-match. Oracle is the pure-SQL law over ALL
+    // doc_ids (no %3 gate), so this row is independent of the ppm/bmp rows.
+    "mm_decode_png" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeImages(
+        Multimodal.mediaAssetsPngFromDocuments(Tables.documents(s, dir)))
+        .toDF().orderBy("asset_id")
+    }),
+
     // WAV chunk-walk decode: sample_rate read from the fmt chunk, stats
     // over signed int16 samples from the data chunk.
     "mm_decode_wav" -> ((s, dir) => {
@@ -161,11 +174,13 @@ object MultimodalQueries {
   // mediaDims): per-asset pixel stream rebuilt by unnest(range(n)) — the
   // oracle never parses a media file, so a decoder that survives the hash
   // compare provably round-tripped the real container format.
-  private def imageLawSql(fmtMod: Int): String =
+  private def imageLawSql(fmtMod: Int): String = imageLawSqlWhere(s"WHERE doc_id % 3 = $fmtMod")
+
+  private def imageLawSqlWhere(where: String): String =
     s"""WITH dims AS (
        |  SELECT doc_id, CAST(8 + (doc_id % 8) * 4 AS INT) AS width,
        |         CAST(8 + (doc_id % 4) * 4 AS INT) AS height
-       |  FROM documents WHERE doc_id % 3 = $fmtMod),
+       |  FROM documents $where),
        |idx AS (
        |  SELECT doc_id, width, height,
        |         unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS i
@@ -182,6 +197,7 @@ object MultimodalQueries {
   val oracle: Map[String, String] = Map(
     "mm_decode_ppm" -> imageLawSql(0),
     "mm_decode_bmp" -> imageLawSql(1),
+    "mm_decode_png" -> imageLawSqlWhere(""),
 
     "mm_decode_wav" ->
       """WITH dims AS (

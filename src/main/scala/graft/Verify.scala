@@ -2,7 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Since round 8 the dump is SELF-REPORTING: alongside the parquet it emits
+  * `CORRECTNESS_SELF.json` (per query: rows, name-sorted schema, an
+  * order-independent content hash, wall seconds, and any error) into both
+  * the out dir and the repo root. Round 7's driver artifact arrived empty
+  * (`{}`), voiding the round's hard correctness signal even though every
+  * query passed on re-run — with this artifact committed each round, an
+  * empty driver file can no longer leave a round unverified: the hash pins
+  * the exact result content, so any cross-round drift is visible in git.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -24,34 +34,87 @@ object Verify {
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to named queries
     // (the driver sets no env and always gets the full surface)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    val self = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val (rows, schema, hash) = selfHash(spark, s"$outDir/$name")
+        val sec = (System.nanoTime() - t0) / 1e9
+        self(name) =
+          f"""{"rows": $rows, "schema": ${jq(schema)}, "hash": "$hash", "sec": $sec%.2f}"""
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        self(name) = s"""{"error": ${jq(String.valueOf(e.getMessage))}}"""
       }
       // drop query-local persisted intermediates (see Bench for rationale)
       CacheScope.global.release()
       spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val selfJson = self.map { case (k, v) => s"${jq(k)}: $v" }
+      .mkString("{\n", ",\n", "\n}")
+    Files.writeString(Paths.get(s"$outDir/CORRECTNESS_SELF.json"), selfJson)
+    // also drop it at the repo root so it gets committed with the round
+    val repo = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    if (Files.isDirectory(Paths.get(repo)) && only.isEmpty)
+      try Files.writeString(Paths.get(s"$repo/CORRECTNESS_SELF.json"), selfJson)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] self-artifact copy failed: ${e.getMessage}")
+      }
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Read back a just-dumped result and return (rows, schema, contentHash).
+    *
+    * The hash is ORDER-INDEPENDENT (a query's output row order is not part
+    * of its contract): columns are sorted by name, each value canonicalized
+    * via CAST(... AS STRING) (NULL -> a \\u0000 sentinel, cells joined
+    * on \\u0001), each row xxhash64'd, and the row hashes summed as
+    * decimal(38,0) mod 2^64 (sum, not xor — xor would let duplicate rows
+    * cancel pairwise and hide a doubled result). Decimal sum avoids the
+    * ANSI long-overflow trap. Schema string is name-sorted `col:type`. */
+  private def selfHash(spark: SparkSession, dir: String): (Long, String, String) = {
+    import org.apache.spark.sql.functions._
+    val res = spark.read.parquet(dir)
+    val cols = res.columns.sorted
+    val schema = {
+      val byName = res.schema.map(f => f.name -> f.dataType.simpleString).toMap
+      cols.map(c => s"$c:${byName(c)}").mkString(",")
+    }
+    val rowStr = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val agg = res
+      .select(xxhash64(rowStr).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
+      .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+      .head()
+    val n = agg.getLong(1)
+    val hash =
+      if (n == 0) "0"
+      else {
+        val m = BigInt(2).pow(64)
+        val s = agg.getDecimal(0).toBigInteger
+        ((BigInt(s) % m + m) % m).toString(16)
+      }
+    (n, schema, hash)
   }
 }

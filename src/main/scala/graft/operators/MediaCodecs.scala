@@ -11,6 +11,10 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *   - BMP (24-bit uncompressed, BITMAPINFOHEADER): little-endian headers,
   *     BGR channel order, 4-byte-padded rows, bottom-up row order (or
   *     top-down when the header height is negative).
+  *   - PNG (8-bit truecolor, non-interlaced): a real COMPRESSED format —
+  *     CRC-verified chunk walk, multi-IDAT zlib inflate
+  *     (`java.util.zip.Inflater`), and full scanline-filter reconstruction
+  *     (None/Sub/Up/Average/Paeth per the PNG spec).
   *   - WAV (RIFF, PCM 16-bit little-endian): chunk-walked container — the
   *     decoder skips unknown chunks (LIST, fact, …) and honors the
   *     odd-size pad byte, like a real demuxer must.
@@ -185,6 +189,176 @@ object MediaCodecs {
         x += 1
       }
       fileRow += 1
+    }
+    Image(w, h, 255, px)
+  }
+
+  // ------------------------------------------------------------ PNG (RGB8)
+
+  private def putIntBE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+    a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+  }
+  private def intBE(a: Array[Byte], off: Int): Int =
+    ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) |
+      ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4); putIntBE(len, 0, data.length); out.write(len)
+    val t = typ.getBytes(US_ASCII); out.write(t); out.write(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    val c = new Array[Byte](4); putIntBE(c, 0, crc.getValue.toInt); out.write(c)
+  }
+
+  /** Paeth predictor (PNG spec §9.4) — shared by encoder and decoder. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** PNG, 8-bit truecolor (color type 2), non-interlaced. The encoder
+    * VARIES the filter per scanline (row mod 5 → None/Sub/Up/Average/Paeth)
+    * so a round-trip through [[decodePng]] exercises every filter
+    * reconstruction path, not just the trivial one. Deflate is run at a
+    * pinned level with a fresh Deflater, so output bytes are deterministic
+    * for a given raster on a given JVM (the oracles never hash the encoded
+    * bytes — only decoded-raster statistics — so even a zlib implementation
+    * change cannot break the gate).
+    */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"raster ${rgb.length} != ${w * h * 3}")
+    val bpp = 3
+    val stride = w * bpp
+    // filtered stream: per row, 1 filter-type byte + filtered samples
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      val src = y * stride
+      val dst = y * (stride + 1)
+      raw(dst) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(src + x) & 0xff
+        val left = if (x >= bpp) rgb(src + x - bpp) & 0xff else 0
+        val up = if (y > 0) rgb(src - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) rgb(src - stride + x - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(dst + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val ihdr = new Array[Byte](13)
+    putIntBE(ihdr, 0, w); putIntBE(ihdr, 4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor RGB
+    // compression=0, filter=0, interlace=0 already zero
+    val out = new java.io.ByteArrayOutputStream(zBuf.size + 64)
+    out.write(PngSig)
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zBuf.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decodes 8-bit truecolor non-interlaced PNG to normalized top-down RGB.
+    * Walks chunks (CRC-verified, ancillary chunks skipped), concatenates
+    * ALL IDAT chunks into one zlib stream, inflates with
+    * `java.util.zip.Inflater`, and reconstructs every scanline filter
+    * (None/Sub/Up/Average/Paeth). Palette, alpha, 16-bit, and interlaced
+    * images are rejected loudly — never silently misread.
+    */
+  def decodePng(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(bytes, 8), PngSig), "png: bad signature")
+    var pos = 8
+    var w = -1; var h = -1; var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 8 <= bytes.length && !seenIend) {
+      val size = intBE(bytes, pos)
+      val typ = new String(bytes, pos + 4, 4, US_ASCII)
+      val body = pos + 8
+      require(size >= 0 && body + size + 4 <= bytes.length, s"png: chunk '$typ' overruns file")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, pos + 4, 4 + size)
+      require(crc.getValue.toInt == intBE(bytes, body + size), s"png: bad CRC on '$typ'")
+      typ match {
+        case "IHDR" =>
+          require(size == 13, "png: bad IHDR size")
+          w = intBE(bytes, body); h = intBE(bytes, body + 4)
+          val depth = bytes(body + 8) & 0xff
+          val color = bytes(body + 9) & 0xff
+          val interlace = bytes(body + 12) & 0xff
+          require(w > 0 && h > 0, s"png: bad dims ${w}x$h")
+          require(depth == 8, s"png: unsupported bit depth $depth")
+          require(color == 2, s"png: unsupported color type $color (need truecolor RGB)")
+          require(interlace == 0, "png: interlaced images unsupported")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "png: IDAT before IHDR")
+          idat.write(bytes, body, size)
+        case "IEND" => seenIend = true
+        case _ => () // tEXt, gAMA, pHYs … — ancillary, skipped
+      }
+      pos = body + size + 4
+    }
+    require(seenIhdr, "png: no IHDR")
+    require(seenIend, "png: no IEND")
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    while (off < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      require(n > 0 || inflater.finished() || !inflater.needsInput,
+        "png: truncated IDAT stream")
+      off += n
+    }
+    inflater.end()
+    require(off == raw.length, s"png: inflated $off bytes, need ${raw.length}")
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      require(f <= 4, s"png: bad filter type $f on row $y")
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(src + x) & 0xff
+        val left = if (x >= bpp) px(dst + x - bpp) & 0xff else 0
+        val up = if (y > 0) px(dst - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) px(dst - stride + x - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        px(dst + x) = ((cur + pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
     }
     Image(w, h, 255, px)
   }

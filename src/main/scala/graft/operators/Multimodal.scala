@@ -237,6 +237,21 @@ object Multimodal {
     })
   }
 
+  /** PNG variant of [[mediaAssetsFromDocuments]]: EVERY document becomes a
+    * real compressed PNG (zlib-deflated, per-row-varied filters) of the same
+    * pixel law and dims — so `mm_decode_png`'s oracle is the law over all
+    * doc_ids, independent of the %3 fmt cycle, and the decoder must undo
+    * inflate + all five filter reconstructions to match the hash.
+    */
+  def mediaAssetsPngFromDocuments(documents: DataFrame): Dataset[MediaAsset] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val (w, h) = mediaDims(id)
+      MediaAsset(id, "png", MediaCodecs.encodePng(w, h, mediaPixelLaw(id, w * h * 3)))
+    })
+  }
+
   private def imageStatsOf(id: Long, im: MediaCodecs.Image): ImageStats = {
     val px = im.pixels
     var sum = 0L; var wsum = 0L; var mn = 255; var mx = 0
@@ -260,6 +275,7 @@ object Multimodal {
     assets.mapPartitions(_.collect {
       case a if a.fmt == "ppm" => imageStatsOf(a.asset_id, MediaCodecs.decodePpm(a.content))
       case a if a.fmt == "bmp" => imageStatsOf(a.asset_id, MediaCodecs.decodeBmp(a.content))
+      case a if a.fmt == "png" => imageStatsOf(a.asset_id, MediaCodecs.decodePng(a.content))
     })
   }
 

@@ -41,13 +41,13 @@ class PlansSpec extends SparkSpec {
     val parts = Seq(
       SalesQueries.queries, RelationalQueries.queries, TextQueries.queries,
       EventQueries.queries, DedupQueries.queries, SimilarityQueries.queries,
-      MultimodalQueries.queries, CurationQueries.queries)
+      MultimodalQueries.queries, CurationQueries.queries, WebQueries.queries)
     assert(SparkEntry.queries.size === parts.map(_.size).sum,
       "duplicate query name across domain registries")
     val oparts = Seq(
       SalesQueries.oracle, RelationalQueries.oracle, TextQueries.oracle,
       EventQueries.oracle, DedupQueries.oracle, SimilarityQueries.oracle,
-      MultimodalQueries.oracle, CurationQueries.oracle)
+      MultimodalQueries.oracle, CurationQueries.oracle, WebQueries.oracle)
     assert(SparkEntry.oracleSql.size === oparts.map(_.size).sum,
       "duplicate oracle name across domain registries")
     // every oracle belongs to a registered query
