@@ -365,11 +365,18 @@ object ScaleProbe {
               operators.WebCuration.canonicalizeUrl(col("url")))
             .select(col("doc_id"),
               operators.WebCuration.hostOf(col("canon_url")).as("host")))
-          val n = hosts.count()
+          // link law PER COPY: targets are (base_id·k + c) mod base-count,
+          // re-offset into the copy's own 10M id stride — so every copy
+          // carries the full edge law and the graph grows ∝ corpus (a
+          // total-count modulus would aim nearly all targets at copy-0
+          // ids and leave the edge table flat as the corpus blows up)
+          val nb = hosts.filter(col("doc_id") < 10000000L).count()
+          val base = col("doc_id") % 10000000L
+          val copyOff = col("doc_id") - base
           val lk = hosts.select(col("host").as("src"),
-              ((col("doc_id") * 31 + 7) % n).as("tid"))
+              ((base * 31 + 7) % nb + copyOff).as("tid"))
             .unionByName(hosts.select(col("host").as("src"),
-              ((col("doc_id") * 17 + 3) % n).as("tid")))
+              ((base * 17 + 3) % nb + copyOff).as("tid")))
           val e = lk.join(hosts.select(col("doc_id").as("tid"),
               col("host").as("dst")), "tid")
             .filter(col("src") =!= col("dst"))

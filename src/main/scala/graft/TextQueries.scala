@@ -205,6 +205,20 @@ object TextQueries {
       val vocab = operators.Unigram.trainVocab(docs, topMulti = 60)
       operators.Unigram.tokenCounts(docs, vocab, maxWordLen = 12)
         .orderBy("doc_id")
+    }),
+
+    // One hard-EM prune round over the seed vocabulary (completes Kudo's
+    // algorithm beyond the frequency seed): E-step = Viterbi piece-usage
+    // counts via backpointer backtrace, prune to the 40 most-used
+    // multi-char pieces, M-step = add-one-smoothed ln re-score on the 1e-9
+    // grid. The twin replays the whole round — DP with backpointers,
+    // 12-step backtrace chain, usage counts, prune, re-score.
+    "text_unigram_em" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = operators.Unigram.trainVocab(docs, topMulti = 60)
+      operators.Unigram.emRound(docs, vocab, keepMulti = 40, maxWordLen = 12)
+        .select("piece", "use_cnt", "score_q")
+        .orderBy("piece")
     })
   )
 
@@ -309,7 +323,8 @@ object TextQueries {
 
   private def unigramSegCtes(maxLen: Int): String = {
     val s0 =
-      """s0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS sq, CAST(0 AS BIGINT) AS np
+      """s0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS sq, CAST(0 AS BIGINT) AS np,
+           CAST(-1 AS BIGINT) AS bi
          FROM (SELECT word FROM wf))"""
     val steps = (1 to maxLen).map { j =>
       val cands = (math.max(0, j - 4) until j).map { i =>
@@ -318,8 +333,8 @@ object TextQueries {
            WHERE len(s.word) >= $j"""
       }.mkString("\n      UNION ALL\n      ")
       s"""s$j AS MATERIALIZED (
-        SELECT word, sq, np FROM (
-          SELECT word, sq, np, ROW_NUMBER() OVER (
+        SELECT word, sq, np, CAST(i AS BIGINT) AS bi FROM (
+          SELECT word, i, sq, np, ROW_NUMBER() OVER (
             PARTITION BY word ORDER BY sq DESC, i) AS rn
           FROM ($cands))
         WHERE rn = 1)"""
@@ -331,10 +346,58 @@ object TextQueries {
       s",\n    seg AS MATERIALIZED (\n      $segUnion)"
   }
 
+  // Backtrace over the DP's backpointers, mirroring Unigram.segmentPieces:
+  // bp is every (word, prefix length j, chosen split bi); the frontier
+  // starts at (word, len(word)) and steps j→bi `maxLen` times, emitting
+  // the piece word[bi+1..j] at each hop (multiplicity preserved — one row
+  // per hop). Then the EM round: freq-weighted usage counts, keep singles
+  // + top-`keepMulti` multis, add-one-smoothed ln re-score on the grid.
+  private def unigramEmCtes(maxLen: Int, keepMulti: Int): String = {
+    val bpUnion = (1 to maxLen)
+      .map(j => s"SELECT word, CAST($j AS BIGINT) AS j, bi FROM s$j WHERE len(word) >= $j")
+      .mkString("\n      UNION ALL\n      ")
+    val hops = (1 to maxLen).map { t =>
+      s"""e$t AS MATERIALIZED (
+        SELECT f.word, f.j, b.bi FROM f${t - 1} f
+        JOIN bp b ON b.word = f.word AND b.j = f.j
+        WHERE f.j > 0),
+    f$t AS (SELECT word, bi AS j FROM e$t)"""
+    }
+    val pieceUnion = (1 to maxLen)
+      .map(t => s"SELECT word, word[CAST(bi + 1 AS INT):CAST(j AS INT)] AS piece FROM e$t")
+      .mkString("\n      UNION ALL\n      ")
+    s"""bp AS MATERIALIZED (
+      $bpUnion),
+    f0 AS (SELECT word, len(word) AS j FROM s0),
+    ${hops.mkString(",\n    ")},
+    pieces AS (
+      $pieceUnion),
+    usage AS MATERIALIZED (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS use_cnt
+      FROM pieces JOIN wf USING (word) GROUP BY piece),
+    singles2 AS (
+      SELECT v.piece, COALESCE(u.use_cnt, CAST(0 AS BIGINT)) AS use_cnt
+      FROM voc v LEFT JOIN usage u USING (piece) WHERE len(v.piece) = 1),
+    multis2 AS (
+      SELECT piece, use_cnt FROM usage WHERE len(piece) > 1
+      ORDER BY use_cnt DESC, piece LIMIT $keepMulti),
+    kept2 AS (SELECT * FROM singles2 UNION ALL SELECT * FROM multis2),
+    tot2 AS (SELECT CAST(SUM(use_cnt) + COUNT(*) AS BIGINT) AS total FROM kept2)"""
+  }
+
   val oracle: Map[String, String] = Map(
     "text_unigram_vocab" ->
       s"""WITH $unigramVocabCtes
          SELECT piece, cnt, score_q FROM voc ORDER BY piece""",
+
+    "text_unigram_em" ->
+      s"""WITH $unigramVocabCtes,
+         ${unigramSegCtes(12)},
+         ${unigramEmCtes(12, 40)}
+         SELECT piece, use_cnt,
+           CAST(FLOOR(ln(CAST(use_cnt + 1 AS DOUBLE) / CAST(total AS DOUBLE))
+             * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+         FROM kept2, tot2 ORDER BY piece""",
 
     "text_unigram_tokens" ->
       s"""WITH $unigramVocabCtes,

@@ -57,8 +57,10 @@ object WebQueries {
     // exactByKey's shape with canon_url as the content key.
     "web_url_dedup" -> ((s, dir) => {
       val base = Tables.documentsWithUrls(s, dir)
+      // alias ids use the 10_000_000 re-key stride (ScaleProbe's convention)
+      // so they can never collide with genuine doc_ids on a larger fixture
       val ali = base.filter(col("doc_id") % 25 === 0)
-        .withColumn("doc_id", col("doc_id") + 700000L)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
         .withColumn("url", concat(
           replace(col("url"), lit(".Example."), lit(".EXAMPLE.")),
           lit("#Alias")))
@@ -101,6 +103,32 @@ object WebQueries {
         .select(col("node").as("host"),
           (floor(col("rq").cast("double") / 100000.0 + 0.5) / 10000.0)
             .as("rank_4dp"))
+        .orderBy("host")
+    }),
+
+    // Broadcast-PSL registered domain (the production form the LITE rule's
+    // scaladoc promises): longest-matching suffix from a pinned
+    // public-suffix fixture via a broadcast join over DISTINCT hosts.
+    // Planted multi-level-suffix hosts (u<id>.blogspot.com, p<id>.github.io)
+    // are exactly where PSL and LITE answers diverge — the `diverges`
+    // column proves the join path computes something the regex rule can't.
+    "web_domain_psl" -> ((s, dir) => {
+      import s.implicits._
+      val base = canonDocs(s, dir).select("host")
+      val planted = Tables.documentsWithUrls(s, dir)
+        .filter(col("doc_id") % 8 < 2).select("doc_id")
+        .withColumn("host",
+          when(col("doc_id") % 8 === 0,
+            concat(lit("u"), col("doc_id").cast("string"), lit(".blogspot.com")))
+          .otherwise(concat(lit("p"), col("doc_id").cast("string"), lit(".github.io"))))
+        .select("host")
+      val hosts = base.unionByName(planted).distinct()
+      val psl = WebCuration.publicSuffixes.toDF("suffix")
+      WebCuration.registeredDomainPsl(hosts, "host", psl, "domain_psl")
+        .withColumn("domain_lite", WebCuration.registeredDomain(col("host")))
+        .withColumn("diverges",
+          (col("domain_psl") =!= col("domain_lite")).cast("int"))
+        .select("host", "domain_psl", "domain_lite", "diverges")
         .orderBy("host")
     }),
 
@@ -210,7 +238,7 @@ object WebQueries {
     "web_url_dedup" ->
       s"""WITH $urlsCte,
         |ali AS (
-        |  SELECT doc_id + 700000 AS doc_id, lang, source, text,
+        |  SELECT doc_id + 10000000 AS doc_id, lang, source, text,
         |    replace(url, '.Example.', '.EXAMPLE.') || '#Alias' AS url
         |  FROM urls WHERE doc_id % 25 = 0),
         |urls2 AS (SELECT * FROM urls UNION ALL SELECT * FROM ali),
@@ -266,6 +294,51 @@ object WebQueries {
         |SELECT host,
         |  FLOOR(CAST(rq AS DOUBLE) / 100000.0 + 0.5) / 10000.0 AS rank_4dp
         |FROM r3 ORDER BY host""".stripMargin
+    },
+
+    "web_domain_psl" -> {
+      val pslValues = WebCuration.publicSuffixes
+        .map(s => s"('$s')").mkString(", ")
+      def lite(h: String): String =
+        s"""(CASE WHEN regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) = '' THEN $h
+          |        WHEN regexp_matches(regexp_extract($h, '([^.]+\\.[^.]+)$$', 1),
+          |               '^(co\\.uk|com\\.au|co\\.jp|com\\.br|co\\.in)$$')
+          |             AND regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+          |        THEN regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+          |        ELSE regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) END)""".stripMargin
+      s"""WITH $canonCtes,
+        |hset AS (
+        |  SELECT DISTINCT host FROM (
+        |    SELECT host FROM canon
+        |    UNION ALL
+        |    SELECT CASE WHEN doc_id % 8 = 0
+        |        THEN 'u' || CAST(doc_id AS VARCHAR) || '.blogspot.com'
+        |        ELSE 'p' || CAST(doc_id AS VARCHAR) || '.github.io' END AS host
+        |    FROM documents WHERE doc_id % 8 < 2)),
+        |psl AS (SELECT * FROM (VALUES $pslValues) t(suffix)),
+        |tails AS (
+        |  SELECT host, unnest(list_transform(range(1, len(labels) + 1),
+        |    i -> array_to_string(labels[i:len(labels)], '.'))) AS tail
+        |  FROM (SELECT host, string_split(host, '.') AS labels FROM hset)),
+        |m AS (SELECT t.host, t.tail AS suffix
+        |      FROM tails t JOIN psl p ON p.suffix = t.tail),
+        |best AS (SELECT host, suffix FROM (
+        |  SELECT host, suffix, ROW_NUMBER() OVER (
+        |    PARTITION BY host ORDER BY len(suffix) DESC) AS rn FROM m)
+        |  WHERE rn = 1),
+        |reg AS (
+        |  SELECT h.host,
+        |    CASE WHEN b.suffix IS NULL THEN ${lite("h.host")}
+        |         WHEN h.host = b.suffix THEN h.host
+        |         ELSE regexp_extract(
+        |             h.host[1:CAST(len(h.host) - len(b.suffix) - 1 AS INT)],
+        |             '([^.]+)$$', 1) || '.' || b.suffix
+        |    END AS domain_psl,
+        |    ${lite("h.host")} AS domain_lite
+        |  FROM hset h LEFT JOIN best b USING (host))
+        |SELECT host, domain_psl, domain_lite,
+        |  CASE WHEN domain_psl <> domain_lite THEN 1 ELSE 0 END AS diverges
+        |FROM reg ORDER BY host""".stripMargin
     },
 
     "web_domain_cap" ->

@@ -891,9 +891,25 @@ object Dedup {
     */
   def cutContaminatedSpans(documents: DataFrame, benchmark: DataFrame,
                            minLen: Int = 10,
-                           scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    val occB = scope.persist(benchmark.select(col("bench_id"),
-      posexplode(gramHashes(col("text"), minLen)).as(Seq("pos_a", "h"))))
+                           scope: graft.CacheScope = graft.CacheScope.global): DataFrame =
+    cutSpansWithGrams(documents,
+      scope.persist(benchmarkGrams(benchmark, minLen)), minLen, scope)
+
+  /** The benchmark side of [[cutContaminatedSpans]]: positioned gram
+    * hashes (bench_id, pos_a, h). Exposed so a long-lived caller (the
+    * streaming sink) can build + persist it ONCE and reuse it across
+    * micro-batches instead of re-exploding the static benchmark per batch.
+    */
+  def benchmarkGrams(benchmark: DataFrame, minLen: Int = 10): DataFrame =
+    benchmark.select(col("bench_id"),
+      posexplode(gramHashes(col("text"), minLen)).as(Seq("pos_a", "h")))
+
+  /** [[cutContaminatedSpans]] against a PRE-BUILT (caller-persisted)
+    * benchmark gram table from [[benchmarkGrams]].
+    */
+  def cutSpansWithGrams(documents: DataFrame, occB: DataFrame,
+                        minLen: Int = 10,
+                        scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
     val occD = documents.select(col("doc_id"),
       posexplode(gramHashes(col("text"), minLen)).as(Seq("pos_b", "h")))
     val w = org.apache.spark.sql.expressions.Window

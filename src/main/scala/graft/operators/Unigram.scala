@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * learned merges, unigram scores every candidate piece independently and
   * segments each word by the maximum-likelihood decomposition (Viterbi).
   *
-  * Training here is the frequency-initialization half of Kudo's algorithm
-  * (his seed vocabulary IS substring frequency; the EM prune loop is the
-  * declared simplification): candidate pieces are all substrings of
+  * Training follows Kudo's two-phase shape: [[trainVocab]] is the
+  * frequency-initialization (his seed vocabulary IS substring frequency)
+  * and [[emRound]] is a prune round — hard-EM (Viterbi counts) rather
+  * than forward-backward expectations, the declared simplification that
+  * keeps every quantity an exact integer. Seeding: candidate pieces are
+  * all substrings of
   * length ≤ [[MaxPiece]] over the corpus word-frequency table, the kept
   * vocabulary is every single character (segmentability guarantee) plus
   * the top-`topMulti` multi-char pieces by (count desc, piece asc), and
@@ -75,6 +78,24 @@ object Unigram {
   def segmentWords(words: DataFrame, vocab: DataFrame,
                    maxWordLen: Int = 12,
                    scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val (ws, states, actualMax) = viterbiStates(words, vocab, maxWordLen, scope)
+    if (actualMax == 0)
+      return ws.select(col("word"), lit(0L).as("n_pieces"), lit(0L).as("score_q"))
+        .limit(0)
+    (1 to actualMax).map { j =>
+      states(j).filter(length(col("word")) === j)
+    }.reduce(_ unionByName _)
+      .select(col("word"), col("np").as("n_pieces"), col("sq").as("score_q"))
+  }
+
+  /** The shared Viterbi DP: distinct words, per-prefix-length states with
+    * BACKPOINTERS. Returns (distinct words, states 0..actualMax, actualMax);
+    * state j holds (word, sq, np, bi) — best quantized score, piece count,
+    * and chosen split point for the word's first j characters.
+    */
+  private def viterbiStates(words: DataFrame, vocab: DataFrame,
+                            maxWordLen: Int, scope: graft.CacheScope)
+      : (DataFrame, Vector[DataFrame], Int) = {
     val ws = words.select("word").distinct()
     // one pass answers both the contract check and the loop depth: steps
     // beyond the longest actual word would compute empty states (the SQL
@@ -91,10 +112,24 @@ object Unigram {
     // pretrain stage-5/6 disease; this one hangs outright at 12 steps).
     // Each state is word-table-sized, so the eager cut is cheap.
     val v = scope.checkpoint(vocab.select(col("piece"), col("score_q")))
-    // states(j): (word, sq, np) for words with length ≥ j; state 0 is the
-    // empty prefix of every word
+    // loud contract guard (was a silent inner-join drop): a word containing
+    // a character absent from the vocabulary — possible when vocab was
+    // trained on a DIFFERENT corpus — would lose all its states and vanish
+    // from every downstream count. One cheap distinct-char anti-join pass
+    // over the (already distinct) word table catches it before the DP runs.
+    val missing = ws
+      .select(explode(graft.plans.NativeKernels.allSubstrings(col("word"), 1)).as("piece"))
+      .distinct()
+      .join(v.filter(length(col("piece")) === 1), Seq("piece"), "left_anti")
+      .limit(5).collect().map(_.getString(0))
+    require(missing.isEmpty,
+      s"words contain characters missing from the vocabulary: " +
+        s"${missing.mkString("'", "', '", "'")} — was the vocab trained on " +
+        "this corpus? (segmentation would silently drop those words)")
+    // states(j): (word, sq, np, bi) for words with length ≥ j; state 0 is
+    // the empty prefix of every word
     var states = Vector(scope.checkpoint(ws.select(col("word"),
-      lit(0L).as("sq"), lit(0L).as("np"))))
+      lit(0L).as("sq"), lit(0L).as("np"), lit(-1L).as("bi"))))
     for (j <- 1 to actualMax) {
       val cands = (math.max(0, j - MaxPiece) until j).map { i =>
         states(i)
@@ -112,17 +147,83 @@ object Unigram {
           (col("sq") + col("score_q")).as("sq"), (col("np") + 1).as("np"))
       states = states :+ scope.checkpoint(scored
         .groupBy("word")
-        .agg(max_by(struct(col("sq"), col("np")),
+        .agg(max_by(struct(col("sq"), col("np"), col("i").as("bi")),
           struct(col("sq"), (-col("i")).as("ni"))).as("m"))
-        .select(col("word"), col("m.sq").as("sq"), col("m.np").as("np")))
+        .select(col("word"), col("m.sq").as("sq"), col("m.np").as("np"),
+          col("m.bi").as("bi")))
     }
+    (ws, states, actualMax)
+  }
+
+  /** The Viterbi-best segmentation PATH of every distinct word, one row per
+    * used piece WITH multiplicity: (word, piece). Backtrace over the DP's
+    * backpointers as ≤ maxWordLen frontier-join steps — each step j→bi
+    * emits the piece word[bi+1..j] and moves the frontier to bi; the
+    * frontier only shrinks, and every word terminates at state 0 because
+    * the DP guarantees each kept state was reached from state 0.
+    */
+  def segmentPieces(words: DataFrame, vocab: DataFrame,
+                    maxWordLen: Int = 12,
+                    scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val (ws, states, actualMax) = viterbiStates(words, vocab, maxWordLen, scope)
     if (actualMax == 0)
-      return ws.select(col("word"), lit(0L).as("n_pieces"), lit(0L).as("score_q"))
-        .limit(0)
-    (1 to actualMax).map { j =>
-      states(j).filter(length(col("word")) === j)
-    }.reduce(_ unionByName _)
-      .select(col("word"), col("np").as("n_pieces"), col("sq").as("score_q"))
+      return ws.select(col("word"), col("word").as("piece")).limit(0)
+    val bp = scope.checkpoint((1 to actualMax).map { j =>
+      states(j).filter(length(col("word")) >= j)
+        .select(col("word"), lit(j.toLong).as("j"), col("bi"))
+    }.reduce(_ unionByName _))
+    var frontier = ws.select(col("word"), length(col("word")).cast("long").as("j"))
+    val emitted = Vector.newBuilder[DataFrame]
+    for (_ <- 1 to actualMax) {
+      // linear lineage (bp is checkpointed), so no per-step cut is needed
+      val step = frontier.filter(col("j") > 0).join(bp, Seq("word", "j"))
+      emitted += step.select(col("word"),
+        col("word").substr((col("bi") + 1).cast("int"),
+          (col("j") - col("bi")).cast("int")).as("piece"))
+      frontier = step.select(col("word"), col("bi").as("j"))
+    }
+    emitted.result().reduce(_ unionByName _)
+  }
+
+  /** One hard-EM round of Kudo's prune loop over a seed vocabulary
+    * (completing the algorithm beyond [[trainVocab]]'s frequency seed —
+    * the E-step is Viterbi counts, the declared hard-EM simplification of
+    * Kudo's forward-backward expectations, which keeps every quantity an
+    * exact integer so the round replays bit-for-bit in the SQL twin):
+    *
+    *   - E-step: usage(piece) = Σ over words of freq(word) × times the
+    *     piece appears in the word's Viterbi-best segmentation under the
+    *     CURRENT scores ([[segmentPieces]]).
+    *   - Prune: multi-char pieces the best segmentations never or rarely
+    *     use are dropped — keep the top `keepMulti` by (usage desc, piece
+    *     asc); zero-usage multis are gone by construction. Single chars
+    *     are always kept (segmentability guarantee), usage 0 allowed.
+    *   - M-step: re-score kept pieces by add-one-smoothed usage,
+    *     ln((use+1) / Σ(use+1)), on the same 1e-9 integer grid (smoothing
+    *     keeps unused singles finite and is SentencePiece-style ML
+    *     re-estimation over the hard counts).
+    *
+    * Returns (piece, use_cnt, score_q) — a drop-in refined vocabulary for
+    * [[segmentWords]] / [[tokenCounts]].
+    */
+  def emRound(documents: DataFrame, vocab: DataFrame, keepMulti: Int = 40,
+              maxWordLen: Int = 12,
+              scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val wf = scope.checkpoint(Bpe.wordFreqs(documents))
+    val paths = segmentPieces(wf.select("word"), vocab, maxWordLen, scope)
+    val usage = paths.join(wf, "word")
+      .groupBy("piece").agg(sum("freq").as("use_cnt"))
+    val singles = vocab.filter(length(col("piece")) === 1).select("piece")
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("use_cnt"), lit(0L)).as("use_cnt"))
+    val multis = usage.filter(length(col("piece")) > 1)
+      .orderBy(desc("use_cnt"), col("piece")).limit(keepMulti)
+    val kept = scope.checkpoint(singles.unionByName(multis))
+    val total = kept.agg((sum("use_cnt") + count(lit(1))).as("t"))
+      .first().getLong(0)
+    kept.withColumn("score_q",
+      floor(log((col("use_cnt") + 1).cast("double") / total) * 1000000000.0 + 0.5)
+        .cast("long"))
   }
 
   /** Per-document unigram token statistics: each word occurrence carries

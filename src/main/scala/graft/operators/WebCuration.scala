@@ -89,14 +89,67 @@ object WebCuration {
   def hostOf(canonUrl: Column): Column =
     regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/:?]*)", 1)
 
-  /** At most `cap` rows per group, best `rank` first (doc_id-ascending
-    * tie-break) — the RefinedWeb per-domain cap: template-heavy domains
-    * contribute their `cap` best documents instead of their whole crawl
-    * volume. The absolute-cap sibling of
-    * [[Curation.topFractionPerGroup]]; `row_number ≤ cap` plans as
-    * WindowGroupLimit, so ≤ cap rows per group per partition survive the
-    * shuffle — group cardinality (#domains) never materializes anywhere.
+  /** Pinned public-suffix fixture — a real-PSL snapshot subset (plain
+    * rules only; the live list's wildcard/exception entries are the
+    * declared out-of-scope tail). Includes MULTI-LEVEL private-section
+    * entries (`github.io`, `blogspot.com`, `s3.amazonaws.com`) — exactly
+    * the cases where [[registeredDomain]]'s LITE rule diverges from the
+    * PSL answer, so `web_domain_psl` can prove the join-based form does
+    * something the regex rule can't. A production deployment swaps this
+    * Seq for the full publicsuffix.org list; nothing else changes.
     */
+  val publicSuffixes: Seq[String] = Seq(
+    "com", "org", "net", "io", "edu", "gov", "app", "dev",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "au", "com.au", "net.au", "org.au",
+    "jp", "co.jp", "ne.jp", "or.jp",
+    "br", "com.br", "net.br", "org.br",
+    "in", "co.in", "net.in", "org.in", "firm.in",
+    "us", "de", "fr", "it", "nl", "es", "ru",
+    "cn", "com.cn", "net.cn", "org.cn",
+    "github.io", "blogspot.com", "s3.amazonaws.com",
+    "herokuapp.com", "netlify.app", "pages.dev")
+
+  /** Join-based registered domain against a broadcast public-suffix table
+    * (the production form [[registeredDomain]]'s scaladoc promises):
+    * registered domain = one label + the LONGEST suffix in `suffixes`
+    * matching a dot-boundary tail of the host. Hosts that ARE a public
+    * suffix map to themselves; hosts matching no suffix fall back to the
+    * LITE rule (the PSL's own default for unknown TLDs is "last label is
+    * the suffix", which is exactly the two-label rule).
+    *
+    * Scale shape: the suffix explode runs over DISTINCT hosts (site-scale,
+    * not corpus-scale — a host has ≤ label-count tails), the suffix table
+    * is broadcast, and the result joins back to `df` on host. Appends
+    * `out` (default `reg_domain`) to `df` unchanged otherwise.
+    */
+  def registeredDomainPsl(df: DataFrame, hostCol: String, suffixes: DataFrame,
+                          out: String = "reg_domain"): DataFrame = {
+    val hosts = df.select(col(hostCol).as("host")).distinct()
+    val labels = split(col("host"), "\\.")
+    val tails = hosts.select(col("host"), explode(
+      transform(sequence(lit(0), size(labels) - 1),
+        i => array_join(slice(labels, i + 1, size(labels) - i), ".")))
+      .as("tail"))
+    // nested tails of one host have strictly distinct lengths, so the
+    // longest-match argmax is a total order — no tie law needed
+    val matched = tails
+      .join(broadcast(suffixes.select(col("suffix").as("tail"))), Seq("tail"))
+      .groupBy("host")
+      .agg(max_by(col("tail"), length(col("tail"))).as("suffix"))
+    val prefix = col("host").substr(
+      lit(1), length(col("host")) - length(col("suffix")) - 1)
+    val reg = hosts.join(matched, Seq("host"), "left")
+      .select(col("host"),
+        when(col("suffix").isNull, registeredDomain(col("host")))
+          .when(col("host") === col("suffix"), col("host"))
+          .otherwise(concat(regexp_extract(prefix, "([^.]+)$", 1),
+            lit("."), col("suffix")))
+          .as(out))
+    df.join(reg, df(hostCol) === reg("host"), "left")
+      .drop(reg("host"))
+  }
+
   /** Damped PageRank over one weighted directed graph, on the 1e-9
     * integer grid — [[TextAnalysis.textrankKeywords]]'s exact arithmetic
     * (quantized contributions, `round((1−d)·10⁹) + floor(d·Σ + 0.5)`)
@@ -131,6 +184,14 @@ object WebCuration {
     ranks
   }
 
+  /** At most `cap` rows per group, best `rank` first (doc_id-ascending
+    * tie-break) — the RefinedWeb per-domain cap: template-heavy domains
+    * contribute their `cap` best documents instead of their whole crawl
+    * volume. The absolute-cap sibling of
+    * [[Curation.topFractionPerGroup]]; `row_number ≤ cap` plans as
+    * WindowGroupLimit, so ≤ cap rows per group per partition survive the
+    * shuffle — group cardinality (#domains) never materializes anywhere.
+    */
   def capPerGroup(df: DataFrame, groupCol: String, rank: Column,
                   idCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"cap=$cap must be positive")

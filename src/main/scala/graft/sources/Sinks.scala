@@ -221,6 +221,92 @@ object Sinks {
     fs.delete(stagingPath, true)
   }
 
+  /** Name of the exclusive-writer lease file under a table/index dir.
+    * Underscore-prefixed so data scans never see it.
+    */
+  val LeaseName = "_writer_lease"
+
+  /** Thrown when a second writer tries to mutate a leased directory —
+    * the FAIL-FAST half of the single-writer contract (the staged-move /
+    * manifest idiom is single-writer by construction; two interleaved
+    * ingests would race the manifest and the per-list file moves).
+    */
+  final class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Run `body` holding the exclusive writer lease for `dir` — the
+    * mutual-exclusion wrapper the streaming ingest sinks put around each
+    * micro-batch commit, turning the previously-silent two-writer race
+    * into a loud [[ConcurrentWriterException]] for the loser.
+    *
+    * Mechanics: `fs.create(lease, overwrite = false)` — atomic on HDFS
+    * and object stores with conditional-create; on the local FS the
+    * check-then-create window is microseconds, which is the standard
+    * Hadoop-ecosystem lease idiom (Delta's SetTransaction / Iceberg's
+    * lock-manager fall back the same way without a coordination service).
+    * The lease records owner + wall-clock; a lease older than `staleMs`
+    * is presumed abandoned by a dead writer and broken (one retry). On
+    * release the owner re-reads the lease and deletes it only if still
+    * its own — finding someone else's means a peer wrongly broke a LIVE
+    * lease (staleMs shorter than a batch), which throws rather than
+    * silently un-locking the peer. `staleMs` must comfortably exceed the
+    * longest batch the writer runs.
+    *
+    * The lease lives in a SIBLING `<dir>__lock/` directory, not inside
+    * `dir`: compaction verbs atomically swap the whole data dir
+    * ([[swapDirs]] on `Pq.compactCodes`' codes table), which would delete
+    * an in-dir lease out from under its live holder.
+    */
+  def withDirLease[T](spark: org.apache.spark.sql.SparkSession, dir: String,
+                      owner: String = java.util.UUID.randomUUID().toString,
+                      staleMs: Long = 15L * 60 * 1000)(body: => T): T = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__lock")
+    fs.mkdirs(dirPath)
+    val lease = new org.apache.hadoop.fs.Path(dirPath, LeaseName)
+    def readLease(): Option[(String, Long)] =
+      try {
+        val in = fs.open(lease)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next() finally in.close()
+        val Array(o, ts) = line.split(" ", 2)
+        Some((o, ts.toLong))
+      } catch { case _: Throwable => None }
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lease, false)
+        try out.write(s"$owner ${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val holder = readLease()
+      val stale = holder.exists { case (_, ts) =>
+        System.currentTimeMillis() - ts > staleMs }
+      if (!stale)
+        throw new ConcurrentWriterException(
+          s"$dir is leased by writer ${holder.map(_._1).getOrElse("<unreadable>")} — " +
+            "a second concurrent writer on one index/table would race the " +
+            "staged-move manifest; run one ingest stream per index")
+      fs.delete(lease, false) // abandoned by a dead writer — break and retry once
+      if (!tryAcquire())
+        throw new ConcurrentWriterException(
+          s"$dir: lost the lease race after breaking a stale lease")
+    }
+    try body
+    finally {
+      readLease() match {
+        case Some((o, _)) if o == owner => fs.delete(lease, false)
+        case other =>
+          throw new ConcurrentWriterException(
+            s"$dir: lease was ${other.map(h => s"taken over by ${h._1}")
+              .getOrElse("removed")} while this writer held it — " +
+              "staleMs is shorter than this writer's batch; writes may have raced")
+      }
+    }
+  }
+
   /** The tombstoned vec_ids under an index's sibling `__tombstones` dir —
     * None when no tombstones exist (the common case: probes pay only a
     * local existence check). For the `list`-partitioned layouts pass the

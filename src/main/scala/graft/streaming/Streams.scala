@@ -464,25 +464,30 @@ object Streams {
     */
   def pqIngestSink(vectors: DataFrame, model: graft.operators.Pq.PqModel,
                    checkpointDir: String,
-                   compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+                   compactAboveFiles: Int = 0): DataStreamWriter[Row] = {
+    val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Pq.appendToIndexIdempotent(model, batch, batchId)
-        // auto-compaction (see ivfIngestSink): fold the flat codes table
-        // once its data-file count exceeds the threshold
-        if (compactAboveFiles > 0) {
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            batch.sparkSession.sparkContext.hadoopConfiguration)
-          val n = fs.listStatus(
-              new org.apache.hadoop.fs.Path(model.codesPath))
-            .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-              !s.getPath.getName.startsWith("."))
-          if (n > compactAboveFiles)
-            graft.operators.Pq.compactCodes(batch.sparkSession, model)
-          ()
+        graft.sources.Sinks.withDirLease(batch.sparkSession, model.codesPath,
+          writerId) {
+          graft.operators.Pq.appendToIndexIdempotent(model, batch, batchId)
+          // auto-compaction (see ivfIngestSink): fold the flat codes table
+          // once its data-file count exceeds the threshold
+          if (compactAboveFiles > 0) {
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              batch.sparkSession.sparkContext.hadoopConfiguration)
+            val n = fs.listStatus(
+                new org.apache.hadoop.fs.Path(model.codesPath))
+              .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+            if (n > compactAboveFiles)
+              graft.operators.Pq.compactCodes(batch.sparkSession, model)
+            ()
+          }
         }
       }
+  }
 
   /** [[ivfIngestSink]] for the composite IVF-PQ index: frozen coarse
     * assign + frozen residual encode per micro-batch, exactly-once into
@@ -492,17 +497,22 @@ object Streams {
   def ivfPqIngestSink(vectors: DataFrame,
                       model: graft.operators.IvfPq.IvfPqModel,
                       checkpointDir: String,
-                      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+                      compactAboveFiles: Int = 0): DataStreamWriter[Row] = {
+    val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.IvfPq.appendToIndexIdempotent(model, batch, batchId)
-        // auto-compaction (see ivfIngestSink) over the list directories
-        if (compactAboveFiles > 0)
-          graft.operators.Ivf.compactLists(batch.sparkSession, model.indexPath,
-            maxFilesPerList = compactAboveFiles)
+        graft.sources.Sinks.withDirLease(batch.sparkSession, model.indexPath,
+          writerId) {
+          graft.operators.IvfPq.appendToIndexIdempotent(model, batch, batchId)
+          // auto-compaction (see ivfIngestSink) over the list directories
+          if (compactAboveFiles > 0)
+            graft.operators.Ivf.compactLists(batch.sparkSession, model.indexPath,
+              maxFilesPerList = compactAboveFiles)
+        }
         ()
       }
+  }
 
   /** Streaming index maintenance — the WRITE-side twin of [[ivfProbeSink]]
     * and the streaming form of `Ivf.appendToIndex`: each micro-batch of
@@ -532,16 +542,24 @@ object Streams {
     */
   def ivfIngestSink(vectors: DataFrame, model: graft.operators.Ivf.IvfModel,
                     checkpointDir: String,
-                    compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+                    compactAboveFiles: Int = 0): DataStreamWriter[Row] = {
+    // one writer identity per sink instance: each batch re-takes the index
+    // lease, so a SECOND ingest stream on the same index fails fast with
+    // ConcurrentWriterException instead of silently racing the manifest
+    val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Ivf.appendToIndexIdempotent(model, batch, batchId)
-        if (compactAboveFiles > 0)
-          graft.operators.Ivf.compactLists(batch.sparkSession, model.indexPath,
-            maxFilesPerList = compactAboveFiles)
+        graft.sources.Sinks.withDirLease(batch.sparkSession, model.indexPath,
+          writerId) {
+          graft.operators.Ivf.appendToIndexIdempotent(model, batch, batchId)
+          if (compactAboveFiles > 0)
+            graft.operators.Ivf.compactLists(batch.sparkSession, model.indexPath,
+              maxFilesPerList = compactAboveFiles)
+        }
         ()
       }
+  }
 
   /** Streaming takedown sink — the DELETE verb's streaming form, closing
     * the index lifecycle loop (ingest / probe / delete all drivable from
@@ -631,16 +649,21 @@ object Streams {
   def ivfSqIngestSink(vectors: DataFrame,
                       model: graft.operators.IvfSq.IvfSqModel,
                       checkpointDir: String,
-                      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+                      compactAboveFiles: Int = 0): DataStreamWriter[Row] = {
+    val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.IvfSq.appendToIndexIdempotent(model, batch, batchId)
-        if (compactAboveFiles > 0)
-          graft.operators.Ivf.compactLists(batch.sparkSession, model.indexPath,
-            maxFilesPerList = compactAboveFiles)
+        graft.sources.Sinks.withDirLease(batch.sparkSession, model.indexPath,
+          writerId) {
+          graft.operators.IvfSq.appendToIndexIdempotent(model, batch, batchId)
+          if (compactAboveFiles > 0)
+            graft.operators.Ivf.compactLists(batch.sparkSession, model.indexPath,
+              maxFilesPerList = compactAboveFiles)
+        }
         ()
       }
+  }
 
   /** [[ivfPqDeleteSink]] for the IVF-SQ8 composite — per-list tombstones
     * resolved by the same column-pruned (vec_id, list) join; pruned-list
@@ -680,23 +703,28 @@ object Streams {
     */
   def sqIngestSink(vectors: DataFrame, model: graft.operators.Sq.SqModel,
                    checkpointDir: String,
-                   compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+                   compactAboveFiles: Int = 0): DataStreamWriter[Row] = {
+    val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Sq.appendToIndexIdempotent(model, batch, batchId)
-        if (compactAboveFiles > 0) {
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            batch.sparkSession.sparkContext.hadoopConfiguration)
-          val n = fs.listStatus(
-              new org.apache.hadoop.fs.Path(model.codesPath))
-            .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-              !s.getPath.getName.startsWith("."))
-          if (n > compactAboveFiles)
-            graft.operators.Sq.compactCodes(batch.sparkSession, model)
-          ()
+        graft.sources.Sinks.withDirLease(batch.sparkSession, model.codesPath,
+          writerId) {
+          graft.operators.Sq.appendToIndexIdempotent(model, batch, batchId)
+          if (compactAboveFiles > 0) {
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              batch.sparkSession.sparkContext.hadoopConfiguration)
+            val n = fs.listStatus(
+                new org.apache.hadoop.fs.Path(model.codesPath))
+              .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+            if (n > compactAboveFiles)
+              graft.operators.Sq.compactCodes(batch.sparkSession, model)
+            ()
+          }
         }
       }
+  }
 
   /** [[pqDeleteSink]] for the SQ8 layout — flat codes table, so the
     * tombstone batch needs no list resolution; the ADC probe masks the
@@ -732,20 +760,27 @@ object Streams {
                         model: graft.operators.Ivf.IvfModel,
                         checkpointDir: String,
                         compactAboveFiles: Int = 0,
-                        rebalanceAboveRatio: Double = 0.0): DataStreamWriter[Row] =
+                        rebalanceAboveRatio: Double = 0.0): DataStreamWriter[Row] = {
+    val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val m = graft.operators.Ivf.currentModel(spark, model)
-        graft.operators.Ivf.appendToIndexIdempotent(m, batch, batchId)
-        if (compactAboveFiles > 0)
-          graft.operators.Ivf.compactLists(spark, m.indexPath,
-            maxFilesPerList = compactAboveFiles)
-        if (rebalanceAboveRatio > 0.0)
-          graft.operators.Ivf.rebalanceIndex(spark, m, rebalanceAboveRatio)
+        // the lease covers model resolution too: a concurrent writer's
+        // re-balance between currentModel and the append would otherwise
+        // hand this batch a stale quantizer
+        graft.sources.Sinks.withDirLease(spark, model.indexPath, writerId) {
+          val m = graft.operators.Ivf.currentModel(spark, model)
+          graft.operators.Ivf.appendToIndexIdempotent(m, batch, batchId)
+          if (compactAboveFiles > 0)
+            graft.operators.Ivf.compactLists(spark, m.indexPath,
+              maxFilesPerList = compactAboveFiles)
+          if (rebalanceAboveRatio > 0.0)
+            graft.operators.Ivf.rebalanceIndex(spark, m, rebalanceAboveRatio)
+        }
         ()
       }
+  }
 
   /** Streaming decontamination gate — the ingest twin of the batch
     * `cur_decontaminate` flow: each incoming document counts its distinct
@@ -785,17 +820,25 @@ object Streams {
     */
   def spanDecontaminateSink(docs: DataFrame, benchmark: DataFrame,
                             outDir: String, checkpointDir: String,
-                            minLen: Int = 10): DataStreamWriter[Row] =
+                            minLen: Int = 10): DataStreamWriter[Row] = {
+    // the benchmark never changes across batches: build + persist its gram
+    // table ONCE here (global scope: the first batch materializes the
+    // cache, every later batch reuses it; an interleaved release only
+    // costs a rebuild, never correctness) instead of re-exploding the
+    // static side inside every micro-batch
+    val occB = graft.CacheScope.global.persist(
+      graft.operators.Dedup.benchmarkGrams(benchmark, minLen))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val scope = new graft.CacheScope
         val cleaned = graft.operators.Dedup
-          .cutContaminatedSpans(batch, benchmark, minLen, scope)
+          .cutSpansWithGrams(batch, occB, minLen, scope)
         graft.sources.Sinks.appendBatchFileIdempotent(
           cleaned, outDir, s"batch-$batchId.parquet")
         scope.release()
       }
+  }
 
   /** The STREAMING pretraining-corpus flagship: every micro-batch of new
     * documents is absorbed into the full six-stage `cur_pretrain` state

@@ -703,6 +703,47 @@ class StreamingSpec extends SparkSpec {
     assert(probed === exact)
   }
 
+  test("a second concurrent ingest writer on one index fails safe (lease)") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val model = graft.operators.Ivf.buildIndex(sfDir + "#lease", base, nlist = 8)
+    val before = spark.read.parquet(model.indexPath).count()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lease-c").toString
+    val rows = batch.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    // writer A holds the index lease for the whole duration; stream B's
+    // micro-batch must fail LOUDLY and leave the index untouched
+    graft.sources.Sinks.withDirLease(spark, model.indexPath, "writer-a") {
+      val input = MemoryStream[(Long, Seq[Float])]
+      input.addData(rows)
+      val q = Streams.ivfIngestSink(
+        input.toDF().toDF("vec_id", "embedding"), model, ckpt).start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        if (q.exception.isDefined) throw q.exception.get
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(
+          _.isInstanceOf[graft.sources.Sinks.ConcurrentWriterException]),
+        s"expected ConcurrentWriterException in cause chain, got: $e")
+      q.stop()
+    }
+    assert(spark.read.parquet(model.indexPath).count() === before,
+      "losing writer must not mutate the index")
+    // with the lease free, the same stream replays its batch and lands it
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    input2.addData(rows)
+    val q2 = Streams.ivfIngestSink(
+      input2.toDF().toDF("vec_id", "embedding"), model, ckpt).start()
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, s"replay after lease release failed: ${q2.exception}")
+    q2.stop()
+    assert(spark.read.parquet(model.indexPath).count() === before + rows.size)
+  }
+
   test("streaming PQ ingest grows the codes table to the frozen-encode union") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)

@@ -84,6 +84,81 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("segmentPieces replays the exact Viterbi path (brute-force parity)") {
+    val docs = Tables.documents(spark, sfDir)
+    val vocab = Unigram.trainVocab(docs, topMulti = 60)
+    val scores = vocab.select("piece", "score_q")
+      .as[(String, Long)].collect().toMap
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .distinct().as[String].collect()
+    // driver-side reference DP with the identical tie law: best(j) over
+    // split points i = max (sq, then smallest i); backtrace yields pieces
+    def refPieces(w: String): Seq[String] = {
+      val best = Array.fill(w.length + 1)((Long.MinValue, -1))
+      best(0) = (0L, -1)
+      for (j <- 1 to w.length) {
+        var bs = Long.MinValue; var bi = -1
+        for (i <- math.max(0, j - Unigram.MaxPiece) until j) {
+          val p = w.substring(i, j)
+          if (best(i)._1 != Long.MinValue && scores.contains(p)) {
+            val s = best(i)._1 + scores(p)
+            if (s > bs) { bs = s; bi = i } // strict: ties keep SMALLEST i
+          }
+        }
+        best(j) = (bs, bi)
+      }
+      var j = w.length
+      val out = Vector.newBuilder[String]
+      while (j > 0) { val bi = best(j)._2; out += w.substring(bi, j); j = bi }
+      out.result()
+    }
+    val got = Unigram.segmentPieces(words.toSeq.toDF("word"), vocab)
+      .groupBy("word", "piece").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    for (w <- words) {
+      val want = refPieces(w).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got(w) === want, s"path mismatch for '$w'")
+    }
+  }
+
+  test("emRound: usage counts, prune, and re-score tie out by hand") {
+    // corpus: "ab"×2, "b"×1 under seed vocab {a, ab, b} (see trainVocab
+    // test). Viterbi: "ab" → [ab] (ln(2/7) beats ln(2/7)+ln(3/7)),
+    // "b" → [b]. Usage: ab=2, b=1, a=0. keepMulti=40 keeps ab.
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(docs, topMulti = 60)
+    val got = Unigram.emRound(docs, vocab, keepMulti = 40)
+      .select("piece", "use_cnt", "score_q")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // total = Σ(use+1) over kept {a:0, b:1, ab:2} = 1 + 2 + 3 = 6
+    def sq(use: Long) = math.floor(math.log((use + 1).toDouble / 6) * 1e9 + 0.5).toLong
+    assert(got === Seq(("a", 0L, sq(0)), ("ab", 2L, sq(2)), ("b", 1L, sq(1))))
+  }
+
+  test("emRound prunes multi pieces the best segmentations never use") {
+    val docs = Tables.documents(spark, sfDir)
+    val seed = Unigram.trainVocab(docs, topMulti = 60)
+    val refined = Unigram.emRound(docs, seed, keepMulti = 40)
+    val multis = refined.filter(length(col("piece")) > 1)
+    // every surviving multi was actually used (> 0 by construction)
+    assert(multis.filter(col("use_cnt") <= 0).count() === 0)
+    assert(multis.count() <= 40)
+    // singles all survive — the refined vocab still segments everything
+    val seedSingles = seed.filter(length(col("piece")) === 1).count()
+    assert(refined.filter(length(col("piece")) === 1).count() === seedSingles)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+    assert(Unigram.segmentWords(words, refined).count() > 0)
+  }
+
+  test("segmentWords rejects words with characters missing from the vocab") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(docs, topMulti = 60)
+    intercept[IllegalArgumentException] {
+      Unigram.segmentWords(Seq("abc").toDF("word"), vocab)
+    }
+  }
+
   test("overlong words are rejected loudly") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     val vocab = Unigram.trainVocab(docs, topMulti = 0)

@@ -96,6 +96,30 @@ class WebCurationSpec extends SparkSpec {
     assert(got === hand.filter { case (k, _) => k != "c" })
   }
 
+  test("registeredDomainPsl: longest match, self-suffix, fallback, LITE divergence") {
+    val psl = WebCuration.publicSuffixes.toDF("suffix")
+    val hosts = Seq(
+      "alice.github.io",      // multi-level private suffix → 3 labels kept
+      "deep.sub.alice.github.io", // registered domain unchanged by subdomains
+      "example.com",          // plain TLD → 2 labels
+      "a.b.example.co.uk",    // 2-part public suffix → example.co.uk
+      "github.io",            // host IS a suffix → itself
+      "site.unknowntld",      // no suffix match → LITE fallback (2 labels)
+      "localhost"             // dotless → LITE fallback (itself)
+    ).toDF("host")
+    val got = WebCuration.registeredDomainPsl(hosts, "host", psl)
+      .as[(String, String)].collect().toMap
+    assert(got("alice.github.io") === "alice.github.io")
+    assert(got("deep.sub.alice.github.io") === "alice.github.io")
+    assert(got("example.com") === "example.com")
+    assert(got("a.b.example.co.uk") === "example.co.uk")
+    assert(got("github.io") === "github.io")
+    assert(got("site.unknowntld") === "site.unknowntld")
+    assert(got("localhost") === "localhost")
+    // the case the LITE regex rule gets WRONG: multi-level private suffix
+    assert(got("alice.github.io") !== "github.io")
+  }
+
   test("cutContaminatedSpans cuts exactly the planted benchmark span") {
     val filler = (0 until 40).map(i => s"w$i")
     val leak = (0 until 12).map(i => s"q$i")  // 12 tokens ≥ minLen 10
