@@ -141,8 +141,9 @@ object ScaleProbe {
       return
     }
     val webMode = args.headOption.contains("web")
+    val lshMode = args.headOption.exists(_.startsWith("lsh"))
     val mults =
-      if (annMode || webMode || args.isEmpty) Seq(1, 10)
+      if (annMode || webMode || lshMode || args.isEmpty) Seq(1, 10)
       else args.toSeq.map(_.toInt)
 
     def blowUp(mult: Int): DataFrame = {
@@ -176,6 +177,71 @@ object ScaleProbe {
             (x * (lit(0.8) + pmod(xxhash64(col("vec_id") + j, lit(i)), lit(400))
               .cast("double") / 1000.0)).cast("float")))
       }.reduce(_ unionByName _)
+    }
+
+    if (args.headOption.contains("lsh")) {
+      // `lsh [mults…]`: decade law of the corpus×corpus knnJoinLsh — the
+      // one path the round-7 probe left with a ~1.9× per-unit drift. The
+      // stage-attributed breakdown that diagnosed it (index / pairs /
+      // re-rank) showed the drift lived ENTIRELY in the old re-rank: every
+      // candidate pair shuffled twice carrying two 64-float vectors (4.3 →
+      // 303 s across the decade, 23 M pairs spilling past 75 GB); knnJoinLsh
+      // is now the fused form whose only heavy exchange is the index.
+      // `pin8` isolates the fused join's own law at fixed tables; `auto` is
+      // the knob-free production call (autoBits + autoTables holding
+      // recall), whose extra growth is the planner's tables factor.
+      // MATERIALIZED corpus (probe-harness discipline: a derived union
+      // chain re-evaluates inside both join sides and masks the curve).
+      val ms = args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 10)
+        case x => x
+      }
+      for (m <- ms) {
+        val vecsPath = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft-probe-vecs-$m").getAbsolutePath
+        blowUpVecs(m).write.mode("overwrite").parquet(vecsPath)
+        val vecs = spark.read.parquet(vecsPath)
+        val n = vecs.count()
+        val bits = operators.Similarity.autoBits(n)
+        val autoT = operators.Similarity.autoTables(0.15, bits, targetRecall = 0.9)
+        time(s"lsh_pin8_bits$bits", m,
+          operators.Similarity.knnJoinLsh(vecs, 3, tables = 8, bits = bits))
+        time(s"lsh_auto_t$autoT", m,
+          operators.Similarity.knnJoinLshAuto(vecs, 3))
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("lshdiag")) {
+      // temporary diagnostic: collision volume + bucket histogram per mult
+      val ms = args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 10)
+        case x => x
+      }
+      for (m <- ms) {
+        val vecsPath = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft-probe-vecs-$m").getAbsolutePath
+        val vecs = spark.read.parquet(vecsPath)
+        val bits = operators.Similarity.autoBits(vecs.count())
+        val idx = operators.Similarity.lshIndex(vecs, 8, bits)
+          .select("vec_id", "table", "bucket").persist()
+        val hist = idx.groupBy("table", "bucket").count()
+          .agg(sum(col("count") * (col("count") - 1)).as("collisions"),
+            max("count").as("maxBucket"), count(lit(1)).as("nBuckets"))
+          .collect()(0)
+        println(s"PROBE lshdiag mult=$m bits=$bits collisions=${hist.getLong(0)} " +
+          s"maxBucket=${hist.getLong(1)} nBuckets=${hist.getLong(2)}")
+        val t0 = System.nanoTime()
+        val cnt = idx.select(col("vec_id").as("q"), col("table"), col("bucket"))
+          .join(idx.select(col("vec_id").as("n"), col("table"), col("bucket")),
+            Seq("table", "bucket"))
+          .filter(col("q") =!= col("n")).count()
+        println(f"PROBE lshdiag_join mult=$m $cnt%d rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        idx.unpersist()
+      }
+      spark.stop()
+      return
     }
 
     if (annMode) {
@@ -348,6 +414,12 @@ object ScaleProbe {
         // eagerly-released local scope would drop the DP checkpoints the
         // un-materialized plan still needs
         time("unigram_tokens", m, operators.Unigram.tokenCounts(corpus,
+          operators.Unigram.trainVocab(corpus, 60)))
+        // training split out (freq-seed pass + one hard-EM prune round):
+        // vocab work is DISTINCT-WORD-bounded, so with salted copies the
+        // word set grows ∝ corpus and this leg measures the trainer's own
+        // law rather than the tokenize join's
+        time("unigram_train_em", m, operators.Unigram.emRound(corpus,
           operators.Unigram.trainVocab(corpus, 60)))
         val webCorpus = Tables.withSyntheticUrl(corpus)
         time("url_canon", m, webCorpus.select(col("doc_id"),

@@ -580,6 +580,24 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // The KNOB-FREE form of the same join: BOTH LSH knobs come from the
+    // planner (autoBits holds expected bucket width as the corpus grows,
+    // autoTables re-raises the OR-table count so recall survives the width
+    // growth) — the call a deployment makes when nobody hand-tunes
+    // (tables, bits). At the gate fixture (n = 500) the planner resolves
+    // to (bits = 4, tables = 4); the twin inlines exactly those
+    // hyperplanes, and the guard below fails HERE (inside the Verify gate)
+    // if a fixture change ever moves the planner off that point.
+    "ann_knn_lsh_auto" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bits = Similarity.autoBits(emb.count())
+      val tables = Similarity.autoTables(0.15, bits, targetRecall = 0.9)
+      require((bits == 4 && tables == 4) || !sys.props.contains("graft.oracleGate"),
+        s"oracle twin pinned at (bits=4, tables=4), planner gave ($bits, $tables)" +
+          " — regenerate the twin CTE for ann_knn_lsh_auto")
+      Similarity.knnJoinLshAuto(emb, 3).orderBy("query_id", "rn")
+    }),
+
     // Hyperplane-LSH banding planner — the dedup_lsh_plan twin for the
     // ANN knob: closed-form 1 − (1 − p1^bits)^tables detection curve over
     // θ/π, cosine labels inlined driver-side (pure-math oracled query,
@@ -1833,6 +1851,29 @@ object SimilarityQueries {
          |  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
          |  FROM b a JOIN b c
          |    ON a.vec_id <> c.vec_id AND (${anyBandEq("a", "c")})),
+         |s AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    (${dotSql("q.embedding", "n.embedding")})
+         |      / (sqrt(${dotSql("q.embedding", "q.embedding")})
+         |         * sqrt(${dotSql("n.embedding", "n.embedding")})) AS cosine
+         |  FROM pairs p
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN embeddings n ON n.vec_id = p.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+         |SELECT query_id, neighbor_id, cosine, rn FROM r
+         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+
+    // the knob-free twin: identical chain at the planner's resolved
+    // (tables=4, bits=4) — distinct-then-rank in SQL equals the engine's
+    // in-buffer duplicate collapse (same id ⇒ same cosine)
+    "ann_knn_lsh_auto" ->
+      s"""${lshCte(tables = 4, bits = 4)},
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM b a JOIN b c
+         |    ON a.vec_id <> c.vec_id AND (${anyBandEq("a", "c", tables = 4)})),
          |s AS (
          |  SELECT p.query_id, p.neighbor_id,
          |    (${dotSql("q.embedding", "n.embedding")})

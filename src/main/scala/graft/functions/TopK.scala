@@ -34,7 +34,7 @@ object TopK {
       b.foldLeft(a)(insert)
 
     // buf is sorted best-first and never longer than k
-    private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] = {
+    protected def insert(buf: Seq[Scored], x: Scored): Seq[Scored] = {
       if (buf.length >= k && better(buf.last, x)) buf
       else {
         val i = buf.indexWhere(e => better(x, e))
@@ -49,6 +49,25 @@ object TopK {
     override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
   }
 
+  /** [[TopKAggregator]] with id-dedup inside the k-bounded buffer.
+    *
+    * Contract: within a group, `score` must be a pure function of `id`
+    * (every occurrence of an id carries the same score). That is exactly
+    * the LSH candidate stream's shape — the same (neighbor, cosine) pair
+    * arrives once per colliding table — and deduping at insert time makes
+    * this aggregate equal to `distinct()`-then-[[TopKAggregator]] while
+    * replacing the full candidate-pair dedup shuffle with the same ≤ k
+    * rows/partition/group the plain aggregate ships. (Sketch of the
+    * equivalence: a duplicate only collapses when its id is currently
+    * held; an id absent from the buffer is absent because k strictly
+    * better entries evicted or blocked it, and the duplicate — equal
+    * score, equal id — is blocked by the same k entries.)
+    */
+  class TopKDistinctAggregator(k: Int) extends TopKAggregator(k) {
+    override protected def insert(buf: Seq[Scored], x: Scored): Seq[Scored] =
+      if (buf.exists(_.id == x.id)) buf else super.insert(buf, x)
+  }
+
   /** top-k per group: usage
     * `df.groupBy(g).agg(TopK.topK(3)(col("id"), col("score")).as("top"))`
     * — returns an array of (id, score) structs, best first. (udaf flattens
@@ -57,6 +76,15 @@ object TopK {
   def topK(k: Int): (Column, Column) => Column = {
     implicit val enc: Encoder[Scored] = ExpressionEncoder[Scored]()
     val fn = udaf(new TopKAggregator(k))
+    (id: Column, score: Column) => fn(id, score)
+  }
+
+  /** [[topK]] with duplicate-id collapse — see [[TopKDistinctAggregator]]
+    * for the contract and the equivalence argument.
+    */
+  def topKDistinct(k: Int): (Column, Column) => Column = {
+    implicit val enc: Encoder[Scored] = ExpressionEncoder[Scored]()
+    val fn = udaf(new TopKDistinctAggregator(k))
     (id: Column, score: Column) => fn(id, score)
   }
 }

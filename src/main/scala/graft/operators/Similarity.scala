@@ -315,34 +315,64 @@ object Similarity {
     * Recall vs the exact kNN join is asserted in SimilaritySpec.
     */
   def knnJoinLsh(embeddings: DataFrame, k: Int,
-                 tables: Int = 8, bits: Int = 4,
-                 scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    // persist: the (vec_id, table, bucket) index feeds BOTH sides of the
-    // bucket self-join — without it the hyperplane projection pass (tables ×
-    // bits dot products per vector) and the parquet scan run twice. Held by
-    // the caller's CacheScope; release() after materializing the result
-    // (same contract as Dedup.minhashPairs).
+                 tables: Int = 8, bits: Int = 4): DataFrame = {
+    // FUSED form: embeddings ride the bucket self-join, cosine is computed
+    // where the pair is discovered, and the k-bounded TopKDistinct
+    // aggregate collapses cross-table duplicates inside its buffer. The
+    // previous shape (id-only index → pairs.distinct() → two embedding
+    // re-join shuffles → TopK) shuffled every CANDIDATE PAIR twice carrying
+    // two 64-float vectors — the decade probe read 4.3 s → 303 s/decade on
+    // the re-rank alone (23 M pairs × ~600 B, spilled past 75 GB). Fused,
+    // the only heavy exchange is the index itself (n × tables rows, one
+    // vector each); everything after the join is arithmetic plus a ≤ k
+    // rows/partition/group combine — per-unit cost is tables × expected
+    // bucket width, the law autoBits/autoTables hold flat.
     // pair generation: bucket self-join, not collect_list+pair-explode —
     // the explode variant (Dedup.lshCandidatePairs shape) was measured
     // equal-or-slower here (interpreted nested transforms offset the saved
     // shuffle), and the join keeps pairs streaming instead of buffering
-    // per-bucket arrays
-    val idx = scope.persist(
-      lshIndex(embeddings, tables, bits).select("vec_id", "table", "bucket"))
-    val pairs = idx.select(col("vec_id").as("query_id"), col("table"), col("bucket"))
-      .join(idx.select(col("vec_id").as("neighbor_id"), col("table"), col("bucket")),
+    // per-bucket arrays. No persist: both sides re-scan the source once
+    // (the projection is tables × bits dot products per row, cheaper than
+    // caching tables× copies of every vector).
+    // explicit repartition on the join key: a small corpus (one scan
+    // partition) would otherwise broadcast the self-join and leave ALL
+    // downstream cosine/aggregate work in a single task — measured 177 s
+    // vs 16 s on a 5 MB input. This exchange IS the index shuffle the
+    // cost law prices; on a large corpus it's what the join needs anyway.
+    val idx = lshIndex(embeddings, tables, bits)
+      .repartition(col("table"), col("bucket"))
+    idx.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("table"), col("bucket"))
+      .join(idx.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb"), col("table"), col("bucket")),
         Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
-    val q = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val n = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-    pairs.join(q, "query_id").join(n, "neighbor_id")
-      .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("n_emb")))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("q_emb"), col("n_emb")).as("cosine"))
       .groupBy("query_id")
-      .agg(graft.functions.TopK.topK(k)(col("neighbor_id"), col("cosine")).as("top"))
+      .agg(graft.functions.TopK.topKDistinct(k)(col("neighbor_id"), col("cosine")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
       .select(col("query_id"), col("s.id").as("neighbor_id"),
         col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rn"))
+  }
+
+  /** Knob-free [[knnJoinLsh]]: both LSH knobs sized from one metadata-cost
+    * `count()` — `bits = autoBits(n)` holds expected bucket width (so
+    * per-vector join cost) constant as the corpus grows, and `tables =
+    * autoTables(thetaFrac, bits, targetRecall)` re-raises the OR-table
+    * count so the recall the planner curve prices survives the width
+    * growth. The residual per-unit growth is the planner's own tables
+    * factor (LSH theory's n^ρ — ~1.2–1.4×/decade at near-dup angles), not
+    * a plan pathology; `thetaFrac` defaults to the near-dup regime
+    * (θ/π ≈ 0.15 ⟺ cosine ≈ 0.9), the angle a dedup/similarity corpus
+    * join actually targets.
+    */
+  def knnJoinLshAuto(embeddings: DataFrame, k: Int,
+                     thetaFrac: Double = 0.15,
+                     targetRecall: Double = 0.9): DataFrame = {
+    val n = embeddings.count()
+    val bits = autoBits(n)
+    knnJoinLsh(embeddings, k, autoTables(thetaFrac, bits, targetRecall), bits)
   }
 
   /** Approximate top-k via LSH: probe the query's bucket in each table,

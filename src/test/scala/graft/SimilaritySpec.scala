@@ -65,6 +65,70 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3) // random-vector corpus floor; planted dups score ~1
   }
 
+  test("fused LSH kNN equals the distinct-then-rank reference exactly") {
+    // the fused form (cosine inside the bucket join + in-buffer id dedup)
+    // must be row-identical to the explicit pipeline it replaced:
+    // id-only pairs → distinct → two embedding re-joins → window rank
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Similarity.lshIndex(emb, 8, 4).select("vec_id", "table", "bucket")
+    val pairs = idx.select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+      .join(idx.select(col("vec_id").as("neighbor_id"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    val ref = pairs.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+    val got = Similarity.knnJoinLsh(emb, 3)
+    // same kernel computes both cosines, so the doubles are bit-identical
+    // and exact set compare is valid
+    assert(got.exceptAll(ref).isEmpty, "fused produced rows the reference lacks")
+    assert(ref.exceptAll(got).isEmpty, "fused dropped rows the reference has")
+  }
+
+  test("topKDistinct collapses cross-table duplicates inside the buffer") {
+    val df = Seq(
+      (1L, 10L, 0.9), (1L, 10L, 0.9), (1L, 11L, 0.95), (1L, 12L, 0.1),
+      (1L, 11L, 0.95), (1L, 13L, 0.5), (2L, 10L, 0.5), (2L, 10L, 0.5))
+      .toDF("g", "id", "score")
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopK.topKDistinct(2)(col("id"), col("score")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "s")))
+      .select($"g", $"s.id", $"s.score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 11L, 0.95), (1L, 10L, 0.9), (2L, 10L, 0.5)))
+  }
+
+  test("knnJoinLshAuto: planner resolves (4,4) at the gate fixture and runs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val bits = Similarity.autoBits(n)
+    val tables = Similarity.autoTables(0.15, bits, targetRecall = 0.9)
+    assert((bits, tables) === (4, 4),
+      "gate-fixture planner point moved — regenerate the ann_knn_lsh_auto twin")
+    val auto = Similarity.knnJoinLshAuto(emb, 3)
+    val pinned = Similarity.knnJoinLsh(emb, 3, tables = tables, bits = bits)
+    assert(auto.exceptAll(pinned).isEmpty && pinned.exceptAll(auto).isEmpty)
+  }
+
+  test("autoTables: more width needs more tables, recall target is honored") {
+    // monotone in bits at fixed angle (wider hash ⇒ lower per-table recall)
+    val ts = Seq(4, 9, 12).map(b => Similarity.autoTables(0.15, b))
+    assert(ts === ts.sorted, s"tables not monotone in bits: $ts")
+    // the planner's own guarantee: 1 − (1 − p1^bits)^tables ≥ target
+    for (b <- Seq(4, 9, 12); target <- Seq(0.9, 0.95)) {
+      val t = Similarity.autoTables(0.15, b, target)
+      val p1 = 1.0 - 0.15
+      val hit = 1.0 - math.pow(1.0 - math.pow(p1, b.toDouble), t.toDouble)
+      assert(hit >= target - 1e-12, s"bits=$b tables=$t recall=$hit < $target")
+    }
+  }
+
   test("autoBits: fixture width stays 4, width grows with log corpus, clamped") {
     // the oracle anchor: at every fixture scale ≤ 1024 vectors the width
     // must resolve to 4 so the inlined-hyperplane DuckDB twin stays valid
