@@ -598,6 +598,17 @@ object SimilarityQueries {
       Similarity.knnJoinLshAuto(emb, 3).orderBy("query_id", "rn")
     }),
 
+    // Contrastive hard-negative mining: per anchor, the 3 closest
+    // OTHER-label vectors under the near-dup ceiling — the exact all-pairs
+    // anchor and its LSH-bucketed production sibling (gates run inside the
+    // fused bucket join; recall governed by the same planner knobs).
+    "ann_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), 3)
+        .orderBy("anchor_id", "rn")),
+    "ann_hard_negatives_lsh" -> ((s, dir) =>
+      Similarity.hardNegativesLsh(Tables.embeddings(s, dir), 3)
+        .orderBy("anchor_id", "rn")),
+
     // Hyperplane-LSH banding planner — the dedup_lsh_plan twin for the
     // ANN knob: closed-form 1 − (1 − p1^bits)^tables detection curve over
     // θ/π, cosine labels inlined driver-side (pure-math oracled query,
@@ -1887,6 +1898,46 @@ object SimilarityQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
          |SELECT query_id, neighbor_id, cosine, rn FROM r
          |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+
+    // hard-negative twins: the exact form is the plain label-inequality
+    // pair scan; the LSH form replays the (8, 4) inlined-hyperplane
+    // buckets then applies the SAME label/ceiling gates — both rank by
+    // (cosine DESC, neg_id), TopK's tie law
+    "ann_hard_negatives" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         |    (${dotSql("a.embedding", "b.embedding")})
+         |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |         * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.label <> b.label),
+         |f AS (SELECT * FROM p WHERE cosine < 0.95),
+         |r AS (SELECT anchor_id, neg_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |    ORDER BY cosine DESC, neg_id) AS rn FROM f)
+         |SELECT anchor_id, neg_id, cosine, rn FROM r
+         |WHERE rn <= 3 ORDER BY anchor_id, rn""".stripMargin,
+
+    "ann_hard_negatives_lsh" ->
+      s"""${lshCte()},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS anchor_id, c.vec_id AS neg_id
+         |  FROM b a JOIN b c
+         |    ON a.vec_id <> c.vec_id AND (${anyBandEq("a", "c")})),
+         |s AS (
+         |  SELECT p.anchor_id, p.neg_id,
+         |    (${dotSql("q.embedding", "n.embedding")})
+         |      / (sqrt(${dotSql("q.embedding", "q.embedding")})
+         |         * sqrt(${dotSql("n.embedding", "n.embedding")})) AS cosine
+         |  FROM cand p
+         |  JOIN embeddings q ON q.vec_id = p.anchor_id
+         |  JOIN embeddings n ON n.vec_id = p.neg_id
+         |  WHERE q.label <> n.label),
+         |f AS (SELECT * FROM s WHERE cosine < 0.95),
+         |r AS (SELECT anchor_id, neg_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |    ORDER BY cosine DESC, neg_id) AS rn FROM f)
+         |SELECT anchor_id, neg_id, cosine, rn FROM r
+         |WHERE rn <= 3 ORDER BY anchor_id, rn""".stripMargin,
 
     // content-preservation proof: the exhaustive probe over the SPLIT
     // index replays the plain exact top-k — any row lost or duplicated by

@@ -301,7 +301,9 @@ object Similarity {
     val ps = planes(tables, bits)
     val buckets = array((0 until tables).map(l =>
       bucketId(col("embedding"), ps(l))): _*)
-    embeddings.select(col("vec_id"), col("embedding"),
+    // keeps ALL input columns (label etc.) so bucket-join consumers can
+    // filter on metadata without a re-join; callers prune what they need
+    embeddings.select(col("*"),
       posexplode(buckets).as(Seq("table", "bucket")))
   }
 
@@ -373,6 +375,61 @@ object Similarity {
     val n = embeddings.count()
     val bits = autoBits(n)
     knnJoinLsh(embeddings, k, autoTables(thetaFrac, bits, targetRecall), bits)
+  }
+
+  /** Contrastive hard-negative mining, exact ground-truth form — for every
+    * anchor, the k OTHER-label vectors closest in cosine below a near-dup
+    * ceiling: similar enough to be hard (that's the top-k), not so similar
+    * they're mislabeled duplicates (`cosine < ceil`), different label (the
+    * supervision signal). The (anchor, negative, score) triple an
+    * embedding-model training loop consumes. All-pairs by construction —
+    * the DECLARED oracle anchor, same contract as `dedup_embedding`;
+    * [[hardNegativesLsh]] is the bucketed production sibling.
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int,
+                    ceil: Double = 0.95): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("a_emb"), col("label").as("a_label"))
+    val b = embeddings.select(col("vec_id").as("neg_id"),
+      col("embedding").as("n_emb"), col("label").as("n_label"))
+    a.join(b, col("a_label") =!= col("n_label"))
+      .select(col("anchor_id"), col("neg_id"),
+        VectorOps.cosine(col("a_emb"), col("n_emb")).as("cosine"))
+      .filter(col("cosine") < ceil)
+      .groupBy("anchor_id")
+      .agg(graft.functions.TopK.topK(k)(col("neg_id"), col("cosine")).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("anchor_id"), col("s.id").as("neg_id"),
+        col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rn"))
+  }
+
+  /** [[hardNegatives]] through LSH buckets — the linear-cost layout: the
+    * label-inequality and near-dup-ceiling gates run INSIDE the fused
+    * bucket self-join (same shape as [[knnJoinLsh]], same fused-kernel
+    * rationale), so only candidate pairs that could be hard negatives
+    * reach the k-bounded TopKDistinct combine. Approximate exactly like
+    * the kNN join: a negative missed by every table is missed — recall is
+    * governed by the same (tables, bits) knobs and planner curve.
+    */
+  def hardNegativesLsh(embeddings: DataFrame, k: Int, ceil: Double = 0.95,
+                       tables: Int = 8, bits: Int = 4): DataFrame = {
+    val idx = lshIndex(embeddings, tables, bits)
+      .repartition(col("table"), col("bucket"))
+    idx.select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+        col("label").as("a_label"), col("table"), col("bucket"))
+      .join(idx.select(col("vec_id").as("neg_id"),
+          col("embedding").as("n_emb"), col("label").as("n_label"),
+          col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("a_label") =!= col("n_label"))
+      .select(col("anchor_id"), col("neg_id"),
+        VectorOps.cosine(col("a_emb"), col("n_emb")).as("cosine"))
+      .filter(col("cosine") < ceil)
+      .groupBy("anchor_id")
+      .agg(graft.functions.TopK.topKDistinct(k)(col("neg_id"), col("cosine")).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("anchor_id"), col("s.id").as("neg_id"),
+        col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rn"))
   }
 
   /** Approximate top-k via LSH: probe the query's bucket in each table,

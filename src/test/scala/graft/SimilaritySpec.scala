@@ -116,6 +116,42 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.exceptAll(pinned).isEmpty && pinned.exceptAll(auto).isEmpty)
   }
 
+  test("hardNegatives: other-label only, under ceiling, ranked; LSH is a recalled subset") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Long)].collect().toMap
+    val exact = Similarity.hardNegatives(emb, 3)
+      .select("anchor_id", "neg_id", "cosine", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    // contract: negative label differs from anchor's, cosine under the
+    // near-dup ceiling, per-anchor ranks contiguous and cosine-descending
+    exact.foreach { case (a, n, c, _) =>
+      assert(labels(a) != labels(n)); assert(c < 0.95)
+    }
+    exact.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to sorted.size))
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-_).toSeq)
+    }
+    // LSH sibling: same gates, true cosines, useful recall vs exact
+    val approx = Similarity.hardNegativesLsh(emb, 3)
+      .select("anchor_id", "neg_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    val fullCos = approx.map { case (a, n, c) =>
+      assert(labels(a) != labels(n)); assert(c < 0.95); (a, n) -> c
+    }.toMap
+    // any pair both forms surface must carry the identical kernel cosine
+    fullCos.foreach { case (k, c) =>
+      exactCos.get(k).foreach(ec => assert(ec === c)) }
+    val exSets = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val apSets = approx.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exSets.map { case (a, ex) =>
+      apSets.get(a).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0) }
+    val mean = recalls.sum / recalls.size
+    info(s"hard-negative mean recall@3 = $mean (tables=8, bits=4)")
+    assert(mean >= 0.3) // random-vector corpus floor, same as knnJoinLsh
+  }
+
   test("autoTables: more width needs more tables, recall target is honored") {
     // monotone in bits at fixed angle (wider hash ⇒ lower per-table recall)
     val ts = Seq(4, 9, 12).map(b => Similarity.autoTables(0.15, b))
