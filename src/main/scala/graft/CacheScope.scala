@@ -54,7 +54,12 @@ final class CacheScope {
     * state), which has the same plan-truncating effect.
     */
   private[graft] def checkpoint(df: DataFrame): DataFrame = synchronized {
-    val out = df.localCheckpoint(true)
+    // constraint-stripping variant (see CheckpointBridge scaladoc): plain
+    // localCheckpoint preserves origin constraints across the cut, and the
+    // iterated DPs (Viterbi states) compound them exponentially into a
+    // >64 KB pushed filter — interpreted-fallback territory
+    val out = org.apache.spark.sql.graft.CheckpointBridge
+      .localCheckpointNoConstraints(df)
     checkpoints += out
     out
   }

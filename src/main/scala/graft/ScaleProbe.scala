@@ -208,6 +208,13 @@ object ScaleProbe {
           operators.Similarity.knnJoinLsh(vecs, 3, tables = 8, bits = bits))
         time(s"lsh_auto_t$autoT", m,
           operators.Similarity.knnJoinLshAuto(vecs, 3))
+        // the round-8 contrastive miners share knnJoinLsh's fused bucket
+        // join, so their law should match lsh_pin8's; measured directly so
+        // the claim is evidence, not inheritance
+        time(s"hardneg_lsh_bits$bits", m,
+          operators.Similarity.hardNegativesLsh(vecs, 3, tables = 8, bits = bits))
+        time(s"contrastive_lsh_bits$bits", m,
+          operators.Similarity.contrastiveTriplesLsh(vecs, 3, tables = 8, bits = bits))
       }
       spark.stop()
       return

@@ -609,6 +609,16 @@ object SimilarityQueries {
       Similarity.hardNegativesLsh(Tables.embeddings(s, dir), 3)
         .orderBy("anchor_id", "rn")),
 
+    // full contrastive triple: top-1 same-label positive joined to the
+    // hard-negative top-k — flat (anchor, pos, neg) rows for a
+    // triplet/InfoNCE loss; exact anchor + all-bucket-mined LSH sibling
+    "ann_contrastive" -> ((s, dir) =>
+      Similarity.contrastiveTriples(Tables.embeddings(s, dir), 3)
+        .orderBy("anchor_id", "rn")),
+    "ann_contrastive_lsh" -> ((s, dir) =>
+      Similarity.contrastiveTriplesLsh(Tables.embeddings(s, dir), 3)
+        .orderBy("anchor_id", "rn")),
+
     // Hyperplane-LSH banding planner — the dedup_lsh_plan twin for the
     // ANN knob: closed-form 1 − (1 − p1^bits)^tables detection curve over
     // θ/π, cosine labels inlined driver-side (pure-math oracled query,
@@ -1938,6 +1948,59 @@ object SimilarityQueries {
          |    ORDER BY cosine DESC, neg_id) AS rn FROM f)
          |SELECT anchor_id, neg_id, cosine, rn FROM r
          |WHERE rn <= 3 ORDER BY anchor_id, rn""".stripMargin,
+
+    // contrastive twins: one symmetric pair scan feeds both halves — the
+    // same-label top-1 (tie law: cosine DESC, id) and the other-label
+    // hard-negative ranking; the LSH form mines BOTH from the replayed
+    // (8, 4) bucket candidates
+    "ann_contrastive" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS anchor_id, c.vec_id AS other_id,
+         |    a.label AS a_label, c.label AS o_label,
+         |    (${dotSql("a.embedding", "c.embedding")})
+         |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |         * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cosine
+         |  FROM embeddings a JOIN embeddings c ON a.vec_id <> c.vec_id),
+         |pos AS (SELECT anchor_id, other_id AS pos_id, cosine AS pos_cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |    ORDER BY cosine DESC, other_id) AS prn
+         |  FROM s WHERE a_label = o_label),
+         |r AS (SELECT anchor_id, other_id AS neg_id, cosine AS neg_cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |    ORDER BY cosine DESC, other_id) AS rn
+         |  FROM s WHERE a_label <> o_label AND cosine < 0.95)
+         |SELECT p.anchor_id, p.pos_id, p.pos_cosine, r.neg_id,
+         |  r.neg_cosine, r.rn
+         |FROM pos p JOIN r ON p.anchor_id = r.anchor_id
+         |WHERE p.prn = 1 AND r.rn <= 3 ORDER BY p.anchor_id, r.rn""".stripMargin,
+
+    "ann_contrastive_lsh" ->
+      s"""${lshCte()},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS anchor_id, c.vec_id AS other_id
+         |  FROM b a JOIN b c
+         |    ON a.vec_id <> c.vec_id AND (${anyBandEq("a", "c")})),
+         |s AS (
+         |  SELECT p.anchor_id, p.other_id,
+         |    q.label AS a_label, o.label AS o_label,
+         |    (${dotSql("q.embedding", "o.embedding")})
+         |      / (sqrt(${dotSql("q.embedding", "q.embedding")})
+         |         * sqrt(${dotSql("o.embedding", "o.embedding")})) AS cosine
+         |  FROM cand p
+         |  JOIN embeddings q ON q.vec_id = p.anchor_id
+         |  JOIN embeddings o ON o.vec_id = p.other_id),
+         |pos AS (SELECT anchor_id, other_id AS pos_id, cosine AS pos_cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |    ORDER BY cosine DESC, other_id) AS prn
+         |  FROM s WHERE a_label = o_label),
+         |r AS (SELECT anchor_id, other_id AS neg_id, cosine AS neg_cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |    ORDER BY cosine DESC, other_id) AS rn
+         |  FROM s WHERE a_label <> o_label AND cosine < 0.95)
+         |SELECT p.anchor_id, p.pos_id, p.pos_cosine, r.neg_id,
+         |  r.neg_cosine, r.rn
+         |FROM pos p JOIN r ON p.anchor_id = r.anchor_id
+         |WHERE p.prn = 1 AND r.rn <= 3 ORDER BY p.anchor_id, r.rn""".stripMargin,
 
     // content-preservation proof: the exhaustive probe over the SPLIT
     // index replays the plain exact top-k — any row lost or duplicated by

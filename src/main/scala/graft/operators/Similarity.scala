@@ -432,6 +432,66 @@ object Similarity {
         col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rn"))
   }
 
+  /** Full contrastive training triple — (anchor, positive, k hard
+    * negatives): the positive is the single closest SAME-label vector
+    * (self excluded, TopK tie law), the negatives are [[hardNegatives]]'s
+    * other-label top-k under the near-dup ceiling. One row per
+    * (anchor, negative) with the positive replicated — the flat layout a
+    * triplet/InfoNCE loss consumes directly. Exact all-pairs DECLARED
+    * anchor; [[contrastiveTriplesLsh]] is the bucketed sibling.
+    */
+  def contrastiveTriples(embeddings: DataFrame, k: Int,
+                         ceil: Double = 0.95): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("a_emb"), col("label").as("a_label"))
+    val p = embeddings.select(col("vec_id").as("pos_id"),
+      col("embedding").as("p_emb"), col("label").as("p_label"))
+    val pos = a.join(p, col("a_label") === col("p_label") &&
+        col("anchor_id") =!= col("pos_id"))
+      .select(col("anchor_id"), col("pos_id"),
+        VectorOps.cosine(col("a_emb"), col("p_emb")).as("pc"))
+      .groupBy("anchor_id")
+      .agg(graft.functions.TopK.topK(1)(col("pos_id"), col("pc")).as("top"))
+      .select(col("anchor_id"), element_at(col("top"), 1).as("s"))
+      .select(col("anchor_id"), col("s.id").as("pos_id"),
+        col("s.score").as("pos_cosine"))
+    pos.join(hardNegatives(embeddings, k, ceil)
+        .withColumnRenamed("cosine", "neg_cosine"), "anchor_id")
+  }
+
+  /** [[contrastiveTriples]] through LSH buckets — both the positive and
+    * the negatives are mined from shared-bucket candidates only (positive:
+    * top-1 same-label co-bucketed vector; negatives:
+    * [[hardNegativesLsh]]), so the whole triple build is
+    * bucket-join-linear. An anchor whose positive shares no bucket in any
+    * table drops out — the usual LSH recall trade, governed by the same
+    * (tables, bits) knobs.
+    */
+  def contrastiveTriplesLsh(embeddings: DataFrame, k: Int,
+                            ceil: Double = 0.95, tables: Int = 8,
+                            bits: Int = 4): DataFrame = {
+    val idx = lshIndex(embeddings, tables, bits)
+      .repartition(col("table"), col("bucket"))
+    val pos = idx.select(col("vec_id").as("anchor_id"),
+        col("embedding").as("a_emb"), col("label").as("a_label"),
+        col("table"), col("bucket"))
+      .join(idx.select(col("vec_id").as("pos_id"),
+          col("embedding").as("p_emb"), col("label").as("p_label"),
+          col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("a_label") === col("p_label") &&
+        col("anchor_id") =!= col("pos_id"))
+      .select(col("anchor_id"), col("pos_id"),
+        VectorOps.cosine(col("a_emb"), col("p_emb")).as("pc"))
+      .groupBy("anchor_id")
+      .agg(graft.functions.TopK.topKDistinct(1)(col("pos_id"), col("pc")).as("top"))
+      .select(col("anchor_id"), element_at(col("top"), 1).as("s"))
+      .select(col("anchor_id"), col("s.id").as("pos_id"),
+        col("s.score").as("pos_cosine"))
+    pos.join(hardNegativesLsh(embeddings, k, ceil, tables, bits)
+        .withColumnRenamed("cosine", "neg_cosine"), "anchor_id")
+  }
+
   /** Approximate top-k via LSH: probe the query's bucket in each table,
     * union candidates, exact re-rank. Recall depends on (tables, bits);
     * verified against [[topK]] in the spec.

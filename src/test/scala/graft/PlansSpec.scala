@@ -151,6 +151,32 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"kernel fell out of codegen:\n$p")
     assert(!p.toLowerCase.contains("codegenfallback"), p)
   }
+
+  test("CacheScope.checkpoint cuts origin constraints at the boundary") {
+    // plain localCheckpoint preserves the origin plan's constraint set
+    // across the lineage cut; graft's iterated DPs (Viterbi states joining
+    // a filtered vocab ×4 per step) compound that into an exponential
+    // pushed filter (>64 KB codegen fallback at sf1). The scope checkpoint
+    // must return a plan whose constraints are EMPTY while the data and
+    // the releasable LogicalRDD survive.
+    val df = spark.range(10).toDF("id").filter(col("id") > 3)
+    assert(df.queryExecution.analyzed.constraints.nonEmpty,
+      "fixture lost its constraint — test premise broken")
+    val plain = df.localCheckpoint(true)
+    assert(plain.queryExecution.analyzed.constraints.nonEmpty,
+      "Spark stopped preserving checkpoint constraints — shim is obsolete")
+    val scope = new CacheScope
+    try {
+      val ck = scope.checkpoint(df)
+      assert(ck.queryExecution.analyzed.constraints.isEmpty,
+        "scope checkpoint leaked origin constraints")
+      assert(ck.queryExecution.analyzed.collectFirst {
+        case _: org.apache.spark.sql.execution.LogicalRDD => ()
+      }.nonEmpty, "checkpoint did not produce a LogicalRDD (release() needs it)")
+      import spark.implicits._
+      assert(ck.as[Long].collect().sorted === (4L to 9L).toArray)
+    } finally scope.release()
+  }
 }
 
 object PlansSpec {

@@ -152,6 +152,40 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3) // random-vector corpus floor, same as knnJoinLsh
   }
 
+  test("contrastiveTriples: positive is the true same-label top-1, negatives ride along") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Long)].collect().toMap
+    val got = Similarity.contrastiveTriples(emb, 3)
+      .select("anchor_id", "pos_id", "pos_cosine", "neg_id", "neg_cosine", "rn")
+      .as[(Long, Long, Double, Long, Double, Int)].collect()
+    // positive shares the anchor's label and is never the anchor itself
+    got.foreach { case (a, p, _, n, _, _) =>
+      assert(labels(a) == labels(p) && a != p)
+      assert(labels(a) != labels(n))
+    }
+    // per anchor exactly one positive (replicated across its k negatives)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(r => (r._2, r._3)).distinct.size === 1)
+    }
+    // spot-check anchor 0: the positive IS the best same-label cosine
+    val brute = Similarity.topK(emb, 0L, 499).as[(Long, Double)].collect()
+      .filter { case (id, _) => labels(id) == labels(0L) }
+    val bestPos = brute.maxBy { case (id, c) => (c, -id) }
+    val a0 = got.filter(_._1 == 0L).head
+    assert((a0._2, a0._3) === bestPos)
+    // negative legs agree with the standalone miner exactly
+    val hn = Similarity.hardNegatives(emb, 3)
+      .select("anchor_id", "neg_id", "cosine", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got.map(r => (r._1, r._4, r._5, r._6)).toSet === hn)
+    // LSH sibling honors the same label contract on whatever it recalls
+    Similarity.contrastiveTriplesLsh(emb, 3)
+      .select("anchor_id", "pos_id", "neg_id")
+      .as[(Long, Long, Long)].collect().foreach { case (a, p, n) =>
+        assert(labels(a) == labels(p) && a != p && labels(a) != labels(n))
+      }
+  }
+
   test("autoTables: more width needs more tables, recall target is honored") {
     // monotone in bits at fixed angle (wider hash ⇒ lower per-table recall)
     val ts = Seq(4, 9, 12).map(b => Similarity.autoTables(0.15, b))
