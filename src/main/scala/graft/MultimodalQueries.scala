@@ -109,6 +109,49 @@ object MultimodalQueries {
         .toDF().orderBy("asset_id")
     }),
 
+    // LOSSY-format decode (round 8, the last real-world image stub): every
+    // document becomes a genuine baseline JPEG — fixed-point DCT, Annex-K
+    // quantization, canonical Huffman with byte stuffing — of a
+    // BLOCK-CONSTANT color law. Constant 8×8 blocks leave only DC
+    // coefficients, so the whole lossy pipeline (RGB→YCbCr → FDCT → quant
+    // → dequant → IDCT → YCbCr→RGB) collapses to exact integer arithmetic
+    // the oracle replays per block — a decoder bug anywhere in the
+    // entropy/DCT/color path shifts the reconstructed values and breaks
+    // the hash.
+    "mm_decode_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeImages(
+        Multimodal.mediaAssetsJpegFromDocuments(Tables.documents(s, dir)))
+        .toDF().orderBy("asset_id")
+    }),
+
+    // REAL decode → resize pipeline (retires the stub resize as the only
+    // path): lossless-format assets decoded through their real containers,
+    // nearest-neighbor resized to 16×12, position-weighted stats over the
+    // RESIZED raster. The oracle replays the integer source-index law over
+    // the pixel law — wrong rounding, axis swap, or channel slip all shift
+    // wsum_val.
+    "mm_resize_real" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resizeImagesReal(
+        Multimodal.mediaAssetsFromDocuments(Tables.documents(s, dir))
+          .filter(a => a.fmt == "ppm" || a.fmt == "bmp"), 16, 12)
+        .toDF().orderBy("asset_id")
+    }),
+
+    // REAL video decode + frame sampling (round 8): every document becomes
+    // an MJPEG-AVI (frames = quality-75 JPEGs of a per-frame block-constant
+    // law), the query demuxes the RIFF container, decodes every frame, and
+    // keeps every 2nd — per-frame stats, so the oracle checks the demuxer's
+    // chunk walk, the frame ORDER, the sampling phase, and the whole JPEG
+    // pipeline per frame via the same DC closed form as mm_decode_jpeg.
+    "mm_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleVideoFrames(
+        Multimodal.mediaAssetsAviFromDocuments(Tables.documents(s, dir)), 2)
+        .toDF().orderBy("asset_id", "frame_idx")
+    }),
+
     // WAV chunk-walk decode: sample_rate read from the fmt chunk, stats
     // over signed int16 samples from the data chunk.
     "mm_decode_wav" -> ((s, dir) => {
@@ -194,10 +237,174 @@ object MultimodalQueries {
        |  CAST(MIN(v) AS INT) AS min_val, CAST(MAX(v) AS INT) AS max_val
        |FROM px GROUP BY 1, 2, 3 ORDER BY asset_id""".stripMargin
 
+  // ---- mm_decode_jpeg twin: the exact integer DC pipeline per block ----
+  // Power-of-two divisions use FLOOR(x / 2^k) (exact in doubles at these
+  // magnitudes) because the JVM's >> is a floor shift while DuckDB's //
+  // truncates toward zero on negatives.
+
+  /** SQL floor-division by a power of two. */
+  private def fdiv(x: String, p: Long): String =
+    s"CAST(FLOOR(($x) / $p.0) AS BIGINT)"
+
+  /** SQL for the constant-block DC reconstruction of channel value `v`
+    * under DC quant step `q`: level shift → FDCT DC ((8·DcB)² scale) →
+    * symmetric-round quantize → dequant → IDCT DC (DcB² scale) → +128,
+    * clamped. Constants: DcB = 1448 ⇒ (8·DcB)² = 134189056, DcB² =
+    * 2096704; 2²³ = 8388608, 2²⁴ = 16777216 (pinned against the codec in
+    * MediaCodecsSpec).
+    */
+  private def dcReconSql(v: String, q: Int): String = {
+    val f = fdiv(s"134189056 * (($v) - 128) + 8388608", 16777216L)
+    val dc = s"(CASE WHEN $f >= 0 THEN ($f + ${q / 2}) // $q" +
+      s" ELSE -((-$f + ${q / 2}) // $q) END)"
+    s"LEAST(255, GREATEST(0, ${fdiv(s"$dc * $q * 2096704 + 8388608", 16777216L)} + 128))"
+  }
+
+  private val jpegLawSql: String = {
+    val (qy, qc) = graft.operators.MediaCodecs.dcQuants(75)
+    s"""WITH dims AS (
+       |  SELECT doc_id, CAST(8 * (1 + doc_id % 4) AS INT) AS w,
+       |         CAST(8 * (1 + doc_id % 2) AS INT) AS h
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, w, h,
+       |         unnest(range(0, CAST(w AS BIGINT) * h * 3)) AS i
+       |  FROM dims),
+       |geo AS (
+       |  SELECT doc_id, w, h, i,
+       |    ((i // 3) // w // 8) * (w // 8) + ((i // 3) % w // 8) AS b,
+       |    i % 3 AS ch
+       |  FROM idx),
+       |rgb AS (
+       |  SELECT doc_id, w, h, i, ch,
+       |    (doc_id * 131 + b * 17) % 256 AS r,
+       |    (doc_id * 59 + b * 23) % 256 AS g,
+       |    (doc_id * 101 + b * 29) % 256 AS bl
+       |  FROM geo),
+       |ycc AS (
+       |  SELECT doc_id, w, h, i, ch,
+       |    LEAST(255, GREATEST(0,
+       |      ${fdiv("19595 * r + 38470 * g + 7471 * bl + 32768", 65536L)})) AS yy,
+       |    LEAST(255, GREATEST(0,
+       |      ${fdiv("-11059 * r - 21709 * g + 32768 * bl + 32768", 65536L)} + 128)) AS cb,
+       |    LEAST(255, GREATEST(0,
+       |      ${fdiv("32768 * r - 27439 * g - 5329 * bl + 32768", 65536L)} + 128)) AS cr
+       |  FROM rgb),
+       |rec AS (
+       |  SELECT doc_id, w, h, i, ch,
+       |    ${dcReconSql("yy", qy)} AS y2,
+       |    ${dcReconSql("cb", qc)} AS cb2,
+       |    ${dcReconSql("cr", qc)} AS cr2
+       |  FROM ycc),
+       |px AS (
+       |  SELECT doc_id, w, h, i,
+       |    CASE ch
+       |      WHEN 0 THEN LEAST(255, GREATEST(0,
+       |        y2 + ${fdiv("91881 * (cr2 - 128) + 32768", 65536L)}))
+       |      WHEN 1 THEN LEAST(255, GREATEST(0,
+       |        y2 - ${fdiv("22554 * (cb2 - 128) + 46802 * (cr2 - 128) + 32768", 65536L)}))
+       |      ELSE LEAST(255, GREATEST(0,
+       |        y2 + ${fdiv("116130 * (cb2 - 128) + 32768", 65536L)}))
+       |    END AS v
+       |  FROM rec)
+       |SELECT doc_id AS asset_id, w AS width, h AS height,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vals, CAST(SUM(v) AS BIGINT) AS sum_val,
+       |  CAST(SUM((i + 1) * v) AS BIGINT) AS wsum_val,
+       |  CAST(MIN(v) AS INT) AS min_val, CAST(MAX(v) AS INT) AS max_val
+       |FROM px GROUP BY 1, 2, 3 ORDER BY asset_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "mm_decode_ppm" -> imageLawSql(0),
     "mm_decode_bmp" -> imageLawSql(1),
     "mm_decode_png" -> imageLawSqlWhere(""),
+    "mm_decode_jpeg" -> jpegLawSql,
+
+    // video twin: the jpeg DC pipeline per (asset, sampled frame) with the
+    // frame-extended color law; weights restart per frame
+    "mm_video_frames" -> {
+      val (qy, qc) = graft.operators.MediaCodecs.dcQuants(75)
+      s"""WITH dims AS (
+         |  SELECT doc_id, CAST(8 * (1 + doc_id % 4) AS INT) AS w,
+         |         CAST(8 * (1 + doc_id % 2) AS INT) AS h
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, w, h, unnest(range(0, 2 + doc_id % 3)) AS f
+         |  FROM dims),
+         |sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+         |idx AS (
+         |  SELECT doc_id, w, h, f,
+         |         unnest(range(0, CAST(w AS BIGINT) * h * 3)) AS i
+         |  FROM sampled),
+         |geo AS (
+         |  SELECT doc_id, w, h, f, i,
+         |    ((i // 3) // w // 8) * (w // 8) + ((i // 3) % w // 8) AS b,
+         |    i % 3 AS ch
+         |  FROM idx),
+         |rgb AS (
+         |  SELECT doc_id, w, h, f, i, ch,
+         |    (doc_id * 131 + f * 71 + b * 17) % 256 AS r,
+         |    (doc_id * 59 + f * 41 + b * 23) % 256 AS g,
+         |    (doc_id * 101 + f * 53 + b * 29) % 256 AS bl
+         |  FROM geo),
+         |ycc AS (
+         |  SELECT doc_id, w, h, f, i, ch,
+         |    LEAST(255, GREATEST(0,
+         |      ${fdiv("19595 * r + 38470 * g + 7471 * bl + 32768", 65536L)})) AS yy,
+         |    LEAST(255, GREATEST(0,
+         |      ${fdiv("-11059 * r - 21709 * g + 32768 * bl + 32768", 65536L)} + 128)) AS cb,
+         |    LEAST(255, GREATEST(0,
+         |      ${fdiv("32768 * r - 27439 * g - 5329 * bl + 32768", 65536L)} + 128)) AS cr
+         |  FROM rgb),
+         |rec AS (
+         |  SELECT doc_id, w, h, f, i, ch,
+         |    ${dcReconSql("yy", qy)} AS y2,
+         |    ${dcReconSql("cb", qc)} AS cb2,
+         |    ${dcReconSql("cr", qc)} AS cr2
+         |  FROM ycc),
+         |px AS (
+         |  SELECT doc_id, w, h, f, i,
+         |    CASE ch
+         |      WHEN 0 THEN LEAST(255, GREATEST(0,
+         |        y2 + ${fdiv("91881 * (cr2 - 128) + 32768", 65536L)}))
+         |      WHEN 1 THEN LEAST(255, GREATEST(0,
+         |        y2 - ${fdiv("22554 * (cb2 - 128) + 46802 * (cr2 - 128) + 32768", 65536L)}))
+         |      ELSE LEAST(255, GREATEST(0,
+         |        y2 + ${fdiv("116130 * (cb2 - 128) + 32768", 65536L)}))
+         |    END AS v
+         |  FROM rec)
+         |SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx,
+         |  w AS width, h AS height,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vals, CAST(SUM(v) AS BIGINT) AS sum_val,
+         |  CAST(SUM((i + 1) * v) AS BIGINT) AS wsum_val,
+         |  CAST(MIN(v) AS INT) AS min_val, CAST(MAX(v) AS INT) AS max_val
+         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY asset_id, frame_idx""".stripMargin
+    },
+
+    // resize twin: out pixel (x', y', ch) reads law index
+    // 3·((y'·h // 12)·w + (x'·w // 16)) + ch — the same floor arithmetic
+    // the nearest-neighbor kernel uses (all operands non-negative, so
+    // DuckDB's truncating // IS floor here)
+    "mm_resize_real" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 + (doc_id % 8) * 4 AS INT) AS w,
+        |         CAST(8 + (doc_id % 4) * 4 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |idx AS (
+        |  SELECT doc_id, w, h, unnest(range(0, 16 * 12 * 3)) AS j FROM dims),
+        |src AS (
+        |  SELECT doc_id, j,
+        |    3 * ((((j // 3) // 16) * h // 12) * w + ((j // 3) % 16) * w // 16)
+        |      + j % 3 AS i
+        |  FROM idx),
+        |px AS (
+        |  SELECT doc_id, j, (doc_id * 131 + i * 7) % 256 AS v FROM src)
+        |SELECT doc_id AS asset_id, CAST(16 AS INT) AS width,
+        |  CAST(12 AS INT) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vals, CAST(SUM(v) AS BIGINT) AS sum_val,
+        |  CAST(SUM((j + 1) * v) AS BIGINT) AS wsum_val,
+        |  CAST(MIN(v) AS INT) AS min_val, CAST(MAX(v) AS INT) AS max_val
+        |FROM px GROUP BY 1 ORDER BY asset_id""".stripMargin,
 
     "mm_decode_wav" ->
       """WITH dims AS (

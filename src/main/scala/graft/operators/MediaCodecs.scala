@@ -18,6 +18,10 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *   - WAV (RIFF, PCM 16-bit little-endian): chunk-walked container — the
   *     decoder skips unknown chunks (LIST, fact, …) and honors the
   *     odd-size pad byte, like a real demuxer must.
+  *   - JPEG (baseline sequential, 4:4:4): a real LOSSY entropy-coded
+  *     format — fixed-point DCT, quality-scaled Annex K quantization,
+  *     canonical Huffman with byte stuffing, both directions; fully
+  *     integer, hence bit-deterministic (see the JPEG section).
   *
   * Decoders return normalized content: RGB interleaved, row-major,
   * top-down pixels / int16 samples — so every downstream statistic is
@@ -429,5 +433,678 @@ object MediaCodecs {
     }
     require(samples != null, "wav: no data chunk")
     Audio(sampleRate, channels, samples)
+  }
+
+  // ---------------------------------------------- AVI (MJPEG video, RIFF)
+
+  /** Decoded video: per-frame normalized RGB rasters, all frames the
+    * header's dims.
+    */
+  case class Video(width: Int, height: Int, frames: Vector[Image])
+
+  /** Minimal standard MJPEG-in-AVI container: RIFF('AVI ') { LIST(hdrl){
+    * avih, LIST(strl){ strh 'vids'/'MJPG', strf BITMAPINFOHEADER } },
+    * LIST(movi){ '00dc' <JPEG> … } }. Each frame is a full baseline JPEG
+    * ([[encodeJpeg]]) — the real MJPEG convention. Frames are raw RGB
+    * rasters of identical dims.
+    */
+  def encodeAviMjpeg(w: Int, h: Int, frames: Seq[Array[Byte]], fps: Int = 10,
+                     quality: Int = 75): Array[Byte] = {
+    require(frames.nonEmpty, "avi: no frames")
+    val jpegs = frames.map { f => encodeJpeg(w, h, f, quality) }
+    def u32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >>> 8) & 0xFF)
+      o.write((v >>> 16) & 0xFF); o.write((v >>> 24) & 0xFF)
+    }
+    def fourcc(o: java.io.ByteArrayOutputStream, s: String): Unit =
+      o.write(s.getBytes(US_ASCII))
+    // movi body
+    val movi = new java.io.ByteArrayOutputStream()
+    fourcc(movi, "movi")
+    jpegs.foreach { j =>
+      fourcc(movi, "00dc"); u32(movi, j.length); movi.write(j)
+      if ((j.length & 1) == 1) movi.write(0) // RIFF even padding
+    }
+    // hdrl body
+    val hdrl = new java.io.ByteArrayOutputStream()
+    fourcc(hdrl, "hdrl")
+    fourcc(hdrl, "avih"); u32(hdrl, 56)
+    u32(hdrl, 1000000 / fps); u32(hdrl, 0); u32(hdrl, 0); u32(hdrl, 0x10) // HASINDEX off, INTERLEAVED-ish flags: use 0x10 (TRUSTCKTYPE)
+    u32(hdrl, jpegs.length); u32(hdrl, 0); u32(hdrl, 1); u32(hdrl, 0)
+    u32(hdrl, w); u32(hdrl, h)
+    for (_ <- 0 until 4) u32(hdrl, 0)
+    val strl = new java.io.ByteArrayOutputStream()
+    fourcc(strl, "strl")
+    fourcc(strl, "strh"); u32(strl, 56)
+    fourcc(strl, "vids"); fourcc(strl, "MJPG")
+    u32(strl, 0); u32(strl, 0); u32(strl, 0)
+    u32(strl, 1); u32(strl, fps) // scale, rate
+    u32(strl, 0); u32(strl, jpegs.length); u32(strl, jpegs.map(_.length).max)
+    u32(strl, 0); u32(strl, 0)
+    u32(strl, 0); u32(strl, (h << 16) | (w & 0xFFFF)) // rcFrame
+    fourcc(strl, "strf"); u32(strl, 40)
+    u32(strl, 40); u32(strl, w); u32(strl, h)
+    strl.write(1); strl.write(0); strl.write(24); strl.write(0) // planes, bpp
+    fourcc(strl, "MJPG"); u32(strl, w * h * 3)
+    u32(strl, 0); u32(strl, 0); u32(strl, 0); u32(strl, 0)
+    val strlB = strl.toByteArray
+    fourcc(hdrl, "LIST"); u32(hdrl, strlB.length); hdrl.write(strlB)
+    val hdrlB = hdrl.toByteArray
+    val moviB = movi.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    fourcc(out, "RIFF")
+    u32(out, 4 + 8 + hdrlB.length + 8 + moviB.length)
+    fourcc(out, "AVI ")
+    fourcc(out, "LIST"); u32(out, hdrlB.length); out.write(hdrlB)
+    fourcc(out, "LIST"); u32(out, moviB.length); out.write(moviB)
+    out.toByteArray
+  }
+
+  /** MJPEG-AVI decoder: RIFF walk to the `movi` list, every `##dc` chunk
+    * decoded as a baseline JPEG, dims cross-checked against `avih`. Like
+    * the WAV demuxer it skips chunks it doesn't know (idx1, JUNK, other
+    * streams' `##wb` audio…) and honors odd-size padding. Non-MJPEG video
+    * chunks fail inside [[decodeJpeg]] loudly rather than mis-decode.
+    */
+  def decodeAviMjpeg(bytes: Array[Byte]): Video = {
+    require(bytes.length >= 12, "avi: short file")
+    require(new String(bytes, 0, 4, US_ASCII) == "RIFF", "avi: bad magic")
+    require(new String(bytes, 8, 4, US_ASCII) == "AVI ", "avi: not AVI")
+    var w = -1; var h = -1; var total = -1
+    val frames = Vector.newBuilder[Image]
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = new String(bytes, pos, 4, US_ASCII)
+        val size = intLE(bytes, pos + 4)
+        val body = pos + 8
+        require(size >= 0 && body + size <= to, s"avi: chunk '$id' overruns")
+        if (id == "LIST") {
+          val listType = new String(bytes, body, 4, US_ASCII)
+          walk(body + 4, body + size, inMovi || listType == "movi")
+        } else if (id == "avih") {
+          require(size >= 56, "avi: short avih")
+          total = intLE(bytes, body + 16)
+          w = intLE(bytes, body + 32); h = intLE(bytes, body + 36)
+        } else if (inMovi && id.length == 4 && id.endsWith("dc")) {
+          val j = new Array[Byte](size)
+          System.arraycopy(bytes, body, j, 0, size)
+          val im = decodeJpeg(j)
+          require(w < 0 || (im.width == w && im.height == h),
+            s"avi: frame dims ${im.width}x${im.height} != header ${w}x$h")
+          frames += im
+        } // else: strh/strf/idx1/JUNK/##wb … skipped
+        pos = body + size + (size & 1)
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    val fs = frames.result()
+    require(fs.nonEmpty, "avi: no video frames")
+    require(total < 0 || total == fs.length,
+      s"avi: header claims $total frames, found ${fs.length}")
+    Video(if (w > 0) w else fs.head.width, if (h > 0) h else fs.head.height, fs)
+  }
+
+  // -------------------------------------------------------- raster resize
+
+  /** Nearest-neighbor resize of a decoded RGB raster: source pixel of out
+    * (x, y) is (x·w // ow, y·h // oh) — pure integer, which is what lets
+    * the decode→resize pipeline stay SQL-oracle-able (mm_resize_real's
+    * twin replays the same index arithmetic over the pixel law). The
+    * standard cheap thumbnail path; a box/bilinear filter would be a
+    * quality upgrade, not a semantics change.
+    */
+  def resizeNearest(im: Image, ow: Int, oh: Int): Image = {
+    require(ow > 0 && oh > 0, s"resize: bad dims ${ow}x$oh")
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = y * im.height / oh
+      var x = 0
+      while (x < ow) {
+        val sx = x * im.width / ow
+        val so = 3 * (sy * im.width + sx); val o = 3 * (y * ow + x)
+        out(o) = im.pixels(so); out(o + 1) = im.pixels(so + 1); out(o + 2) = im.pixels(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(ow, oh, im.maxVal, out)
+  }
+
+  // ------------------------------------------------- JPEG (baseline, 4:4:4)
+  //
+  // A real LOSSY entropy-coded format: full baseline-sequential pipeline —
+  // integer RGB↔YCbCr, 8×8 fixed-point DCT, quality-scaled quantization,
+  // canonical Huffman with byte stuffing — in both directions. Everything
+  // is integer arithmetic (the DCT basis is a fixed-point table built once
+  // from StrictMath, which is bit-reproducible across JVMs), so
+  // encode→decode is fully deterministic: the same bytes decode to the
+  // same raster on every executor, which is what makes a lossy format
+  // oracle-able at all (see mm_decode_jpeg — the DuckDB twin replays the
+  // exact integer pipeline on block-constant fixtures, where only DC
+  // coefficients survive and every step has a closed integer form).
+  //
+  // Deliberate deviations from a general-purpose library (documented, not
+  // hidden): 4:4:4 only (sampling factors 1×1 — the decoder rejects
+  // subsampled streams rather than mis-decode), no progressive mode, no
+  // restart markers, and the Huffman tables use the JPEG Annex K code-
+  // LENGTH profiles with a deterministic symbol priority (self-consistent:
+  // the decoder reads the tables from the stream's DHT segments like any
+  // real decoder, so interchange with the encoder is exact by
+  // construction).
+
+  /** Zigzag scan order: position k in the scan reads raster index Zig(k). */
+  private val Zig: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Base quantization tables (JPEG Annex K), raster order. */
+  private val QLumBase: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val QChromBase: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Quality-scaled quant table (the widely-published 5000/q | 200−2q
+    * mapping), clamped to [1, 255].
+    */
+  private[graft] def scaledQuant(base: Array[Int], quality: Int): Array[Int] = {
+    require(quality >= 1 && quality <= 100, s"jpeg: quality $quality")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    base.map(b => math.min(255, math.max(1, (b * scale + 50) / 100)))
+  }
+
+  /** Fixed-point orthonormal 1-D DCT basis: T(k)(x) ≈ s(k)·cos((2x+1)kπ/16)
+    * ·4096 with s(0)=√⅛, s(k>0)=½, rounded half-even from StrictMath (bit-
+    * reproducible). Rows k>0 are then zero-sum-adjusted (≤2 ulp moved onto
+    * the largest entry) so a CONSTANT block produces exactly zero AC
+    * coefficients — the invariant that gives the lossy pipeline a closed
+    * integer form on block-constant fixtures (mm_decode_jpeg's oracle) and
+    * is pinned exhaustively over all 256 constant blocks in the spec.
+    */
+  private val DctT: Array[Array[Int]] = {
+    val t = Array.ofDim[Int](8, 8)
+    for (k <- 0 until 8; x <- 0 until 8) {
+      val s = if (k == 0) StrictMath.sqrt(0.125) else 0.5
+      t(k)(x) = StrictMath.rint(
+        s * StrictMath.cos((2 * x + 1) * k * StrictMath.PI / 16.0) * 4096.0).toInt
+    }
+    for (k <- 1 until 8) {
+      val d = t(k).sum
+      if (d != 0) {
+        var im = 0
+        for (x <- 1 until 8) if (math.abs(t(k)(x)) > math.abs(t(k)(im))) im = x
+        t(k)(im) -= d
+      }
+    }
+    t
+  }
+
+  /** DC basis entry (= round(√⅛·4096)); exposed for the oracle's constant-
+    * block closed form: DC = (c·(8·DcB)² + 2²³) >> 24, recon = (dc·q·DcB² +
+    * 2²³) >> 24 + 128.
+    */
+  private[graft] val DcB: Int = DctT(0)(0)
+
+  /** The two DC quantizer steps at a given quality — the only quant
+    * entries the block-constant closed form needs (lum, chrom).
+    */
+  private[graft] def dcQuants(quality: Int): (Int, Int) =
+    (scaledQuant(QLumBase, quality)(0), scaledQuant(QChromBase, quality)(0))
+
+  // ---- Huffman tables: Annex K length profiles, deterministic symbol order
+
+  private val DcBits: Array[Int] = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+  private val AcBitsLum: Array[Int] = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val AcBitsChrom: Array[Int] = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119)
+
+  /** All 162 AC symbols (EOB, ZRL, run 0–15 × size 1–10) ordered by a
+    * deterministic priority (short codes to small run+size — the shape of
+    * Annex K's frequency ordering without claiming its exact list).
+    */
+  private val AcSyms: Array[Int] = {
+    val syms = Seq(0x00, 0xF0) ++
+      (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+    syms.sortBy { s =>
+      val run = s >> 4; val size = s & 15
+      if (s == 0x00) (-1, 0, 0)            // EOB first: shortest code
+      else if (s == 0xF0) (16, 0, 0)       // ZRL after the common symbols
+      else (run + 2 * size, run, size)
+    }.toArray
+  }
+
+  /** Canonical Huffman codes from a (bits, vals) pair: vals in order get
+    * ascending code lengths; codes count up within a length, shift left
+    * across lengths (ITU T.81 Annex C).
+    */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): (Array[Int], Array[Int]) = {
+    val codeOf = new Array[Int](256); val lenOf = new Array[Int](256)
+    var code = 0; var k = 0
+    for (l <- 1 to 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        codeOf(vals(k)) = code; lenOf(vals(k)) = l
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    (codeOf, lenOf)
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var n = 0
+    def put(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { put(0x7F, 8 - n); () } // pad with 1s
+  }
+
+  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** FDCT + quantize one block: `in` = 64 level-shifted samples (row-major),
+    * `q` = raster-order quant table → raster-order quantized coefficients.
+    * Two integer passes, single final rounding shift (no intermediate
+    * rounding, so the constant-block closed form is exact).
+    */
+  private def fdctQuant(in: Array[Int], q: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Long](64) // tmp(y*8+v) = Σx in(y,x)·T(v)(x)
+    var y = 0
+    while (y < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L; var x = 0
+        while (x < 8) { s += in(y * 8 + x) * DctT(v)(x); x += 1 }
+        tmp(y * 8 + v) = s; v += 1
+      }
+      y += 1
+    }
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L; var yy = 0
+        while (yy < 8) { s += DctT(u)(yy) * tmp(yy * 8 + v); yy += 1 }
+        val f = (s + (1L << 23)) >> 24
+        val qq = q(u * 8 + v)
+        val qv = (if (f >= 0) (f + qq / 2) / qq else -((-f + qq / 2) / qq)).toInt
+        // baseline AC magnitude cap (size ≤ 10): only reachable at
+        // quality≈100 on adversarial blocks; DC never exceeds category 11
+        out(u * 8 + v) =
+          if (u == 0 && v == 0) qv
+          else if (qv > 1023) 1023 else if (qv < -1023) -1023 else qv
+        v += 1
+      }
+      u += 1
+    }
+  }
+
+  /** Dequantize + IDCT one block → 64 clamped [0,255] samples (row-major).
+    * Mirror of [[fdctQuant]]: two integer passes, one final rounding shift.
+    */
+  private def idctBlock(coef: Array[Int], q: Array[Int], outPix: Array[Int]): Unit = {
+    val d = new Array[Long](64)
+    var i = 0
+    while (i < 64) { d(i) = coef(i).toLong * q(i); i += 1 }
+    val tmp = new Array[Long](64) // tmp(u*8+x) = Σv d(u,v)·T(v)(x)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0L; var v = 0
+        while (v < 8) { s += d(u * 8 + v) * DctT(v)(x); v += 1 }
+        tmp(u * 8 + x) = s; x += 1
+      }
+      u += 1
+    }
+    var yy = 0
+    while (yy < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0L; var uu = 0
+        while (uu < 8) { s += DctT(uu)(yy) * tmp(uu * 8 + x); uu += 1 }
+        val v = (((s + (1L << 23)) >> 24) + 128).toInt
+        outPix(yy * 8 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+        x += 1
+      }
+      yy += 1
+    }
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Integer RGB→YCbCr (JFIF fixed-point, >>16 is a floor shift — the same
+    * formulas the mm_decode_jpeg oracle replays).
+    */
+  private[graft] def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = (
+    clamp255((19595 * r + 38470 * g + 7471 * b + 32768) >> 16),
+    clamp255(((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128),
+    clamp255(((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128))
+
+  /** Integer YCbCr→RGB (inverse JFIF fixed point). */
+  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = (
+    clamp255(y + ((91881 * (cr - 128) + 32768) >> 16)),
+    clamp255(y - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)),
+    clamp255(y + ((116130 * (cb - 128) + 32768) >> 16)))
+
+  /** Baseline JFIF encoder: 8-bit RGB in, 4:4:4, quality-scaled Annex K
+    * quant tables, canonical Huffman, partial edge blocks padded by
+    * replication. rgb.length must be w·h·3.
+    */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], quality: Int = 75): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3, "jpeg: bad dimensions")
+    val qy = scaledQuant(QLumBase, quality)
+    val qc = scaledQuant(QChromBase, quality)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    marker(0xD8) // SOI
+    marker(0xE0); be16(16) // APP0 JFIF
+    out.write("JFIF".getBytes(US_ASCII)); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1); out.write(0); out.write(0)
+    for ((tq, q) <- Seq((0, qy), (1, qc))) {
+      marker(0xDB); be16(67); out.write(tq)
+      var k = 0
+      while (k < 64) { out.write(q(Zig(k))); k += 1 } // DQT is zigzag order
+    }
+    marker(0xC0); be16(17); out.write(8); be16(h); be16(w); out.write(3) // SOF0
+    out.write(1); out.write(0x11); out.write(0)
+    out.write(2); out.write(0x11); out.write(1)
+    out.write(3); out.write(0x11); out.write(1)
+    for ((tcth, bits, vals) <- Seq(
+        (0x00, DcBits, DcVals), (0x10, AcBitsLum, AcSyms),
+        (0x01, DcBits, DcVals), (0x11, AcBitsChrom, AcSyms))) {
+      marker(0xC4); be16(2 + 1 + 16 + vals.length); out.write(tcth)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    marker(0xDA); be16(12); out.write(3) // SOS
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11)
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
+
+    val (dcCode, dcLen) = huffCodes(DcBits, DcVals)
+    val (acCodeL, acLenL) = huffCodes(AcBitsLum, AcSyms)
+    val (acCodeC, acLenC) = huffCodes(AcBitsChrom, AcSyms)
+    val bw = new BitWriter(out)
+    val block = new Array[Int](64); val coef = new Array[Int](64)
+    val prevDc = new Array[Int](3)
+    // planar YCbCr of the full image (int per sample)
+    val n = w * h
+    val py = new Array[Int](n); val pcb = new Array[Int](n); val pcr = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val (yv, cbv, crv) = rgbToYcc(rgb(3 * i) & 0xFF, rgb(3 * i + 1) & 0xFF, rgb(3 * i + 2) & 0xFF)
+      py(i) = yv; pcb(i) = cbv; pcr(i) = crv
+      i += 1
+    }
+    val planes = Array(py, pcb, pcr)
+    var by = 0
+    while (by * 8 < h) {
+      var bx = 0
+      while (bx * 8 < w) {
+        var comp = 0
+        while (comp < 3) {
+          val plane = planes(comp)
+          val q = if (comp == 0) qy else qc
+          val (acCode, acLen) = if (comp == 0) (acCodeL, acLenL) else (acCodeC, acLenC)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val sy = math.min(by * 8 + yy, h - 1) // replicate edges
+              val sx = math.min(bx * 8 + xx, w - 1)
+              block(yy * 8 + xx) = plane(sy * w + sx) - 128
+              xx += 1
+            }
+            yy += 1
+          }
+          fdctQuant(block, q, coef)
+          val dc = coef(0)
+          val diff = dc - prevDc(comp); prevDc(comp) = dc
+          val s = category(diff)
+          bw.put(dcCode(s), dcLen(s))
+          if (s > 0) bw.put((if (diff < 0) diff + (1 << s) - 1 else diff) & ((1 << s) - 1), s)
+          var run = 0; var k = 1
+          while (k < 64) {
+            val v = coef(Zig(k))
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) { bw.put(acCode(0xF0), acLen(0xF0)); run -= 16 }
+              val sz = category(v)
+              val sym = (run << 4) | sz
+              bw.put(acCode(sym), acLen(sym))
+              bw.put((if (v < 0) v + (1 << sz) - 1 else v) & ((1 << sz) - 1), sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) bw.put(acCode(0x00), acLen(0x00)) // EOB
+          comp += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0; private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        require(pos < bytes.length, "jpeg: scan data truncated")
+        val b = bytes(pos) & 0xFF; pos += 1
+        if (b == 0xFF) {
+          require(pos < bytes.length && bytes(pos) == 0, "jpeg: marker inside scan")
+          pos += 1
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def bits(c: Int): Int = { var v = 0; var i = 0; while (i < c) { v = (v << 1) | bit(); i += 1 }; v }
+  }
+
+  /** Decode-side canonical table: per length, (minCode, maxCode, valPtr). */
+  private final class HuffDec(bits: Array[Int], vals: Array[Int]) {
+    private val minC = new Array[Int](17); private val maxC = new Array[Int](17)
+    private val ptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        minC(l) = code; ptr(l) = k
+        k += bits(l - 1); code += bits(l - 1)
+        maxC(l) = code - 1
+        code <<= 1
+      }
+      for (l <- 1 to 16) if (bits(l - 1) == 0) maxC(l) = -1
+    }
+    def decode(br: BitReader): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        code = (code << 1) | br.bit()
+        if (maxC(l) >= 0 && code <= maxC(l)) return vals(ptr(l) + code - minC(l))
+        l += 1
+      }
+      throw new IllegalArgumentException("jpeg: invalid huffman code")
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int = if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Baseline JFIF decoder (the subset [[encodeJpeg]] emits plus any other
+    * 8-bit 4:4:4 baseline stream): segment walk (DQT/SOF0/DHT/SOS, unknown
+    * segments skipped by length), stream-parsed Huffman + quant tables,
+    * entropy decode with byte destuffing, dequant + IDCT, integer
+    * YCbCr→RGB. Progressive (SOF2) and subsampled streams are rejected
+    * loudly rather than mis-decoded.
+    */
+  def decodeJpeg(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8,
+      "jpeg: bad SOI")
+    var pos = 2
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDec](4); val acTabs = new Array[HuffDec](4)
+    var w = 0; var h = 0
+    var compQ: Array[Int] = null; var compDc: Array[Int] = null; var compAc: Array[Int] = null
+    var nComp = 0
+    def be16(o: Int): Int = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    var br: BitReader = null
+    while (br == null) {
+      require(pos + 4 <= bytes.length, "jpeg: truncated before SOS")
+      require((bytes(pos) & 0xFF) == 0xFF, s"jpeg: expected marker at $pos")
+      val m = bytes(pos + 1) & 0xFF
+      val len = be16(pos + 2)
+      val body = pos + 4
+      require(len >= 2 && body + len - 2 <= bytes.length,
+        s"jpeg: segment 0x${m.toHexString} overruns file")
+      m match {
+        case 0xDB =>
+          var o = body
+          while (o < body + len - 2) {
+            val pq = (bytes(o) & 0xFF) >> 4; val tq = bytes(o) & 0x0F
+            require(pq == 0, "jpeg: 16-bit quant tables unsupported")
+            val q = new Array[Int](64)
+            var k = 0
+            while (k < 64) { q(Zig(k)) = bytes(o + 1 + k) & 0xFF; k += 1 }
+            quant(tq) = q
+            o += 65
+          }
+        case 0xC0 =>
+          require((bytes(body) & 0xFF) == 8, "jpeg: only 8-bit precision")
+          h = be16(body + 1); w = be16(body + 3)
+          nComp = bytes(body + 5) & 0xFF
+          require(nComp == 3 || nComp == 1, s"jpeg: $nComp components unsupported")
+          compQ = new Array[Int](nComp)
+          for (c <- 0 until nComp) {
+            val samp = bytes(body + 6 + 3 * c + 1) & 0xFF
+            require(samp == 0x11, "jpeg: subsampled streams unsupported (4:4:4 only)")
+            compQ(c) = bytes(body + 6 + 3 * c + 2) & 0xFF
+          }
+        case 0xC2 => throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported")
+        case 0xC4 =>
+          var o = body
+          while (o < body + len - 2) {
+            val tc = (bytes(o) & 0xFF) >> 4; val th = bytes(o) & 0x0F
+            val bits = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xFF)
+            val nv = bits.sum
+            val vals = Array.tabulate(nv)(i => bytes(o + 17 + i) & 0xFF)
+            val dec = new HuffDec(bits, vals)
+            if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+            o += 17 + nv
+          }
+        case 0xDA =>
+          require(w > 0 && h > 0, "jpeg: SOS before SOF")
+          val ns = bytes(body) & 0xFF
+          require(ns == nComp, "jpeg: scan component count mismatch")
+          compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
+          for (c <- 0 until nComp) {
+            val tabs = bytes(body + 1 + 2 * c + 1) & 0xFF
+            compDc(c) = tabs >> 4; compAc(c) = tabs & 0x0F
+          }
+          br = new BitReader(bytes, body + 1 + 2 * ns + 3)
+        case 0xD9 => throw new IllegalArgumentException("jpeg: EOI before scan")
+        case _ => () // APPn / COM / DRI(ignored: we reject RSTn in-scan) — skip
+      }
+      if (br == null) pos = body + len - 2
+    }
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val coef = new Array[Int](64); val pix = new Array[Int](64)
+    val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+    val prevDc = new Array[Int](nComp)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var c = 0
+        while (c < nComp) {
+          val q = quant(compQ(c))
+          require(q != null, "jpeg: missing quant table")
+          val dcT = dcTabs(compDc(c)); val acT = acTabs(compAc(c))
+          require(dcT != null && acT != null, "jpeg: missing huffman table")
+          java.util.Arrays.fill(coef, 0)
+          val s = dcT.decode(br)
+          require(s <= 11, "jpeg: bad DC category")
+          prevDc(c) += extend(br.bits(s), s)
+          coef(0) = prevDc(c)
+          var k = 1
+          while (k < 64) {
+            val rs = acT.decode(br)
+            val run = rs >> 4; val sz = rs & 15
+            if (rs == 0x00) k = 64 // EOB
+            else if (rs == 0xF0) k += 16 // ZRL
+            else {
+              k += run
+              require(k < 64 && sz <= 10, "jpeg: AC index overrun")
+              coef(Zig(k)) = extend(br.bits(sz), sz)
+              k += 1
+            }
+          }
+          idctBlock(coef, q, pix)
+          val plane = planes(c); val pw = bw * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              plane((by * 8 + yy) * pw + bx * 8 + xx) = pix(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val outPix = new Array[Byte](w * h * 3)
+    val pw = bw * 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = 3 * (y * w + x)
+        if (nComp == 1) {
+          val v = planes(0)(y * pw + x).toByte
+          outPix(o) = v; outPix(o + 1) = v; outPix(o + 2) = v
+        } else {
+          val (r, g, b) = yccToRgb(planes(0)(y * pw + x), planes(1)(y * pw + x), planes(2)(y * pw + x))
+          outPix(o) = r.toByte; outPix(o + 1) = g.toByte; outPix(o + 2) = b.toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, 255, outPix)
   }
 }

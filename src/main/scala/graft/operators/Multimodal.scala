@@ -252,6 +252,116 @@ object Multimodal {
     })
   }
 
+  /** JPEG dims: multiples of 8, so every DCT block is law-constant (the
+    * property that makes the LOSSY pipeline exactly oracle-able — see
+    * [[mediaBlockColor]]).
+    */
+  def mediaJpegDims(id: Long): (Int, Int) =
+    ((8 * (1 + id % 4)).toInt, (8 * (1 + id % 2)).toInt)
+
+  /** Block-color law: the RGB of every pixel in 8×8 block `b` (row-major
+    * block index) of asset `id`. Mirrored in the mm_decode_jpeg oracle,
+    * which then replays the integer DC pipeline per block.
+    */
+  def mediaBlockColor(id: Long, b: Int): (Int, Int, Int) = (
+    ((id * 131 + b * 17) % 256).toInt,
+    ((id * 59 + b * 23) % 256).toInt,
+    ((id * 101 + b * 29) % 256).toInt)
+
+  /** JPEG variant of [[mediaAssetsFromDocuments]]: every document becomes a
+    * REAL lossy baseline JPEG (quality 75) of the block-constant color law.
+    * Constant 8×8 blocks leave only DC coefficients, whose quantize →
+    * dequant → IDCT path is exact integer arithmetic — so the decoder's
+    * output has a closed form the DuckDB oracle replays without parsing a
+    * byte, even though the format is lossy.
+    */
+  def mediaAssetsJpegFromDocuments(documents: DataFrame): Dataset[MediaAsset] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val (w, h) = mediaJpegDims(id)
+      val wb = w / 8
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = mediaBlockColor(id, (y / 8) * wb + (x / 8))
+          val o = 3 * (y * w + x)
+          rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      MediaAsset(id, "jpg", MediaCodecs.encodeJpeg(w, h, rgb, 75))
+    })
+  }
+
+  /** Frames per video asset: 2–4, keyed by id. */
+  def mediaFrameCount(id: Long): Int = (2 + id % 3).toInt
+
+  /** Per-frame block-color law: RGB of every pixel in 8×8 block `b` of
+    * frame `f` of asset `id` — [[mediaBlockColor]] extended with a frame
+    * term so adjacent frames differ everywhere.
+    */
+  def mediaFrameColor(id: Long, f: Int, b: Int): (Int, Int, Int) = (
+    ((id * 131 + f * 71 + b * 17) % 256).toInt,
+    ((id * 59 + f * 41 + b * 23) % 256).toInt,
+    ((id * 101 + f * 53 + b * 29) % 256).toInt)
+
+  /** REAL video assets: every document becomes an MJPEG-AVI whose frames
+    * are quality-75 JPEGs of the per-frame block-constant law — the same
+    * closed-form-oracle trick as [[mediaAssetsJpegFromDocuments]], now
+    * through a real video container.
+    */
+  def mediaAssetsAviFromDocuments(documents: DataFrame): Dataset[MediaAsset] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val (w, h) = mediaJpegDims(id)
+      val wb = w / 8
+      val frames = (0 until mediaFrameCount(id)).map { f =>
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = mediaFrameColor(id, f, (y / 8) * wb + (x / 8))
+            val o = 3 * (y * w + x)
+            rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
+            x += 1
+          }
+          y += 1
+        }
+        rgb
+      }
+      MediaAsset(id, "avi", MediaCodecs.encodeAviMjpeg(w, h, frames))
+    })
+  }
+
+  /** Per-sampled-frame decoded statistics of a real video asset. */
+  case class VideoFrameStats(asset_id: Long, frame_idx: Int, width: Int,
+    height: Int, n_vals: Long, sum_val: Long, wsum_val: Long,
+    min_val: Int, max_val: Int)
+
+  /** REAL frame sampling: demux the AVI, decode every frame, keep every
+    * `step`-th — the production form of the stub [[sampleFrames]]. Stats
+    * are per frame (weights restart each frame), so a frame-order or
+    * sampling-phase bug breaks the oracle hash.
+    */
+  def sampleVideoFrames(assets: Dataset[MediaAsset], step: Int): Dataset[VideoFrameStats] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      require(a.fmt == "avi", s"sampleVideoFrames: not a video asset (${a.fmt})")
+      val v = MediaCodecs.decodeAviMjpeg(a.content)
+      v.frames.zipWithIndex.collect { case (im, f) if f % step == 0 =>
+        val st = imageStatsOf(a.asset_id, im)
+        VideoFrameStats(a.asset_id, f, st.width, st.height, st.n_vals,
+          st.sum_val, st.wsum_val, st.min_val, st.max_val)
+      }
+    }
+  }
+
   private def imageStatsOf(id: Long, im: MediaCodecs.Image): ImageStats = {
     val px = im.pixels
     var sum = 0L; var wsum = 0L; var mn = 255; var mx = 0
@@ -276,6 +386,27 @@ object Multimodal {
       case a if a.fmt == "ppm" => imageStatsOf(a.asset_id, MediaCodecs.decodePpm(a.content))
       case a if a.fmt == "bmp" => imageStatsOf(a.asset_id, MediaCodecs.decodeBmp(a.content))
       case a if a.fmt == "png" => imageStatsOf(a.asset_id, MediaCodecs.decodePng(a.content))
+      case a if a.fmt == "jpg" => imageStatsOf(a.asset_id, MediaCodecs.decodeJpeg(a.content))
+    })
+  }
+
+  /** REAL decode → nearest-neighbor resize → raster statistics: the
+    * decode/resize/feature thumbnail pipeline over genuine container
+    * formats (the production form of the stub [[resize]]). Stats carry the
+    * RESIZED dims; position-weighted sums run over the resized raster, so
+    * a wrong source-index law breaks the oracle hash.
+    */
+  def resizeImagesReal(assets: Dataset[MediaAsset], ow: Int, oh: Int): Dataset[ImageStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.collect {
+      case a if a.fmt == "ppm" =>
+        imageStatsOf(a.asset_id, MediaCodecs.resizeNearest(MediaCodecs.decodePpm(a.content), ow, oh))
+      case a if a.fmt == "bmp" =>
+        imageStatsOf(a.asset_id, MediaCodecs.resizeNearest(MediaCodecs.decodeBmp(a.content), ow, oh))
+      case a if a.fmt == "png" =>
+        imageStatsOf(a.asset_id, MediaCodecs.resizeNearest(MediaCodecs.decodePng(a.content), ow, oh))
+      case a if a.fmt == "jpg" =>
+        imageStatsOf(a.asset_id, MediaCodecs.resizeNearest(MediaCodecs.decodeJpeg(a.content), ow, oh))
     })
   }
 
