@@ -152,6 +152,50 @@ object MultimodalQueries {
         .toDF().orderBy("asset_id", "frame_idx")
     }),
 
+    // VIDEO near-dup detection: real AVIs + planted near-dup clones (same
+    // content law, one color-nudged block in frame 0), per-sampled-frame
+    // aHash over DECODED pixels, hamming-banded frame join → video pairs
+    // with ≥1 matching frame. The multimodal-training-data dedup op: finds
+    // the "slightly edited re-upload" without ever comparing videos
+    // pairwise.
+    // Fixture note: restricted to the 32×16 (8-block) dims class — aHash
+    // over a SINGLE solid 8×8 block has almost no entropy (solid frames
+    // collapse to a handful of hash patterns), so tiny-dims videos would
+    // drown the planted pairs in legitimate-but-uninteresting collisions.
+    // Production guidance is the same: hash thumbnails with ≥ tens of
+    // blocks, not single-block crops.
+    "mm_video_dups" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 480 && col("doc_id") % 4 === 3)
+      val base = Multimodal.mediaAssetsAviFromDocuments(docs)
+      val clones = Multimodal.mediaAssetsAviClonesFromDocuments(
+        docs.filter(col("doc_id") % 12 === 3), 100000L)
+      Multimodal.videoNearDups(
+        Multimodal.videoFrameHashes(base.unionByName(clones), 2))
+        .orderBy("video_a", "video_b")
+    }),
+
+    // AUDIO near-dup detection (completes the modality triple): real WAVs
+    // + planted clones (same sample law, a 10-sample +16 "click"), 64-bit
+    // energy fingerprint over DECODED |samples|, hamming banding join.
+    // Every planted pair survives the edit (measured: 81 at distance 0, 2
+    // at distance 1 at sf0.01); the fixture's sawtooth sample law also
+    // phase-aligns some unrelated assets into close fingerprints — those
+    // extra pairs are correct outputs of the hash law on this synthetic
+    // signal, pinned exactly by the oracle.
+    "mm_audio_dups" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 3 === 2)
+      val base = Multimodal.mediaAssetsFromDocuments(docs)
+      val clones = Multimodal.mediaAssetsWavClonesFromDocuments(
+        docs.filter(col("doc_id") % 6 === 2), 100000L)
+      operators.Dedup.hammingPairs64(
+        Multimodal.audioFingerprints(base.unionByName(clones)),
+        "asset_id", "phash", 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // WAV chunk-walk decode: sample_rate read from the fmt chunk, stats
     // over signed int16 samples from the data chunk.
     "mm_decode_wav" -> ((s, dir) => {
@@ -319,6 +363,121 @@ object MultimodalQueries {
     "mm_decode_bmp" -> imageLawSql(1),
     "mm_decode_png" -> imageLawSqlWhere(""),
     "mm_decode_jpeg" -> jpegLawSql,
+
+    // video-dedup twin: decoded-pixel codes per (video, sampled frame) via
+    // the DC pipeline (base + perturbed-clone laws), the 64 inline aHash
+    // terms, then a brute-force frame-pair join at the same ≤3-bit gate —
+    // Spark's banding join is COMPLETE for ≤3 (pigeonhole), so the sets
+    // agree exactly
+    "mm_video_dups" -> {
+      val (qy, qc) = graft.operators.MediaCodecs.dcQuants(75)
+      s"""WITH vids AS (
+         |  SELECT doc_id AS src, doc_id AS vid, FALSE AS pert
+         |  FROM documents WHERE doc_id < 480 AND doc_id % 4 = 3
+         |  UNION ALL
+         |  SELECT doc_id AS src, doc_id + 100000 AS vid, TRUE AS pert
+         |  FROM documents WHERE doc_id < 480 AND doc_id % 12 = 3),
+         |dims AS (
+         |  SELECT src, vid, pert, CAST(8 * (1 + src % 4) AS INT) AS w,
+         |         CAST(8 * (1 + src % 2) AS INT) AS h
+         |  FROM vids),
+         |fr AS (
+         |  SELECT src, vid, pert, w, h, unnest(range(0, 2 + src % 3)) AS f
+         |  FROM dims),
+         |sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+         |idx AS (
+         |  SELECT src, vid, pert, w, h, f,
+         |         unnest(range(0, CAST(w AS BIGINT) * h * 3)) AS i
+         |  FROM sampled),
+         |geo AS (
+         |  SELECT src, vid, pert, w, h, f, i,
+         |    ((i // 3) // w // 8) * (w // 8) + ((i // 3) % w // 8) AS b,
+         |    i % 3 AS ch
+         |  FROM idx),
+         |rgb0 AS (
+         |  SELECT vid, w, h, f, i, ch, pert, b,
+         |    (src * 131 + f * 71 + b * 17) % 256 AS r0,
+         |    (src * 59 + f * 41 + b * 23) % 256 AS g,
+         |    (src * 101 + f * 53 + b * 29) % 256 AS bl
+         |  FROM geo),
+         |rgb AS (
+         |  SELECT vid, w, h, f, i, ch,
+         |    CASE WHEN pert AND f = 0 AND b = 0
+         |         THEN CASE WHEN r0 >= 254 THEN r0 - 2 ELSE r0 + 2 END
+         |         ELSE r0 END AS r,
+         |    g, bl
+         |  FROM rgb0),
+         |ycc AS (
+         |  SELECT vid, w, h, f, i, ch,
+         |    LEAST(255, GREATEST(0,
+         |      ${fdiv("19595 * r + 38470 * g + 7471 * bl + 32768", 65536L)})) AS yy,
+         |    LEAST(255, GREATEST(0,
+         |      ${fdiv("-11059 * r - 21709 * g + 32768 * bl + 32768", 65536L)} + 128)) AS cb,
+         |    LEAST(255, GREATEST(0,
+         |      ${fdiv("32768 * r - 27439 * g - 5329 * bl + 32768", 65536L)} + 128)) AS cr
+         |  FROM rgb),
+         |rec AS (
+         |  SELECT vid, w, h, f, i, ch,
+         |    ${dcReconSql("yy", qy)} AS y2,
+         |    ${dcReconSql("cb", qc)} AS cb2,
+         |    ${dcReconSql("cr", qc)} AS cr2
+         |  FROM ycc),
+         |px AS (
+         |  SELECT vid, w, h, f, i,
+         |    CASE ch
+         |      WHEN 0 THEN LEAST(255, GREATEST(0,
+         |        y2 + ${fdiv("91881 * (cr2 - 128) + 32768", 65536L)}))
+         |      WHEN 1 THEN LEAST(255, GREATEST(0,
+         |        y2 - ${fdiv("22554 * (cb2 - 128) + 46802 * (cr2 - 128) + 32768", 65536L)}))
+         |      ELSE LEAST(255, GREATEST(0,
+         |        y2 + ${fdiv("116130 * (cb2 - 128) + 32768", 65536L)}))
+         |    END AS v
+         |  FROM rec),
+         |cl AS (
+         |  SELECT vid, f, CAST(w AS BIGINT) * h * 3 AS n,
+         |    list(v ORDER BY i) AS codes, CAST(SUM(v) AS BIGINT) AS total
+         |  FROM px GROUP BY vid, f, w, h),
+         |hh AS (
+         |  SELECT vid, f, CAST($phashTerms AS BIGINT) AS phash FROM cl),
+         |fp AS (
+         |  SELECT a.vid AS video_a, b.vid AS video_b
+         |  FROM hh a JOIN hh b ON a.vid < b.vid
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3)
+         |SELECT video_a, video_b, CAST(COUNT(*) AS BIGINT) AS matched_frames
+         |FROM fp GROUP BY 1, 2 HAVING COUNT(*) >= 1
+         |ORDER BY video_a, video_b""".stripMargin
+    },
+
+    // audio-dedup twin: |sample| codes per audio (base + clicked-clone
+    // laws), the 64 inline aHash terms, brute-force pair join at the same
+    // ≤3-bit gate (Spark's banding is complete for ≤3)
+    "mm_audio_dups" ->
+      s"""WITH auds AS (
+         |  SELECT doc_id AS src, doc_id AS aid, FALSE AS pert
+         |  FROM documents WHERE doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id AS src, doc_id + 100000 AS aid, TRUE AS pert
+         |  FROM documents WHERE doc_id % 6 = 2),
+         |dims AS (
+         |  SELECT src, aid, pert, CAST(200 + (src % 16) * 50 AS BIGINT) AS n
+         |  FROM auds),
+         |idx AS (
+         |  SELECT src, aid, pert, n, unnest(range(0, n)) AS i FROM dims),
+         |sm AS (
+         |  SELECT aid, n, i,
+         |    abs((src * 37 + i * 11) % 4096 - 2048
+         |        + CASE WHEN pert AND i BETWEEN 10 AND 19 THEN 16 ELSE 0 END) AS v
+         |  FROM idx),
+         |cl AS (
+         |  SELECT aid, n, list(v ORDER BY i) AS codes,
+         |         CAST(SUM(v) AS BIGINT) AS total
+         |  FROM sm GROUP BY aid, n),
+         |hh AS (SELECT aid, CAST($phashTerms AS BIGINT) AS phash FROM cl)
+         |SELECT a.aid AS doc_a, b.aid AS doc_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         |FROM hh a JOIN hh b ON a.aid < b.aid
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // video twin: the jpeg DC pipeline per (asset, sampled frame) with the
     // frame-extended color law; weights restart per frame

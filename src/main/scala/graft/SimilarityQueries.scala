@@ -602,8 +602,13 @@ object SimilarityQueries {
     // OTHER-label vectors under the near-dup ceiling — the exact all-pairs
     // anchor and its LSH-bucketed production sibling (gates run inside the
     // fused bucket join; recall governed by the same planner knobs).
+    // The exact forms are DECLARED fixture-sized ground truth (vec_id <
+    // 2000 — the whole table at the sf0.01 gate, a bounded anchor at
+    // bench SFs); the LSH siblings run the FULL corpus, because that is
+    // the production path whose cost law matters.
     "ann_hard_negatives" -> ((s, dir) =>
-      Similarity.hardNegatives(Tables.embeddings(s, dir), 3)
+      Similarity.hardNegatives(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 2000), 3)
         .orderBy("anchor_id", "rn")),
     "ann_hard_negatives_lsh" -> ((s, dir) =>
       Similarity.hardNegativesLsh(Tables.embeddings(s, dir), 3)
@@ -611,9 +616,11 @@ object SimilarityQueries {
 
     // full contrastive triple: top-1 same-label positive joined to the
     // hard-negative top-k — flat (anchor, pos, neg) rows for a
-    // triplet/InfoNCE loss; exact anchor + all-bucket-mined LSH sibling
+    // triplet/InfoNCE loss; exact anchor (same bounded fixture) +
+    // all-bucket-mined full-corpus LSH sibling
     "ann_contrastive" -> ((s, dir) =>
-      Similarity.contrastiveTriples(Tables.embeddings(s, dir), 3)
+      Similarity.contrastiveTriples(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 2000), 3)
         .orderBy("anchor_id", "rn")),
     "ann_contrastive_lsh" -> ((s, dir) =>
       Similarity.contrastiveTriplesLsh(Tables.embeddings(s, dir), 3)
@@ -1914,12 +1921,13 @@ object SimilarityQueries {
     // buckets then applies the SAME label/ceiling gates — both rank by
     // (cosine DESC, neg_id), TopK's tie law
     "ann_hard_negatives" ->
-      s"""WITH p AS (
+      s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 2000),
+         |p AS (
          |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
          |    (${dotSql("a.embedding", "b.embedding")})
          |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
          |         * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cosine
-         |  FROM embeddings a JOIN embeddings b ON a.label <> b.label),
+         |  FROM e a JOIN e b ON a.label <> b.label),
          |f AS (SELECT * FROM p WHERE cosine < 0.95),
          |r AS (SELECT anchor_id, neg_id, cosine,
          |  ROW_NUMBER() OVER (PARTITION BY anchor_id
@@ -1954,13 +1962,14 @@ object SimilarityQueries {
     // hard-negative ranking; the LSH form mines BOTH from the replayed
     // (8, 4) bucket candidates
     "ann_contrastive" ->
-      s"""WITH s AS (
+      s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 2000),
+         |s AS (
          |  SELECT a.vec_id AS anchor_id, c.vec_id AS other_id,
          |    a.label AS a_label, c.label AS o_label,
          |    (${dotSql("a.embedding", "c.embedding")})
          |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
          |         * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cosine
-         |  FROM embeddings a JOIN embeddings c ON a.vec_id <> c.vec_id),
+         |  FROM e a JOIN e c ON a.vec_id <> c.vec_id),
          |pos AS (SELECT anchor_id, other_id AS pos_id, cosine AS pos_cosine,
          |  ROW_NUMBER() OVER (PARTITION BY anchor_id
          |    ORDER BY cosine DESC, other_id) AS prn

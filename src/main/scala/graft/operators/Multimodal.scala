@@ -317,26 +317,110 @@ object Multimodal {
   def mediaAssetsAviFromDocuments(documents: DataFrame): Dataset[MediaAsset] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
-      val (w, h) = mediaJpegDims(id)
-      val wb = w / 8
-      val frames = (0 until mediaFrameCount(id)).map { f =>
-        val rgb = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val (r, g, b) = mediaFrameColor(id, f, (y / 8) * wb + (x / 8))
-            val o = 3 * (y * w + x)
-            rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
-            x += 1
-          }
-          y += 1
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => aviFromLaw(id, id, perturb = false)))
+  }
+
+  private def aviFromLaw(id: Long, assetId: Long, perturb: Boolean): MediaAsset = {
+    val (w, h) = mediaJpegDims(id)
+    val wb = w / 8
+    val frames = (0 until mediaFrameCount(id)).map { f =>
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val b = (y / 8) * wb + (x / 8)
+          var (r, g, bl) = mediaFrameColor(id, f, b)
+          // the near-dup edit: nudge frame 0 / block 0's red channel ±2
+          if (perturb && f == 0 && b == 0) r = if (r >= 254) r - 2 else r + 2
+          val o = 3 * (y * w + x)
+          rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = bl.toByte
+          x += 1
         }
-        rgb
+        y += 1
       }
-      MediaAsset(id, "avi", MediaCodecs.encodeAviMjpeg(w, h, frames))
+      rgb
+    }
+    MediaAsset(assetId, "avi", MediaCodecs.encodeAviMjpeg(w, h, frames))
+  }
+
+  /** Planted near-dup videos: the SAME content law as the base id, re-keyed
+    * `id + offset`, with one 8×8 block of frame 0 color-nudged — the
+    * "slightly edited re-upload" shape video dedup exists for.
+    */
+  def mediaAssetsAviClonesFromDocuments(documents: DataFrame, offset: Long): Dataset[MediaAsset] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => aviFromLaw(id, id + offset, perturb = true)))
+  }
+
+  /** Per-sampled-frame aHash64 over REAL decoded video frames — the
+    * fingerprint table video near-dup detection runs on.
+    */
+  def videoFrameHashes(assets: Dataset[MediaAsset], step: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      require(a.fmt == "avi", s"videoFrameHashes: not a video asset (${a.fmt})")
+      val v = MediaCodecs.decodeAviMjpeg(a.content)
+      v.frames.zipWithIndex.collect { case (im, f) if f % step == 0 =>
+        (a.asset_id, f, im.pixels.map(b => (b & 0xff).toLong))
+      }
+    }.toDF("asset_id", "frame_idx", "codes")
+      .withColumn("phash", aHash64FromCodes(col("codes")))
+      .drop("codes")
+  }
+
+  /** Near-dup VIDEO pairs from a frame-hash table: the linear-cost
+    * [[graft.operators.Dedup.hammingPairs64]] banding join over ALL frame
+    * hashes (key = asset·1024 + frame, frame counts ≪ 1024), mapped back
+    * to video pairs and kept when ≥ `minFrames` sampled-frame pairs agree
+    * within `maxDist` bits. Never corpus×corpus: cost ∝ frames sharing a
+    * 16-bit hash chunk — the same scale law as SimHash text dedup.
+    */
+  def videoNearDups(frameHashes: DataFrame, maxDist: Int = 3,
+                    minFrames: Long = 1L): DataFrame = {
+    val keyed = frameHashes.select(
+      (col("asset_id") * 1024 + col("frame_idx")).as("fid"), col("phash"))
+    graft.operators.Dedup.hammingPairs64(keyed, "fid", "phash", maxDist)
+      .select(expr("doc_a div 1024").as("video_a"),
+        expr("doc_b div 1024").as("video_b"))
+      .filter(col("video_a") =!= col("video_b"))
+      .groupBy("video_a", "video_b")
+      .agg(count(lit(1)).as("matched_frames"))
+      .filter(col("matched_frames") >= minFrames)
+  }
+
+  /** Planted near-dup audio: the SAME sample law as the base id, re-keyed
+    * `id + offset`, with samples 10..19 nudged +16 — the "re-encoded with a
+    * click" shape audio dedup exists for.
+    */
+  def mediaAssetsWavClonesFromDocuments(documents: DataFrame, offset: Long): Dataset[MediaAsset] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val s = mediaSampleLaw(id, mediaSampleCount(id))
+      var i = 10
+      while (i < 20 && i < s.length) { s(i) = (s(i) + 16).toShort; i += 1 }
+      MediaAsset(id + offset, "wav", MediaCodecs.encodeWav(mediaRate(id), s))
     })
+  }
+
+  /** 64-bit energy fingerprint of a real decoded WAV: aHash over the
+    * |sample| stream — bit c = [segment c's mean magnitude > global mean
+    * magnitude]. Same robustness law as the image aHash (a local edit
+    * perturbs few segments), same [[graft.operators.Dedup.hammingPairs64]]
+    * pair path.
+    */
+  def audioFingerprints(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.collect { case a if a.fmt == "wav" =>
+      val au = MediaCodecs.decodeWav(a.content)
+      (a.asset_id, au.samples.map(s => math.abs(s.toLong)))
+    }).toDF("asset_id", "codes")
+      .withColumn("phash", aHash64FromCodes(col("codes")))
+      .drop("codes")
   }
 
   /** Per-sampled-frame decoded statistics of a real video asset. */
