@@ -610,9 +610,19 @@ object SimilarityQueries {
       Similarity.hardNegatives(
         Tables.embeddings(s, dir).filter(col("vec_id") < 2000), 3)
         .orderBy("anchor_id", "rn")),
-    "ann_hard_negatives_lsh" -> ((s, dir) =>
-      Similarity.hardNegativesLsh(Tables.embeddings(s, dir), 3)
-        .orderBy("anchor_id", "rn")),
+    "ann_hard_negatives_lsh" -> ((s, dir) => {
+      // autoBits holds bucket width as the corpus grows (pinned 4 bits at
+      // sf1's 2·10⁴ vectors turned the bucket self-join quadratic: 20 s
+      // measured); the twin is inlined at bits=4, valid exactly at the
+      // gate fixture — same idiom as ann_knn_lsh_all
+      val emb = Tables.embeddings(s, dir)
+      val bits = Similarity.autoBits(emb.count())
+      require(bits == 4 || !sys.props.contains("graft.oracleGate"),
+        s"oracle twin pinned at bits=4, autoBits gave $bits" +
+          " — regenerate the inlined hyperplanes in the ann_hard_negatives_lsh twin")
+      Similarity.hardNegativesLsh(emb, 3, bits = bits)
+        .orderBy("anchor_id", "rn")
+    }),
 
     // full contrastive triple: top-1 same-label positive joined to the
     // hard-negative top-k — flat (anchor, pos, neg) rows for a
@@ -622,9 +632,17 @@ object SimilarityQueries {
       Similarity.contrastiveTriples(
         Tables.embeddings(s, dir).filter(col("vec_id") < 2000), 3)
         .orderBy("anchor_id", "rn")),
-    "ann_contrastive_lsh" -> ((s, dir) =>
-      Similarity.contrastiveTriplesLsh(Tables.embeddings(s, dir), 3)
-        .orderBy("anchor_id", "rn")),
+    "ann_contrastive_lsh" -> ((s, dir) => {
+      // same width-held knob as ann_hard_negatives_lsh (pinned 4 bits cost
+      // 49 s at sf1 — the documented Σ|bucket|² law)
+      val emb = Tables.embeddings(s, dir)
+      val bits = Similarity.autoBits(emb.count())
+      require(bits == 4 || !sys.props.contains("graft.oracleGate"),
+        s"oracle twin pinned at bits=4, autoBits gave $bits" +
+          " — regenerate the inlined hyperplanes in the ann_contrastive_lsh twin")
+      Similarity.contrastiveTriplesLsh(emb, 3, bits = bits)
+        .orderBy("anchor_id", "rn")
+    }),
 
     // Hyperplane-LSH banding planner — the dedup_lsh_plan twin for the
     // ANN knob: closed-form 1 − (1 − p1^bits)^tables detection curve over
