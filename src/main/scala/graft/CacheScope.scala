@@ -80,20 +80,31 @@ final class CacheScope {
 }
 
 object CacheScope {
-  /** Default scope for callers that don't manage one. Harness entry points
-    * (Verify, Bench) release it between queries; long-lived applications
+  private val perThread = new ThreadLocal[CacheScope] {
+    override def initialValue(): CacheScope = new CacheScope
+  }
+
+  /** Default scope for callers that don't manage one — PER THREAD since
+    * round 9 (previously a process-wide singleton). Harness entry points
+    * (Verify, Bench) release it after each query; long-lived applications
     * should prefer a scope per job and release it deterministically.
     *
-    * SINGLE-JOB ASSUMPTION: `global` is a process-wide mutable singleton.
-    * Two concurrent jobs sharing it would unpersist each other's
-    * intermediates on release(), and callers that never release() leak
-    * handles and cached blocks. It is safe for sequential drivers (Verify,
-    * Bench, one-query-at-a-time embedding); anything running graft operators
-    * concurrently MUST pass an explicit `new CacheScope` per job. As a
-    * leak tripwire, persist() warns once if the handle count exceeds
-    * [[warnThreshold]].
+    * Thread-local because Verify now runs independent queries concurrently:
+    * with one shared singleton, thread A's release() would unpersist
+    * thread B's in-flight intermediates — for plain persists merely a
+    * recompute tax, but for [[checkpoint]]ed frames (lineage TRUNCATED) a
+    * hard job failure. Each worker thread now gets its own default scope
+    * and must call release() on the SAME thread that ran the job.
+    *
+    * Caveat: code that persists from a thread it doesn't own (e.g. a
+    * Structured Streaming micro-batch callback, `Streams.scala`) acquires
+    * that thread's scope; if nothing releases it, the blocks live until
+    * the ContextCleaner GCs them — a bounded soft leak, flagged by the
+    * [[warnThreshold]] tripwire. As before, anything running graft
+    * operators concurrently within ONE logical job should pass an explicit
+    * `new CacheScope`.
     */
-  val global = new CacheScope
+  def global: CacheScope = perThread.get()
 
   /** Handle count above which [[global]] warns about a likely missing
     * release() (libraries shouldn't hard-fail on a soft leak).

@@ -20,13 +20,22 @@ object Verify {
     // only under the correctness gate — scale benches legitimately resolve
     // different parameters and have no twin to desynchronize from
     System.setProperty("graft.oracleGate", "1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // All cores by default (was 4 until round 9): the dump is a throughput
+    // job, not a timing one, and rounds 7-8 delivered an EMPTY driver
+    // correctness artifact right after the sequential wall time crossed
+    // ~300 s — a driver-side subprocess budget is the leading explanation,
+    // so Verify now optimizes wall-clock hard.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // concurrent queries share the executor: FAIR keeps one multi-stage
+      // query's long job from convoying every other thread's small jobs
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -34,27 +43,44 @@ object Verify {
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to named queries
     // (the driver sets no env and always gets the full surface)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val self = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    // Queries are independent (per-query result dirs, injective index dirs,
+    // thread-local CacheScope.global) and mostly driver/scheduler-latency
+    // bound at sf0.01, so running several at once collapses wall time
+    // ~4x (the 198-query dump: ~295 s sequential at local[4] -> well under
+    // the suspected driver budget). Each worker releases ITS OWN scope —
+    // never spark.catalog.clearCache(), which would nuke sibling threads'
+    // scoped persists mid-flight.
+    val nThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
+    val self = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val tasks = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        val (rows, schema, hash) = selfHash(spark, s"$outDir/$name")
-        val sec = (System.nanoTime() - t0) / 1e9
-        self(name) =
-          f"""{"rows": $rows, "schema": ${jq(schema)}, "hash": "$hash", "sec": $sec%.2f}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        self(name) = s"""{"error": ${jq(String.valueOf(e.getMessage))}}"""
+      .map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+              val (rows, schema, hash) = selfHash(spark, s"$outDir/$name")
+              val sec = (System.nanoTime() - t0) / 1e9
+              self.put(name,
+                f"""{"rows": $rows, "schema": ${jq(schema)}, "hash": "$hash", "sec": $sec%.2f}""")
+            } catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              self.put(name, s"""{"error": ${jq(String.valueOf(e.getMessage))}}""")
+            }
+            // drop query-local persisted intermediates (see Bench for
+            // rationale) — this thread's scope only
+            CacheScope.global.release()
+          }
+        })
       }
-      // drop query-local persisted intermediates (see Bench for rationale)
-      CacheScope.global.release()
-      spark.catalog.clearCache()
-    }
-    val selfJson = self.map { case (k, v) => s"${jq(k)}: $v" }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    val selfJson = self.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jq(k)}: $v" }
       .mkString("{\n", ",\n", "\n}")
     Files.writeString(Paths.get(s"$outDir/CORRECTNESS_SELF.json"), selfJson)
     // also drop it at the repo root so it gets committed with the round
