@@ -15,6 +15,15 @@ object SimilarityQueries {
     "ann_topk" -> ((s, dir) =>
       Similarity.topK(Tables.embeddings(s, dir), 0L, 10)),
 
+    // SELF-FED retrieval: the corpus embeds ITSELF (Embed.hashedTf over
+    // documents — no fixture vectors anywhere) and exact top-10 cosine runs
+    // over the generated vectors. Integer-valued counts make every dot and
+    // norm exact in double, so the twin can SUM over the sparse (doc,
+    // bucket) table instead of replaying 64-term chains.
+    "ann_topk_embed" -> ((s, dir) =>
+      Similarity.topK(
+        operators.Embed.hashedTf(Tables.documents(s, dir)), 0L, 10)),
+
     // REBALANCE under the gate: list splits are content-preserving, so an
     // EXHAUSTIVE probe over the rebalanced index must equal brute-force
     // top-k bit-for-bit (shares ann_topk's exact-cosine twin) — the same
@@ -2052,6 +2061,27 @@ object SimilarityQueries {
          |FROM embeddings e, q
          |WHERE e.vec_id <> 0
          |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+
+    // Self-fed retrieval twin: hashed-TF counts replayed sparse. Every
+    // count is an integer, so dot = Σ c_e·c_q and norm² = Σ c² are exact
+    // in double under ANY summation order — no 64-term chain needed; the
+    // LEFT JOIN zero-fills buckets the query doesn't occupy so every doc
+    // keeps its full norm and appears in the ranking.
+    "ann_topk_embed" ->
+      s"""WITH ${TextQueries.embedCntCte},
+         |qd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM cnt WHERE doc_id = 0),
+         |dots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e LEFT JOIN qd q ON e.b = q.b
+         |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
+         |qn AS (SELECT SUM(qc * qc) AS qn2 FROM qd)
+         |SELECT d.doc_id AS vec_id,
+         |  d.dot / NULLIF(sqrt(d.n2) * sqrt(qn.qn2), 0) AS cosine
+         |FROM dots d, qn
+         |ORDER BY cosine DESC NULLS LAST, vec_id
          |LIMIT 10""".stripMargin,
 
     "ann_knn_join" -> knnSql,

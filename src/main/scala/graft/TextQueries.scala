@@ -219,7 +219,19 @@ object TextQueries {
       operators.Unigram.emRound(docs, vocab, keepMulti = 40, maxWordLen = 12)
         .select("piece", "use_cnt", "score_q")
         .orderBy("piece")
-    })
+    }),
+
+    // Native text→vector: hashing-trick document embeddings (signed
+    // unigram+bigram counts in md5 buckets — the stage that makes the ANN
+    // stack self-feeding instead of fixture-fed). The gate projects every
+    // element of every vector via posexplode, so the hash proves the full
+    // 64-dim assembly including the zero fill.
+    "text_embed" -> ((s, dir) =>
+      operators.Embed.hashedTf(Tables.documents(s, dir))
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"))
+        .orderBy("vec_id", "dim"))
   )
 
   private val bpeRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -760,6 +772,43 @@ object TextQueries {
         |  CASE WHEN total = 0 THEN 0.0
         |       ELSE FLOOR(CAST(total - dn AS DOUBLE) / total * 10000.0 + 0.5)
         |            / 10000.0 END AS rep_ratio
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Hashing-trick embedding replay: unigrams + bigrams (the cur_dsir
+    // feature spelling), bucket = first 8 md5 hex digits mod 64, sign =
+    // digit 9's parity, value = per-bucket signed count; the 64-dim grid
+    // LEFT JOIN fills the zeros Spark's sequence-transform assembly emits.
+    "text_embed" ->
+      s"""WITH $embedCntCte,
+         |grid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM documents))
+         |SELECT g.doc_id AS vec_id, g.dim,
+         |  CAST(COALESCE(cnt.c, 0) AS REAL) AS v
+         |FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.dim = cnt.b
+         |ORDER BY vec_id, dim""".stripMargin
   )
+
+  /** Shared replay of [[graft.operators.Embed.hashedTf]]'s (doc, bucket)
+    * signed-count table — `cnt(doc_id, b, c)` — for text_embed and the
+    * embedded-retrieval twins in [[SimilarityQueries]]. A `def`, not a
+    * `val`: it is referenced from the `oracle` map declared ABOVE it, and
+    * object vals initialize in source order (a val here would interpolate
+    * as "null").
+    */
+  private[graft] def embedCntCte: String =
+    """etoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |eocc AS (
+      |  SELECT doc_id,
+      |    unnest(list_concat(ts,
+      |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))
+      |      AS f
+      |  FROM etoks),
+      |cnt AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(f), 1, 8))::BIGINT % 64 AS b,
+      |    CAST(SUM(CASE WHEN ('0x' || substring(md5(f), 9, 1))::BIGINT % 2 = 0
+      |             THEN 1 ELSE -1 END) AS BIGINT) AS c
+      |  FROM eocc GROUP BY doc_id, b)""".stripMargin
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Native text→vector embedding — the stage that closes the
+  * documents→embeddings loop: until round 9 the ANN stack consumed the
+  * `embeddings` table as a driver fixture; with this operator a corpus of
+  * raw text feeds the six index layouts end-to-end (crawl → curate →
+  * embed → index → retrieve, the `cur_pretrain_index` flagship).
+  *
+  * The embedder is the HASHING TRICK (feature hashing, Weinberger et al.
+  * 2009, "Feature Hashing for Large Scale Multitask Learning"): features
+  * are unigrams + bigrams (the [[Curation.dsirWeights]] feature set), each
+  * occurrence lands in bucket `md5(f) mod dim` with sign ± from an
+  * independent md5 digit, and a document's vector is the per-bucket signed
+  * occurrence count. Deterministic, engine-portable (the same md5-prefix
+  * primitive every sampler here uses — DuckDB replays it verbatim), and
+  * MODEL-FREE: there is nothing to train, so the "frozen model" problems
+  * the ANN lifecycle machinery solves for trained quantizers don't exist —
+  * any two workers embed the same document identically forever, and
+  * incremental corpus growth embeds new documents with zero coordination.
+  *
+  * Values are signed integer counts stored as float — exactly
+  * representable, so SQL twins reproduce them bit-for-bit, and downstream
+  * cosine (scale-invariant) needs no normalization pass. Norms are
+  * integer-valued doubles, so even unordered SUM accumulation of dots is
+  * exact (≪ 2^53) — the one embedding family whose brute-force oracle
+  * needs no term-chain trick.
+  *
+  * Scale: one linear explode of the corpus, one partial-aggregated
+  * (doc, bucket) count (map-side combine eats the duplicate tokens), one
+  * per-doc assembly bounded by `dim` entries. No driver state, no
+  * collect, no shuffle wider than the (doc, bucket) pairs.
+  */
+object Embed {
+
+  /** Signed hashed-TF document vectors: (vec_id, embedding array<float>).
+    *
+    * `vec_id` is the input's `doc_id` so the result drops straight into
+    * every `embeddings`-shaped consumer ([[Similarity]], [[Ivf]], [[Pq]],
+    * …). Documents with text (all of them — even empty text yields one
+    * empty-string token) each emit exactly one row.
+    */
+  def hashedTf(documents: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
+    val feats = concat(TextAnalysis.tokens(col("text")),
+      TextAnalysis.bigrams(col("text")))
+    documents
+      .select(col("doc_id"), explode(feats).as("f"))
+      .select(col("doc_id"),
+        Curation.hashBucket(col("f"), dim).as("b"),
+        signOf(col("f")).as("sgn"))
+      .groupBy("doc_id", "b")
+      .agg(sum("sgn").as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("float"))
+          .as("embedding"))
+  }
+
+  /** ±1 from md5 hex digit 9 of the feature — independent of the bucket
+    * digits (chars 1–8), per the hashing-trick construction (the sign hash
+    * makes the bucketed inner product an unbiased estimator of the true
+    * one). DuckDB twin: `('0x' || substring(md5(f), 9, 1))::BIGINT % 2`.
+    */
+  private def signOf(f: Column): Column =
+    when(conv(substring(md5(f.cast("string")), 9, 1), 16, 10)
+      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+}
