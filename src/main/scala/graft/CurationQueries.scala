@@ -221,6 +221,40 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_no")
     }),
 
+    // CORPUS→INDEX FLAGSHIP — the crawl→train→retrieve loop closed with
+    // native stages only: pretrain gate survivors (stages 1–4, shared
+    // materialized state with cur_pretrain_incr) → hashing-trick embedding
+    // (no fixture vectors) → one IVF build shared by SemDeDup (pairs form
+    // inside the index's own lists — Σ|list|² bounded) and by serving →
+    // tombstone-delete the collapsed near-dups → EXHAUSTIVE probe of the
+    // min-id survivor. nprobe = all lists makes the probe ≡ brute force
+    // over survivors (the ann_rebalance shared-oracle trick), so the twin
+    // replays gates + embedding + list assignment + closure + exact
+    // cosine — any row lost or resurrected by ANY stage breaks the hash.
+    // Threshold 0.8 is calibrated to the hashed-TF space: shared stopword
+    // mass puts generic same-language pairs at 0.5–0.7 (measured at
+    // sf0.01), so SemDeDup's usual 0.4 would collapse the corpus; ≥0.8
+    // isolates genuine near-dups (197 gated docs → a handful of pairs).
+    "cur_pretrain_index" -> ((s, dir) => {
+      val scope = graft.CacheScope.global
+      val probe = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
+      val gated = operators.Pretrain.buildState(dir + "#pretrain",
+        Tables.documentsWithClones(s, dir), probe, scope).gated
+      val emb = scope.persist(operators.Embed.hashedTf(gated))
+      val key = dir + "#flagidx"
+      val model = operators.Ivf.buildIndex(key, emb)
+      val doomed = operators.Dedup
+        .nearDupClusters(operators.Dedup.semanticDupPairs(emb, 0.8, key),
+          "vec_a", "vec_b", scope = scope)
+        .filter(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id").as("vec_id"))
+      operators.Ivf.deleteFromIndex(model, doomed, batchId = 0L)
+      val qid = emb.join(doomed, Seq("vec_id"), "left_anti")
+        .agg(min("vec_id")).head().getLong(0)
+      operators.Ivf.probe(model, emb, qid, 10,
+        nprobe = model.centroids.length)
+    }),
+
     // Quality-ranked mixture: same per-source budgets, but each source's
     // budget is filled BEST DOCUMENTS FIRST (4-dp quality, doc_id ties)
     // instead of the uniform hash order — the quality-filtered mixing
@@ -386,8 +420,13 @@ object CurationQueries {
     * derivation between the clone CTE and the chain. Each fragment is the
     * proven twin of its stage's own query, chained through docs3..docs6.
     */
-  private def pretrainSql(corpus: String, extraCtes: String = ""): String =
-    s"""WITH RECURSIVE ${DedupQueries.clonedDocsCte.stripPrefix("WITH ")},
+  /** Stages 1–4 of the pretrain replay as a CTE chain ending in `docs6`
+    * (the gated survivors: doc_id, lang, text, n_tokens) — the shared
+    * prefix of [[pretrainSql]] and the corpus→index flagship twin. Caller
+    * supplies the `WITH RECURSIVE` keyword (the dedup closure needs it).
+    */
+  private def pretrainGatedCtes(corpus: String, extraCtes: String = ""): String =
+    s"""${DedupQueries.clonedDocsCte.stripPrefix("WITH ")},
          |$extraCtes${DedupQueries.jaccardBaseFrom(corpus)},
          |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
          |edges AS (
@@ -459,10 +498,13 @@ object CurationQueries {
          |        / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3)
          |      * 10000.0 + 0.5) / 10000.0 AS quality
          |  FROM docs5),
-         |docs6 AS (
+         |docs6 AS MATERIALIZED (
          |  SELECT docs5.doc_id, docs5.lang, docs5.text,
          |    CAST(len(string_split(docs5.text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM docs5 JOIN qx USING (doc_id) WHERE qx.quality >= 0.5),
+         |  FROM docs5 JOIN qx USING (doc_id) WHERE qx.quality >= 0.5)""".stripMargin
+
+  private def pretrainSql(corpus: String, extraCtes: String = ""): String =
+    s"""WITH RECURSIVE ${pretrainGatedCtes(corpus, extraCtes)},
          |mt AS (
          |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok FROM docs6
          |  GROUP BY 1 HAVING SUM(n_tokens) > 0),
@@ -819,6 +861,77 @@ object CurationQueries {
     // split) → shard-partitioned packing. Each fragment is the proven twin
     // of its stage's own query, chained through docs3..docs6.
     "cur_pretrain" -> pretrainSql("documents2"),
+
+    // Corpus→index flagship twin: stage 1–4 gates → hashed-TF counts over
+    // the survivors → a CTE named `embeddings` SHADOWING the fixture view
+    // (DuckDB binds CTEs first), so the Lloyd/assignment replay chain runs
+    // unchanged over the GENERATED vectors → SemDeDup pairs restricted to
+    // co-assigned lists (dots sparse-exact: integer counts) → recursive
+    // min-label closure → exact top-10 cosine from the min-id survivor
+    // over survivors only (the Spark side's exhaustive tombstone-aware
+    // probe ≡ brute force).
+    "cur_pretrain_index" ->
+      s"""WITH RECURSIVE ${pretrainGatedCtes("documents2")},
+         |${TextQueries.embedCntCteFrom("docs6")},
+         |egrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM docs6)),
+         |embeddings AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM egrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+         |    AND g.dim = cnt.b
+         |  GROUP BY g.doc_id),
+         |${SimilarityQueries.ivfCoreCtes(16)},
+         |edot AS (
+         |  SELECT x.doc_id AS va, y.doc_id AS vb,
+         |    SUM(CAST(x.c AS DOUBLE) * y.c) AS dot
+         |  FROM cnt x JOIN cnt y ON x.b = y.b AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |en AS (
+         |  SELECT doc_id, SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM cnt GROUP BY doc_id),
+         |sem AS (
+         |  SELECT aa.vec_id AS va, bb.vec_id AS vb
+         |  FROM a2 aa
+         |  JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+         |  JOIN edot d ON d.va = aa.vec_id AND d.vb = bb.vec_id
+         |  JOIN en na ON na.doc_id = aa.vec_id
+         |  JOIN en nb ON nb.doc_id = bb.vec_id
+         |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.8),
+         |sedges AS (
+         |  SELECT va AS s, vb AS d FROM sem
+         |  UNION ALL
+         |  SELECT vb AS s, va AS d FROM sem),
+         |swalk(id, lbl) AS (
+         |  SELECT s, s FROM sedges
+         |  UNION
+         |  SELECT e.s, w2.lbl FROM sedges e JOIN swalk w2 ON w2.id = e.d),
+         |scl AS (SELECT id, MIN(lbl) AS cluster_id FROM swalk GROUP BY id),
+         |surv AS MATERIALIZED (
+         |  SELECT e.vec_id FROM embeddings e
+         |  LEFT JOIN scl ON scl.id = e.vec_id
+         |  WHERE scl.id IS NULL OR scl.cluster_id = e.vec_id),
+         |fqid AS (SELECT MIN(vec_id) AS q FROM surv),
+         |fqd AS (
+         |  SELECT b, CAST(c AS DOUBLE) AS qc
+         |  FROM cnt, fqid WHERE doc_id = fqid.q),
+         |fdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e
+         |  LEFT JOIN fqd q ON e.b = q.b
+         |  SEMI JOIN surv ON e.doc_id = surv.vec_id
+         |  WHERE e.doc_id <> (SELECT q FROM fqid)
+         |  GROUP BY e.doc_id),
+         |fqn AS (SELECT SUM(qc * qc) AS qn2 FROM fqd)
+         |SELECT d.doc_id AS vec_id,
+         |  d.dot / NULLIF(sqrt(d.n2) * sqrt(fqn.qn2), 0) AS cosine
+         |FROM fdots d, fqn
+         |ORDER BY cosine DESC NULLS LAST, vec_id
+         |LIMIT 10""".stripMargin,
 
     // The incremental twin is the same chain FULLY RECOMPUTED over the
     // edited corpus — DuckDB never sees the increment, so the hash match

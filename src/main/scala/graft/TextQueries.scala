@@ -796,16 +796,21 @@ object TextQueries {
     * object vals initialize in source order (a val here would interpolate
     * as "null").
     */
-  private[graft] def embedCntCte: String =
-    """etoks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  private[graft] def embedCntCte: String = embedCntCteFrom("documents")
+
+  /** [[embedCntCte]] over any (doc_id, text) relation — the corpus→index
+    * flagship embeds the pretrain gate's survivors, not raw `documents`.
+    */
+  private[graft] def embedCntCteFrom(src: String): String =
+    s"""etoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
       |eocc AS (
       |  SELECT doc_id,
       |    unnest(list_concat(ts,
       |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))
       |      AS f
       |  FROM etoks),
-      |cnt AS (
+      |cnt AS MATERIALIZED (
       |  SELECT doc_id,
       |    ('0x' || substring(md5(f), 1, 8))::BIGINT % 64 AS b,
       |    CAST(SUM(CASE WHEN ('0x' || substring(md5(f), 9, 1))::BIGINT % 2 = 0

@@ -70,4 +70,30 @@ class PretrainSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(inc === full)
   }
+
+  test("corpus→index flagship: deletes near-dups, probe ≡ brute force over survivors") {
+    // the cur_pretrain_index chain at spec scale: gate → embed → one IVF
+    // build shared by SemDeDup and serving → tombstone delete → exhaustive
+    // probe; assert the probe equals brute-force top-k over the survivors
+    // and that no deleted id can be retrieved
+    val gated = Pretrain.state(prev, probe).gated
+    val emb = operators.Embed.hashedTf(gated)
+    val key = sfDir + "#flagspec"
+    val model = operators.Ivf.buildIndex(key, emb)
+    val doomed = Dedup
+      .nearDupClusters(Dedup.semanticDupPairs(emb, 0.8, key), "vec_a", "vec_b")
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"))
+    operators.Ivf.deleteFromIndex(model, doomed, batchId = 0L)
+    val survivors = emb.join(doomed, Seq("vec_id"), "left_anti")
+    val qid = survivors.agg(min("vec_id")).head().getLong(0)
+    val probed = operators.Ivf
+      .probe(model, emb, qid, 10, nprobe = model.centroids.length)
+      .as[(Long, Double)].collect().toSeq
+    val exact = operators.Similarity.topK(survivors, qid, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(probed === exact)
+    val doomedIds = doomed.as[Long].collect().toSet
+    assert(probed.forall { case (id, _) => !doomedIds.contains(id) })
+  }
 }
