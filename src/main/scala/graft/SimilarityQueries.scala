@@ -612,12 +612,14 @@ object SimilarityQueries {
     // anchor and its LSH-bucketed production sibling (gates run inside the
     // fused bucket join; recall governed by the same planner knobs).
     // The exact forms are DECLARED fixture-sized ground truth (vec_id <
-    // 2000 — the whole table at the sf0.01 gate, a bounded anchor at
-    // bench SFs); the LSH siblings run the FULL corpus, because that is
+    // 500 — the whole table at the sf0.01 gate, a CONSTANT-sized anchor at
+    // bench SFs: the previous 2000-bound made the two anchors the #3/#4
+    // heaviest bench entries, 14.5 s of every official sf0.1 run, for no
+    // extra proof); the LSH siblings run the FULL corpus, because that is
     // the production path whose cost law matters.
     "ann_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(
-        Tables.embeddings(s, dir).filter(col("vec_id") < 2000), 3)
+        Tables.embeddings(s, dir).filter(col("vec_id") < 500), 3)
         .orderBy("anchor_id", "rn")),
     "ann_hard_negatives_lsh" -> ((s, dir) => {
       // autoBits holds bucket width as the corpus grows (pinned 4 bits at
@@ -639,7 +641,7 @@ object SimilarityQueries {
     // all-bucket-mined full-corpus LSH sibling
     "ann_contrastive" -> ((s, dir) =>
       Similarity.contrastiveTriples(
-        Tables.embeddings(s, dir).filter(col("vec_id") < 2000), 3)
+        Tables.embeddings(s, dir).filter(col("vec_id") < 500), 3)
         .orderBy("anchor_id", "rn")),
     "ann_contrastive_lsh" -> ((s, dir) => {
       // same width-held knob as ann_hard_negatives_lsh (pinned 4 bits cost
@@ -1948,7 +1950,7 @@ object SimilarityQueries {
     // buckets then applies the SAME label/ceiling gates — both rank by
     // (cosine DESC, neg_id), TopK's tie law
     "ann_hard_negatives" ->
-      s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 2000),
+      s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 500),
          |p AS (
          |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
          |    (${dotSql("a.embedding", "b.embedding")})
@@ -1989,7 +1991,7 @@ object SimilarityQueries {
     // hard-negative ranking; the LSH form mines BOTH from the replayed
     // (8, 4) bucket candidates
     "ann_contrastive" ->
-      s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 2000),
+      s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 500),
          |s AS (
          |  SELECT a.vec_id AS anchor_id, c.vec_id AS other_id,
          |    a.label AS a_label, c.label AS o_label,
