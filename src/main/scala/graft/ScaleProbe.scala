@@ -229,6 +229,10 @@ object ScaleProbe {
       for (m <- ms) {
         val vecsPath = new java.io.File(
           System.getProperty("java.io.tmpdir"), s"graft-probe-vecs-$m").getAbsolutePath
+        // self-sufficient: (re)write the blown-up corpus rather than
+        // requiring that an `lsh` run against the same tmpdir came first
+        if (!new java.io.File(vecsPath, "_SUCCESS").exists())
+          blowUpVecs(m).write.mode("overwrite").parquet(vecsPath)
         val vecs = spark.read.parquet(vecsPath)
         val bits = operators.Similarity.autoBits(vecs.count())
         val idx = operators.Similarity.lshIndex(vecs, 8, bits)

@@ -65,7 +65,18 @@ object TopK {
     */
   class TopKDistinctAggregator(k: Int) extends TopKAggregator(k) {
     override protected def insert(buf: Seq[Scored], x: Scored): Seq[Scored] =
-      if (buf.exists(_.id == x.id)) buf else super.insert(buf, x)
+      buf.find(_.id == x.id) match {
+        case Some(held) =>
+          // fail fast on contract violations instead of silently diverging
+          // from distinct-then-TopK (a cheaper-scored duplicate would be
+          // dropped even where its score should rank). O(1) per duplicate:
+          // the buffer is ≤ k entries.
+          require(held.score == x.score,
+            s"topKDistinct: id ${x.id} seen with scores ${held.score} and " +
+              s"${x.score} — score must be a pure function of id within a group")
+          buf
+        case None => super.insert(buf, x)
+      }
   }
 
   /** top-k per group: usage

@@ -299,7 +299,9 @@ object MediaCodecs {
       val size = intBE(bytes, pos)
       val typ = new String(bytes, pos + 4, 4, US_ASCII)
       val body = pos + 8
-      require(size >= 0 && body + size + 4 <= bytes.length, s"png: chunk '$typ' overruns file")
+      // Long bound: Int `body + size + 4` could overflow negative and pass
+      require(size >= 0 && body.toLong + size + 4 <= bytes.length,
+        s"png: chunk '$typ' overruns file")
       val crc = new java.util.zip.CRC32
       crc.update(bytes, pos + 4, 4 + size)
       require(crc.getValue.toInt == intBE(bytes, body + size), s"png: bad CRC on '$typ'")
@@ -411,7 +413,9 @@ object MediaCodecs {
       val id = new String(bytes, pos, 4, US_ASCII)
       val size = intLE(bytes, pos + 4)
       val body = pos + 8
-      require(size >= 0 && body + size <= bytes.length, s"wav: chunk '$id' overruns file")
+      // Long bound: Int `body + size` could overflow negative and pass
+      require(size >= 0 && body.toLong + size <= bytes.length,
+        s"wav: chunk '$id' overruns file")
       id match {
         case "fmt " =>
           require(size >= 16, "wav: fmt chunk short")
@@ -518,7 +522,11 @@ object MediaCodecs {
         val id = new String(bytes, pos, 4, US_ASCII)
         val size = intLE(bytes, pos + 4)
         val body = pos + 8
-        require(size >= 0 && body + size <= to, s"avi: chunk '$id' overruns")
+        // bound check in Long: an adversarial size near Int.MaxValue would
+        // overflow `body + size` negative and sail past an Int comparison
+        // (same hardening as the WAV/PNG walkers)
+        require(size >= 0 && body.toLong + size <= to,
+          s"avi: chunk '$id' overruns")
         if (id == "LIST") {
           val listType = new String(bytes, body, 4, US_ASCII)
           walk(body + 4, body + size, inMovi || listType == "movi")

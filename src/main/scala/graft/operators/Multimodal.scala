@@ -381,8 +381,15 @@ object Multimodal {
     */
   def videoNearDups(frameHashes: DataFrame, maxDist: Int = 3,
                     minFrames: Long = 1L): DataFrame = {
+    // loud guard, not a silent comment: a frame_idx >= 1024 would alias
+    // into a neighboring asset_id and corrupt pair attribution. raise_error
+    // keeps the check distributed (no extra action) and codegen-friendly.
     val keyed = frameHashes.select(
-      (col("asset_id") * 1024 + col("frame_idx")).as("fid"), col("phash"))
+      when(col("frame_idx") >= 1024 || col("frame_idx") < 0,
+        raise_error(concat(lit("videoNearDups: frame_idx out of [0, 1024): "),
+          col("frame_idx").cast("string"))))
+        .otherwise(col("asset_id") * 1024 + col("frame_idx")).as("fid"),
+      col("phash"))
     graft.operators.Dedup.hammingPairs64(keyed, "fid", "phash", maxDist)
       .select(expr("doc_a div 1024").as("video_a"),
         expr("doc_b div 1024").as("video_b"))

@@ -298,11 +298,20 @@ object Similarity {
     * replaces the quadratic scan at scale.
     */
   def lshIndex(embeddings: DataFrame, tables: Int = 8, bits: Int = 4): DataFrame = {
+    // the posexplode output would silently collide with (or be shadowed
+    // by) same-named input columns — reject loudly
+    require(!embeddings.columns.contains("table") &&
+      !embeddings.columns.contains("bucket"),
+      "lshIndex: input already has a 'table'/'bucket' column — rename it " +
+        "before indexing")
     val ps = planes(tables, bits)
     val buckets = array((0 until tables).map(l =>
       bucketId(col("embedding"), ps(l))): _*)
     // keeps ALL input columns (label etc.) so bucket-join consumers can
     // filter on metadata without a re-join; callers prune what they need
+    // BEFORE indexing — every column kept here rides the (table, bucket)
+    // shuffle `tables` times (knnJoinLsh prunes to vec_id+embedding, the
+    // miners to vec_id+embedding+label)
     embeddings.select(col("*"),
       posexplode(buckets).as(Seq("table", "bucket")))
   }
@@ -341,7 +350,10 @@ object Similarity {
     // downstream cosine/aggregate work in a single task — measured 177 s
     // vs 16 s on a 5 MB input. This exchange IS the index shuffle the
     // cost law prices; on a large corpus it's what the join needs anyway.
-    val idx = lshIndex(embeddings, tables, bits)
+    // prune to the two columns the join consumes: anything else (label,
+    // metadata, wide text) would ride the index shuffle tables× per row
+    val idx = lshIndex(embeddings.select(col("vec_id"), col("embedding")),
+        tables, bits)
       .repartition(col("table"), col("bucket"))
     idx.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("table"), col("bucket"))
@@ -413,7 +425,10 @@ object Similarity {
     */
   def hardNegativesLsh(embeddings: DataFrame, k: Int, ceil: Double = 0.95,
                        tables: Int = 8, bits: Int = 4): DataFrame = {
-    val idx = lshIndex(embeddings, tables, bits)
+    // prune before indexing: the gates need label, nothing else
+    val idx = lshIndex(
+        embeddings.select(col("vec_id"), col("embedding"), col("label")),
+        tables, bits)
       .repartition(col("table"), col("bucket"))
     idx.select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
         col("label").as("a_label"), col("table"), col("bucket"))
@@ -470,7 +485,10 @@ object Similarity {
   def contrastiveTriplesLsh(embeddings: DataFrame, k: Int,
                             ceil: Double = 0.95, tables: Int = 8,
                             bits: Int = 4): DataFrame = {
-    val idx = lshIndex(embeddings, tables, bits)
+    // prune before indexing (see knnJoinLsh): only the mining columns ride
+    val idx = lshIndex(
+        embeddings.select(col("vec_id"), col("embedding"), col("label")),
+        tables, bits)
       .repartition(col("table"), col("bucket"))
     val pos = idx.select(col("vec_id").as("anchor_id"),
         col("embedding").as("a_emb"), col("label").as("a_label"),
