@@ -121,10 +121,30 @@ object SimilarityQueries {
       (Seq(emb.count()) ++ Seq(100000L, 10000000L, 1000000000L, 100000000000L))
         .map { n =>
           val nl = operators.Similarity.autoNlist(n).toLong
-          (n, nl, (n + nl - 1) / nl, nl * dim)
+          val (shards, perShard) = operators.Similarity.autoShardPlan(n)
+          (n, nl, (n + nl - 1) / nl, nl * dim,
+            shards.toLong, perShard.toLong,
+            // sharded width: bounded at the 2048 target through 10¹¹ —
+            // the row where the single-quantizer width re-grows past the
+            // 65 536 cap is exactly where the sharded plan takes over
+            (n + shards.toLong * perShard - 1) / (shards.toLong * perShard))
         }
-        .toDF("n_vectors", "nlist", "list_width", "centroid_values")
+        .toDF("n_vectors", "nlist", "list_width", "centroid_values",
+          "n_shards", "nlist_per_shard", "sharded_width")
         .orderBy("n_vectors")
+    }),
+
+    // Sharded-quantizer parity under the gate: 4 independently-trained
+    // shard indexes over md5 id slices, fan-out probe with nprobe = nlist
+    // (exhaustive per shard) — the union must equal brute-force top-10
+    // bit-for-bit (shares ann_topk's exact-cosine twin), proving shard
+    // assignment, per-shard builds and the union re-cut lose or duplicate
+    // nothing.
+    "ann_knn_sharded" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val m = operators.Ivf.buildShardedIndex(dir + "#shards", emb,
+        nShards = 4, nlist = 8)
+      operators.Ivf.probeSharded(m, emb, 0L, 10, nprobe = 8)
     }),
 
     // PQ (product-quantization) approximate top-10 — the compressed-codes
@@ -1425,12 +1445,23 @@ object SimilarityQueries {
         |  UNION ALL SELECT 1000000000 UNION ALL SELECT 100000000000),
         |plan AS (
         |  SELECT n,
-        |    LEAST(65536, GREATEST(8, (n + 2047) // 2048)) AS nlist
-        |  FROM ns)
+        |    LEAST(65536, GREATEST(8, (n + 2047) // 2048)) AS nlist,
+        |    GREATEST(8, (n + 2047) // 2048) AS need
+        |  FROM ns),
+        |shp AS (
+        |  SELECT n, nlist, need,
+        |    (need + 65535) // 65536 AS n_shards
+        |  FROM plan)
         |SELECT n AS n_vectors, CAST(nlist AS BIGINT) AS nlist,
         |  CAST((n + nlist - 1) // nlist AS BIGINT) AS list_width,
-        |  CAST(nlist * d.dim AS BIGINT) AS centroid_values
-        |FROM plan, d ORDER BY n_vectors""".stripMargin,
+        |  CAST(nlist * d.dim AS BIGINT) AS centroid_values,
+        |  CAST(n_shards AS BIGINT) AS n_shards,
+        |  CAST((need + n_shards - 1) // n_shards AS BIGINT)
+        |    AS nlist_per_shard,
+        |  CAST((n + n_shards * ((need + n_shards - 1) // n_shards) - 1)
+        |    // (n_shards * ((need + n_shards - 1) // n_shards)) AS BIGINT)
+        |    AS sharded_width
+        |FROM shp, d ORDER BY n_vectors""".stripMargin,
 
     // Recall twin: the ivfSql probe chain and the ann_topk exact chain as
     // CTEs, intersected. Both top-10 sets are fully deterministic (vec_id
@@ -2044,6 +2075,20 @@ object SimilarityQueries {
     // index replays the plain exact top-k — any row lost or duplicated by
     // the re-balance rewrite breaks the hash
     "ann_rebalance" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  (${dotSql("e.embedding", "q.qe")})
+         |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+         |FROM embeddings e, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+
+    // shared-oracle trick: exhaustive fan-out probe over 4 shard indexes
+    // must equal brute force — any vector lost, duplicated or mis-sliced
+    // by the sharded build breaks the hash
+    "ann_knn_sharded" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,
          |  (${dotSql("e.embedding", "q.qe")})

@@ -278,6 +278,57 @@ object Ivf {
   private[operators] def tombstonesPath(indexPath: String): String =
     indexPath + "__tombstones"
 
+  // ---- sharded coarse quantizer (past the broadcast-cap frontier) ----
+
+  /** A coarse quantizer sharded into independent per-slice [[IvfModel]]s —
+    * the documented move past [[graft.operators.Similarity.autoNlist]]'s
+    * 65 536-centroid broadcast cap (≈10⁸ vectors at the 2048 width
+    * target). Shard assignment is the engine-portable md5 id hash, so it
+    * is deterministic and batch-stable; each shard trains, stores and
+    * probes exactly like a standalone index.
+    */
+  final case class IvfShardedModel(nShards: Int, shards: Seq[IvfModel])
+
+  private val shardedModels = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), IvfShardedModel]()
+
+  /** Build `nShards` independent IVF indexes over disjoint md5-hash slices
+    * of the corpus. Every per-shard artifact is bounded (quantizer ≤ nlist
+    * × dim values, trained on its slice only), so NO single driver collect
+    * or broadcast grows with the corpus — the per-shard builds are
+    * independent jobs a production cluster runs in parallel (here a
+    * driver loop, like the BPE merge batches). Total effective centroid
+    * count = nShards × nlist; [[graft.operators.Similarity.autoShardPlan]]
+    * sizes both so list width stays at target through 10¹¹ vectors.
+    */
+  def buildShardedIndex(indexKey: String, embeddings: DataFrame,
+                        nShards: Int, nlist: Int = 16,
+                        iters: Int = 2): IvfShardedModel = {
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    shardedModels.computeIfAbsent((indexKey, nShards, nlist, iters), _ => {
+      val shards = (0 until nShards).map { sh =>
+        buildIndex(s"$indexKey#shard$sh/$nShards",
+          embeddings.filter(
+            Curation.hashBucket(col("vec_id"), nShards) === sh),
+          nlist, iters)
+      }
+      IvfShardedModel(nShards, shards)
+    })
+  }
+
+  /** Fan-out probe: each shard answers from its own quantizer and lists
+    * (nprobe lists PER SHARD — the distributed-serving contract: shards
+    * search in parallel on their own executors), results union and the
+    * global top-k re-cut. With nprobe = nlist (exhaustive) this equals
+    * brute force over the corpus, which is the sharding parity oracle.
+    */
+  def probeSharded(model: IvfShardedModel, embeddings: DataFrame,
+                   queryVecId: Long, k: Int, nprobe: Int = 4): DataFrame =
+    model.shards.map(m => probe(m, embeddings, queryVecId, k, nprobe))
+      .reduce(_ unionByName _)
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+
   /** Per-query centroid ranking, driver-side — the same quantized score
     * [[probe]] uses to pick its lists, factored out so calibration
     * ([[nprobeCurve]]) provably ranks lists exactly as serving probes do.

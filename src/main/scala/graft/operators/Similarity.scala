@@ -592,6 +592,25 @@ object Similarity {
     math.min(maxNlist, math.max(minNlist, need))
   }
 
+  /** [[autoNlist]] continued past the broadcast cap: (nShards,
+    * nlistPerShard) such that nShards × nlistPerShard ≥ the unclamped
+    * centroid need while every per-shard quantizer stays ≤ maxNlist — the
+    * sizing law for [[Ivf.buildShardedIndex]]. Below the cap this is
+    * (1, autoNlist(n)), so existing single-quantizer plans are the
+    * degenerate case; above it, list width stays at `targetList` through
+    * any corpus decade (at 10¹¹: 746 shards × 65 454 lists, width 2048)
+    * instead of re-growing as it did under the clamp. Pure integer driver
+    * math, mirrored by the `ann_nlist_plan` twin.
+    */
+  def autoShardPlan(n: Long, targetList: Long = 2048L, minNlist: Int = 8,
+                    maxNlist: Int = 65536): (Int, Int) = {
+    require(targetList > 0, "targetList must be > 0")
+    val need = math.max(minNlist.toLong, (n + targetList - 1) / targetList)
+    val shards = ((need + maxNlist - 1) / maxNlist).toInt
+    val perShard = ((need + shards - 1) / shards).toInt
+    (shards, perShard)
+  }
+
   /** The planner curve's closed-form inverse: OR-tables needed to hit
     * `targetRecall` for pairs at angle fraction `thetaFrac` = θ/π under
     * `bits`-wide tables — T = ⌈ln(1 − target) / ln(1 − p1^bits)⌉ with

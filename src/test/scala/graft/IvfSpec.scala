@@ -321,4 +321,27 @@ class IvfSpec extends SparkSpec {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall@nprobe=3 was $recall")
   }
+
+  test("sharded build: slices are a disjoint cover; exhaustive fan-out ≡ brute force") {
+    val m = Ivf.buildShardedIndex(sfDir + "#shardspec", emb,
+      nShards = 3, nlist = 4)
+    // every vector lands in exactly one shard index
+    val counts = m.shards.map(s =>
+      spark.read.parquet(s.indexPath).count())
+    assert(counts.sum === emb.count())
+    assert(counts.forall(_ > 0), s"empty shard in $counts")
+    val ids = m.shards.flatMap(s =>
+      spark.read.parquet(s.indexPath).select("vec_id").as[Long].collect())
+    assert(ids.distinct.length === ids.length, "a vec_id appears in two shards")
+    // exhaustive per-shard probe + union re-cut equals brute force exactly
+    val probed = Ivf.probeSharded(m, emb, 0L, 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val exact = Similarity.topK(emb, 0L, 10).as[(Long, Double)].collect().toSeq
+    assert(probed === exact)
+    // the sizing law: bounded per-shard quantizers at any decade, width
+    // back at target past the single-quantizer cap
+    val (sh, per) = Similarity.autoShardPlan(100000000000L)
+    assert(per <= 65536 && sh.toLong * per >= 100000000000L / 2048L)
+    assert(Similarity.autoShardPlan(500L) === ((1, 8)))
+  }
 }
