@@ -221,6 +221,20 @@ object TextQueries {
         .orderBy("piece")
     }),
 
+    // SOFT-EM round (Kudo's actual forward-backward expectations, closing
+    // the hard-EM simplification): per-word path enumeration over the
+    // bounded lattice, integer path log-weights, grid-quantized relative
+    // weights, pure-integer expected usage on the 1e-5 grid. The twin
+    // replays the full chain — 12 expansion CTEs, softmax quantization,
+    // integer div, prune, smoothed re-score.
+    "text_unigram_em_soft" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = operators.Unigram.trainVocab(docs, topMulti = 60)
+      operators.Unigram.emRoundSoft(docs, vocab, keepMulti = 40, maxWordLen = 12)
+        .select("piece", "use_q", "score_q")
+        .orderBy("piece")
+    }),
+
     // Native text→vector: hashing-trick document embeddings (signed
     // unigram+bigram counts in md5 buckets — the stage that makes the ANN
     // stack self-feeding instead of fixture-fed). The gate projects every
@@ -397,6 +411,63 @@ object TextQueries {
     tot2 AS (SELECT CAST(SUM(use_cnt) + COUNT(*) AS BIGINT) AS total FROM kept2)"""
   }
 
+  // Soft-EM replay: q0..q{maxLen} enumerate EVERY segmentation path of
+  // every distinct word (piece list + integer log-weight), then the
+  // quantized softmax / integer-grid expectation chain mirrors
+  // Unigram.emRoundSoft step for step (same grids, same div semantics —
+  // DuckDB's // and Spark's `div` both floor on non-negative operands).
+  private def unigramSoftCtes(maxLen: Int, keepMulti: Int): String = {
+    val steps = (1 to maxLen).map { t =>
+      s"""q$t AS MATERIALIZED (
+        SELECT c.word, c.j + c.pl AS j, c.lw + v.score_q AS lw,
+          list_append(c.ps, c.piece) AS ps
+        FROM (
+          SELECT word, j, lw, ps, pl,
+            word[CAST(j + 1 AS INT):CAST(j + pl AS INT)] AS piece
+          FROM q${t - 1}, (SELECT unnest(range(1, 5)) AS pl) ls
+          WHERE j < len(word) AND pl <= len(word) - j) c
+        JOIN voc v ON v.piece = c.piece)"""
+    }
+    val allUnion = (1 to maxLen)
+      .map(t => s"SELECT word, lw, ps FROM q$t WHERE j = len(word)")
+      .mkString("\n      UNION ALL\n      ")
+    s"""q0 AS MATERIALIZED (
+      SELECT word, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS lw,
+        CAST([] AS VARCHAR[]) AS ps
+      FROM (SELECT DISTINCT word FROM wf)),
+    ${steps.mkString(",\n    ")},
+    allp AS MATERIALIZED (
+      $allUnion),
+    mxq AS (SELECT word, MAX(lw) AS m FROM allp GROUP BY word),
+    rwq AS MATERIALIZED (
+      SELECT a.word, a.ps,
+        CAST(FLOOR(exp(CAST(a.lw - m.m AS DOUBLE) / 1000000000.0)
+          * 1000000000.0 + 0.5) AS BIGINT) AS r
+      FROM allp a JOIN mxq m USING (word)),
+    zq AS (SELECT word, CAST(SUM(r) AS BIGINT) AS z FROM rwq GROUP BY word),
+    nq AS (
+      SELECT word, piece, CAST(SUM(r) AS BIGINT) AS n
+      FROM (SELECT word, unnest(ps) AS piece, r FROM rwq)
+      GROUP BY word, piece),
+    eqq AS (
+      SELECT nq.word, piece,
+        CAST((n * 100000 + z // 2) // z AS BIGINT) AS e
+      FROM nq JOIN zq USING (word)),
+    uq AS MATERIALIZED (
+      SELECT piece, CAST(SUM(wf.freq * e) AS BIGINT) AS use_q
+      FROM eqq JOIN wf USING (word) GROUP BY piece),
+    sing3 AS (
+      SELECT v.piece, COALESCE(u.use_q, CAST(0 AS BIGINT)) AS use_q
+      FROM voc v LEFT JOIN uq u USING (piece) WHERE len(v.piece) = 1),
+    mult3 AS (
+      SELECT piece, use_q FROM uq WHERE len(piece) > 1
+      ORDER BY use_q DESC, piece LIMIT $keepMulti),
+    kept3 AS (SELECT * FROM sing3 UNION ALL SELECT * FROM mult3),
+    tot3 AS (
+      SELECT CAST(SUM(use_q) + COUNT(*) * 100000 AS BIGINT) AS total
+      FROM kept3)"""
+  }
+
   val oracle: Map[String, String] = Map(
     "text_unigram_vocab" ->
       s"""WITH $unigramVocabCtes
@@ -410,6 +481,15 @@ object TextQueries {
            CAST(FLOOR(ln(CAST(use_cnt + 1 AS DOUBLE) / CAST(total AS DOUBLE))
              * 1000000000.0 + 0.5) AS BIGINT) AS score_q
          FROM kept2, tot2 ORDER BY piece""",
+
+    "text_unigram_em_soft" ->
+      s"""WITH $unigramVocabCtes,
+         ${unigramSoftCtes(12, 40)}
+         SELECT piece, use_q,
+           CAST(FLOOR(ln(CAST(use_q + 100000 AS DOUBLE)
+               / CAST(total AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+             AS score_q
+         FROM kept3, tot3 ORDER BY piece""",
 
     "text_unigram_tokens" ->
       s"""WITH $unigramVocabCtes,

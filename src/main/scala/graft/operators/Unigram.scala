@@ -226,6 +226,116 @@ object Unigram {
         .cast("long"))
   }
 
+  /** One SOFT-EM round — Kudo's actual forward-backward E-step, closing
+    * the declared hard-EM simplification of [[emRound]]: expected piece
+    * usage is averaged over ALL segmentations of each word weighted by
+    * their likelihood, not just the Viterbi best.
+    *
+    * Determinism strategy (every cross-engine hazard quantized away):
+    * a word of ≤ `maxWordLen` chars over ≤ [[MaxPiece]]-char pieces has a
+    * BOUNDED segmentation lattice (≤ 2^11 paths at 12 chars), so the
+    * E-step ENUMERATES paths with a frontier-join DP instead of running
+    * scaled forward-backward — float α/β recurrences would need a
+    * deterministic per-step rescale, while per-path log-weights are plain
+    * integer sums of the vocabulary's 1e-9-grid scores. Per word:
+    * relative path weight r = ⌊exp((logwq − max logwq)/10⁹)·10⁹ + 0.5⌋
+    * (one transcendental per path, grid-absorbed — the lmScore/dsir
+    * discipline), Z = Σr exactly in longs, and each piece's expected
+    * per-word usage lands on a 1e-5 integer grid via pure integer
+    * div: e = (n·10⁵ + Z div 2) div Z with n = Σ_{paths ∋ piece} r·mult.
+    * Bounds: |logwq| ≤ 12·|minScore| < 10¹², r ≤ 10⁹, Z < 10¹³,
+    * n·10⁵ < 9.2·10¹⁸ — every quantity fits a long with the same floor
+    * semantics in both engines.
+    *
+    * Prune + M-step mirror [[emRound]] on the scaled grid: singles always
+    * kept, top `keepMulti` multis by expected usage (`use_q` = expected
+    * count × 10⁵), add-one smoothing as +10⁵ on the scaled counts,
+    * ln re-score on the 1e-9 grid.
+    *
+    * Scale: cost is per DISTINCT word × its path count (lattice-bounded,
+    * never per occurrence); the 12-step expansion is keyed equi-joins
+    * against the broadcast-small vocabulary with checkpointed frontiers —
+    * the [[segmentWords]] shape with states kept instead of argmax'd.
+    */
+  def emRoundSoft(documents: DataFrame, vocab: DataFrame, keepMulti: Int = 40,
+                  maxWordLen: Int = 12,
+                  scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val wf = scope.checkpoint(Bpe.wordFreqs(documents))
+    val ws = wf.select("word").distinct()
+    val actualMax = ws.agg(max(length(col("word"))).as("m"))
+      .first().getAs[Number](0) match { case null => 0; case n => n.intValue }
+    require(actualMax <= maxWordLen,
+      s"longest word has $actualMax chars > maxWordLen=$maxWordLen — " +
+        "raise it or normalize the corpus")
+    val v = scope.checkpoint(vocab.select(col("piece"), col("score_q")))
+    // same loud missing-char contract as viterbiStates: a word whose
+    // character is absent from the vocab has NO complete path and would
+    // silently vanish from the expectations
+    val missing = ws
+      .select(explode(graft.plans.NativeKernels.allSubstrings(col("word"), 1)).as("piece"))
+      .distinct()
+      .join(v.filter(length(col("piece")) === 1), Seq("piece"), "left_anti")
+      .limit(5).collect().map(_.getString(0))
+    require(missing.isEmpty,
+      s"words contain characters missing from the vocabulary: " +
+        s"${missing.mkString("'", "', '", "'")} — was the vocab trained on " +
+        "this corpus?")
+
+    // path expansion: frontier rows (word, j, lw, ps) = a partial
+    // segmentation of the first j chars with integer log-weight lw and
+    // piece list ps; each step extends by every vocab piece of length
+    // 1..MaxPiece via an EQUI-join on the extracted substring
+    var frontier = scope.checkpoint(ws.select(col("word"),
+      lit(0L).as("j"), lit(0L).as("lw"),
+      array().cast("array<string>").as("ps")))
+    val done = Vector.newBuilder[DataFrame]
+    for (_ <- 1 to actualMax) {
+      val cand = frontier
+        .filter(col("j") < length(col("word")))
+        .select(col("word"), col("j"), col("lw"), col("ps"),
+          explode(sequence(lit(1L),
+            least(lit(MaxPiece.toLong), length(col("word")) - col("j"))))
+            .as("pl"))
+        .withColumn("piece",
+          col("word").substr((col("j") + 1).cast("int"), col("pl").cast("int")))
+      val step = scope.checkpoint(cand.join(v, "piece")
+        .select(col("word"), (col("j") + col("pl")).as("j"),
+          (col("lw") + col("score_q")).as("lw"),
+          concat(col("ps"), array(col("piece"))).as("ps")))
+      done += step.filter(col("j") === length(col("word")))
+        .select("word", "lw", "ps")
+      frontier = step
+    }
+    if (actualMax == 0)
+      return vocab.select(col("piece"), lit(0L).as("use_q"),
+        lit(0L).as("score_q")).limit(0)
+    val allp = done.result().reduce(_ unionByName _)
+
+    val mx = allp.groupBy("word").agg(max("lw").as("m"))
+    val rw = scope.persist(allp.join(mx, "word")
+      .withColumn("r", floor(
+        exp((col("lw") - col("m")).cast("double") / 1000000000.0)
+          * 1000000000.0 + 0.5).cast("long")))
+    val z = rw.groupBy("word").agg(sum("r").as("z"))
+    val n = rw.select(col("word"), explode(col("ps")).as("piece"), col("r"))
+      .groupBy("word", "piece").agg(sum("r").as("n"))
+    val eq = n.join(z, "word")
+      .withColumn("e", expr("(n * 100000 + z div 2) div z"))
+    val usage = eq.join(wf, "word")
+      .groupBy("piece").agg(sum(col("freq") * col("e")).as("use_q"))
+    val singles = vocab.filter(length(col("piece")) === 1).select("piece")
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("use_q"), lit(0L)).as("use_q"))
+    val multis = usage.filter(length(col("piece")) > 1)
+      .orderBy(desc("use_q"), col("piece")).limit(keepMulti)
+    val kept = scope.checkpoint(singles.unionByName(multis))
+    val total = kept.agg((sum("use_q") + count(lit(1)) * 100000L).as("t"))
+      .first().getLong(0)
+    kept.withColumn("score_q",
+      floor(log((col("use_q") + 100000L).cast("double") / total)
+        * 1000000000.0 + 0.5).cast("long"))
+  }
+
   /** Per-document unigram token statistics: each word occurrence carries
     * its distinct-word segmentation — (doc_id, n_words, n_pieces,
     * score_q), all exact longs. One explode, one word-keyed join, one

@@ -151,6 +151,75 @@ class UnigramSpec extends SparkSpec {
     assert(Unigram.segmentWords(words, refined).count() > 0)
   }
 
+  /** Driver-side reference of emRoundSoft's E-step: enumerate every
+    * segmentation path, replay the exact grid math (integer log-weights,
+    * quantized softmax, 1e-5-grid integer-div expectations). Returns
+    * expected usage per piece on the ×10⁵ grid.
+    */
+  private def refSoftUsage(wordFreqs: Map[String, Long],
+                           vocab: Map[String, Long]): Map[String, Long] = {
+    def paths(w: String): Seq[(Long, List[String])] =
+      if (w.isEmpty) Seq((0L, Nil))
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        vocab.get(p).toSeq.flatMap(sq =>
+          paths(w.substring(l)).map { case (lw, ps) => (lw + sq, p :: ps) })
+      }
+    val usage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, f) <- wordFreqs) {
+      val ps = paths(w)
+      assert(ps.nonEmpty, s"'$w' unsegmentable under the test vocab")
+      val m = ps.map(_._1).max
+      val rs = ps.map { case (lw, pieces) =>
+        (math.floor(math.exp((lw - m).toDouble / 1e9) * 1e9 + 0.5).toLong, pieces)
+      }
+      val z = rs.map(_._1).sum
+      val n = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      rs.foreach { case (r, pieces) => pieces.foreach(p => n(p) += r) }
+      n.foreach { case (p, np) => usage(p) += f * ((np * 100000L + z / 2) / z) }
+    }
+    usage.toMap
+  }
+
+  test("emRoundSoft: expectations tie out against the reference DP by hand") {
+    // corpus "ab"×2, "b"×1, vocab {a, ab, b}: word "ab" has paths [ab]
+    // (the Viterbi best) and [a b] at relative weight ≈ 3/7, so soft usage
+    // splits where hard-EM gave everything to [ab]
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(docs, topMulti = 60)
+    val vmap = vocab.select("piece", "score_q").as[(String, Long)].collect().toMap
+    val ref = refSoftUsage(Map("ab" -> 2L, "b" -> 1L), vmap)
+    val got = Unigram.emRoundSoft(docs, vocab, keepMulti = 40)
+      .select("piece", "use_q").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> ref("a"), "ab" -> ref("ab"), "b" -> ref("b")))
+    // qualitative: the non-Viterbi path carries real mass...
+    assert(got("a") > 0L && got("a") < got("ab"))
+    // ...and per-word expectations are conserved: for "ab", e(ab)+e(a) ≈ 1e5
+    // (±1 from the two independent roundings)
+    assert(math.abs(got("ab") / 2 + got("a") / 2 - 100000L) <= 1L)
+  }
+
+  test("emRoundSoft equals the reference DP on the fixture corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val vocab = Unigram.trainVocab(docs, topMulti = 60)
+    val vmap = vocab.select("piece", "score_q").as[(String, Long)].collect().toMap
+    val wf = graft.operators.Bpe.wordFreqs(docs)
+      .as[(String, Long)].collect().toMap
+    val ref = refSoftUsage(wf, vmap)
+    val got = Unigram.emRoundSoft(docs, vocab, keepMulti = 40)
+      .select("piece", "use_q").as[(String, Long)].collect().toMap
+    // every kept piece's expectation matches the reference exactly
+    got.foreach { case (p, u) =>
+      assert(u === ref.getOrElse(p, 0L), s"usage mismatch for '$p'")
+    }
+    // prune contract: ≤ 40 multis, all with positive expected usage;
+    // singles all survive
+    val multis = got.keys.filter(_.length > 1)
+    assert(multis.size <= 40 && multis.forall(got(_) > 0L))
+    val singles = vmap.keys.filter(_.length == 1).toSet
+    assert(singles.subsetOf(got.keySet))
+  }
+
   test("segmentWords rejects words with characters missing from the vocab") {
     val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
     val vocab = Unigram.trainVocab(docs, topMulti = 60)
