@@ -144,6 +144,19 @@ object WebQueries {
           d.join(q, "doc_id").select("domain", "doc_id", "quality"),
           "domain", col("quality"), "doc_id", 50)
         .orderBy("domain", "doc_id")
+    }),
+
+    // HTML → text extraction: the documents render into deterministic
+    // HTML pages (fixture law with comment/script/entity bait) and the
+    // extractor recovers clean text blocks — every block of every doc
+    // under the hash, proving tag stripping, script/comment/head removal,
+    // block segmentation, entity decode and whitespace collapse together.
+    "web_html_extract" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      WebCuration.htmlExtract(
+          d.select(col("doc_id"),
+            WebCuration.htmlFromLaw(col("doc_id"), col("text")).as("html")))
+        .orderBy("doc_id", "block_no")
     }))
 
   /** The dirty-URL fixture law as a CTE — must mirror
@@ -350,5 +363,61 @@ object WebQueries {
         |      ORDER BY quality DESC, doc_id ASC) AS rn
         |  FROM canon JOIN q USING (doc_id))
         |SELECT domain, doc_id, quality FROM ranked WHERE rn <= 50
-        |ORDER BY domain, doc_id""".stripMargin)
+        |ORDER BY domain, doc_id""".stripMargin,
+
+    // htmlFromLaw replayed literal-for-literal, then the extraction chain:
+    // comment/script/style/head removal, block closers → newline, tag
+    // strip, pinned entity decodes (&amp; last), split + collapse + number.
+    // RE2 accepts the same inline (?s) the Java patterns use; 'g' makes
+    // DuckDB replace all matches like Spark does by default.
+    "web_html_extract" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>t</title><style>body{color:red}</style>' ||
+        |    '<script>if (1<2 && x>0) { track("&amp;"); }</script></head>' ||
+        |    '<body><nav><a href="/">home</a> | <a href="/d?id=' ||
+        |    CAST(doc_id AS VARCHAR) || '">self</a></nav>' ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN '<!-- <p>commented markup is not content</p> -->'
+        |          ELSE '' END) ||
+        |    '<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+        |    text || '</p><div class="m">section ' ||
+        |    CAST(doc_id % 5 AS VARCHAR) ||
+        |    '</div><footer>&copy; 2026 example &amp; co &lt;archive&gt;' ||
+        |    '</footer></body></html>' AS html
+        |  FROM documents),
+        |x0 AS (SELECT doc_id,
+        |  regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS t FROM pages),
+        |x1 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<script[^>]*>.*?</script>', '', 'g') AS t
+        |  FROM x0),
+        |x2 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<style[^>]*>.*?</style>', '', 'g') AS t
+        |  FROM x1),
+        |x3 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<head[^>]*>.*?</head>', '', 'g') AS t
+        |  FROM x2),
+        |x4 AS (SELECT doc_id, regexp_replace(t,
+        |    '</(p|div|h[1-6]|li|nav|footer|section|article|ul|ol|table|tr)>|<br[^>]*>',
+        |    chr(10), 'g') AS t FROM x3),
+        |x5 AS (SELECT doc_id,
+        |  regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM x4),
+        |x6 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&copy;', '(c)'), '&amp;', '&') AS t FROM x5),
+        |bl AS (
+        |  SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM x6)),
+        |cl AS (
+        |  SELECT doc_id, i,
+        |    trim(regexp_replace(l[CAST(i AS INT)], '\s+', ' ', 'g'))
+        |      AS block_text
+        |  FROM bl)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT)
+        |    AS block_no,
+        |  block_text
+        |FROM cl WHERE block_text <> ''
+        |ORDER BY doc_id, block_no""".stripMargin)
 }

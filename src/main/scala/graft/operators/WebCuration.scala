@@ -203,4 +203,74 @@ object WebCuration {
       .filter(col("_rn") <= cap)
       .drop("_rn")
   }
+
+  // ---- HTML → text extraction ----
+
+  /** Deterministic HTML page synthesized from a document row — the fixture
+    * generator for [[htmlExtract]] (the sandbox has no crawl corpus; same
+    * generative-law idiom as the media assets): head with style + a
+    * script whose body contains tag-like and entity-like bait, nav
+    * boilerplate, an id-keyed optional comment wrapping markup, the
+    * document text as the main block, an id-keyed section div, and a
+    * footer exercising entity decode. Pure concat — one codegen'd
+    * expression, replayed verbatim by the SQL twin.
+    */
+  def htmlFromLaw(docId: Column, text: Column): Column = concat(
+    lit("<html><head><title>t</title><style>body{color:red}</style>" +
+      "<script>if (1<2 && x>0) { track(\"&amp;\"); }</script></head>" +
+      "<body><nav><a href=\"/\">home</a> | <a href=\"/d?id="),
+    docId,
+    lit("\">self</a></nav>"),
+    when(docId % 3 === 0,
+      lit("<!-- <p>commented markup is not content</p> -->"))
+      .otherwise(lit("")),
+    lit("<h1>Document "), docId, lit("</h1><p>"), text,
+    lit("</p><div class=\"m\">section "), docId % 5,
+    lit("</div><footer>&copy; 2026 example &amp; co &lt;archive&gt;" +
+      "</footer></body></html>"))
+
+  /** HTML → text blocks: (doc_id, block_no, block_text) — the standard
+    * missing stage between a crawl and [[TextAnalysis.qualityScore]]
+    * (trafilatura/C4's extraction step, re-expressed as deterministic
+    * regex surgery so the DuckDB twin replays it byte-for-byte):
+    *
+    *   1. comments, script/style (WITH their bodies — tag-like and
+    *      entity-like bait inside code must not surface as text), then the
+    *      whole head are dropped;
+    *   2. block-level closers (`</p> </div> </h1..6> </li> </nav>
+    *      </footer> </section> </article> </ul> </ol> </table> </tr>`) and
+    *      `<br>` become newlines — the block segmentation;
+    *   3. every remaining tag is stripped;
+    *   4. entities decode via pinned literal replaces, `&amp;` LAST (so
+    *      `&amp;lt;` correctly yields the text `&lt;`, never `<`);
+    *   5. blocks split on the newlines, inner whitespace runs collapse to
+    *      one space, empty blocks drop, survivors number per document.
+    *
+    * Per-row string surgery + one per-doc window — linear, shuffle-free
+    * until the tiny block numbering; 100 TB-indifferent like the rest of
+    * the family. Known regex-extractor limit (shared by the twin, so
+    * oracle-safe): a literal `<` in TEXT followed by a later `>` is eaten
+    * by the tag-strip pass.
+    */
+  def htmlExtract(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    var t = col(htmlCol)
+    t = regexp_replace(t, "(?s)<!--.*?-->", "")
+    t = regexp_replace(t, "(?s)<script[^>]*>.*?</script>", "")
+    t = regexp_replace(t, "(?s)<style[^>]*>.*?</style>", "")
+    t = regexp_replace(t, "(?s)<head[^>]*>.*?</head>", "")
+    t = regexp_replace(t,
+      "</(p|div|h[1-6]|li|nav|footer|section|article|ul|ol|table|tr)>|<br[^>]*>",
+      "\n")
+    t = regexp_replace(t, "<[^>]*>", "")
+    for ((ent, ch) <- Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&copy;" -> "(c)", "&amp;" -> "&"))
+      t = replace(t, lit(ent), lit(ch))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    pages.select(col("doc_id"), posexplode(split(t, "\n")).as(Seq("pos", "raw")))
+      .withColumn("block_text", trim(regexp_replace(col("raw"), "\\s+", " ")))
+      .filter(col("block_text") =!= "")
+      .withColumn("block_no", row_number().over(w).cast("long"))
+      .select("doc_id", "block_no", "block_text")
+  }
 }

@@ -148,4 +148,40 @@ class WebCurationSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got0(1L) === doc)
   }
+
+  test("htmlExtract: blocks, bait rejection, entity decode, whitespace") {
+    val html =
+      "<html><head><title>T</title><style>p{x:1}</style>" +
+        "<script>if (1<2) { s(\"&amp;\"); }</script></head><body>" +
+        "<!-- <p>ghost</p> -->" +
+        "<h1>A  Title</h1><p>one &amp; two &lt;three&gt;</p>" +
+        "<div>block&nbsp;2</div>" +
+        "<p>double &amp;amp; escape</p></body></html>"
+    val got = WebCuration.htmlExtract(Seq((7L, html)).toDF("doc_id", "html"))
+      .orderBy("block_no")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (7L, 1L, "A Title"),               // whitespace collapsed
+      (7L, 2L, "one & two <three>"),     // entities decoded
+      (7L, 3L, "block 2"),               // &nbsp; → space
+      (7L, 4L, "double &amp; escape")))  // &amp; decoded LAST: no double decode
+    // none of the bait surfaced: no script/style/comment/head content
+    assert(!got.exists(_._3.contains("ghost")))
+    assert(!got.exists(_._3.contains("track")) && !got.exists(_._3.contains("x:1")))
+  }
+
+  test("htmlExtract over the fixture law: full text recovered as the main block") {
+    val d = Tables.documents(spark, sfDir)
+    val pages = d.select(col("doc_id"),
+      WebCuration.htmlFromLaw(col("doc_id"), col("text")).as("html"))
+    val blocks = WebCuration.htmlExtract(pages)
+    // 5 blocks per page: nav, h1, p (the document text), div, footer
+    assert(blocks.count() === d.count() * 5)
+    val p = blocks.filter(col("block_no") === 3)
+      .select(col("doc_id"), col("block_text"))
+    val orig = d.select(col("doc_id"),
+      trim(regexp_replace(col("text"), "\\s+", " ")).as("t"))
+    assert(p.join(orig, "doc_id")
+      .filter(col("block_text") =!= col("t")).count() === 0)
+  }
 }
