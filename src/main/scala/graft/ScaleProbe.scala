@@ -74,6 +74,49 @@ object ScaleProbe {
       return
     }
 
+    if (args.headOption.contains("flagidx")) {
+      // `flagidx`: stage wall-time table for the cur_pretrain_index
+      // corpus→index flagship (gate state → embed → IVF build → SemDeDup
+      // clusters → tombstone delete → exhaustive probe) — the breakdown
+      // behind its bench number, recorded in BASELINE.md
+      val scope = CacheScope.global
+      def t[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"PROBE flagidx_$name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
+      val probe = Tables.documents(spark, dir).filter(col("doc_id") % 100 === 0)
+      val gated = t("state") {
+        val g = operators.Pretrain.buildState(dir + "#fiprobe",
+          Tables.documentsWithClones(spark, dir), probe, scope).gated
+        g.count(); g
+      }
+      val emb = t("embed") {
+        val e = scope.persist(operators.Embed.hashedTf(gated)); e.count(); e
+      }
+      val key = dir + "#fiprobeidx"
+      val model = t("ivf_build")(operators.Ivf.buildIndex(key, emb))
+      val doomed = t("semdedup_clusters") {
+        val d = scope.persist(operators.Dedup
+          .nearDupClusters(operators.Dedup.semanticDupPairs(emb, 0.8, key),
+            "vec_a", "vec_b", scope = scope)
+          .filter(col("cluster_id") =!= col("doc_id"))
+          .select(col("doc_id").as("vec_id")))
+        println(s"PROBE flagidx_n_deleted          ${d.count()}")
+        d
+      }
+      t("delete")(operators.Ivf.deleteFromIndex(model, doomed, batchId = 0L))
+      t("probe") {
+        val qid = emb.join(doomed, Seq("vec_id"), "left_anti")
+          .agg(min("vec_id")).head().getLong(0)
+        operators.Ivf.probe(model, emb, qid, 10,
+          nprobe = model.centroids.length).count()
+      }
+      scope.release(); spark.stop()
+      return
+    }
+
     if (pretrainMode) {
       // `pretrain [reps]`: per-stage wall-time table for the cur_pretrain
       // flagship (the breakdown behind its bench number) — run reps times
@@ -142,8 +185,9 @@ object ScaleProbe {
     }
     val webMode = args.headOption.contains("web")
     val lshMode = args.headOption.exists(_.startsWith("lsh"))
+    val embedMode = args.headOption.contains("embed")
     val mults =
-      if (annMode || webMode || lshMode || args.isEmpty) Seq(1, 10)
+      if (annMode || webMode || lshMode || embedMode || args.isEmpty) Seq(1, 10)
       else args.toSeq.map(_.toInt)
 
     def blowUp(mult: Int): DataFrame = {
@@ -391,6 +435,42 @@ object ScaleProbe {
         val t9 = System.nanoTime()
         val ivf2 = operators.Ivf.rebalanceIndex(spark, ivf, maxRatio = 2.0)
         println(f"PROBE ivf_rebalance     mult=$m%-3d ${(System.nanoTime() - t9) / 1e9}%8.2f s  ratio $rb%.1f -> ${ratio(ivf2)}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("embed")) {
+      // round-9 family probe: native embedding, HTML extraction, soft-EM,
+      // and the self-fed embed→index→probe chain — each against a growing
+      // salted corpus. `embed 1 10` on sf0.1 = 5.8k → 58k docs.
+      val ms = args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 10)
+        case x => x
+      }
+      for (m <- ms) {
+        val corpus = CacheScope.global.persist(blowUp(m))
+        time("embed_hashedtf", m, operators.Embed.hashedTf(corpus))
+        time("html_extract", m, operators.WebCuration.htmlExtract(
+          corpus.select(col("doc_id"), operators.WebCuration
+            .htmlFromLaw(col("doc_id"), col("text")).as("html"))))
+        // soft-EM: path enumeration is per DISTINCT word (≤1490 paths
+        // each); salting grows the distinct-word table ∝ m, so a flat
+        // s/unit here is the lattice-bounded claim measured
+        time("unigram_em_soft", m, operators.Unigram.emRoundSoft(corpus,
+          operators.Unigram.trainVocab(corpus, 60)))
+        // self-fed ANN: embed the corpus, build the IVF index over the
+        // GENERATED vectors at the autoNlist width, probe exhaustively
+        val t0 = System.nanoTime()
+        val emb = CacheScope.global.persist(operators.Embed.hashedTf(corpus))
+        val nl = operators.Similarity.autoNlist(emb.count())
+        val model = operators.Ivf.buildIndex(s"probe-embedidx-$m", emb, nl)
+        println(f"PROBE embed_ivf_build    mult=$m%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s  nlist=$nl")
+        val t1 = System.nanoTime()
+        operators.Ivf.probe(model, emb, 0L, 10).write
+          .format("noop").mode("overwrite").save()
+        println(f"PROBE embed_ivf_probe    mult=$m%-3d ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+        CacheScope.global.release(); spark.catalog.clearCache()
       }
       spark.stop()
       return
