@@ -238,20 +238,40 @@ object CurationQueries {
     "cur_pretrain_index" -> ((s, dir) => {
       val scope = graft.CacheScope.global
       val probe = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
-      val gated = operators.Pretrain.buildState(dir + "#pretrain",
-        Tables.documentsWithClones(s, dir), probe, scope).gated
-      val emb = scope.persist(operators.Embed.hashedTf(gated))
-      val key = dir + "#flagidx"
-      val model = operators.Ivf.buildIndex(key, emb)
-      val doomed = operators.Dedup
-        .nearDupClusters(operators.Dedup.semanticDupPairs(emb, 0.8, key),
-          "vec_a", "vec_b", scope = scope)
-        .filter(col("cluster_id") =!= col("doc_id"))
-        .select(col("doc_id").as("vec_id"))
-      operators.Ivf.deleteFromIndex(model, doomed, batchId = 0L)
-      val qid = emb.join(doomed, Seq("vec_id"), "left_anti")
+      val b = operators.CorpusIndex.build(Tables.documentsWithClones(s, dir),
+        probe, dir + "#pretrain", dir + "#flagidx", scope = scope)
+      val qid = b.emb.join(b.doomed, Seq("vec_id"), "left_anti")
         .agg(min("vec_id")).head().getLong(0)
-      operators.Ivf.probe(model, emb, qid, 10,
+      operators.Ivf.probe(b.model, b.emb, qid, 10,
+        nprobe = b.model.centroids.length)
+    }),
+
+    // The refresh sibling — the production nightly shape: the previous
+    // round's SERVED index (build → SemDeDup tombstones, its own private
+    // key) absorbs the cur_pretrain_incr corpus diff through the existing
+    // verbs — tombstone leavers/changed, compact (physical drop), frozen-
+    // quantizer append of entering/changed/RESURRECTED docs, re-tombstone
+    // the recomputed semantic losers. Pairs are MAINTAINED, not rebuilt:
+    // untouched pairs carry over (frozen quantizer ⇒ unchanged vector ⇒
+    // unchanged list), fresh vectors pair only against co-assigned live
+    // rows (diff × list-width). The DuckDB twin recomputes the WHOLE
+    // target state from scratch — gates on cur, embedding, a quantizer
+    // trained on the PREV corpus's vectors (offset-id two-corpus CTE,
+    // trainWhere on the prev rows), full-closure SemDeDup, exhaustive
+    // probe — so hash equality is the incremental ≡ full proof.
+    "cur_pretrain_index_incr" -> ((s, dir) => {
+      val scope = graft.CacheScope.global
+      val prev = Tables.documentsWithClones(s, dir)
+      val cur = prev.filter(col("doc_id") % 70 =!= 3)
+        .withColumn("text", when(col("doc_id") % 30 === 0,
+          concat(col("text"), lit(" qqedit"))).otherwise(col("text")))
+        .unionByName(prev.filter(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 900000L))
+      val probe = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
+      val (model, embCur) = operators.CorpusIndex.refresh(prev, cur, probe,
+        dir + "#pretrain", dir + "#flagidxr", scope = scope)
+      operators.Ivf.probe(model, embCur,
+        operators.CorpusIndex.minLiveVecId(model), 10,
         nprobe = model.centroids.length)
     }),
 
@@ -420,6 +440,46 @@ object CurationQueries {
     * derivation between the clone CTE and the chain. Each fragment is the
     * proven twin of its stage's own query, chained through docs3..docs6.
     */
+  /** The cur_pretrain_incr refresh recipe as a corpus CTE (1/70 dropped,
+    * 1/30 edited, 1/40 re-keyed copies added) — shared by the incremental
+    * pretrain twin and the incremental corpus→index twin. A `def`: it is
+    * referenced from `oracle`, and object vals initialize in source order.
+    */
+  private def curCorpusCte: String =
+    """documents2c AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 30 = 0 THEN text || ' qqedit' ELSE text END
+      |      AS text,
+      |    lang, source, n_chars
+      |  FROM documents2 WHERE doc_id % 70 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 900000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents2 WHERE doc_id % 40 = 0),
+      |""".stripMargin
+
+  /** Every CTE name [[pretrainGatedCtes]] introduces, in the order they
+    * appear — the rename list for [[prefixCtes]] when two gated chains
+    * must coexist in ONE WITH clause (DuckDB rejects duplicate CTE names
+    * even across nesting levels, so shadowed sub-WITHs are not an option).
+    */
+  private val gatedChainNames: Seq[String] = Seq(
+    "documents2", "w", "sh", "n", "pairs", "jac", "jp", "edges", "walk",
+    "cl", "cda", "crk", "docs3", "sp", "g", "occ", "hot", "cold", "m", "r",
+    "spans", "cutpos", "tok", "keptk", "stext", "docs4", "pw", "probe",
+    "dw", "dsh", "hits", "docs5", "qx", "docs6")
+
+  /** Token-boundary rename of the given CTE names to `prefix+name`.
+    * Sound here because in these generated fragments every listed name
+    * occurs only as a relation (definition, FROM/JOIN, or qualifier) —
+    * column names that embed one (n_sh, n_tokens, gs) have no word
+    * boundary at the overlap, and quoted literals in the chains share no
+    * token with the list.
+    */
+  private def prefixCtes(sql: String, prefix: String,
+                         names: Seq[String]): String =
+    names.foldLeft(sql)((s, n) =>
+      s.replaceAll("\\b" + n + "\\b", prefix + n))
+
   /** Stages 1–4 of the pretrain replay as a CTE chain ending in `docs6`
     * (the gated survivors: doc_id, lang, text, n_tokens) — the shared
     * prefix of [[pretrainSql]] and the corpus→index flagship twin. Caller
@@ -936,17 +996,98 @@ object CurationQueries {
     // The incremental twin is the same chain FULLY RECOMPUTED over the
     // edited corpus — DuckDB never sees the increment, so the hash match
     // proves incremental ≡ full across engines.
-    "cur_pretrain_incr" -> pretrainSql("documents2c",
-      """documents2c AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 30 = 0 THEN text || ' qqedit' ELSE text END
-        |      AS text,
-        |    lang, source, n_chars
-        |  FROM documents2 WHERE doc_id % 70 <> 3
-        |  UNION ALL
-        |  SELECT doc_id + 900000 AS doc_id, text, lang, source, n_chars
-        |  FROM documents2 WHERE doc_id % 40 = 0),
-        |""".stripMargin),
+    "cur_pretrain_incr" -> pretrainSql("documents2c", curCorpusCte),
+
+    // Refresh-flagship twin: the ENTIRE target state recomputed from
+    // scratch — pretrain gates on the edited corpus (docs6), gates on the
+    // PREVIOUS corpus via a nested self-contained WITH (docs6prev, names
+    // shadowed inside the subquery), both corpora embedded, ONE embeddings
+    // CTE holding prev vectors at their original ids (the quantizer
+    // TRAINS on these — trainWhere, seeds keyed by the real doc ids
+    // exactly as the Spark side froze them) and cur vectors offset by
+    // 5·10⁷ (assignment only), SemDeDup full closure over the cur
+    // assignments, exhaustive probe from the min-id survivor. The Spark
+    // side produced the same state INCREMENTALLY (pair carry-over, diff ×
+    // list-width fresh pairs, delete/compact/append/re-tombstone), so the
+    // hash match is the incremental ≡ full proof.
+    "cur_pretrain_index_incr" ->
+      s"""WITH RECURSIVE ${pretrainGatedCtes("documents2c", curCorpusCte)},
+         |${prefixCtes(pretrainGatedCtes("documents2"), "pv", gatedChainNames)},
+         |${TextQueries.embedCntCteFrom("docs6")},
+         |${prefixCtes(TextQueries.embedCntCteFrom("pvdocs6"), "pv",
+             Seq("etoks", "eocc", "cnt"))},
+         |egrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM docs6)),
+         |pgrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM pvdocs6)),
+         |embeddings AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(COALESCE(p.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM pgrid g LEFT JOIN pvcnt p ON g.doc_id = p.doc_id
+         |    AND g.dim = p.b
+         |  GROUP BY g.doc_id
+         |  UNION ALL
+         |  SELECT g.doc_id + 50000000 AS vec_id,
+         |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM egrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+         |    AND g.dim = cnt.b
+         |  GROUP BY g.doc_id),
+         |${SimilarityQueries.ivfCoreCtes(16, "vec_id < 50000000")},
+         |a2c AS MATERIALIZED (
+         |  SELECT vec_id - 50000000 AS vid, cid FROM a2
+         |  WHERE vec_id >= 50000000),
+         |edot AS (
+         |  SELECT x.doc_id AS va, y.doc_id AS vb,
+         |    SUM(CAST(x.c AS DOUBLE) * y.c) AS dot
+         |  FROM cnt x JOIN cnt y ON x.b = y.b AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |en AS (
+         |  SELECT doc_id, SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM cnt GROUP BY doc_id),
+         |sem AS (
+         |  SELECT aa.vid AS va, bb.vid AS vb
+         |  FROM a2c aa
+         |  JOIN a2c bb ON aa.cid = bb.cid AND aa.vid < bb.vid
+         |  JOIN edot d ON d.va = aa.vid AND d.vb = bb.vid
+         |  JOIN en na ON na.doc_id = aa.vid
+         |  JOIN en nb ON nb.doc_id = bb.vid
+         |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.8),
+         |sedges AS (
+         |  SELECT va AS s, vb AS d FROM sem
+         |  UNION ALL
+         |  SELECT vb AS s, va AS d FROM sem),
+         |swalk(id, lbl) AS (
+         |  SELECT s, s FROM sedges
+         |  UNION
+         |  SELECT e.s, w2.lbl FROM sedges e JOIN swalk w2 ON w2.id = e.d),
+         |scl AS (SELECT id, MIN(lbl) AS cluster_id FROM swalk GROUP BY id),
+         |surv AS MATERIALIZED (
+         |  SELECT e.vid AS vec_id FROM a2c e
+         |  LEFT JOIN scl ON scl.id = e.vid
+         |  WHERE scl.id IS NULL OR scl.cluster_id = e.vid),
+         |fqid AS (SELECT MIN(vec_id) AS q FROM surv),
+         |fqd AS (
+         |  SELECT b, CAST(c AS DOUBLE) AS qc
+         |  FROM cnt, fqid WHERE doc_id = fqid.q),
+         |fdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e
+         |  LEFT JOIN fqd q ON e.b = q.b
+         |  SEMI JOIN surv ON e.doc_id = surv.vec_id
+         |  WHERE e.doc_id <> (SELECT q FROM fqid)
+         |  GROUP BY e.doc_id),
+         |fqn AS (SELECT SUM(qc * qc) AS qn2 FROM fqd)
+         |SELECT d.doc_id AS vec_id,
+         |  d.dot / NULLIF(sqrt(d.n2) * sqrt(fqn.qn2), 0) AS cosine
+         |FROM fdots d, fqn
+         |ORDER BY cosine DESC NULLS LAST, vec_id
+         |LIMIT 10""".stripMargin,
 
     // Quality-ranked per-source running sums (the cur_budget window twin,
     // partitioned by source, against the CASE budget).

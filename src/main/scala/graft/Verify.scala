@@ -76,8 +76,12 @@ object Verify {
           }
         })
       }
-    tasks.foreach(_.get())
-    pool.shutdown()
+    // shutdown in finally: the workers catch Throwable, but if get() ever
+    // rethrew (an Error escaping a catch block), a live non-daemon pool
+    // would keep the JVM from exiting — the exact silent-hang shape the
+    // driver's empty artifact pointed at
+    try tasks.foreach(_.get())
+    finally pool.shutdown()
     import scala.jdk.CollectionConverters._
     val selfJson = self.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jq(k)}: $v" }

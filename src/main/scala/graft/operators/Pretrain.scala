@@ -451,7 +451,25 @@ object Pretrain {
   def incremental(prevDocs: DataFrame, curDocs: DataFrame, probe: DataFrame,
                   prevState: State,
                   scope: graft.CacheScope = graft.CacheScope.global,
-                  minLen: Int = 10, maxDf: Int = 20): DataFrame = {
+                  minLen: Int = 10, maxDf: Int = 20): DataFrame =
+    // same boundary cut as [[state]]: pack's many small jobs must plan
+    // against a scan, not the frontier-rebuild tree
+    pack(scope.checkpoint(
+      gatedIncremental(prevDocs, curDocs, probe, prevState, scope,
+        minLen, maxDf)), scope)
+
+  /** The refresh's stage-4 output — the gated survivor set of `curDocs`
+    * computed incrementally (affected docs re-gated, everything else
+    * reused from `prevState.gated`); [[incremental]] = this + [[pack]],
+    * and the corpus→index refresh ([[CorpusIndex.refresh]]) consumes it
+    * directly. Bit-identical to a full [[state]] recompute on `curDocs`
+    * (PretrainSpec; the cross-engine half is the `cur_pretrain_incr` /
+    * `cur_pretrain_index_incr` oracles).
+    */
+  def gatedIncremental(prevDocs: DataFrame, curDocs: DataFrame,
+                       probe: DataFrame, prevState: State,
+                       scope: graft.CacheScope = graft.CacheScope.global,
+                       minLen: Int = 10, maxDf: Int = 20): DataFrame = {
     val inc = increment(prevDocs, curDocs, prevState, scope, minLen, maxDf)
     val gatedAff = gateStages(
       Dedup.cutSubstrSpansFor(inc.collapsed, inc.affected, minLen, maxDf,
@@ -460,8 +478,6 @@ object Pretrain {
     val reused = prevState.gated
       .join(inc.collapsed.select("doc_id"), Seq("doc_id"), "left_semi")
       .join(inc.affected, Seq("doc_id"), "left_anti")
-    // same boundary cut as [[state]]: pack's many small jobs must plan
-    // against a scan, not the frontier-rebuild tree
-    pack(scope.checkpoint(reused.unionByName(gatedAff)), scope)
+    reused.unionByName(gatedAff)
   }
 }
