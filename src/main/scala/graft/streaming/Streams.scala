@@ -561,6 +561,37 @@ object Streams {
       }
   }
 
+  /** SELF-FED streaming ingest — [[ivfIngestSink]] fed by raw DOCUMENTS
+    * instead of precomputed vectors: each micro-batch of (doc_id, text)
+    * rows embeds IN-FLIGHT with [[graft.operators.Embed.hashedTf]] (the
+    * model-free hashing-trick embedder, so a crash-replayed batch
+    * re-embeds bit-identically and the exactly-once append contract
+    * holds unchanged) and lands in the frozen-quantizer index. The
+    * embedder's per-batch aggregations are legal here because foreachBatch
+    * hands us a BATCH DataFrame — this is the streaming form of the
+    * crawl→embed→index loop the `cur_pretrain_index` flagship runs in
+    * batch. Same lease, same auto-compaction knob.
+    */
+  def embedIngestSink(documents: DataFrame,
+                      model: graft.operators.Ivf.IvfModel,
+                      checkpointDir: String,
+                      compactAboveFiles: Int = 0): DataStreamWriter[Row] = {
+    val writerId = java.util.UUID.randomUUID().toString
+    documents.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.withDirLease(batch.sparkSession, model.indexPath,
+          writerId) {
+          graft.operators.Ivf.appendToIndexIdempotent(model,
+            graft.operators.Embed.hashedTf(batch), batchId)
+          if (compactAboveFiles > 0)
+            graft.operators.Ivf.compactLists(batch.sparkSession, model.indexPath,
+              maxFilesPerList = compactAboveFiles)
+        }
+        ()
+      }
+  }
+
   /** Streaming takedown sink — the DELETE verb's streaming form, closing
     * the index lifecycle loop (ingest / probe / delete all drivable from
     * streams): each micro-batch of (vec_id) rows is applied with

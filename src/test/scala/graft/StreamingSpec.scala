@@ -703,6 +703,42 @@ class StreamingSpec extends SparkSpec {
     assert(probed === exact)
   }
 
+  test("streamed documents embed in-flight and grow the self-fed index") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val model = graft.operators.Ivf.buildIndex(sfDir + "#embedingest",
+      graft.operators.Embed.hashedTf(base), nlist = 8)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-eing-c").toString
+    val rows = batch.select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.embedIngestSink(
+      input.toDF().toDF("doc_id", "text"), model, ckpt).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    // the streamed-in index == one frozen assignment of embed(base ∪ batch)
+    val embAll = graft.operators.Embed.hashedTf(docs)
+    val stored = spark.read.parquet(model.indexPath)
+      .select($"vec_id", $"list".cast("int").as("list"))
+    val expected = graft.operators.Ivf.index(embAll, model.centroids)
+      .select($"vec_id", $"list")
+    assert(stored.exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(stored).isEmpty)
+    // retrieval over the self-fed index sees the streamed docs exactly
+    val qid = embAll.agg(min("vec_id")).head().getLong(0)
+    val probed = graft.operators.Ivf.probe(model, embAll, qid, 10, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val exact = graft.operators.Similarity.topK(embAll, qid, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(probed === exact)
+  }
+
   test("a second concurrent ingest writer on one index fails safe (lease)") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
