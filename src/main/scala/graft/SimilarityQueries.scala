@@ -24,6 +24,24 @@ object SimilarityQueries {
       Similarity.topK(
         operators.Embed.hashedTf(Tables.documents(s, dir)), 0L, 10)),
 
+    // CHUNK-level retrieval — the RAG shape: documents chunk into
+    // 64-token/8-overlap windows (the cur_pack chunking law), every chunk
+    // embeds independently (key = doc·1024 + chunk_no, loudly guarded),
+    // and retrieval runs at chunk granularity — "find the passage", not
+    // "find the document". Twin replays chunking + embedding + the
+    // sparse-exact cosine.
+    "ann_topk_chunks" -> ((s, dir) => {
+      val chunks = operators.Curation.chunk(
+        Tables.documents(s, dir).select("doc_id", "text"), 64, 8)
+      val keyed = chunks.select(
+        when(col("chunk_no") >= 1024 || col("chunk_no") < 0,
+          raise_error(concat(lit("chunk key out of [0, 1024): "),
+            col("chunk_no").cast("string"))))
+          .otherwise(col("doc_id") * 1024 + col("chunk_no")).as("doc_id"),
+        col("chunk_text").as("text"))
+      Similarity.topK(operators.Embed.hashedTf(keyed), 0L, 10)
+    }),
+
     // REBALANCE under the gate: list splits are content-preserving, so an
     // EXHAUSTIVE probe over the rebalanced index must equal brute-force
     // top-k bit-for-bit (shares ann_topk's exact-cosine twin) — the same
@@ -2115,6 +2133,39 @@ object SimilarityQueries {
     // in double under ANY summation order — no 64-term chain needed; the
     // LEFT JOIN zero-fills buckets the query doesn't occupy so every doc
     // keeps its full norm and appears in the ranking.
+    // chunk replay (the pch slice spelling from the pack twin) → re-keyed
+    // chunk corpus → hashed-TF counts → sparse-exact cosine top-10 from
+    // chunk key 0 (doc 0, chunk 0)
+    "ann_topk_chunks" ->
+      s"""WITH ctoks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |cch AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0,
+         |      CASE WHEN len(toks) <= 64 THEN 1
+         |           ELSE CAST(CEIL((len(toks) - 64) / 56.0) AS INT) + 1
+         |      END)) AS chunk_no
+         |  FROM ctoks),
+         |chunks AS (
+         |  SELECT doc_id * 1024 + chunk_no AS doc_id,
+         |    array_to_string(toks[chunk_no * 56 + 1 : chunk_no * 56 + 64],
+         |      ' ') AS text
+         |  FROM cch),
+         |${TextQueries.embedCntCteFrom("chunks")},
+         |qd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM cnt WHERE doc_id = 0),
+         |dots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e LEFT JOIN qd q ON e.b = q.b
+         |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
+         |qn AS (SELECT SUM(qc * qc) AS qn2 FROM qd)
+         |SELECT d.doc_id AS vec_id,
+         |  d.dot / NULLIF(sqrt(d.n2) * sqrt(qn.qn2), 0) AS cosine
+         |FROM dots d, qn
+         |ORDER BY cosine DESC NULLS LAST, vec_id
+         |LIMIT 10""".stripMargin,
+
     "ann_topk_embed" ->
       s"""WITH ${TextQueries.embedCntCte},
          |qd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM cnt WHERE doc_id = 0),
