@@ -245,6 +245,15 @@ object TextQueries {
         .select(col("vec_id"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"))
+        .orderBy("vec_id", "dim")),
+
+    // IDF-weighted variant: ±idf(f) per occurrence on the 1e-3 grid —
+    // stopword mass stops dominating the cosine. Same full-element gate.
+    "text_embed_idf" -> ((s, dir) =>
+      operators.Embed.hashedTfIdf(Tables.documents(s, dir))
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"))
         .orderBy("vec_id", "dim"))
   )
 
@@ -866,7 +875,39 @@ object TextQueries {
          |SELECT g.doc_id AS vec_id, g.dim,
          |  CAST(COALESCE(cnt.c, 0) AS REAL) AS v
          |FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.dim = cnt.b
-         |ORDER BY vec_id, dim""".stripMargin
+         |ORDER BY vec_id, dim""".stripMargin,
+
+    // The idf-weighted twin: df = docs containing the feature, idf on the
+    // 1e-3 integer grid, bucket value = Σ ±idf_q — exact longs end to end.
+    "text_embed_idf" ->
+      """WITH itoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |iocc AS (
+        |  SELECT doc_id,
+        |    unnest(list_concat(ts,
+        |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))
+        |      AS f
+        |  FROM itoks),
+        |idf AS MATERIALIZED (
+        |  SELECT f,
+        |    CAST(FLOOR(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+        |        / COUNT(DISTINCT doc_id)) * 1000.0 + 0.5) AS BIGINT)
+        |      AS idf_q
+        |  FROM iocc GROUP BY f),
+        |icnt AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(f), 1, 8))::BIGINT % 64 AS b,
+        |    CAST(SUM(CASE WHEN ('0x' || substring(md5(f), 9, 1))::BIGINT % 2 = 0
+        |             THEN idf_q ELSE -idf_q END) AS BIGINT) AS c
+        |  FROM iocc JOIN idf USING (f) GROUP BY doc_id, b),
+        |igrid AS (
+        |  SELECT doc_id, unnest(range(0, 64)) AS dim
+        |  FROM (SELECT DISTINCT doc_id FROM documents))
+        |SELECT g.doc_id AS vec_id, g.dim,
+        |  CAST(COALESCE(icnt.c, 0) AS REAL) AS v
+        |FROM igrid g LEFT JOIN icnt ON g.doc_id = icnt.doc_id
+        |  AND g.dim = icnt.b
+        |ORDER BY vec_id, dim""".stripMargin
   )
 
   /** Shared replay of [[graft.operators.Embed.hashedTf]]'s (doc, bucket)

@@ -61,6 +61,48 @@ object Embed {
           .as("embedding"))
   }
 
+  /** IDF-weighted [[hashedTf]] — the textbook retrieval upgrade: each
+    * occurrence contributes ±idf(f) instead of ±1, so ubiquitous tokens
+    * (stopwords, boilerplate) stop dominating the cosine and rare
+    * discriminative tokens drive it (the measured hashed-TF pair histogram
+    * sat at 0.5–0.7 for generic same-language pairs — idf weighting is
+    * what separates that mass from true near-dups).
+    *
+    * Exactness contract: idf is quantized to the 1e-3 integer grid
+    * (idf_q = ⌊ln(N/df)·1000 + 0.5⌋, a long), bucket values are exact
+    * integer sums of ±idf_q, and the float storage stays exact while
+    * |Σ| < 2²⁴ — with idf_q ≤ ~15 000 at any realistic corpus that allows
+    * ~1 000 same-bucket high-idf occurrences per document; degenerate
+    * inputs beyond it would lose float exactness, not correctness.
+    * The df table is vocabulary-sized (one distinct + keyed count), the
+    * idf join is feature-keyed — both linear; N is one metadata count()
+    * (the [[graft.operators.Similarity.autoNlist]] discipline).
+    */
+  def hashedTfIdf(documents: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
+    val n = documents.count()
+    val feats = concat(TextAnalysis.tokens(col("text")),
+      TextAnalysis.bigrams(col("text")))
+    val occ = documents.select(col("doc_id"), explode(feats).as("f"))
+    val idf = occ.select("doc_id", "f").distinct()
+      .groupBy("f").agg(count(lit(1)).as("df"))
+      .select(col("f"),
+        floor(log(lit(n.toDouble) / col("df")) * 1000.0 + 0.5)
+          .cast("long").as("idf_q"))
+    occ.join(idf, "f")
+      .select(col("doc_id"),
+        Curation.hashBucket(col("f"), dim).as("b"),
+        (signOf(col("f")) * col("idf_q")).as("w"))
+      .groupBy("doc_id", "b")
+      .agg(sum("w").as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("float"))
+          .as("embedding"))
+  }
+
   /** ±1 from md5 hex digit 9 of the feature — independent of the bucket
     * digits (chars 1–8), per the hashing-trick construction (the sign hash
     * makes the bucketed inner product an unbiased estimator of the true

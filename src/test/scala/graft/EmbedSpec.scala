@@ -51,6 +51,36 @@ class EmbedSpec extends SparkSpec {
     assert(rows === 1L)
   }
 
+  test("hashedTfIdf: ubiquitous tokens contribute zero, rare tokens their idf") {
+    // "the" appears in all 3 docs → idf_q = ⌊ln(1)·1000+0.5⌋ = 0: it
+    // cannot move any bucket. "zebra" appears in 1 of 3 → idf_q = 1099.
+    val docs = Seq((1L, "the zebra"), (2L, "the the"), (3L, "the"))
+      .toDF("doc_id", "text")
+    val vecs = Embed.hashedTfIdf(docs, dim = 8)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    // docs 2 and 3 contain only zero-idf features (unigram "the" and the
+    // bigram "the the", df = 1 of 3 → nonzero... so restrict: doc 3 has
+    // ONLY "the" (no bigram) → all-zero vector
+    assert(vecs(3L).forall(_ == 0f))
+    // doc 1's vector carries zebra's idf (and its bigram's) — nonzero
+    assert(vecs(1L).exists(_ != 0f))
+    // hand replay for doc 1: unigrams the(0), zebra(1099), bigram
+    // "the zebra" (df 1/3 → 1099)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = new Array[Float](8)
+    val idf = Map("the" -> 0L, "zebra" -> 1099L, "the zebra" -> 1099L)
+    Seq("the", "zebra", "the zebra").foreach { f =>
+      val h = md5hex(f)
+      val b = (java.lang.Long.parseLong(h.take(8), 16) % 8).toInt
+      val sgn = if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1 else -1
+      expected(b) += sgn * idf(f)
+    }
+    assert(vecs(1L) === expected.toSeq)
+  }
+
   test("generated vectors drive the IVF index end-to-end (self-fed ANN)") {
     val emb = Embed.hashedTf(docs)
     val model = Ivf.buildIndex(sfDir + "#embed", emb, nlist = 8)
