@@ -888,18 +888,20 @@ object TextQueries {
         |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))
         |      AS f
         |  FROM itoks),
+        |itf AS MATERIALIZED (
+        |  SELECT doc_id, f, COUNT(*) AS tf FROM iocc GROUP BY doc_id, f),
         |idf AS MATERIALIZED (
         |  SELECT f,
         |    CAST(FLOOR(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
-        |        / COUNT(DISTINCT doc_id)) * 1000.0 + 0.5) AS BIGINT)
+        |        / COUNT(*)) * 1000.0 + 0.5) AS BIGINT)
         |      AS idf_q
-        |  FROM iocc GROUP BY f),
+        |  FROM itf GROUP BY f),
         |icnt AS MATERIALIZED (
         |  SELECT doc_id,
         |    ('0x' || substring(md5(f), 1, 8))::BIGINT % 64 AS b,
         |    CAST(SUM(CASE WHEN ('0x' || substring(md5(f), 9, 1))::BIGINT % 2 = 0
-        |             THEN idf_q ELSE -idf_q END) AS BIGINT) AS c
-        |  FROM iocc JOIN idf USING (f) GROUP BY doc_id, b),
+        |             THEN idf_q * tf ELSE -idf_q * tf END) AS BIGINT) AS c
+        |  FROM itf JOIN idf USING (f) GROUP BY doc_id, b),
         |igrid AS (
         |  SELECT doc_id, unnest(range(0, 64)) AS dim
         |  FROM (SELECT DISTINCT doc_id FROM documents))
