@@ -70,8 +70,10 @@ object TopK {
           // fail fast on contract violations instead of silently diverging
           // from distinct-then-TopK (a cheaper-scored duplicate would be
           // dropped even where its score should rank). O(1) per duplicate:
-          // the buffer is ≤ k entries.
-          require(held.score == x.score,
+          // the buffer is ≤ k entries. Double.compare, not ==: a NaN score
+          // (zero-norm embedding → cosine 0/0) re-arriving with NaN is the
+          // contract HOLDING — `==` would see NaN != NaN and abort the job.
+          require(java.lang.Double.compare(held.score, x.score) == 0,
             s"topKDistinct: id ${x.id} seen with scores ${held.score} and " +
               s"${x.score} — score must be a pure function of id within a group")
           buf

@@ -269,7 +269,11 @@ object Ivf {
     allowed.fold(live)(a =>
         live.join(a.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
       .crossJoin(broadcast(q))
-      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      // NaN (zero-norm) → NULL, the Similarity.topK law: Spark ranks NaN
+      // FIRST under desc, the SQL twins' NULLS LAST ranks it last
+      .withColumn("cosine",
+        nanvl(VectorOps.cosine(col("embedding"), col("q_emb")),
+          lit(null).cast("double")))
       .orderBy(desc("cosine"), col("vec_id"))
       .select("vec_id", "cosine")
       .limit(k)
@@ -803,7 +807,9 @@ object Ivf {
       .orderBy(desc("cosine"), col("vec_id"))
     idx.join(q, "list")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .withColumn("cosine",
+        nanvl(VectorOps.cosine(col("embedding"), col("q_emb")),
+          lit(null).cast("double")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("query_id", "vec_id", "cosine", "rn")

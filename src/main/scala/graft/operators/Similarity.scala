@@ -22,13 +22,21 @@ object Similarity {
 
   val dim = 64
 
-  /** Exact top-k cosine neighbors of one stored vector. */
+  /** Exact top-k cosine neighbors of one stored vector.
+    *
+    * Zero-norm vectors (0/0 = NaN cosine) are mapped to NULL: Spark sorts
+    * NaN FIRST under desc but NULL last — the SQL twins' `NULLS LAST`
+    * (zero-norm via NULLIF) would silently desync the moment a hashed-TF
+    * sign cancellation produces an all-zero document vector.
+    */
   def topK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"))
     embeddings.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
-      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .withColumn("cosine",
+        nanvl(VectorOps.cosine(col("embedding"), col("q_emb")),
+          lit(null).cast("double")))
       .orderBy(desc("cosine"), col("vec_id"))
       .select("vec_id", "cosine")
       .limit(k)
@@ -51,7 +59,9 @@ object Similarity {
     embeddings.filter(where)
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
-      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("q_emb")))
+      .withColumn("cosine",
+        nanvl(VectorOps.cosine(col("embedding"), col("q_emb")),
+          lit(null).cast("double")))
       .orderBy(desc("cosine"), col("vec_id"))
       .select("vec_id", "cosine")
       .limit(k)

@@ -19,6 +19,21 @@ import graft.operators.SalesClean
   */
 object Streams {
 
+  /** Every foreachBatch body routes through this wrapper: the callback
+    * runs on the stream-execution thread, whose thread-local default
+    * `CacheScope.global` no caller owns — operators invoked with the
+    * default scope would otherwise accumulate persisted blocks per
+    * micro-batch for the stream's whole lifetime (an unbounded soft leak
+    * on a long-running ingest; the blocks only die at RDD GC). Each batch
+    * fully materializes its writes inside the callback, so releasing the
+    * thread's scope afterwards can never be observed — same data, bounded
+    * memory. Scopes persisted on OTHER threads (e.g. a static side cached
+    * at sink-construction time) belong to those threads and are untouched.
+    */
+  private def scopedBatch(f: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      try f(batch, batchId) finally graft.CacheScope.global.release()
+
   /** O1+S1 streaming: discover new CSVs under `dir` (the reference's
     * GCS-trigger loop, minus the trigger). `pathGlobFilter` mirrors the
     * Cloud Function's `.csv` suffix gate (/root/reference/scripts/main.py:20-23).
@@ -231,7 +246,7 @@ object Streams {
                  keyCols: Seq[String], versionCol: String): DataStreamWriter[Row] =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         // readForSwap: exists-checked + interrupted-swap recovery — a blanket
         // AnalysisException catch here would rebuild the table from one batch
@@ -241,7 +256,7 @@ object Streams {
         val staging = tableDir + ".staging"
         merged.write.mode("overwrite").parquet(staging)
         graft.sources.Sinks.swapDirs(spark, staging, tableDir)
-      }
+      })
 
   /** Continuously-maintained feature table: the sink for an UPDATE-mode
     * streaming aggregation (e.g. per-user running counts/sums — the
@@ -266,7 +281,7 @@ object Streams {
     aggregated.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         // readForSwap: exists-checked + interrupted-swap recovery — a blanket
         // AnalysisException catch here would rebuild the table from one batch
@@ -280,7 +295,7 @@ object Streams {
         val staging = tableDir + ".staging"
         merged.write.mode("overwrite").parquet(staging)
         graft.sources.Sinks.swapDirs(spark, staging, tableDir)
-      }
+      })
 
   /** Streaming data-quality monitor: per micro-batch, run an
     * [[graft.operators.Profile.expectations]] suite over the batch's rows
@@ -298,11 +313,11 @@ object Streams {
       : DataStreamWriter[Row] =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Profile.expectations(checks(batch))
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(historyDir)
-      }
+      })
 
   /** Stream-static enrichment: z-score outlier filter on an event stream
     * against a BATCH-computed stats table ([[graft.operators.Stats.centStats]],
@@ -431,11 +446,11 @@ object Streams {
                    k: Int = 10, nprobe: Int = 4): DataStreamWriter[Row] =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.appendBatchFileIdempotent(
           graft.operators.Ivf.probeAll(model, batch, k, nprobe),
           outDir, s"probe-$batchId.parquet")
-      }
+      })
 
   /** Streaming ANN probe over the COMPRESSED index — [[ivfProbeSink]]'s
     * twin for the PQ codes table: each micro-batch of query vectors runs
@@ -450,11 +465,11 @@ object Streams {
                   k: Int = 10, rerank: Int = 50): DataStreamWriter[Row] =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.appendBatchFileIdempotent(
           graft.operators.Pq.probeAll(model, corpus, batch, k, rerank),
           outDir, s"probe-$batchId.parquet")
-      }
+      })
 
   /** [[ivfIngestSink]]'s twin for the compressed index: each micro-batch
     * of new vectors is encoded with the frozen codebooks and appended to
@@ -468,7 +483,7 @@ object Streams {
     val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.withDirLease(batch.sparkSession, model.codesPath,
           writerId) {
           graft.operators.Pq.appendToIndexIdempotent(model, batch, batchId)
@@ -486,7 +501,7 @@ object Streams {
             ()
           }
         }
-      }
+      })
   }
 
   /** [[ivfIngestSink]] for the composite IVF-PQ index: frozen coarse
@@ -501,7 +516,7 @@ object Streams {
     val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.withDirLease(batch.sparkSession, model.indexPath,
           writerId) {
           graft.operators.IvfPq.appendToIndexIdempotent(model, batch, batchId)
@@ -511,7 +526,7 @@ object Streams {
               maxFilesPerList = compactAboveFiles)
         }
         ()
-      }
+      })
   }
 
   /** Streaming index maintenance — the WRITE-side twin of [[ivfProbeSink]]
@@ -549,7 +564,7 @@ object Streams {
     val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.withDirLease(batch.sparkSession, model.indexPath,
           writerId) {
           graft.operators.Ivf.appendToIndexIdempotent(model, batch, batchId)
@@ -558,7 +573,7 @@ object Streams {
               maxFilesPerList = compactAboveFiles)
         }
         ()
-      }
+      })
   }
 
   /** SELF-FED streaming ingest — [[ivfIngestSink]] fed by raw DOCUMENTS
@@ -579,7 +594,7 @@ object Streams {
     val writerId = java.util.UUID.randomUUID().toString
     documents.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.withDirLease(batch.sparkSession, model.indexPath,
           writerId) {
           graft.operators.Ivf.appendToIndexIdempotent(model,
@@ -589,7 +604,7 @@ object Streams {
               maxFilesPerList = compactAboveFiles)
         }
         ()
-      }
+      })
   }
 
   /** Streaming takedown sink — the DELETE verb's streaming form, closing
@@ -606,9 +621,9 @@ object Streams {
                     checkpointDir: String): DataStreamWriter[Row] =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Ivf.deleteFromIndex(model, batch, batchId)
-      }
+      })
 
   /** [[ivfDeleteSink]] for the compressed-codes layout — same per-batchId
     * staged-move tombstone contract, so the three-layout takedown story is
@@ -620,9 +635,9 @@ object Streams {
                    checkpointDir: String): DataStreamWriter[Row] =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Pq.deleteFromIndex(model, batch, batchId)
-      }
+      })
 
   /** [[ivfDeleteSink]] for the composite layout — tombstones land per
     * coarse list (resolved by the same column-pruned (vec_id, list) join),
@@ -632,9 +647,9 @@ object Streams {
                       checkpointDir: String): DataStreamWriter[Row] =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.IvfPq.deleteFromIndex(model, batch, batchId)
-      }
+      })
 
   /** [[pqProbeSink]] for the IVF-PQ composite — each micro-batch of query
     * vectors runs the set-oriented pruned residual-ADC engine
@@ -649,11 +664,11 @@ object Streams {
                      rerank: Int = 50): DataStreamWriter[Row] =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.appendBatchFileIdempotent(
           graft.operators.IvfPq.probeAll(model, corpus, batch, k, nprobe, rerank),
           outDir, s"probe-$batchId.parquet")
-      }
+      })
 
   /** [[ivfPqProbeSink]] for the IVF-SQ8 composite — with this, all five
     * materialized layouts drive ingest, probe AND takedown from streams.
@@ -665,11 +680,11 @@ object Streams {
                      rerank: Int = 50): DataStreamWriter[Row] =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.appendBatchFileIdempotent(
           graft.operators.IvfSq.probeAll(model, corpus, batch, k, nprobe, rerank),
           outDir, s"probe-$batchId.parquet")
-      }
+      })
 
   /** [[ivfPqIngestSink]] for the IVF-SQ8 composite: frozen coarse assign +
     * frozen-grid residual encode per micro-batch (out-of-range values
@@ -684,7 +699,7 @@ object Streams {
     val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.withDirLease(batch.sparkSession, model.indexPath,
           writerId) {
           graft.operators.IvfSq.appendToIndexIdempotent(model, batch, batchId)
@@ -693,7 +708,7 @@ object Streams {
               maxFilesPerList = compactAboveFiles)
         }
         ()
-      }
+      })
   }
 
   /** [[ivfPqDeleteSink]] for the IVF-SQ8 composite — per-list tombstones
@@ -705,9 +720,9 @@ object Streams {
                       checkpointDir: String): DataStreamWriter[Row] =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.IvfSq.deleteFromIndex(model, batch, batchId)
-      }
+      })
 
   /** [[pqProbeSink]] for the scalar-quantized (SQ8) layout — the fourth
     * index's streaming probe: each micro-batch of query vectors runs the
@@ -721,11 +736,11 @@ object Streams {
                   k: Int = 10, rerank: Int = 50): DataStreamWriter[Row] =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.appendBatchFileIdempotent(
           graft.operators.Sq.probeAll(model, corpus, batch, k, rerank),
           outDir, s"probe-$batchId.parquet")
-      }
+      })
 
   /** [[pqIngestSink]] for the SQ8 codes table: frozen per-dim params
     * encode each micro-batch (out-of-range values saturate), exactly-once
@@ -738,7 +753,7 @@ object Streams {
     val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.withDirLease(batch.sparkSession, model.codesPath,
           writerId) {
           graft.operators.Sq.appendToIndexIdempotent(model, batch, batchId)
@@ -754,7 +769,7 @@ object Streams {
             ()
           }
         }
-      }
+      })
   }
 
   /** [[pqDeleteSink]] for the SQ8 layout — flat codes table, so the
@@ -766,9 +781,9 @@ object Streams {
                    checkpointDir: String): DataStreamWriter[Row] =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Sq.deleteFromIndex(model, batch, batchId)
-      }
+      })
 
   /** Self-maintaining ingest — [[ivfIngestSink]] plus DRIFT handling: each
     * batch loads the PERSISTED quantizer (`Ivf.currentModel` — the
@@ -795,7 +810,7 @@ object Streams {
     val writerId = java.util.UUID.randomUUID().toString
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // the lease covers model resolution too: a concurrent writer's
         // re-balance between currentModel and the append would otherwise
@@ -810,7 +825,7 @@ object Streams {
             graft.operators.Ivf.rebalanceIndex(spark, m, rebalanceAboveRatio)
         }
         ()
-      }
+      })
   }
 
   /** Streaming decontamination gate — the ingest twin of the batch
@@ -861,14 +876,14 @@ object Streams {
       graft.operators.Dedup.benchmarkGrams(benchmark, minLen))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         val scope = new graft.CacheScope
         val cleaned = graft.operators.Dedup
           .cutSpansWithGrams(batch, occB, minLen, scope)
         graft.sources.Sinks.appendBatchFileIdempotent(
           cleaned, outDir, s"batch-$batchId.parquet")
         scope.release()
-      }
+      })
   }
 
   /** The STREAMING pretraining-corpus flagship: every micro-batch of new
@@ -890,9 +905,9 @@ object Streams {
                          checkpointDir: String): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch (scopedBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Pretrain.absorbBatch(batch, probe, stateDir, batchId)
-      }
+      })
 
   /** Streaming Bloom-prefiltered exact dedup — the ingest twin of
     * [[graft.operators.Dedup.bloomNovel]]: each micro-batch row tests the
