@@ -246,6 +246,30 @@ object CurationQueries {
         nprobe = b.model.centroids.length)
     }),
 
+    // The idf flagship — same gate → embed → build → SemDeDup → probe
+    // composition, but the embedder is the idf-weighted hashed TF
+    // (2⁻¹⁰-downscaled so the quantizer's integer score terms stay in
+    // range) and the SemDeDup threshold is recalibrated to the idf cosine
+    // histogram: measured at sf0.01 against the exact-Jaccard ground
+    // truth, non-dup pair mass tops out at 0.57 and true near-dups start
+    // at 0.77, so 0.65 cuts with margin on BOTH sides (pair precision AND
+    // recall 1.0, vs precision 0.26 for plain TF at its 0.8 threshold) —
+    // numbers in BASELINE.md. Shares the pretrain state with
+    // cur_pretrain_index; its own index key.
+    "cur_pretrain_index_idf" -> ((s, dir) => {
+      val scope = graft.CacheScope.global
+      val probe = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
+      val b = operators.CorpusIndex.build(Tables.documentsWithClones(s, dir),
+        probe, dir + "#pretrain", dir + "#flagidxi", threshold = 0.65,
+        scope = scope,
+        embed = d => operators.Embed.hashedTfIdf(d, scope = scope,
+          downscaleBits = 10))
+      val qid = b.emb.join(b.doomed, Seq("vec_id"), "left_anti")
+        .agg(min("vec_id")).head().getLong(0)
+      operators.Ivf.probe(b.model, b.emb, qid, 10,
+        nprobe = b.model.centroids.length)
+    }),
+
     // The refresh sibling — the production nightly shape: the previous
     // round's SERVED index (build → SemDeDup tombstones, its own private
     // key) absorbs the cur_pretrain_incr corpus diff through the existing
@@ -474,11 +498,29 @@ object CurationQueries {
     * column names that embed one (n_sh, n_tokens, gs) have no word
     * boundary at the overlap, and quoted literals in the chains share no
     * token with the list.
+    *
+    * TOTALITY GUARD: the rename silently corrupts the composed twin if a
+    * future edit adds a CTE the hand-maintained list misses (the unlisted
+    * definition would collide with the other chain's). So every CTE the
+    * fragment DEFINES (`name AS (` / `name AS MATERIALIZED (` /
+    * `name(cols) AS (`) must be in `names` — asserted here, loudly, at
+    * oracle-construction time rather than as a DuckDB binder error or a
+    * silent wrong-relation bind.
     */
+  private val cteDefRe =
+    "(?m)([A-Za-z_][A-Za-z0-9_]*)(\\([^)]*\\))?\\s+AS\\s+(MATERIALIZED\\s+)?\\(".r
+
   private def prefixCtes(sql: String, prefix: String,
-                         names: Seq[String]): String =
+                         names: Seq[String]): String = {
+    val defined = cteDefRe.findAllMatchIn(sql).map(_.group(1)).toSet
+    val unlisted = defined -- names
+    require(unlisted.isEmpty,
+      s"prefixCtes: fragment defines CTEs not in the rename list — " +
+        s"${unlisted.toSeq.sorted.mkString(", ")}; add them to the caller's " +
+        "names (a partial rename would corrupt the composed twin)")
     names.foldLeft(sql)((s, n) =>
       s.replaceAll("\\b" + n + "\\b", prefix + n))
+  }
 
   /** Stages 1–4 of the pretrain replay as a CTE chain ending in `docs6`
     * (the gated survivors: doc_id, lang, text, n_tokens) — the shared
@@ -960,6 +1002,78 @@ object CurationQueries {
          |  JOIN en na ON na.doc_id = aa.vec_id
          |  JOIN en nb ON nb.doc_id = bb.vec_id
          |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.8),
+         |sedges AS (
+         |  SELECT va AS s, vb AS d FROM sem
+         |  UNION ALL
+         |  SELECT vb AS s, va AS d FROM sem),
+         |swalk(id, lbl) AS (
+         |  SELECT s, s FROM sedges
+         |  UNION
+         |  SELECT e.s, w2.lbl FROM sedges e JOIN swalk w2 ON w2.id = e.d),
+         |scl AS (SELECT id, MIN(lbl) AS cluster_id FROM swalk GROUP BY id),
+         |surv AS MATERIALIZED (
+         |  SELECT e.vec_id FROM embeddings e
+         |  LEFT JOIN scl ON scl.id = e.vec_id
+         |  WHERE scl.id IS NULL OR scl.cluster_id = e.vec_id),
+         |fqid AS (SELECT MIN(vec_id) AS q FROM surv),
+         |fqd AS (
+         |  SELECT b, CAST(c AS DOUBLE) AS qc
+         |  FROM cnt, fqid WHERE doc_id = fqid.q),
+         |fdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e
+         |  LEFT JOIN fqd q ON e.b = q.b
+         |  SEMI JOIN surv ON e.doc_id = surv.vec_id
+         |  WHERE e.doc_id <> (SELECT q FROM fqid)
+         |  GROUP BY e.doc_id),
+         |fqn AS (SELECT SUM(qc * qc) AS qn2 FROM fqd)
+         |SELECT d.doc_id AS vec_id,
+         |  d.dot / NULLIF(sqrt(d.n2) * sqrt(fqn.qn2), 0) AS cosine
+         |FROM fdots d, fqn
+         |ORDER BY cosine DESC NULLS LAST, vec_id
+         |LIMIT 10""".stripMargin,
+
+    // The idf flagship twin: the SAME gate chain, but the embedding CTEs
+    // are the idf-weighted counts (itf/idf/cnt — N = |docs6|) and the
+    // embeddings CTE emits c/1024 (the Spark side's 2⁻¹⁰ downscale — an
+    // exact exponent shift, so the REAL cast loses nothing while
+    // |c| < 2²⁴). The SemDeDup/probe dots run on the INTEGER cnt table:
+    // every sum term is exact, and scaling numerator and denominator by
+    // the same power of two commutes with IEEE rounding, so the cosine
+    // values are bit-identical to the Spark side's float-vector cosines.
+    // Threshold 0.65 — the idf-calibrated cut (see the query comment).
+    "cur_pretrain_index_idf" ->
+      s"""WITH RECURSIVE ${pretrainGatedCtes("documents2")},
+         |${TextQueries.embedIdfCntCteFrom("docs6")},
+         |egrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM docs6)),
+         |embeddings AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(CAST(COALESCE(cnt.c, 0) AS DOUBLE) / 1024.0 AS REAL)
+         |      ORDER BY g.dim) AS embedding
+         |  FROM egrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+         |    AND g.dim = cnt.b
+         |  GROUP BY g.doc_id),
+         |${SimilarityQueries.ivfCoreCtes(16)},
+         |edot AS (
+         |  SELECT x.doc_id AS va, y.doc_id AS vb,
+         |    SUM(CAST(x.c AS DOUBLE) * y.c) AS dot
+         |  FROM cnt x JOIN cnt y ON x.b = y.b AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |en AS (
+         |  SELECT doc_id, SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM cnt GROUP BY doc_id),
+         |sem AS (
+         |  SELECT aa.vec_id AS va, bb.vec_id AS vb
+         |  FROM a2 aa
+         |  JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+         |  JOIN edot d ON d.va = aa.vec_id AND d.vb = bb.vec_id
+         |  JOIN en na ON na.doc_id = aa.vec_id
+         |  JOIN en nb ON nb.doc_id = bb.vec_id
+         |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.65),
          |sedges AS (
          |  SELECT va AS s, vb AS d FROM sem
          |  UNION ALL

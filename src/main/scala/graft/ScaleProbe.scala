@@ -186,8 +186,11 @@ object ScaleProbe {
     val webMode = args.headOption.contains("web")
     val lshMode = args.headOption.exists(_.startsWith("lsh"))
     val embedMode = args.headOption.contains("embed")
+    val chunkidxMode = args.headOption.contains("chunkidx")
+    val shardbuildMode = args.headOption.contains("shardbuild")
     val mults =
-      if (annMode || webMode || lshMode || embedMode || args.isEmpty) Seq(1, 10)
+      if (annMode || webMode || lshMode || embedMode || chunkidxMode ||
+        shardbuildMode || args.isEmpty) Seq(1, 10)
       else args.toSeq.map(_.toInt)
 
     def blowUp(mult: Int): DataFrame = {
@@ -294,6 +297,72 @@ object ScaleProbe {
           .filter(col("q") =!= col("n")).count()
         println(f"PROBE lshdiag_join mult=$m $cnt%d rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
         idx.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("shardbuild")) {
+      // `shardbuild [nShards]`: A/B the parallel sharded build — wall-clock
+      // must be ≈ max(shard) at parallelism 8 vs Σ(shards) at 1, with
+      // BYTE-IDENTICAL quantizers (hash-seeded exact integer training is
+      // order-free). Distinct index keys force two real builds.
+      val nSh = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+      val vecs = Tables.embeddings(spark, dir).persist()
+      vecs.count()
+      val t0 = System.nanoTime()
+      val seq = operators.Ivf.buildShardedIndex(s"probe-shseq-$nSh", vecs,
+        nSh, parallelism = 1)
+      println(f"PROBE shardbuild_seq    n=$nSh%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val t1 = System.nanoTime()
+      val par = operators.Ivf.buildShardedIndex(s"probe-shpar-$nSh", vecs,
+        nSh, parallelism = 8)
+      println(f"PROBE shardbuild_par8   n=$nSh%-3d ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+      val same = seq.shards.zip(par.shards).forall { case (a, b) =>
+        a.centroids.length == b.centroids.length &&
+          a.centroids.zip(b.centroids).forall { case ((ca, va), (cb, vb)) =>
+            ca == cb && java.util.Arrays.equals(va, vb)
+          }
+      }
+      println(s"PROBE shardbuild_identical $same")
+      vecs.unpersist()
+      spark.stop()
+      return
+    }
+
+    if (chunkidxMode) {
+      // `chunkidx [mults…]`: the chunk-retrieval decade law. Chunking
+      // multiplies vector cardinality ~8-16×, so this is where pruned
+      // probes matter most: the PRUNED probe (nprobe=4 of 16 lists) must
+      // stay near-flat per unit as the chunk table grows 10×, while the
+      // exhaustive probe (the correctness anchor) is allowed to track
+      // corpus size. Build timed apart (paid once per corpus).
+      val ms = args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 10)
+        case x => x
+      }
+      for (m <- ms) {
+        val docsPath = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft-probe-docs-$m").getAbsolutePath
+        blowUp(m).select("doc_id", "text")
+          .write.mode("overwrite").parquet(docsPath)
+        val docs = spark.read.parquet(docsPath)
+        val t0 = System.nanoTime()
+        val (model, emb) = operators.CorpusIndex.buildChunkIndex(
+          s"probe-chunkidx-$m", docs)
+        val nChunks = spark.read.parquet(model.indexPath).count()
+        println(f"PROBE chunkidx_build    mult=$m%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s  chunks=$nChunks%d")
+        // embeddings re-derive from documents lazily; probes only need the
+        // query vector from them — materialize it tiny instead of paying
+        // chunk+embed inside every timed probe
+        val qVec = emb.filter(col("vec_id") === 0L).persist()
+        qVec.count()
+        time("chunkidx_probe4", m,
+          operators.Ivf.probe(model, qVec, 0L, 10, nprobe = 4))
+        time("chunkidx_probe_all", m,
+          operators.Ivf.probe(model, qVec, 0L, 10,
+            nprobe = model.centroids.length))
+        qVec.unpersist()
       }
       spark.stop()
       return

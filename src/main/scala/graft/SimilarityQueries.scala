@@ -26,20 +26,32 @@ object SimilarityQueries {
 
     // CHUNK-level retrieval — the RAG shape: documents chunk into
     // 64-token/8-overlap windows (the cur_pack chunking law), every chunk
-    // embeds independently (key = doc·1024 + chunk_no, loudly guarded),
-    // and retrieval runs at chunk granularity — "find the passage", not
-    // "find the document". Twin replays chunking + embedding + the
-    // sparse-exact cosine.
+    // embeds independently (key = doc·2²⁰ + chunk_no, loudly guarded — a
+    // 2²⁰ cap admits book-length documents the old 1024 cap refused), and
+    // retrieval runs at chunk granularity — "find the passage", not "find
+    // the document". Since round 10 the retrieval leg is SERVED THROUGH
+    // THE MATERIALIZED CHUNK INDEX (chunk → embed → one memoized IVF
+    // build), not a brute-force scan: this query probes it EXHAUSTIVELY,
+    // so the twin (chunking + embedding + sparse-exact cosine — no index
+    // replay) proves the build/probe machinery content-preserving at
+    // chunk granularity, the ann_rebalance shared-oracle trick. The
+    // pruned production probe is ann_topk_chunks_ivf.
     "ann_topk_chunks" -> ((s, dir) => {
-      val chunks = operators.Curation.chunk(
-        Tables.documents(s, dir).select("doc_id", "text"), 64, 8)
-      val keyed = chunks.select(
-        when(col("chunk_no") >= 1024 || col("chunk_no") < 0,
-          raise_error(concat(lit("chunk key out of [0, 1024): "),
-            col("chunk_no").cast("string"))))
-          .otherwise(col("doc_id") * 1024 + col("chunk_no")).as("doc_id"),
-        col("chunk_text").as("text"))
-      Similarity.topK(operators.Embed.hashedTf(keyed), 0L, 10)
+      val (model, emb) = chunkIndex(s, dir)
+      operators.Ivf.probe(model, emb, 0L, 10,
+        nprobe = model.centroids.length)
+    }),
+
+    // The PRUNED chunk-index probe — the plan that survives 100× scale:
+    // chunking multiplies vector cardinality ~8–16×, so the chunk table
+    // needs nprobe/nlist pruning more than the doc table does. Twin
+    // replays the ENTIRE pipeline over the chunk corpus — chunking,
+    // hashed-TF embedding, md5-seeded integer-grid Lloyd, quantized-score
+    // probe selection (4 of 16 lists), pruned candidates, sparse-exact
+    // re-rank.
+    "ann_topk_chunks_ivf" -> ((s, dir) => {
+      val (model, emb) = chunkIndex(s, dir)
+      operators.Ivf.probe(model, emb, 0L, 10, nprobe = 4)
     }),
 
     // REBALANCE under the gate: list splits are content-preserving, so an
@@ -163,6 +175,21 @@ object SimilarityQueries {
       val m = operators.Ivf.buildShardedIndex(dir + "#shards", emb,
         nShards = 4, nlist = 8)
       operators.Ivf.probeSharded(m, emb, 0L, 10, nprobe = 8)
+    }),
+
+    // Set-oriented probe over the SAME sharded index (the lifecycle
+    // symmetry ask): top-3 for each of the first 10 vectors through the
+    // per-shard probeAll fan-out + global query-keyed re-cut, exhaustive
+    // per shard — must equal the exact kNN join bit-for-bit (shares the
+    // ann_knn_join twin).
+    "ann_knn_sharded_all" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val m = operators.Ivf.buildShardedIndex(dir + "#shards", emb,
+        nShards = 4, nlist = 8)
+      operators.Ivf.probeShardedAll(m, emb.filter(col("vec_id") < 10), 3,
+          nprobe = 8)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .orderBy("query_id", "rn")
     }),
 
     // PQ (product-quantization) approximate top-10 — the compressed-codes
@@ -845,6 +872,38 @@ object SimilarityQueries {
        |          DESC, s$c.cid) AS rn
        |    FROM s$c JOIN n$c USING (cid))
        |  WHERE rn = 1)""".stripMargin
+
+  /** The memoized chunk-granular index for a corpus dir — chunk → embed →
+    * IVF build, shared by the exhaustive (ann_topk_chunks) and pruned
+    * (ann_topk_chunks_ivf) probes and the streaming chunk-ingest parity
+    * spec, so the build cost is paid once per corpus like every index.
+    */
+  private def chunkIndex(s: SparkSession, dir: String)
+      : (operators.Ivf.IvfModel, DataFrame) =
+    operators.CorpusIndex.buildChunkIndex(dir + "#chunks",
+      Tables.documents(s, dir))
+
+  /** DuckDB replay of [[graft.operators.CorpusIndex.chunkEmbeddings]]'
+    * corpus: 64-token/8-overlap chunk windows (the pch slice spelling from
+    * the pack twin), the packed 2²⁰ chunk key, and the hashed-TF
+    * (doc, bucket) signed-count table `cnt` over the chunk texts.
+    */
+  private def chunkCorpusCtes: String =
+    s"""ctoks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |cch AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0,
+       |      CASE WHEN len(toks) <= 64 THEN 1
+       |           ELSE CAST(CEIL((len(toks) - 64) / 56.0) AS INT) + 1
+       |      END)) AS chunk_no
+       |  FROM ctoks),
+       |chunks AS (
+       |  SELECT doc_id * 1048576 + chunk_no AS doc_id,
+       |    array_to_string(toks[chunk_no * 56 + 1 : chunk_no * 56 + 64],
+       |      ' ') AS text
+       |  FROM cch),
+       |${TextQueries.embedCntCteFrom("chunks")}""".stripMargin
 
   /** The shared IVF core: quantized coordinates, md5 seeds, two Lloyd
     * steps → `c2`, full assignment `a2` (the inverted lists). Prefix for
@@ -2133,25 +2192,13 @@ object SimilarityQueries {
     // in double under ANY summation order — no 64-term chain needed; the
     // LEFT JOIN zero-fills buckets the query doesn't occupy so every doc
     // keeps its full norm and appears in the ranking.
-    // chunk replay (the pch slice spelling from the pack twin) → re-keyed
-    // chunk corpus → hashed-TF counts → sparse-exact cosine top-10 from
-    // chunk key 0 (doc 0, chunk 0)
+    // chunk replay → re-keyed chunk corpus → hashed-TF counts →
+    // sparse-exact cosine top-10 from chunk key 0 (doc 0, chunk 0). No
+    // index replay: the Spark side probes the materialized chunk index
+    // EXHAUSTIVELY, so brute-force equality is the content-preservation
+    // proof for the chunk build (the shared-oracle trick).
     "ann_topk_chunks" ->
-      s"""WITH ctoks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |cch AS (
-         |  SELECT doc_id, toks,
-         |    unnest(range(0,
-         |      CASE WHEN len(toks) <= 64 THEN 1
-         |           ELSE CAST(CEIL((len(toks) - 64) / 56.0) AS INT) + 1
-         |      END)) AS chunk_no
-         |  FROM ctoks),
-         |chunks AS (
-         |  SELECT doc_id * 1024 + chunk_no AS doc_id,
-         |    array_to_string(toks[chunk_no * 56 + 1 : chunk_no * 56 + 64],
-         |      ' ') AS text
-         |  FROM cch),
-         |${TextQueries.embedCntCteFrom("chunks")},
+      s"""WITH $chunkCorpusCtes,
          |qd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM cnt WHERE doc_id = 0),
          |dots AS (
          |  SELECT e.doc_id,
@@ -2163,6 +2210,51 @@ object SimilarityQueries {
          |SELECT d.doc_id AS vec_id,
          |  d.dot / NULLIF(sqrt(d.n2) * sqrt(qn.qn2), 0) AS cosine
          |FROM dots d, qn
+         |ORDER BY cosine DESC NULLS LAST, vec_id
+         |LIMIT 10""".stripMargin,
+
+    // Pruned chunk-index probe twin: the chunk corpus feeds an
+    // `embeddings` CTE SHADOWING the fixture view (the flagship trick),
+    // the full Lloyd/assignment replay runs over the GENERATED chunk
+    // vectors, probe selection keeps the 4 best lists for chunk key 0 by
+    // the quantized score, and the sparse-exact re-rank runs over the
+    // pruned candidates only.
+    "ann_topk_chunks_ivf" ->
+      s"""WITH $chunkCorpusCtes,
+         |cgrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM chunks)),
+         |embeddings AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM cgrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+         |    AND g.dim = cnt.b
+         |  GROUP BY g.doc_id),
+         |${ivfCoreCtes(16)},
+         |probe AS (
+         |  SELECT cid FROM (
+         |    SELECT sc2.cid,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+         |          DESC, sc2.cid) AS rn
+         |    FROM sc2 JOIN nc2 USING (cid) WHERE sc2.vec_id = 0)
+         |  WHERE rn <= 4),
+         |cand AS (
+         |  SELECT a2.vec_id FROM a2 JOIN probe USING (cid)
+         |  WHERE a2.vec_id <> 0),
+         |cqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM cnt WHERE doc_id = 0),
+         |cdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e LEFT JOIN cqd q ON e.b = q.b
+         |  SEMI JOIN cand ON e.doc_id = cand.vec_id
+         |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
+         |cqn AS (SELECT SUM(qc * qc) AS qn2 FROM cqd)
+         |SELECT d.doc_id AS vec_id,
+         |  d.dot / NULLIF(sqrt(d.n2) * sqrt(cqn.qn2), 0) AS cosine
+         |FROM cdots d, cqn
          |ORDER BY cosine DESC NULLS LAST, vec_id
          |LIMIT 10""".stripMargin,
 
@@ -2184,6 +2276,10 @@ object SimilarityQueries {
 
     "ann_knn_join" -> knnSql,
     "ann_knn_agg" -> knnSql,
+    // the sharded set-probe at exhaustive nprobe IS the exact kNN join —
+    // any row lost/duplicated by shard routing, per-shard probeAll, or
+    // the global re-cut breaks the hash
+    "ann_knn_sharded_all" -> knnSql,
 
     // range-unnest index twin (this DuckDB lacks WITH ORDINALITY); CAST the
     // integer SUM back to BIGINT (DuckDB SUM → HUGEINT) and mirror the

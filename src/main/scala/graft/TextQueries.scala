@@ -880,28 +880,7 @@ object TextQueries {
     // The idf-weighted twin: df = docs containing the feature, idf on the
     // 1e-3 integer grid, bucket value = Σ ±idf_q — exact longs end to end.
     "text_embed_idf" ->
-      """WITH itoks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |iocc AS (
-        |  SELECT doc_id,
-        |    unnest(list_concat(ts,
-        |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))
-        |      AS f
-        |  FROM itoks),
-        |itf AS MATERIALIZED (
-        |  SELECT doc_id, f, COUNT(*) AS tf FROM iocc GROUP BY doc_id, f),
-        |idf AS MATERIALIZED (
-        |  SELECT f,
-        |    CAST(FLOOR(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
-        |        / COUNT(*)) * 1000.0 + 0.5) AS BIGINT)
-        |      AS idf_q
-        |  FROM itf GROUP BY f),
-        |icnt AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    ('0x' || substring(md5(f), 1, 8))::BIGINT % 64 AS b,
-        |    CAST(SUM(CASE WHEN ('0x' || substring(md5(f), 9, 1))::BIGINT % 2 = 0
-        |             THEN idf_q * tf ELSE -idf_q * tf END) AS BIGINT) AS c
-        |  FROM itf JOIN idf USING (f) GROUP BY doc_id, b),
+      s"""WITH ${embedIdfCntCteFrom("documents", "icnt")},
         |igrid AS (
         |  SELECT doc_id, unnest(range(0, 64)) AS dim
         |  FROM (SELECT DISTINCT doc_id FROM documents))
@@ -920,6 +899,39 @@ object TextQueries {
     * as "null").
     */
   private[graft] def embedCntCte: String = embedCntCteFrom("documents")
+
+  /** [[embedCntCteFrom]]'s idf-weighted sibling — the shared replay of
+    * [[graft.operators.Embed.hashedTfIdf]]'s (doc, bucket) table over any
+    * (doc_id, text) relation: tf per (doc, feature), df = that table's own
+    * rows per feature, idf on the 1e-3 integer grid with N = |src|, bucket
+    * value = Σ ±idf_q·tf — exact longs end to end. The final CTE is named
+    * `cntName` so the idf flagship twin can drop it in where the plain
+    * `cnt` table went.
+    */
+  private[graft] def embedIdfCntCteFrom(src: String,
+                                        cntName: String = "cnt"): String =
+    s"""itoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
+      |iocc AS (
+      |  SELECT doc_id,
+      |    unnest(list_concat(ts,
+      |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))
+      |      AS f
+      |  FROM itoks),
+      |itf AS MATERIALIZED (
+      |  SELECT doc_id, f, COUNT(*) AS tf FROM iocc GROUP BY doc_id, f),
+      |idf AS MATERIALIZED (
+      |  SELECT f,
+      |    CAST(FLOOR(ln(CAST((SELECT COUNT(*) FROM $src) AS DOUBLE)
+      |        / COUNT(*)) * 1000.0 + 0.5) AS BIGINT)
+      |      AS idf_q
+      |  FROM itf GROUP BY f),
+      |$cntName AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(f), 1, 8))::BIGINT % 64 AS b,
+      |    CAST(SUM(CASE WHEN ('0x' || substring(md5(f), 9, 1))::BIGINT % 2 = 0
+      |             THEN idf_q * tf ELSE -idf_q * tf END) AS BIGINT) AS c
+      |  FROM itf JOIN idf USING (f) GROUP BY doc_id, b)""".stripMargin
 
   /** [[embedCntCte]] over any (doc_id, text) relation — the corpus→index
     * flagship embeds the pretrain gate's survivors, not raw `documents`.

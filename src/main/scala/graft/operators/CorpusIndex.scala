@@ -16,17 +16,85 @@ object CorpusIndex {
   final case class Built(model: Ivf.IvfModel, emb: DataFrame,
                          doomed: DataFrame)
 
+  /** Chunks per document the packed chunk key admits (2²⁰ ≈ 1M — at the
+    * 56-token stride that is ~59 M tokens per document, past any real
+    * document; the previous 1024 cap bit at ~57 k tokens, book-sized).
+    * doc_id · 2²⁰ + chunk_no stays well inside a long until doc_id ~ 8.8
+    * · 10¹².
+    */
+  val MaxChunksPerDoc: Long = 1L << 20
+
+  /** Packed (doc, chunk) → vec_id key for chunk-granular indexes, loudly
+    * guarded: a chunk_no outside [0, 2²⁰) raises instead of silently
+    * aliasing another document's chunk.
+    */
+  def chunkKey(docId: org.apache.spark.sql.Column,
+               chunkNo: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(chunkNo >= MaxChunksPerDoc || chunkNo < 0,
+      raise_error(concat(lit(s"chunk key out of [0, $MaxChunksPerDoc): "),
+        chunkNo.cast("string"))))
+      .otherwise(docId * MaxChunksPerDoc + chunkNo)
+
+  /** CHUNK-granular embeddings — the RAG corpus shape: documents split
+    * into `chunkTokens`-token windows with `overlap` carried tokens
+    * ([[Curation.chunk]]), each window embedded independently
+    * ([[Embed.hashedTf]] — model-free, so chunks of new documents embed
+    * with zero coordination), keyed by the packed [[chunkKey]] so the
+    * result drops into every `embeddings`-shaped consumer. Retrieval over
+    * this table answers "find the passage", not "find the document".
+    *
+    * Scale: chunking multiplies corpus cardinality ~8–16×, which is
+    * exactly why chunk retrieval must run through a PRUNED index
+    * ([[buildChunkIndex]]) rather than a brute-force scan — the chunk
+    * table is the biggest vector table in the system.
+    */
+  def chunkEmbeddings(documents: DataFrame, chunkTokens: Int = 64,
+                      overlap: Int = 8, dim: Int = 64): DataFrame =
+    Embed.hashedTf(
+      Curation.chunk(documents.select("doc_id", "text"), chunkTokens, overlap)
+        .select(chunkKey(col("doc_id"), col("chunk_no")).as("doc_id"),
+          col("chunk_text").as("text")),
+      dim)
+
+  /** The chunk-retrieval flagship: chunk → embed → ONE materialized IVF
+    * index (memoized under `indexKey`, built once per corpus like every
+    * index here) whose probes prune to nprobe/nlist of the chunk table.
+    * Returns (model, chunk embeddings); probe with
+    * `Ivf.probe(model, emb, chunkKey, k, nprobe)` — exhaustive nprobe
+    * equals brute force over chunks (the correctness anchor), partial
+    * nprobe is the scale path.
+    */
+  def buildChunkIndex(indexKey: String, documents: DataFrame,
+                      chunkTokens: Int = 64, overlap: Int = 8,
+                      dim: Int = 64, nlist: Int = 16,
+                      iters: Int = 2): (Ivf.IvfModel, DataFrame) = {
+    val emb = chunkEmbeddings(documents, chunkTokens, overlap, dim)
+    (Ivf.buildIndex(indexKey, emb, nlist, iters), emb)
+  }
+
   /** The `cur_pretrain_index` body: gate → embed → build → SemDeDup inside
     * the index's own lists → tombstone the collapsed near-dups. Replay-safe
     * within a JVM (memoized build; batch-0 re-delete resolves to identical
     * content and no-ops on the ingest marker) and across JVMs (a fresh
     * build overwrites the index root).
+    *
+    * `embed` picks the embedder (and with it the calibrated SemDeDup
+    * `threshold` — the two travel together): the default plain hashed-TF
+    * pairs with ≥ 0.8, where the measured non-dup mass (0.5–0.7, shared
+    * stopword weight) still leaks — measured pair precision 0.26 at sf0.01
+    * against the exact-Jaccard ground truth. The idf-weighted embedder
+    * ([[Embed.hashedTfIdf]] downscaled for the integer-grid quantizer)
+    * drops the non-dup mass to ≤ 0.57 while true near-dups stay ≥ 0.77,
+    * so ≥ 0.65 separates them with margin on both sides — precision AND
+    * recall 1.0 on the same fixture (the `cur_pretrain_index_idf` query;
+    * numbers in BASELINE.md).
     */
   def build(docs0: DataFrame, probe: DataFrame, stateKey: String,
             indexKey: String, threshold: Double = 0.8,
-            scope: graft.CacheScope = graft.CacheScope.global): Built = {
+            scope: graft.CacheScope = graft.CacheScope.global,
+            embed: DataFrame => DataFrame = Embed.hashedTf(_)): Built = {
     val gated = Pretrain.buildState(stateKey, docs0, probe, scope).gated
-    val emb = scope.persist(Embed.hashedTf(gated))
+    val emb = scope.persist(embed(gated))
     val model = Ivf.buildIndex(indexKey, emb)
     val doomed = Dedup
       .nearDupClusters(Dedup.semanticDupPairs(emb, threshold, indexKey),

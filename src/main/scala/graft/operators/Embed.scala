@@ -77,10 +77,24 @@ object Embed {
     * The df table is vocabulary-sized (one distinct + keyed count), the
     * idf join is feature-keyed — both linear; N is one metadata count()
     * (the [[graft.operators.Similarity.autoNlist]] discipline).
+    *
+    * `downscaleBits > 0` rescales every element by 2^-downscaleBits — an
+    * EXACT exponent shift (float keeps the significand while |c| < 2²⁴,
+    * the same envelope as the unscaled form) that leaves every cosine
+    * bit-identical (numerator and denominator scale by the same power of
+    * two, and IEEE rounding commutes with powers of two). Use it when the
+    * vectors feed the integer-grid IVF machinery: raw idf-weighted counts
+    * reach ~5·10⁴ even at sf0.01, and the quantized coarse-score term
+    * v·cq·10³ (cq = v-scale · 10⁶) would overflow 2⁶³ in the 64-term sum
+    * past ~10⁴-scale elements; 2⁻¹⁰ brings a 10⁷-count envelope down to
+    * ~10⁴, keeping the worst-case sum below 10¹⁷.
     */
   def hashedTfIdf(documents: DataFrame, dim: Int = 64,
-                  scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+                  scope: graft.CacheScope = graft.CacheScope.global,
+                  downscaleBits: Int = 0): DataFrame = {
     require(dim > 0, s"dim=$dim must be positive")
+    require(downscaleBits >= 0 && downscaleBits < 30,
+      s"downscaleBits=$downscaleBits out of [0, 30)")
     val n = documents.count()
     val feats = concat(TextAnalysis.tokens(col("text")),
       TextAnalysis.bigrams(col("text")))
@@ -106,7 +120,8 @@ object Embed {
       .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
       .select(col("doc_id").as("vec_id"),
         transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("m"), i), lit(0L)).cast("float"))
+          i => (coalesce(element_at(col("m"), i), lit(0L)).cast("double")
+            / math.pow(2.0, downscaleBits)).cast("float"))
           .as("embedding"))
   }
 

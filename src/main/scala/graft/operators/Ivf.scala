@@ -299,26 +299,77 @@ object Ivf {
   /** Build `nShards` independent IVF indexes over disjoint md5-hash slices
     * of the corpus. Every per-shard artifact is bounded (quantizer ≤ nlist
     * × dim values, trained on its slice only), so NO single driver collect
-    * or broadcast grows with the corpus — the per-shard builds are
-    * independent jobs a production cluster runs in parallel (here a
-    * driver loop, like the BPE merge batches). Total effective centroid
-    * count = nShards × nlist; [[graft.operators.Similarity.autoShardPlan]]
-    * sizes both so list width stays at target through 10¹¹ vectors.
+    * or broadcast grows with the corpus — and since round 10 the per-shard
+    * builds RUN CONCURRENTLY (`parallelism` driver threads submitting
+    * independent Spark jobs — the Verify thread-pool discipline), so the
+    * wall-clock is ≈ max(shard) instead of Σ(shards); at the 10¹¹-scale
+    * plan (746 shards) a sequential loop would serialize 746 independent
+    * jobs. Shard training is hash-seeded exact integer math, so the
+    * results are byte-identical at any parallelism (A/B'd in ScaleProbe
+    * `shardbuild`). Total effective centroid count = nShards × nlist;
+    * [[graft.operators.Similarity.autoShardPlan]] sizes both so list
+    * width stays at target through 10¹¹ vectors.
     */
   def buildShardedIndex(indexKey: String, embeddings: DataFrame,
-                        nShards: Int, nlist: Int = 16,
-                        iters: Int = 2): IvfShardedModel = {
+                        nShards: Int, nlist: Int = 16, iters: Int = 2,
+                        parallelism: Int = 8): IvfShardedModel = {
     require(nShards > 0, s"nShards=$nShards must be positive")
+    require(parallelism > 0, s"parallelism=$parallelism must be positive")
     shardedModels.computeIfAbsent((indexKey, nShards, nlist, iters), _ => {
-      val shards = (0 until nShards).map { sh =>
-        buildIndex(s"$indexKey#shard$sh/$nShards",
-          embeddings.filter(
-            Curation.hashBucket(col("vec_id"), nShards) === sh),
-          nlist, iters)
-      }
-      IvfShardedModel(nShards, shards)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, nShards))
+      try {
+        val futs = (0 until nShards).map { sh =>
+          pool.submit(new java.util.concurrent.Callable[IvfModel] {
+            def call(): IvfModel =
+              buildIndex(s"$indexKey#shard$sh/$nShards",
+                embeddings.filter(
+                  Curation.hashBucket(col("vec_id"), nShards) === sh),
+                nlist, iters)
+          })
+        }
+        IvfShardedModel(nShards, futs.map(_.get()))
+      } finally pool.shutdown()
     })
   }
+
+  /** The shard that owns a vec_id column — the same md5 hash
+    * [[buildShardedIndex]] sliced by, exposed so mutations route to
+    * exactly the index that holds (or will hold) the row.
+    */
+  private def shardOf(vecId: Column, nShards: Int): Column =
+    Curation.hashBucket(vecId, nShards)
+
+  /** Frozen-model append across the sharded layout — each row routed to
+    * its owning shard (the build's own hash law, so a sharded index grown
+    * by appends is indistinguishable from one built on base ∪ batch with
+    * the same per-shard quantizers) and absorbed by the per-shard
+    * [[appendToIndexIdempotent]]: deterministic `ingest-<batchId>` file
+    * names per touched list, so crash replays are no-ops shard by shard.
+    * Cost is O(batch) per shard filter — callers with many shards should
+    * persist the batch first (the streaming sink does).
+    */
+  def appendToShardedIndexIdempotent(model: IvfShardedModel,
+                                     newBatch: DataFrame,
+                                     batchId: Long): Unit =
+    model.shards.zipWithIndex.foreach { case (m, sh) =>
+      appendToIndexIdempotent(m,
+        newBatch.filter(shardOf(col("vec_id"), model.nShards) === sh),
+        batchId)
+    }
+
+  /** DELETE across the sharded layout: ids route to their owning shard by
+    * the build's hash law and land as that shard's per-list tombstones
+    * ([[deleteFromIndex]] — staged-move exactly-once per (shard, batchId),
+    * ids absent from a shard resolve to zero rows). Probes mask deletions
+    * immediately; each shard's next compaction drops them physically.
+    */
+  def deleteFromShardedIndex(model: IvfShardedModel, ids: DataFrame,
+                             batchId: Long): Unit =
+    model.shards.zipWithIndex.foreach { case (m, sh) =>
+      deleteFromIndex(m,
+        ids.filter(shardOf(col("vec_id"), model.nShards) === sh), batchId)
+    }
 
   /** Fan-out probe: each shard answers from its own quantizer and lists
     * (nprobe lists PER SHARD — the distributed-serving contract: shards
@@ -332,6 +383,28 @@ object Ivf {
       .reduce(_ unionByName _)
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
+
+  /** Set-oriented fan-out probe — [[probeAll]] run on every shard (each
+    * shard selects probes with its OWN quantizer and scans only its probed
+    * lists — total candidate work stays |queries| × nprobe/nlist of each
+    * slice) and ONE query-keyed window re-cutting the global top-k from
+    * the ≤ nShards·k per-query survivors. Emits (query_id, vec_id,
+    * cosine, rn); per-query rows equal [[probeSharded]]'s bit-for-bit
+    * (asserted in IvfSpec), and at nprobe = nlist the result is the exact
+    * kNN join (the `ann_knn_sharded_all` oracle). The re-cut window input
+    * is k-bounded per (query, shard) — metadata-sized, never the corpus.
+    */
+  def probeShardedAll(model: IvfShardedModel, queries: DataFrame, k: Int,
+                      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col("vec_id"))
+    model.shards.map(m => probeAll(m, queries, k, nprobe).drop("rn"))
+      .reduce(_ unionByName _)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cosine", "rn")
+  }
 
   /** Per-query centroid ranking, driver-side — the same quantized score
     * [[probe]] uses to pick its lists, factored out so calibration

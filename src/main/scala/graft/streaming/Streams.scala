@@ -607,6 +607,72 @@ object Streams {
       })
   }
 
+  /** [[ivfIngestSink]] for the SHARDED layout — the lifecycle symmetry
+    * the 10¹¹-vector deployment needs (the sharded quantizer is exactly
+    * where such a deployment lives): each micro-batch routes rows to
+    * their owning shard by the build's own md5 hash law and lands
+    * exactly-once per (shard, batchId) via the per-shard
+    * `Ivf.appendToIndexIdempotent` contract — a crash replay finds every
+    * shard's deterministic ingest files present and no-ops shard by
+    * shard. The batch is persisted across the per-shard filters (one
+    * source read per batch, not per shard — scopedBatch releases it);
+    * each shard append runs under its own index lease.
+    */
+  def ivfShardedIngestSink(vectors: DataFrame,
+                           model: graft.operators.Ivf.IvfShardedModel,
+                           checkpointDir: String,
+                           compactAboveFiles: Int = 0): DataStreamWriter[Row] = {
+    val writerId = java.util.UUID.randomUUID().toString
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        val b = graft.CacheScope.global.persist(batch)
+        model.shards.zipWithIndex.foreach { case (m, sh) =>
+          graft.sources.Sinks.withDirLease(batch.sparkSession, m.indexPath,
+            writerId) {
+            graft.operators.Ivf.appendToIndexIdempotent(m,
+              b.filter(graft.operators.Curation
+                .hashBucket(col("vec_id"), model.nShards) === sh),
+              batchId)
+            if (compactAboveFiles > 0)
+              graft.operators.Ivf.compactLists(batch.sparkSession, m.indexPath,
+                maxFilesPerList = compactAboveFiles)
+          }
+          ()
+        }
+      })
+  }
+
+  /** [[embedIngestSink]] at CHUNK granularity — the streaming half of the
+    * chunk-retrieval flagship: each micro-batch of raw (doc_id, text)
+    * documents chunks, keys and embeds IN-FLIGHT
+    * (`CorpusIndex.chunkEmbeddings` — deterministic chunking + the
+    * model-free embedder, so a crash-replayed batch regenerates
+    * bit-identical chunk vectors and the exactly-once append contract
+    * holds unchanged) and lands in the FROZEN chunk index. Parity in
+    * StreamingSpec: the streamed chunk index equals the frozen-quantizer
+    * assignment of the batch build.
+    */
+  def chunkEmbedIngestSink(documents: DataFrame,
+                           model: graft.operators.Ivf.IvfModel,
+                           checkpointDir: String,
+                           compactAboveFiles: Int = 0): DataStreamWriter[Row] = {
+    val writerId = java.util.UUID.randomUUID().toString
+    documents.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.withDirLease(batch.sparkSession, model.indexPath,
+          writerId) {
+          graft.operators.Ivf.appendToIndexIdempotent(model,
+            graft.operators.CorpusIndex.chunkEmbeddings(batch), batchId)
+          if (compactAboveFiles > 0)
+            graft.operators.Ivf.compactLists(batch.sparkSession, model.indexPath,
+              maxFilesPerList = compactAboveFiles)
+        }
+        ()
+      })
+  }
+
   /** Streaming takedown sink — the DELETE verb's streaming form, closing
     * the index lifecycle loop (ingest / probe / delete all drivable from
     * streams): each micro-batch of (vec_id) rows is applied with

@@ -81,6 +81,32 @@ class EmbedSpec extends SparkSpec {
     assert(vecs(1L) === expected.toSeq)
   }
 
+  test("hashedTfIdf downscaleBits: exact 2^-k element scale, cosine bit-identical") {
+    val raw = Embed.hashedTfIdf(docs, dim = 32)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    val sc = Embed.hashedTfIdf(docs, dim = 32, downscaleBits = 10)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    assert(sc.keySet === raw.keySet)
+    // every element is EXACTLY the raw value / 1024 (exponent shift — the
+    // float significand is unchanged while |c| < 2^24)
+    sc.foreach { case (id, v) =>
+      assert(v === raw(id).map(_ / 1024.0f), s"vec $id")
+    }
+    // and cosine between any two docs is bit-identical on both scales
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val ids = raw.keySet.toSeq.sorted.take(20)
+    for (i <- ids; j <- ids if i < j)
+      assert(java.lang.Double.compare(
+        cos(raw(i), raw(j)), cos(sc(i), sc(j))) === 0, s"pair ($i, $j)")
+  }
+
   test("generated vectors drive the IVF index end-to-end (self-fed ANN)") {
     val emb = Embed.hashedTf(docs)
     val model = Ivf.buildIndex(sfDir + "#embed", emb, nlist = 8)

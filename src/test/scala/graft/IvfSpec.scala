@@ -344,4 +344,38 @@ class IvfSpec extends SparkSpec {
     assert(per <= 65536 && sh.toLong * per >= 100000000000L / 2048L)
     assert(Similarity.autoShardPlan(500L) === ((1, 8)))
   }
+
+  test("sharded lifecycle: set-probe ≡ per-query fan-out; routed append/delete ≡ single-index verbs") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val m = Ivf.buildShardedIndex(sfDir + "#shardlife", base,
+      nShards = 3, nlist = 4)
+    // probeShardedAll equals the single-query fan-out bit-for-bit
+    val qs = emb.filter($"vec_id" < 8)
+    val all = Ivf.probeShardedAll(m, qs, 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val single = qs.select("vec_id").as[Long].collect().sorted.toSeq.flatMap { q =>
+      Ivf.probeSharded(m, emb, q, 5, nprobe = 2)
+        .as[(Long, Double)].collect().toSeq.zipWithIndex
+        .map { case ((v, c), i) => (q, v, c, i + 1) }
+    }
+    assert(all === single)
+    // routed idempotent append: replay is a no-op, content = base ∪ batch
+    Ivf.appendToShardedIndexIdempotent(m, batch, batchId = 7L)
+    Ivf.appendToShardedIndexIdempotent(m, batch, batchId = 7L)
+    assert(m.shards.map(s => spark.read.parquet(s.indexPath).count()).sum
+      === emb.count())
+    val probed = Ivf.probeSharded(m, emb, 0L, 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val exact = Similarity.topK(emb, 0L, 10).as[(Long, Double)].collect().toSeq
+    assert(probed === exact)
+    // routed delete: probes mask the ids immediately, across shards
+    val doomed = emb.filter($"vec_id" % 7 === 1).select("vec_id")
+    Ivf.deleteFromShardedIndex(m, doomed, batchId = 8L)
+    val after = Ivf.probeSharded(m, emb, 0L, 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val exactLive = Similarity.topK(emb.filter($"vec_id" % 7 =!= 1), 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(after === exactLive)
+  }
 }

@@ -739,6 +739,81 @@ class StreamingSpec extends SparkSpec {
     assert(probed === exact)
   }
 
+  test("sharded streaming ingest routes rows to owning shards (≡ sharded batch build)") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val model = graft.operators.Ivf.buildShardedIndex(sfDir + "#shing",
+      base, nShards = 3, nlist = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shing-c").toString
+    val rows = batch.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.ivfShardedIngestSink(
+      input.toDF().toDF("vec_id", "embedding"), model, ckpt).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    // per shard: stored rows == the frozen assignment of that shard's
+    // hash slice of base ∪ batch (routing law = the build's own)
+    model.shards.zipWithIndex.foreach { case (m, sh) =>
+      val slice = emb.filter(graft.operators.Curation
+        .hashBucket($"vec_id", model.nShards) === sh)
+      val stored = spark.read.parquet(m.indexPath)
+        .select($"vec_id", $"list".cast("int").as("list"))
+      val expected = graft.operators.Ivf.index(slice, m.centroids)
+        .select($"vec_id", $"list")
+      assert(stored.exceptAll(expected).isEmpty, s"shard $sh extra rows")
+      assert(expected.exceptAll(stored).isEmpty, s"shard $sh missing rows")
+    }
+    // exhaustive fan-out over the grown sharded index ≡ brute force
+    val probed = graft.operators.Ivf.probeSharded(model, emb, 0L, 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val exact = graft.operators.Similarity.topK(emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(probed === exact)
+  }
+
+  test("streamed documents chunk + embed in-flight and grow the chunk index") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val (model, _) = graft.operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#chunking", base, nlist = 8)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ching-c").toString
+    val rows = batch.as[(Long, String)].collect().toSeq
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.chunkEmbedIngestSink(
+      input.toDF().toDF("doc_id", "text"), model, ckpt).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    // streamed chunk index == one frozen assignment of chunkEmbed(base ∪ batch)
+    val embAll = graft.operators.CorpusIndex.chunkEmbeddings(docs)
+    val stored = spark.read.parquet(model.indexPath)
+      .select($"vec_id", $"list".cast("int").as("list"))
+    val expected = graft.operators.Ivf.index(embAll, model.centroids)
+      .select($"vec_id", $"list")
+    assert(stored.exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(stored).isEmpty)
+    // chunk-granular retrieval sees the streamed documents' chunks exactly
+    val probed = graft.operators.Ivf.probe(model, embAll, 0L, 10, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val exact = graft.operators.Similarity.topK(embAll, 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(probed === exact)
+  }
+
   test("a second concurrent ingest writer on one index fails safe (lease)") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
