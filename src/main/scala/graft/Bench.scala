@@ -22,15 +22,21 @@ object Bench {
     // headline whipsawed 0.916 → 1.193 s/q on identical code). If the host
     // is loaded, wait — bounded, then proceed anyway and stamp how long we
     // waited — so the one number the judge reads is an idle-host number
-    // whenever idleness is achievable inside the budget.
+    // whenever idleness is achievable inside the budget. Since round 10 the
+    // gate re-checks BEFORE EVERY PASS, not just at startup (round 9's run
+    // gated pass 0 at load 0.98 and then ran passes 2-3 at load 5+ —
+    // min-of-3 degenerated to min-of-1); the wait budget is shared across
+    // all gates so a permanently-loaded host still terminates.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "1.0").toDouble
     val gateBudgetSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "900").toInt
     var gateWaited = 0
-    while (osBean.getSystemLoadAverage > maxLoad && gateWaited < gateBudgetSec) {
-      System.err.println(
-        f"[bench] load ${osBean.getSystemLoadAverage}%.2f > $maxLoad%.1f — waiting (${gateWaited}s/${gateBudgetSec}s)")
-      Thread.sleep(30000); gateWaited += 30
-    }
+    def gate(tag: String): Unit =
+      while (osBean.getSystemLoadAverage > maxLoad && gateWaited < gateBudgetSec) {
+        System.err.println(
+          f"[bench] $tag: load ${osBean.getSystemLoadAverage}%.2f > $maxLoad%.1f — waiting (${gateWaited}s/${gateBudgetSec}s)")
+        Thread.sleep(30000); gateWaited += 30
+      }
+    gate("start")
     val loadStart = osBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -86,7 +92,10 @@ object Bench {
     // host band from regression without a judge re-derivation
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val samples: Map[String, Seq[Double]] =
-      (1 to passes).flatMap { _ =>
+      (1 to passes).flatMap { p =>
+        // re-gate at every pass boundary (shared budget), THEN record the
+        // load the pass actually starts under
+        if (p > 1) gate(s"pass $p")
         passLoads += osBean.getSystemLoadAverage
         ordered.map { case (n, fn) => n -> timeOnce(n, fn) }
       }.groupMap(_._1)(_._2).view.mapValues(_.flatten.sorted).toMap

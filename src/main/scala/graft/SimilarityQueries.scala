@@ -54,6 +54,18 @@ object SimilarityQueries {
       operators.Ivf.probe(model, emb, 0L, 10, nprobe = 4)
     }),
 
+    // HYBRID retrieval — reciprocal-rank fusion of the dense top-20
+    // (hashed-TF cosine) and the sparse top-20 (BM25 over the same
+    // corpus), rrf = Σ 1/(60+rank), re-cut to 10. The standard hybrid-RAG
+    // ranking; both rank lists and the fusion arithmetic are
+    // deterministic, so the twin replays everything.
+    "ann_hybrid_topk" -> ((s, dir) => {
+      import s.implicits._
+      operators.Bm25.hybridTopKAll(Tables.documents(s, dir),
+          Seq(0L).toDF("query_id"), 10)
+        .orderBy("query_id", "rn")
+    }),
+
     // REBALANCE under the gate: list splits are content-preserving, so an
     // EXHAUSTIVE probe over the rebalanced index must equal brute-force
     // top-k bit-for-bit (shares ann_topk's exact-cosine twin) — the same
@@ -2280,6 +2292,39 @@ object SimilarityQueries {
     // any row lost/duplicated by shard routing, per-shard probeAll, or
     // the global re-cut breaks the hash
     "ann_knn_sharded_all" -> knnSql,
+
+    // hybrid-fusion twin: BM25 chain (shared bm25Ctes) ranked to 20, the
+    // sparse-exact cosine ranked to 20 (NULLS LAST — the zero-norm law),
+    // full-outer fused by 1/(60+rank) sums, global re-cut to 10
+    "ann_hybrid_topk" ->
+      s"""WITH ${TextQueries.embedCntCte},
+         |${TextQueries.bm25Ctes()},
+         |hbr AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS brn FROM bsc),
+         |hb AS (SELECT doc_id, brn FROM hbr WHERE brn <= 20),
+         |hqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM cnt WHERE doc_id = 0),
+         |hdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e LEFT JOIN hqd q ON e.b = q.b
+         |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
+         |hqn AS (SELECT SUM(qc * qc) AS qn2 FROM hqd),
+         |hvr AS (SELECT doc_id, ROW_NUMBER() OVER (
+         |    ORDER BY dot / NULLIF(sqrt(n2) * sqrt(qn2), 0) DESC NULLS LAST,
+         |      doc_id) AS vrn
+         |  FROM hdots, hqn),
+         |hv AS (SELECT doc_id, vrn FROM hvr WHERE vrn <= 20),
+         |hf AS (
+         |  SELECT COALESCE(hv.doc_id, hb.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60 + hv.vrn), 0) + COALESCE(1.0 / (60 + hb.brn), 0)
+         |      AS rrf
+         |  FROM hv FULL OUTER JOIN hb ON hv.doc_id = hb.doc_id)
+         |SELECT CAST(0 AS BIGINT) AS query_id, doc_id, rrf, rn FROM (
+         |  SELECT doc_id, rrf,
+         |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+         |  FROM hf)
+         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
 
     // range-unnest index twin (this DuckDB lacks WITH ORDINALITY); CAST the
     // integer SUM back to BIGINT (DuckDB SUM → HUGEINT) and mirror the

@@ -235,6 +235,21 @@ object TextQueries {
         .orderBy("piece")
     }),
 
+    // Soft-EM ITERATED — Kudo's algorithm runs prune rounds to
+    // convergence; this is the mechanical 2-round composition (round 2's
+    // E-step re-segments under round 1's re-scored vocabulary). The twin
+    // chains two full soft replays in one WITH clause (round 2's CTEs
+    // prefixed, its voc built from round 1's kept3/tot3).
+    "text_unigram_em_soft2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = operators.Unigram.trainVocab(docs, topMulti = 60)
+      val r1 = operators.Unigram.emRoundSoft(docs, vocab,
+        keepMulti = 40, maxWordLen = 12)
+      operators.Unigram.emRoundSoft(docs, r1, keepMulti = 40, maxWordLen = 12)
+        .select("piece", "use_q", "score_q")
+        .orderBy("piece")
+    }),
+
     // Native text→vector: hashing-trick document embeddings (signed
     // unigram+bigram counts in md5 buckets — the stage that makes the ANN
     // stack self-feeding instead of fixture-fed). The gate projects every
@@ -254,7 +269,19 @@ object TextQueries {
         .select(col("vec_id"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"))
-        .orderBy("vec_id", "dim"))
+        .orderBy("vec_id", "dim")),
+
+    // BM25 lexical retrieval (k1=1.2, b=0.75, Lucene idf on the 1e-3
+    // grid, per-term contributions quantized to exact longs): doc 0's
+    // distinct tokens as the query, top-10 of the rest by the integer
+    // score sum. The sparse/lexical twin of ann_topk_embed — and the
+    // second leg of ann_hybrid_topk's fusion.
+    "text_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      operators.Bm25.topKAll(Tables.documents(s, dir),
+          Seq(0L).toDF("query_id"), 10)
+        .orderBy("query_id", "rn")
+    })
   )
 
   private val bpeRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -425,56 +452,61 @@ object TextQueries {
   // quantized softmax / integer-grid expectation chain mirrors
   // Unigram.emRoundSoft step for step (same grids, same div semantics —
   // DuckDB's // and Spark's `div` both floor on non-negative operands).
-  private def unigramSoftCtes(maxLen: Int, keepMulti: Int): String = {
+  // `p` prefixes every CTE the round defines and `vocName` picks its
+  // vocabulary, so two rounds can chain inside ONE WITH clause (the
+  // 2-round convergence twin): round 2 reads a voc built from round 1's
+  // kept3/tot3.
+  private def unigramSoftCtes(maxLen: Int, keepMulti: Int,
+                              p: String = "", vocName: String = "voc"): String = {
     val steps = (1 to maxLen).map { t =>
-      s"""q$t AS MATERIALIZED (
+      s"""${p}q$t AS MATERIALIZED (
         SELECT c.word, c.j + c.pl AS j, c.lw + v.score_q AS lw,
           list_append(c.ps, c.piece) AS ps
         FROM (
           SELECT word, j, lw, ps, pl,
             word[CAST(j + 1 AS INT):CAST(j + pl AS INT)] AS piece
-          FROM q${t - 1}, (SELECT unnest(range(1, 5)) AS pl) ls
+          FROM ${p}q${t - 1}, (SELECT unnest(range(1, 5)) AS pl) ls
           WHERE j < len(word) AND pl <= len(word) - j) c
-        JOIN voc v ON v.piece = c.piece)"""
+        JOIN $vocName v ON v.piece = c.piece)"""
     }
     val allUnion = (1 to maxLen)
-      .map(t => s"SELECT word, lw, ps FROM q$t WHERE j = len(word)")
+      .map(t => s"SELECT word, lw, ps FROM ${p}q$t WHERE j = len(word)")
       .mkString("\n      UNION ALL\n      ")
-    s"""q0 AS MATERIALIZED (
+    s"""${p}q0 AS MATERIALIZED (
       SELECT word, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS lw,
         CAST([] AS VARCHAR[]) AS ps
       FROM (SELECT DISTINCT word FROM wf)),
     ${steps.mkString(",\n    ")},
-    allp AS MATERIALIZED (
+    ${p}allp AS MATERIALIZED (
       $allUnion),
-    mxq AS (SELECT word, MAX(lw) AS m FROM allp GROUP BY word),
-    rwq AS MATERIALIZED (
+    ${p}mxq AS (SELECT word, MAX(lw) AS m FROM ${p}allp GROUP BY word),
+    ${p}rwq AS MATERIALIZED (
       SELECT a.word, a.ps,
         CAST(FLOOR(exp(CAST(a.lw - m.m AS DOUBLE) / 1000000000.0)
           * 1000000000.0 + 0.5) AS BIGINT) AS r
-      FROM allp a JOIN mxq m USING (word)),
-    zq AS (SELECT word, CAST(SUM(r) AS BIGINT) AS z FROM rwq GROUP BY word),
-    nq AS (
+      FROM ${p}allp a JOIN ${p}mxq m USING (word)),
+    ${p}zq AS (SELECT word, CAST(SUM(r) AS BIGINT) AS z FROM ${p}rwq GROUP BY word),
+    ${p}nq AS (
       SELECT word, piece, CAST(SUM(r) AS BIGINT) AS n
-      FROM (SELECT word, unnest(ps) AS piece, r FROM rwq)
+      FROM (SELECT word, unnest(ps) AS piece, r FROM ${p}rwq)
       GROUP BY word, piece),
-    eqq AS (
-      SELECT nq.word, piece,
+    ${p}eqq AS (
+      SELECT ${p}nq.word, piece,
         CAST((n * 100000 + z // 2) // z AS BIGINT) AS e
-      FROM nq JOIN zq USING (word)),
-    uq AS MATERIALIZED (
+      FROM ${p}nq JOIN ${p}zq USING (word)),
+    ${p}uq AS MATERIALIZED (
       SELECT piece, CAST(SUM(wf.freq * e) AS BIGINT) AS use_q
-      FROM eqq JOIN wf USING (word) GROUP BY piece),
-    sing3 AS (
+      FROM ${p}eqq JOIN wf USING (word) GROUP BY piece),
+    ${p}sing3 AS (
       SELECT v.piece, COALESCE(u.use_q, CAST(0 AS BIGINT)) AS use_q
-      FROM voc v LEFT JOIN uq u USING (piece) WHERE len(v.piece) = 1),
-    mult3 AS (
-      SELECT piece, use_q FROM uq WHERE len(piece) > 1
+      FROM $vocName v LEFT JOIN ${p}uq u USING (piece) WHERE len(v.piece) = 1),
+    ${p}mult3 AS (
+      SELECT piece, use_q FROM ${p}uq WHERE len(piece) > 1
       ORDER BY use_q DESC, piece LIMIT $keepMulti),
-    kept3 AS (SELECT * FROM sing3 UNION ALL SELECT * FROM mult3),
-    tot3 AS (
+    ${p}kept3 AS (SELECT * FROM ${p}sing3 UNION ALL SELECT * FROM ${p}mult3),
+    ${p}tot3 AS (
       SELECT CAST(SUM(use_q) + COUNT(*) * 100000 AS BIGINT) AS total
-      FROM kept3)"""
+      FROM ${p}kept3)"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -499,6 +531,22 @@ object TextQueries {
                / CAST(total AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
              AS score_q
          FROM kept3, tot3 ORDER BY piece""",
+
+    "text_unigram_em_soft2" ->
+      s"""WITH $unigramVocabCtes,
+         ${unigramSoftCtes(12, 40)},
+         voc2 AS MATERIALIZED (
+           SELECT piece,
+             CAST(FLOOR(ln(CAST(use_q + 100000 AS DOUBLE)
+                 / CAST(total AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+               AS score_q
+           FROM kept3, tot3),
+         ${unigramSoftCtes(12, 40, "r2", "voc2")}
+         SELECT piece, use_q,
+           CAST(FLOOR(ln(CAST(use_q + 100000 AS DOUBLE)
+               / CAST(total AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+             AS score_q
+         FROM r2kept3, r2tot3 ORDER BY piece""",
 
     "text_unigram_tokens" ->
       s"""WITH $unigramVocabCtes,
@@ -888,7 +936,16 @@ object TextQueries {
         |  CAST(COALESCE(icnt.c, 0) AS REAL) AS v
         |FROM igrid g LEFT JOIN icnt ON g.doc_id = icnt.doc_id
         |  AND g.dim = icnt.b
-        |ORDER BY vec_id, dim""".stripMargin
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    // BM25 twin: the full scoring-chain replay (bm25Ctes) + the rank cut.
+    "text_bm25_topk" ->
+      s"""WITH ${bm25Ctes()}
+        |SELECT CAST(0 AS BIGINT) AS query_id, doc_id, score_q, rn FROM (
+        |  SELECT doc_id, score_q,
+        |    ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+        |  FROM bsc)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin
   )
 
   /** Shared replay of [[graft.operators.Embed.hashedTf]]'s (doc, bucket)
@@ -899,6 +956,49 @@ object TextQueries {
     * as "null").
     */
   private[graft] def embedCntCte: String = embedCntCteFrom("documents")
+
+  /** Shared replay of [[graft.operators.Bm25.topKAll]]'s scoring chain
+    * ending in `bsc(doc_id, score_q)` — postings, doc lengths, the
+    * (N, Σdl) stats row, 1e-3-grid Lucene idf, the query doc's distinct
+    * terms, and the exact-integer per-document score sum (every FLOOR
+    * input is a fixed IEEE tree over exact integers; the 2.2/0.3/0.9
+    * constants are literals on both sides — see the Bm25 scaladoc).
+    * Used by text_bm25_topk and the hybrid-fusion twin.
+    */
+  private[graft] def bm25Ctes(src: String = "documents",
+                              queryDocId: Long = 0L): String =
+    s"""btf AS MATERIALIZED (
+      |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM $src)
+      |  GROUP BY doc_id, t),
+      |bdl AS MATERIALIZED (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM btf GROUP BY doc_id),
+      |bstats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl
+      |  FROM bdl),
+      |bavg AS (SELECT CAST(sdl AS DOUBLE) / n AS avgdl FROM bstats),
+      |bidf AS MATERIALIZED (
+      |  SELECT t,
+      |    CAST(FLOOR(ln(1.0 + (CAST((SELECT n FROM bstats) AS DOUBLE)
+      |        - CAST(COUNT(*) AS DOUBLE) + 0.5)
+      |        / (CAST(COUNT(*) AS DOUBLE) + 0.5))
+      |      * 1000.0 + 0.5) AS BIGINT) AS idf_q
+      |  FROM btf GROUP BY t),
+      |bq AS (SELECT DISTINCT t FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM $src
+      |  WHERE doc_id = $queryDocId)),
+      |bsc AS MATERIALIZED (
+      |  SELECT f.doc_id,
+      |    CAST(SUM(CAST(FLOOR(CAST(i.idf_q * f.tf AS DOUBLE) * 2.2
+      |      / (CAST(f.tf AS DOUBLE) + 0.3
+      |         + 0.9 * (CAST(d.dl AS DOUBLE) / (SELECT avgdl FROM bavg)))
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+      |  FROM btf f
+      |  JOIN bq USING (t)
+      |  JOIN bidf i USING (t)
+      |  JOIN bdl d ON d.doc_id = f.doc_id
+      |  WHERE f.doc_id <> $queryDocId
+      |  GROUP BY f.doc_id)""".stripMargin
 
   /** [[embedCntCteFrom]]'s idf-weighted sibling — the shared replay of
     * [[graft.operators.Embed.hashedTfIdf]]'s (doc, bucket) table over any

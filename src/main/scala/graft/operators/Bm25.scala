@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps
+
+/** BM25 lexical retrieval + hybrid (reciprocal-rank) fusion — the text-side
+  * retrieval twin of the ANN stack, closing the standard hybrid-RAG pair:
+  * sparse lexical ranking for exact-term intent, dense cosine for
+  * paraphrase, fused by reciprocal rank (Cormack et al. 2009, the
+  * score-free fusion that needs no cross-model calibration).
+  *
+  * Scoring is Robertson/Spärck-Jones BM25 with Lucene's non-negative idf,
+  * at the standard k1 = 1.2, b = 0.75 (the derived constants 2.2 / 0.3 /
+  * 0.9 are literals on BOTH engine sides — computing k1+1 at runtime can
+  * land a half-ulp off the literal and flip a floor):
+  *
+  *   score(D, Q) = Σ_{t ∈ Q} idf(t) · tf·2.2 / (tf + 0.3 + 0.9·dl/avgdl)
+  *   idf(t)      = ln(1 + (N − df + 0.5) / (df + 0.5))
+  *
+  * DETERMINISM — the repo's integer-grid discipline: idf is quantized to
+  * the 1e-3 grid (⌊ln(·)·1000 + 0.5⌋, one transcendental absorbed by the
+  * grid — the [[Embed.hashedTfIdf]] law), each (doc, term) contribution is
+  * quantized to a long on the 1e-3 score grid (every floor input is a
+  * fixed tree of IEEE ops over exact integers — tf, dl, df are counts,
+  * avgdl is one double division of two exact longs — identical in any
+  * IEEE-754 engine), and the document score is an exact integer sum of
+  * those longs. DuckDB replays the whole chain (TextQueries.bm25Ctes).
+  *
+  * Scale: postings = one explode + one map-side-combined (doc, term)
+  * count; df/dl fall out of the same table; N and Σdl are one metadata
+  * aggregate; scoring joins postings against the (broadcast-small) query
+  * term set, so candidate work is Σ_t df(t) over QUERY terms only — the
+  * inverted-index access pattern, never a corpus×query scan. The ranking
+  * window is query-keyed (WindowGroupLimit: ≤ k rows per query per
+  * partition survive the shuffle).
+  */
+object Bm25 {
+
+  /** Per-(query, document) BM25 top-k over whitespace tokens: queries are
+    * corpus documents named by `queryIds` (query_id), their DISTINCT
+    * tokens form Q, and every other document containing ≥ 1 query term is
+    * ranked. Emits (query_id, doc_id, score_q, rn) — score_q on the 1e-3
+    * integer grid, ties toward the lower doc_id.
+    */
+  def topKAll(documents: DataFrame, queryIds: DataFrame, k: Int,
+              scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val toks = split(col("text"), " ")
+    // the postings table — reused by df, dl and the scoring join
+    val tf = scope.persist(documents
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl")).head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val idf = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .select(col("t"), floor(
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast("double")
+          + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+          * 1000.0 + 0.5).cast("long").as("idf_q"))
+    val qterms = documents
+      .select(col("doc_id").as("query_id"), explode(toks).as("t"))
+      .join(queryIds.select("query_id"), "query_id")
+      .select("query_id", "t").distinct()
+    val scored = tf.join(qterms, "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(idf, "t")
+      .join(dl, "doc_id")
+      .withColumn("term_q", floor(
+        (col("idf_q") * col("tf")).cast("double") * lit(2.2)
+          / (col("tf").cast("double") + lit(0.3)
+            + lit(0.9) * (col("dl").cast("double") / lit(avgdl))) + 0.5)
+        .cast("long"))
+      .groupBy("query_id", "doc_id").agg(sum("term_q").as("score_q"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score_q"), col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "doc_id", "score_q", "rn")
+  }
+
+  /** Hybrid retrieval — reciprocal-rank fusion of the BM25 top-`poolK`
+    * and the dense-cosine top-`poolK` (over [[Embed.hashedTf]] vectors of
+    * the same corpus): rrf = Σ_side 1/(60 + rank), a document absent from
+    * a side contributing 0 (the standard RRF with the canonical k = 60).
+    * Emits (query_id, doc_id, rrf, rn). Both rank lists are deterministic
+    * (score/cosine desc, doc_id ties; zero-norm cosine → NULL, ranked
+    * last — the Similarity.topK law), and rrf is a sum of two
+    * exactly-reproducible doubles, so the fusion itself is oracle-stable.
+    *
+    * Scale: the fused window input is ≤ 2·poolK rows per query; the heavy
+    * legs are the two retrievals, each with its own scale path (pruned
+    * index probes for dense, postings join for sparse) — fusion adds one
+    * k-bounded join, nothing corpus-sized.
+    */
+  def hybridTopKAll(documents: DataFrame, queryIds: DataFrame, k: Int,
+                    poolK: Int = 20,
+                    scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val bm = topKAll(documents, queryIds, poolK, scope)
+      .select(col("query_id"), col("doc_id"), col("rn").as("brn"))
+    val emb = scope.persist(Embed.hashedTf(documents))
+    val q = emb
+      .join(queryIds.select(col("query_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wv = Window.partitionBy("query_id").orderBy(desc("cosine"), col("doc_id"))
+    val vec = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("cosine",
+        nanvl(VectorOps.cosine(col("embedding"), col("q_emb")),
+          lit(null).cast("double")))
+      .withColumn("vrn", row_number().over(wv))
+      .filter(col("vrn") <= poolK)
+      .select("query_id", "doc_id", "vrn")
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf"), col("doc_id"))
+    vec.join(bm, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("vrn")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("brn")), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "doc_id", "rrf", "rn")
+  }
+}

@@ -220,6 +220,40 @@ class UnigramSpec extends SparkSpec {
     assert(singles.subsetOf(got.keySet))
   }
 
+  test("two soft-EM rounds equal the reference DP iterated twice") {
+    // the convergence composition: round 2 re-segments under round 1's
+    // re-scored vocabulary; reference = the driver DP + a driver replay of
+    // the M-step (singles kept, top-40 multis by (use desc, piece),
+    // add-one-on-the-1e5-grid smoothed ln re-score)
+    def mstep(usage: Map[String, Long], vocabPieces: Set[String],
+              keepMulti: Int): Map[String, (Long, Long)] = {
+      val singles = vocabPieces.filter(_.length == 1).toSeq
+        .map(p => p -> usage.getOrElse(p, 0L))
+      val multis = usage.filter { case (p, _) => p.length > 1 }
+        .toSeq.sortBy { case (p, u) => (-u, p) }.take(keepMulti)
+      val kept = singles ++ multis
+      val total = kept.map(_._2).sum + kept.size * 100000L
+      kept.map { case (p, u) =>
+        p -> (u, math.floor(
+          math.log((u + 100000L).toDouble / total) * 1e9 + 0.5).toLong)
+      }.toMap
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val vocab = Unigram.trainVocab(docs, topMulti = 60)
+    val wf = graft.operators.Bpe.wordFreqs(docs)
+      .as[(String, Long)].collect().toMap
+    val v1 = vocab.select("piece", "score_q").as[(String, Long)].collect().toMap
+    val ref1 = mstep(refSoftUsage(wf, v1), v1.keySet, 40)
+    val ref2 = mstep(
+      refSoftUsage(wf, ref1.map { case (p, (_, s)) => p -> s }),
+      ref1.keySet, 40)
+    val r1 = Unigram.emRoundSoft(docs, vocab, keepMulti = 40)
+    val got = Unigram.emRoundSoft(docs, r1, keepMulti = 40)
+      .select("piece", "use_q", "score_q").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === ref2)
+  }
+
   test("segmentWords rejects words with characters missing from the vocab") {
     val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
     val vocab = Unigram.trainVocab(docs, topMulti = 60)
