@@ -58,6 +58,11 @@ object Verify {
       .map { case (name, fn) =>
         pool.submit(new Runnable {
           def run(): Unit = {
+            // install the query identity for the mutation-key tripwire:
+            // a side-effecting index/state dir touched by TWO registered
+            // queries now fails loudly at the mutation site instead of
+            // racing nondeterministically across worker threads
+            MutationGuard.setContext(name)
             val t0 = System.nanoTime()
             try {
               fn(spark, sfDir).coalesce(1).write.mode("overwrite")

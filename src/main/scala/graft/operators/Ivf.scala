@@ -209,9 +209,11 @@ object Ivf {
     * append. NOT idempotent — append each batch exactly once (the memoized
     * [[buildIncremental]] is the replay-safe form).
     */
-  def appendToIndex(model: IvfModel, newBatch: DataFrame): Unit =
+  def appendToIndex(model: IvfModel, newBatch: DataFrame): Unit = {
+    graft.MutationGuard.claim(model.indexPath)
     index(newBatch, model.centroids)
       .write.mode("append").partitionBy("list").parquet(model.indexPath)
+  }
 
   private val incModels =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IvfModel]()
@@ -581,6 +583,7 @@ object Ivf {
     * replays after physical drop are self-healing no-ops.
     */
   def deleteFromIndex(model: IvfModel, ids: DataFrame, batchId: Long): Unit = {
+    graft.MutationGuard.claim(model.indexPath)
     val spark = ids.sparkSession
     val resolved = spark.read.parquet(model.indexPath)
       .select(col("vec_id"), col("list"))
@@ -607,6 +610,7 @@ object Ivf {
     */
   def appendToIndexIdempotent(model: IvfModel, newBatch: DataFrame,
                               batchId: Long): Unit = {
+    graft.MutationGuard.claim(model.indexPath)
     // batch-level done marker at the table root: once a batch fully
     // committed, a replay is a no-op even if the MODEL has since evolved
     // (a post-append re-balance moves rows across lists, so the replay's
@@ -672,6 +676,7 @@ object Ivf {
   def compactLists(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                    maxFilesPerList: Int = 8,
                    targetRowsPerFile: Long = 4000000L): Seq[Int] = {
+    graft.MutationGuard.claim(indexPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val stagingRoot = new org.apache.hadoop.fs.Path(indexPath + "__compact_staging")
@@ -740,6 +745,7 @@ object Ivf {
     */
   def rebalanceIndex(spark: org.apache.spark.sql.SparkSession, model: IvfModel,
                      maxRatio: Double = 4.0, iters: Int = 2): IvfModel = {
+    graft.MutationGuard.claim(model.indexPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     // the persisted quantizer is the committed truth: prefer it over the

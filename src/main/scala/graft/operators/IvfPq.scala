@@ -172,9 +172,11 @@ object IvfPq {
     * oracle). NOT idempotent — [[buildIncremental]] is the replay-safe
     * memoized form.
     */
-  def appendToIndex(model: IvfPqModel, newBatch: DataFrame): Unit =
+  def appendToIndex(model: IvfPqModel, newBatch: DataFrame): Unit = {
+    graft.MutationGuard.claim(model.indexPath)
     encode(model, newBatch)
       .write.mode("append").partitionBy("list").parquet(model.indexPath)
+  }
 
   private val incModels =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int, Int), IvfPqModel]()
@@ -201,6 +203,7 @@ object IvfPq {
     */
   def appendToIndexIdempotent(model: IvfPqModel, newBatch: DataFrame,
                               batchId: Long): Unit = {
+    graft.MutationGuard.claim(model.indexPath)
     val staging = model.indexPath + s"__ingest_staging_$batchId"
     encode(model, newBatch).repartition(1)
       .write.mode("overwrite").partitionBy("list").parquet(staging)
@@ -217,6 +220,7 @@ object IvfPq {
     * [[Ivf.compactLists]] over `model.indexPath` physically drops them.
     */
   def deleteFromIndex(model: IvfPqModel, ids: DataFrame, batchId: Long): Unit = {
+    graft.MutationGuard.claim(model.indexPath)
     val spark = ids.sparkSession
     val resolved = spark.read.parquet(model.indexPath)
       .select(col("vec_id"), col("list"))

@@ -142,9 +142,11 @@ object IvfSq {
     * opened, cost tracks the batch. NOT idempotent; see
     * [[appendToIndexIdempotent]].
     */
-  def appendToIndex(model: IvfSqModel, newBatch: DataFrame): Unit =
+  def appendToIndex(model: IvfSqModel, newBatch: DataFrame): Unit = {
+    graft.MutationGuard.claim(model.indexPath)
     encode(model, newBatch)
       .write.mode("append").partitionBy("list").parquet(model.indexPath)
+  }
 
   private val incModels =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), IvfSqModel]()
@@ -166,6 +168,7 @@ object IvfSq {
     */
   def appendToIndexIdempotent(model: IvfSqModel, newBatch: DataFrame,
                               batchId: Long): Unit = {
+    graft.MutationGuard.claim(model.indexPath)
     val staging = model.indexPath + s"__ingest_staging_$batchId"
     encode(model, newBatch).repartition(1)
       .write.mode("overwrite").partitionBy("list").parquet(staging)
@@ -178,6 +181,7 @@ object IvfSq {
     * probed lists; `Ivf.compactLists` physically drops.
     */
   def deleteFromIndex(model: IvfSqModel, ids: DataFrame, batchId: Long): Unit = {
+    graft.MutationGuard.claim(model.indexPath)
     val spark = ids.sparkSession
     val resolved = spark.read.parquet(model.indexPath)
       .select(col("vec_id"), col("list"))

@@ -237,10 +237,12 @@ object Pq {
     * `ann_incremental_pq` oracle). NOT idempotent — append each batch once;
     * [[buildIncremental]] is the replay-safe memoized form.
     */
-  def appendToIndex(model: PqModel, newBatch: DataFrame): Unit =
+  def appendToIndex(model: PqModel, newBatch: DataFrame): Unit = {
+    graft.MutationGuard.claim(model.codesPath)
     newBatch.select(col("vec_id"),
         codesCol(col("embedding"), model.subDim, model.codebooks).as("codes"))
       .write.mode("append").parquet(model.codesPath)
+  }
 
   private val incModels =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), PqModel]()
@@ -268,10 +270,12 @@ object Pq {
     * physically drops the rows and consumes the tombstones. No list
     * resolution needed — the codes table is flat.
     */
-  def deleteFromIndex(model: PqModel, ids: DataFrame, batchId: Long): Unit =
+  def deleteFromIndex(model: PqModel, ids: DataFrame, batchId: Long): Unit = {
+    graft.MutationGuard.claim(model.codesPath)
     graft.sources.Sinks.appendBatchFileIdempotent(
       ids.select("vec_id").distinct(),
       model.codesPath + "__tombstones", s"tombstone-$batchId.parquet")
+  }
 
   private def codesMinusTombstones(spark: org.apache.spark.sql.SparkSession,
                                    model: PqModel): DataFrame = {
@@ -341,6 +345,7 @@ object Pq {
     */
   def appendToIndexIdempotent(model: PqModel, newBatch: DataFrame,
                               batchId: Long): Unit = {
+    graft.MutationGuard.claim(model.codesPath)
     val spark = newBatch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -375,6 +380,7 @@ object Pq {
     */
   def compactCodes(spark: org.apache.spark.sql.SparkSession, model: PqModel,
                    targetRowsPerFile: Long = 4000000L): Long = {
+    graft.MutationGuard.claim(model.codesPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(model.codesPath)

@@ -389,6 +389,7 @@ object Pretrain {
     */
   def absorbBatch(batch0: DataFrame, probe: DataFrame, stateDir: String,
                   batchId: Long): Unit = {
+    graft.MutationGuard.claim(stateDir)
     val spark = batch0.sparkSession
     val fs = fsOf(spark)
     val vdir = s"$stateDir/v$batchId"

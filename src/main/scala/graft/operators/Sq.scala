@@ -179,8 +179,10 @@ object Sq {
     * append the rows; existing part-files stay byte-identical. NOT
     * idempotent; [[appendToIndexIdempotent]] is the replay-safe form.
     */
-  def appendToIndex(model: SqModel, newBatch: DataFrame): Unit =
+  def appendToIndex(model: SqModel, newBatch: DataFrame): Unit = {
+    graft.MutationGuard.claim(model.codesPath)
     encode(model, newBatch).write.mode("append").parquet(model.codesPath)
+  }
 
   private val incModels =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), SqModel]()
@@ -201,10 +203,12 @@ object Sq {
     * tombstone batch files, probes anti-join BEFORE the ADC ranking,
     * [[compactCodes]] physically drops.
     */
-  def deleteFromIndex(model: SqModel, ids: DataFrame, batchId: Long): Unit =
+  def deleteFromIndex(model: SqModel, ids: DataFrame, batchId: Long): Unit = {
+    graft.MutationGuard.claim(model.codesPath)
     graft.sources.Sinks.appendBatchFileIdempotent(
       ids.select("vec_id").distinct(),
       model.codesPath + "__tombstones", s"tombstone-$batchId.parquet")
+  }
 
   private def codesMinusTombstones(spark: org.apache.spark.sql.SparkSession,
                                    model: SqModel): DataFrame = {
@@ -342,6 +346,7 @@ object Sq {
     */
   def appendToIndexIdempotent(model: SqModel, newBatch: DataFrame,
                               batchId: Long): Unit = {
+    graft.MutationGuard.claim(model.codesPath)
     val spark = newBatch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -374,6 +379,7 @@ object Sq {
     */
   def compactCodes(spark: org.apache.spark.sql.SparkSession, model: SqModel,
                    targetRowsPerFile: Long = 4000000L): Long = {
+    graft.MutationGuard.claim(model.codesPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(model.codesPath)
