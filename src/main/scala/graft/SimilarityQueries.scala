@@ -19,10 +19,14 @@ object SimilarityQueries {
     // documents — no fixture vectors anywhere) and exact top-10 cosine runs
     // over the generated vectors. Integer-valued counts make every dot and
     // norm exact in double, so the twin can SUM over the sparse (doc,
-    // bucket) table instead of replaying 64-term chains.
+    // bucket) table instead of replaying 64-term chains. Since round 10
+    // the corpus side reads the MATERIALIZED embedding store (embed once,
+    // retrieve many — identical values, so the compute twin is unchanged;
+    // text_embed remains the embedder's own gate).
     "ann_topk_embed" -> ((s, dir) =>
       Similarity.topK(
-        operators.Embed.hashedTf(Tables.documents(s, dir)), 0L, 10)),
+        operators.Embed.materializedHashedTf(dir + "#embstore",
+          Tables.documents(s, dir)), 0L, 10)),
 
     // CHUNK-level retrieval — the RAG shape: documents chunk into
     // 64-token/8-overlap windows (the cur_pack chunking law), every chunk
@@ -61,8 +65,10 @@ object SimilarityQueries {
     // deterministic, so the twin replays everything.
     "ann_hybrid_topk" -> ((s, dir) => {
       import s.implicits._
-      operators.Bm25.hybridTopKAll(Tables.documents(s, dir),
-          Seq(0L).toDF("query_id"), 10)
+      val docs = Tables.documents(s, dir)
+      operators.Bm25.hybridTopKAll(docs, Seq(0L).toDF("query_id"), 10,
+          embeddings = Some(operators.Embed.materializedHashedTf(
+            dir + "#embstore", docs)))
         .orderBy("query_id", "rn")
     }),
 

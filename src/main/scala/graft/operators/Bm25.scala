@@ -96,10 +96,15 @@ object Bm25 {
     */
   def hybridTopKAll(documents: DataFrame, queryIds: DataFrame, k: Int,
                     poolK: Int = 20,
-                    scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+                    scope: graft.CacheScope = graft.CacheScope.global,
+                    embeddings: Option[DataFrame] = None): DataFrame = {
     val bm = topKAll(documents, queryIds, poolK, scope)
       .select(col("query_id"), col("doc_id"), col("rn").as("brn"))
-    val emb = scope.persist(Embed.hashedTf(documents))
+    // the dense leg serves from a precomputed store when the caller has
+    // one (Embed.materializedHashedTf — identical values, so the twin is
+    // unchanged); falls back to embedding in-flight
+    val emb = scope.persist(
+      embeddings.getOrElse(Embed.hashedTf(documents)))
     val q = emb
       .join(queryIds.select(col("query_id").as("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

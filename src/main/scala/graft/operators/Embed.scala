@@ -125,6 +125,31 @@ object Embed {
           .as("embedding"))
   }
 
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** Materialized embedding store — embed once, retrieve many: the
+    * documents→vectors analog of the materialized IVF lists. A 100 TB
+    * deployment never re-embeds its corpus per query; the embedding table
+    * is a first-class artifact written once and served to every retrieval
+    * consumer (brute-force anchors, index builds, fusion legs). Memoized
+    * per (storeKey, dim) within a process; a fresh process rewrites
+    * (mode overwrite). The embedder is deterministic, so materialization
+    * changes COST only, never results — consumers keep their existing
+    * compute-twin oracles.
+    */
+  def materializedHashedTf(storeKey: String, documents: DataFrame,
+                           dim: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    val path = stores.computeIfAbsent((storeKey, dim), _ => {
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-embstore-" + Ivf.dirToken(storeKey) + s"-$dim").getAbsolutePath
+      hashedTf(documents, dim).write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** ±1 from md5 hex digit 9 of the feature — independent of the bucket
     * digits (chars 1–8), per the hashing-trick construction (the sign hash
     * makes the bucketed inner product an unbiased estimator of the true
