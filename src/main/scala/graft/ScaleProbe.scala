@@ -188,9 +188,10 @@ object ScaleProbe {
     val embedMode = args.headOption.contains("embed")
     val chunkidxMode = args.headOption.contains("chunkidx")
     val shardbuildMode = args.headOption.contains("shardbuild")
+    val retrievalMode = args.headOption.contains("retrieval")
     val mults =
       if (annMode || webMode || lshMode || embedMode || chunkidxMode ||
-        shardbuildMode || args.isEmpty) Seq(1, 10)
+        shardbuildMode || retrievalMode || args.isEmpty) Seq(1, 10)
       else args.toSeq.map(_.toInt)
 
     def blowUp(mult: Int): DataFrame = {
@@ -326,6 +327,40 @@ object ScaleProbe {
       }
       println(s"PROBE shardbuild_identical $same")
       vecs.unpersist()
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("retrieval")) {
+      // `retrieval [mults…]`: decade law of the lexical/hybrid stack —
+      // postings-store build is the linear once-per-corpus cost; the BM25
+      // probe's work is Σ df(t) over QUERY terms (grows with corpus df,
+      // sublinear in practice), and hybrid adds the k-bounded fusion.
+      val ms = args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 10)
+        case x => x
+      }
+      import spark.implicits._
+      for (m <- ms) {
+        val docsPath = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft-probe-docs-$m").getAbsolutePath
+        if (!new java.io.File(docsPath, "_SUCCESS").exists())
+          blowUp(m).select("doc_id", "text")
+            .write.mode("overwrite").parquet(docsPath)
+        val docs = spark.read.parquet(docsPath)
+        val qids = Seq(0L).toDF("query_id")
+        val t0 = System.nanoTime()
+        val post = operators.Bm25.materializedPostings(s"probe-post-$m", docs)
+        println(f"PROBE postings_build    mult=$m%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        val t1 = System.nanoTime()
+        val emb = operators.Embed.materializedHashedTf(s"probe-embst-$m", docs)
+        println(f"PROBE embstore_build    mult=$m%-3d ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+        time("bm25_topk", m,
+          operators.Bm25.topKAll(docs, qids, 10, postings = Some(post)))
+        time("hybrid_topk", m,
+          operators.Bm25.hybridTopKAll(docs, qids, 10,
+            embeddings = Some(emb), postings = Some(post)))
+      }
       spark.stop()
       return
     }

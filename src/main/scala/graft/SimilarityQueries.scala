@@ -68,7 +68,9 @@ object SimilarityQueries {
       val docs = Tables.documents(s, dir)
       operators.Bm25.hybridTopKAll(docs, Seq(0L).toDF("query_id"), 10,
           embeddings = Some(operators.Embed.materializedHashedTf(
-            dir + "#embstore", docs)))
+            dir + "#embstore", docs)),
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
         .orderBy("query_id", "rn")
     }),
 

@@ -278,8 +278,10 @@ object TextQueries {
     // second leg of ann_hybrid_topk's fusion.
     "text_bm25_topk" -> ((s, dir) => {
       import s.implicits._
-      operators.Bm25.topKAll(Tables.documents(s, dir),
-          Seq(0L).toDF("query_id"), 10)
+      val docs = Tables.documents(s, dir)
+      operators.Bm25.topKAll(docs, Seq(0L).toDF("query_id"), 10,
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
         .orderBy("query_id", "rn")
     })
   )

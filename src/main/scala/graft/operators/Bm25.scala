@@ -38,19 +38,45 @@ import graft.functions.VectorOps
   */
 object Bm25 {
 
+  private val postingStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialized postings — the inverted index as a first-class artifact
+    * (the lexical analog of [[Embed.materializedHashedTf]]): the
+    * (doc_id, t, tf) table written once per corpus key and read by every
+    * BM25 consumer (df, dl and the scoring join all derive from it).
+    * Deterministic, so materialization changes cost only, never results.
+    */
+  def materializedPostings(storeKey: String,
+                           documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val path = postingStores.computeIfAbsent(storeKey, _ => {
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-postings-" + Ivf.dirToken(storeKey)).getAbsolutePath
+      documents.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** Per-(query, document) BM25 top-k over whitespace tokens: queries are
     * corpus documents named by `queryIds` (query_id), their DISTINCT
     * tokens form Q, and every other document containing ≥ 1 query term is
     * ranked. Emits (query_id, doc_id, score_q, rn) — score_q on the 1e-3
-    * integer grid, ties toward the lower doc_id.
+    * integer grid, ties toward the lower doc_id. Pass a
+    * [[materializedPostings]] frame to serve from the prebuilt inverted
+    * index instead of re-tokenizing the corpus per probe.
     */
   def topKAll(documents: DataFrame, queryIds: DataFrame, k: Int,
-              scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+              scope: graft.CacheScope = graft.CacheScope.global,
+              postings: Option[DataFrame] = None): DataFrame = {
     val toks = split(col("text"), " ")
     // the postings table — reused by df, dl and the scoring join
-    val tf = scope.persist(documents
+    val tf = postings.getOrElse(scope.persist(documents
       .select(col("doc_id"), explode(toks).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl")).head()
     val nDocs = st.getLong(0)
@@ -97,8 +123,9 @@ object Bm25 {
   def hybridTopKAll(documents: DataFrame, queryIds: DataFrame, k: Int,
                     poolK: Int = 20,
                     scope: graft.CacheScope = graft.CacheScope.global,
-                    embeddings: Option[DataFrame] = None): DataFrame = {
-    val bm = topKAll(documents, queryIds, poolK, scope)
+                    embeddings: Option[DataFrame] = None,
+                    postings: Option[DataFrame] = None): DataFrame = {
+    val bm = topKAll(documents, queryIds, poolK, scope, postings)
       .select(col("query_id"), col("doc_id"), col("rn").as("brn"))
     // the dense leg serves from a precomputed store when the caller has
     // one (Embed.materializedHashedTf — identical values, so the twin is
