@@ -299,6 +299,38 @@ object CurationQueries {
         nprobe = model.centroids.length)
     }),
 
+    // The refresh flagship on the IDF embedder — with the key discipline
+    // the idf upgrade forces: idf is CORPUS-GLOBAL MODEL STATE, so the
+    // refresh freezes the prev corpus's idf table exactly like it freezes
+    // the coarse quantizer (recomputing idf on the grown corpus would
+    // change every unchanged document's vector and corrupt the pair
+    // carry-over). Unseen features in new/edited text carry no weight
+    // (inner join — the frozen-model serving law). The twin recomputes
+    // the whole target state from scratch UNDER THE SAME FROZEN idf (cur
+    // tf ⋈ prev idf), so the hash match proves incremental ≡ full with
+    // frozen embedding state.
+    "cur_pretrain_index_incr_idf" -> ((s, dir) => {
+      val scope = graft.CacheScope.global
+      val prev = Tables.documentsWithClones(s, dir)
+      val cur = prev.filter(col("doc_id") % 70 =!= 3)
+        .withColumn("text", when(col("doc_id") % 30 === 0,
+          concat(col("text"), lit(" qqedit"))).otherwise(col("text")))
+        .unionByName(prev.filter(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 900000L))
+      val probe = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
+      val st = operators.Pretrain.buildState(dir + "#pretrain", prev, probe,
+        scope)
+      val frozenIdf = scope.persist(operators.Embed.idfTable(st.gated))
+      val (model, embCur) = operators.CorpusIndex.refresh(prev, cur, probe,
+        dir + "#pretrain", dir + "#flagidxri", threshold = 0.65,
+        scope = scope,
+        embed = d => operators.Embed.hashedTfIdfFrozen(d, frozenIdf,
+          downscaleBits = 10))
+      operators.Ivf.probe(model, embCur,
+        operators.CorpusIndex.minLiveVecId(model), 10,
+        nprobe = model.centroids.length)
+    }),
+
     // Quality-ranked mixture: same per-source budgets, but each source's
     // budget is filled BEST DOCUMENTS FIRST (4-dp quality, doc_id ties)
     // instead of the uniform hash order — the quality-filtered mixing
@@ -1170,6 +1202,91 @@ object CurationQueries {
          |  JOIN en na ON na.doc_id = aa.vid
          |  JOIN en nb ON nb.doc_id = bb.vid
          |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.8),
+         |sedges AS (
+         |  SELECT va AS s, vb AS d FROM sem
+         |  UNION ALL
+         |  SELECT vb AS s, va AS d FROM sem),
+         |swalk(id, lbl) AS (
+         |  SELECT s, s FROM sedges
+         |  UNION
+         |  SELECT e.s, w2.lbl FROM sedges e JOIN swalk w2 ON w2.id = e.d),
+         |scl AS (SELECT id, MIN(lbl) AS cluster_id FROM swalk GROUP BY id),
+         |surv AS MATERIALIZED (
+         |  SELECT e.vid AS vec_id FROM a2c e
+         |  LEFT JOIN scl ON scl.id = e.vid
+         |  WHERE scl.id IS NULL OR scl.cluster_id = e.vid),
+         |fqid AS (SELECT MIN(vec_id) AS q FROM surv),
+         |fqd AS (
+         |  SELECT b, CAST(c AS DOUBLE) AS qc
+         |  FROM cnt, fqid WHERE doc_id = fqid.q),
+         |fdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e
+         |  LEFT JOIN fqd q ON e.b = q.b
+         |  SEMI JOIN surv ON e.doc_id = surv.vec_id
+         |  WHERE e.doc_id <> (SELECT q FROM fqid)
+         |  GROUP BY e.doc_id),
+         |fqn AS (SELECT SUM(qc * qc) AS qn2 FROM fqd)
+         |SELECT d.doc_id AS vec_id,
+         |  d.dot / NULLIF(sqrt(d.n2) * sqrt(fqn.qn2), 0) AS cosine
+         |FROM fdots d, fqn
+         |ORDER BY cosine DESC NULLS LAST, vec_id
+         |LIMIT 10""".stripMargin,
+
+    // Frozen-idf refresh twin: the incr chain with BOTH embedding sides
+    // idf-weighted — prev vectors by the prev corpus's OWN idf
+    // (pv-prefixed idf chain), cur vectors by THAT SAME FROZEN table (cur
+    // tf ⋈ pvidf — the serving law), both downscaled /1024, quantizer
+    // trained on prev rows, SemDeDup at the idf-calibrated 0.65 over the
+    // integer cnt dots (scale-commute exactness), exhaustive probe.
+    "cur_pretrain_index_incr_idf" ->
+      s"""WITH RECURSIVE ${pretrainGatedCtes("documents2c", curCorpusCte)},
+         |${prefixCtes(pretrainGatedCtes("documents2"), "pv", gatedChainNames)},
+         |${prefixCtes(TextQueries.embedIdfCntCteFrom("pvdocs6"), "pv",
+             Seq("itoks", "iocc", "itf", "idf", "cnt"))},
+         |${TextQueries.embedIdfCntFrozenCteFrom("docs6", "pvidf")},
+         |egrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM docs6)),
+         |pgrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM pvdocs6)),
+         |embeddings AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(CAST(COALESCE(p.c, 0) AS DOUBLE) / 1024.0 AS REAL)
+         |      ORDER BY g.dim) AS embedding
+         |  FROM pgrid g LEFT JOIN pvcnt p ON g.doc_id = p.doc_id
+         |    AND g.dim = p.b
+         |  GROUP BY g.doc_id
+         |  UNION ALL
+         |  SELECT g.doc_id + 50000000 AS vec_id,
+         |    list(CAST(CAST(COALESCE(cnt.c, 0) AS DOUBLE) / 1024.0 AS REAL)
+         |      ORDER BY g.dim) AS embedding
+         |  FROM egrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+         |    AND g.dim = cnt.b
+         |  GROUP BY g.doc_id),
+         |${SimilarityQueries.ivfCoreCtes(16, "vec_id < 50000000")},
+         |a2c AS MATERIALIZED (
+         |  SELECT vec_id - 50000000 AS vid, cid FROM a2
+         |  WHERE vec_id >= 50000000),
+         |edot AS (
+         |  SELECT x.doc_id AS va, y.doc_id AS vb,
+         |    SUM(CAST(x.c AS DOUBLE) * y.c) AS dot
+         |  FROM cnt x JOIN cnt y ON x.b = y.b AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |en AS (
+         |  SELECT doc_id, SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM cnt GROUP BY doc_id),
+         |sem AS (
+         |  SELECT aa.vid AS va, bb.vid AS vb
+         |  FROM a2c aa
+         |  JOIN a2c bb ON aa.cid = bb.cid AND aa.vid < bb.vid
+         |  JOIN edot d ON d.va = aa.vid AND d.vb = bb.vid
+         |  JOIN en na ON na.doc_id = aa.vid
+         |  JOIN en nb ON nb.doc_id = bb.vid
+         |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.65),
          |sedges AS (
          |  SELECT va AS s, vb AS d FROM sem
          |  UNION ALL

@@ -1035,6 +1035,32 @@ object TextQueries {
       |             THEN idf_q * tf ELSE -idf_q * tf END) AS BIGINT) AS c
       |  FROM itf JOIN idf USING (f) GROUP BY doc_id, b)""".stripMargin
 
+  /** [[embedIdfCntCteFrom]] with a FROZEN vocabulary: tf from `src`, idf
+    * from the GIVEN relation `idfRel(f, idf_q)` — the serving form the
+    * incremental refresh twin needs (cur documents weighted by the PREV
+    * corpus's idf; unseen features drop via the inner join, the
+    * frozen-model treatment). Defines itoks/iocc/itf + `cntName`; no idf
+    * CTE of its own.
+    */
+  private[graft] def embedIdfCntFrozenCteFrom(src: String, idfRel: String,
+                                              cntName: String = "cnt"): String =
+    s"""itoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
+      |iocc AS (
+      |  SELECT doc_id,
+      |    unnest(list_concat(ts,
+      |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))
+      |      AS f
+      |  FROM itoks),
+      |itf AS MATERIALIZED (
+      |  SELECT doc_id, f, COUNT(*) AS tf FROM iocc GROUP BY doc_id, f),
+      |$cntName AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(f), 1, 8))::BIGINT % 64 AS b,
+      |    CAST(SUM(CASE WHEN ('0x' || substring(md5(f), 9, 1))::BIGINT % 2 = 0
+      |             THEN idf_q * tf ELSE -idf_q * tf END) AS BIGINT) AS c
+      |  FROM itf JOIN $idfRel USING (f) GROUP BY doc_id, b)""".stripMargin
+
   /** [[embedCntCte]] over any (doc_id, text) relation — the corpus→index
     * flagship embeds the pretrain gate's survivors, not raw `documents`.
     */

@@ -150,18 +150,28 @@ object CorpusIndex {
     * deterministic query id from materialized state alone (replay-stable:
     * later passes skip every derivation above).
     */
+  /** `embed` must satisfy the frozen-model contract the soundness
+    * argument above relies on: embedding a document depends only on ITS
+    * text (plain [[Embed.hashedTf]] trivially does; an idf-weighted
+    * embedder must run against a FROZEN [[Embed.idfTable]] — see
+    * [[Embed.hashedTfIdfFrozen]] — because recomputing idf on the grown
+    * corpus would change every unchanged document's vector and corrupt
+    * the pair carry-over).
+    */
   def refresh(prevDocs: DataFrame, curDocs: DataFrame, probe: DataFrame,
               stateKey: String, indexKey: String, threshold: Double = 0.8,
-              scope: graft.CacheScope = graft.CacheScope.global)
+              scope: graft.CacheScope = graft.CacheScope.global,
+              embed: DataFrame => DataFrame = Embed.hashedTf(_))
       : (Ivf.IvfModel, DataFrame) = {
     val spark = curDocs.sparkSession
     val st = Pretrain.buildState(stateKey, prevDocs, probe, scope)
     val gatedCur = scope.checkpoint(
       Pretrain.gatedIncremental(prevDocs, curDocs, probe, st, scope))
-    val embCur = Embed.hashedTf(gatedCur)
+    val embCur = embed(gatedCur)
     var modelOut: Ivf.IvfModel = null
     refreshed.computeIfAbsent(indexKey, _ => {
-      val b = build(prevDocs, probe, stateKey, indexKey, threshold, scope)
+      val b = build(prevDocs, probe, stateKey, indexKey, threshold, scope,
+        embed)
       val model = b.model
       val doomedPrev = scope.persist(b.doomed)
       val pairsPrev = scope.persist(
@@ -226,7 +236,7 @@ object CorpusIndex {
       ()
     })
     if (modelOut == null)
-      modelOut = Ivf.buildIndex(indexKey, Embed.hashedTf(st.gated))
+      modelOut = Ivf.buildIndex(indexKey, embed(st.gated))
     (modelOut, embCur)
   }
 

@@ -125,6 +125,61 @@ object Embed {
           .as("embedding"))
   }
 
+  /** The (f, idf_q) vocabulary table [[hashedTfIdf]] derives internally,
+    * exposed as a standalone artifact so it can be FROZEN: idf is
+    * corpus-global model state — embedding a grown corpus with a freshly
+    * recomputed idf changes every UNCHANGED document's vector (df shifts),
+    * which would break any incremental contract built on "unchanged text ⇒
+    * unchanged vector" (pair carry-over, frozen-quantizer appends). The
+    * incremental corpus→index refresh therefore freezes this table like it
+    * freezes the coarse quantizer, and re-embeds with
+    * [[hashedTfIdfFrozen]]. Same 1e-3-grid law as [[hashedTfIdf]].
+    */
+  def idfTable(documents: DataFrame): DataFrame = {
+    val n = documents.count()
+    val feats = concat(TextAnalysis.tokens(col("text")),
+      TextAnalysis.bigrams(col("text")))
+    documents
+      .select(col("doc_id"), explode(feats).as("f"))
+      .groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
+      .groupBy("f").agg(count(lit(1)).as("df"))
+      .select(col("f"),
+        floor(log(lit(n.toDouble) / col("df")) * 1000.0 + 0.5)
+          .cast("long").as("idf_q"))
+  }
+
+  /** [[hashedTfIdf]] against a FROZEN idf table (the deployment/serving
+    * form — see [[idfTable]]): each occurrence contributes ±idf_q(f)·tf
+    * from the GIVEN vocabulary; features absent from it carry no weight
+    * (inner join — the standard frozen-model treatment of unseen terms,
+    * deterministic and twin-able). With `idf = idfTable(documents)` this
+    * equals [[hashedTfIdf]] exactly (asserted in EmbedSpec).
+    */
+  def hashedTfIdfFrozen(documents: DataFrame, idf: DataFrame, dim: Int = 64,
+                        downscaleBits: Int = 0): DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
+    require(downscaleBits >= 0 && downscaleBits < 30,
+      s"downscaleBits=$downscaleBits out of [0, 30)")
+    val feats = concat(TextAnalysis.tokens(col("text")),
+      TextAnalysis.bigrams(col("text")))
+    documents
+      .select(col("doc_id"), explode(feats).as("f"))
+      .groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
+      .join(idf, "f")
+      .select(col("doc_id"),
+        Curation.hashBucket(col("f"), dim).as("b"),
+        (signOf(col("f")) * col("idf_q") * col("tf")).as("w"))
+      .groupBy("doc_id", "b")
+      .agg(sum("w").as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (coalesce(element_at(col("m"), i), lit(0L)).cast("double")
+            / math.pow(2.0, downscaleBits)).cast("float"))
+          .as("embedding"))
+  }
+
   private val stores =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 

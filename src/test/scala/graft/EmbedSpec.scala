@@ -107,6 +107,28 @@ class EmbedSpec extends SparkSpec {
         cos(raw(i), raw(j)), cos(sc(i), sc(j))) === 0, s"pair ($i, $j)")
   }
 
+  test("hashedTfIdfFrozen against its own idf table equals hashedTfIdf; frozen idf is text-local") {
+    val a = Embed.hashedTfIdf(docs, dim = 32)
+      .select($"vec_id", $"embedding".cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val idf = Embed.idfTable(docs)
+    val b = Embed.hashedTfIdfFrozen(docs, idf, dim = 32)
+      .select($"vec_id", $"embedding".cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+    // the frozen-model property the refresh relies on: a document's vector
+    // depends only on ITS text — embedding a GROWN corpus with the frozen
+    // table leaves existing documents' vectors bit-identical
+    val grown = docs.unionByName(docs.limit(50)
+      .withColumn("doc_id", $"doc_id" + 700000L)
+      .withColumn("text", concat($"text", lit(" zzunseen"))))
+    val c = Embed.hashedTfIdfFrozen(grown, idf, dim = 32)
+      .filter($"vec_id" < 700000L)
+      .select($"vec_id", $"embedding".cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(c === b)
+  }
+
   test("generated vectors drive the IVF index end-to-end (self-fed ANN)") {
     val emb = Embed.hashedTf(docs)
     val model = Ivf.buildIndex(sfDir + "#embed", emb, nlist = 8)
