@@ -386,6 +386,20 @@ object Ivf {
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
 
+  /** Small-file maintenance across the sharded layout: [[compactIndex]]
+    * per shard (each shard's hot lists fold independently — the same
+    * content-preserving swap, the same tombstone consumption). Returns
+    * (shard, compacted list ids) for the shards that did work.
+    */
+  def compactShardedIndex(spark: org.apache.spark.sql.SparkSession,
+                          model: IvfShardedModel,
+                          maxFilesPerList: Int = 8,
+                          targetRowsPerFile: Long = 4000000L): Seq[(Int, Seq[Int])] =
+    model.shards.zipWithIndex.flatMap { case (m, sh) =>
+      val done = compactIndex(spark, m, maxFilesPerList, targetRowsPerFile)
+      if (done.isEmpty) None else Some((sh, done))
+    }
+
   /** Set-oriented fan-out probe — [[probeAll]] run on every shard (each
     * shard selects probes with its OWN quantizer and scans only its probed
     * lists — total candidate work stays |queries| × nprobe/nlist of each

@@ -452,6 +452,25 @@ object Streams {
           outDir, s"probe-$batchId.parquet")
       })
 
+  /** [[ivfProbeSink]] over the SHARDED layout — the read side of the
+    * sharded streaming story ([[ivfShardedIngestSink]] is the write
+    * side): each micro-batch of query vectors fans out through
+    * `Ivf.probeShardedAll` (per-shard pruned probes + global k-bounded
+    * re-cut) and delivers (query_id, vec_id, cosine, rn) exactly-once via
+    * the same deterministic per-batchId file contract.
+    */
+  def ivfShardedProbeSink(queries: DataFrame,
+                          model: graft.operators.Ivf.IvfShardedModel,
+                          outDir: String, checkpointDir: String,
+                          k: Int = 10, nprobe: Int = 4): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Ivf.probeShardedAll(model, batch, k, nprobe),
+          outDir, s"probe-$batchId.parquet")
+      })
+
   /** Streaming ANN probe over the COMPRESSED index — [[ivfProbeSink]]'s
     * twin for the PQ codes table: each micro-batch of query vectors runs
     * the set-oriented ADC engine ([[graft.operators.Pq.probeAll]], per-

@@ -1079,6 +1079,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SHARDED probe equals the per-query sharded fan-out") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = graft.operators.Ivf.buildShardedIndex(sfDir + "#shprobe",
+      emb, nShards = 3, nlist = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft-shp").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shp-c").toString
+    val rows = emb.filter($"vec_id" < 6)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows.take(3))
+    val q = Streams.ivfShardedProbeSink(
+      input.toDF().toDF("vec_id", "embedding"), model, out, ckpt,
+      k = 5, nprobe = 2).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(3))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(got.keySet === (0L until 6L).toSet)
+    (0L until 6L).foreach { qid =>
+      val batch = graft.operators.Ivf.probeSharded(model, emb, qid, 5, nprobe = 2)
+        .as[(Long, Double)].collect().toSet
+      assert(got(qid) === batch, s"query $qid diverged from the sharded fan-out")
+    }
+    // maintenance symmetry: per-shard compaction is content-preserving
+    graft.operators.Ivf.compactShardedIndex(spark, model, maxFilesPerList = 1)
+    (0L until 6L).foreach { qid =>
+      val after = graft.operators.Ivf.probeSharded(model, emb, qid, 5, nprobe = 2)
+        .as[(Long, Double)].collect().toSet
+      assert(after === got(qid), s"compaction changed query $qid")
+    }
+  }
+
   test("streaming PQ probe equals the batch probe per query") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
