@@ -332,8 +332,56 @@ object EventQueries {
           floor(col("value") * 100.0 + 0.5).cast("long"))
         .withColumnRenamed("est_2dp", "est_cents_2dp")
       users.join(cents, "event_type").orderBy("event_type")
+    }),
+
+    // Count-Min point-frequency estimates (Sketches.cmsSketch): per-type
+    // user-activity counts for the 10 heaviest (type, user) pairs, exact
+    // count next to the sketch estimate. CMS never undercounts (est >=
+    // n_exact on every row); every counter is an exact md5/integer sum, so
+    // the ESTIMATE hash-compares against DuckDB — Spark's own
+    // count_min_sketch() binary blob can only be tolerance-checked.
+    "events_cms" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sketch = operators.Sketches.cmsSketch(ev, "event_type", col("user_id"))
+      cmsProbeReport(ev, sketch)
+    }),
+
+    // The CMS MERGE path under the oracle gate: per-(type, day) sketches
+    // summed into the per-type sketch. Counter addition is lossless by
+    // construction (counts are linear), so the probe report must equal
+    // events_cms EXACTLY — and the twin replays the DIRECT single-level
+    // sketch, proving cross-engine mergeability of stored CMS tables
+    // (write sketches daily, point-query any date range later for free).
+    "events_cms_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = operators.Sketches.cmsSketch(
+        ev.withColumn("event_type",
+          concat_ws("|", col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd"))),
+        "event_type", col("user_id"))
+      val merged = operators.Sketches.cmsMerge(
+        Seq(daily.withColumn("event_type",
+          substring_index(col("event_type"), "|", 1))), "event_type")
+      cmsProbeReport(ev, merged)
     })
   )
+
+  /** Shared tail of the CMS queries: the 10 heaviest (event_type, user)
+    * pairs by exact count (total-order tie-break) point-queried against
+    * `sketch`, exact count and estimate side by side.
+    */
+  private def cmsProbeReport(ev: DataFrame, sketch: DataFrame): DataFrame = {
+    val probes = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("event_type"), col("user_id"))
+      .limit(10)
+    val est = operators.Sketches.cmsLookup(sketch, probes, "event_type",
+        col("user_id"))
+      .withColumnRenamed("cms_key", "user_id")
+    probes.join(est, Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("n_exact"), col("est"))
+      .orderBy("event_type", "user_id")
+  }
 
   /** Seasonal anomaly detection over (event_type, ts) rows: hourly cells
     * scored against the per-(type, hour-of-day) baseline across the whole
@@ -420,7 +468,44 @@ object EventQueries {
        |      / 100.0 AS est
        |  FROM e$sfx)""".stripMargin
 
+  /** Count-Min twin: the DIRECT single-level sketch + probe report. Both
+    * `events_cms` (direct) and `events_cms_rollup` (per-day sketches summed)
+    * hash against this one chain — counter addition is linear, so the
+    * merged sketch IS the direct sketch, and the shared oracle is the
+    * cross-engine losslessness proof. The md5 salt spelling 'cms<h>|<key>'
+    * matches Sketches.cmsCol's concat_ws exactly.
+    */
+  private val cmsSql: String =
+    """WITH ex AS (
+      |  SELECT event_type, user_id, COUNT(*) AS n_exact
+      |  FROM events GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT * FROM ex
+      |  ORDER BY n_exact DESC, event_type, user_id LIMIT 10),
+      |cms AS (
+      |  SELECT event_type, t.h,
+      |    ('0x' || substring(md5('cms' || CAST(t.h AS VARCHAR) || '|'
+      |        || CAST(user_id AS VARCHAR)), 1, 2))::BIGINT AS c,
+      |    COUNT(*) AS cnt
+      |  FROM events CROSS JOIN range(4) AS t(h)
+      |  GROUP BY 1, 2, 3),
+      |pp AS (
+      |  SELECT p.event_type, p.user_id, p.n_exact, t.h,
+      |    ('0x' || substring(md5('cms' || CAST(t.h AS VARCHAR) || '|'
+      |        || CAST(p.user_id AS VARCHAR)), 1, 2))::BIGINT AS c
+      |  FROM probes p CROSS JOIN range(4) AS t(h)),
+      |look AS (
+      |  SELECT pp.event_type, pp.user_id, pp.n_exact,
+      |    MIN(COALESCE(cms.cnt, 0)) AS est
+      |  FROM pp LEFT JOIN cms ON pp.event_type = cms.event_type
+      |    AND pp.h = cms.h AND pp.c = cms.c
+      |  GROUP BY 1, 2, 3)
+      |SELECT event_type, user_id, n_exact, CAST(est AS BIGINT) AS est
+      |FROM look ORDER BY event_type, user_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "events_cms" -> cmsSql,
+    "events_cms_rollup" -> cmsSql,
     // the twin is the DIRECT single-level sketch: Spark folds per-day
     // sketches through hllMerge, DuckDB sketches the whole corpus in one
     // pass — hash equality IS the cross-engine losslessness proof.

@@ -105,4 +105,78 @@ object Sketches {
   /** One-shot per-group approximate distinct count of `key`. */
   def hllDistinct(df: DataFrame, groupCol: String, key: Column): DataFrame =
     hllEstimate(hllSketch(df, groupCol, key), groupCol)
+
+  // ——— Count-Min sketch (Cormode & Muthukrishnan 2005) ———
+  //
+  // The frequency-estimation member of the sketch trio (HLL = distinct,
+  // Misra-Gries = heavy hitters, CMS = point frequencies): d independent
+  // hash rows of w counters; an item increments one counter per row, a
+  // point query reads the MINIMUM of its d counters. Estimates never
+  // undercount (every counter the item touched holds at least its true
+  // count), and overcount is bounded by collisions: P(est > true + e·N/w)
+  // ≤ e^−d. Counters are plain integer sums, so sketches MERGE by adding
+  // registers — per-day sketches roll up to any range losslessly, the same
+  // stored-artifact contract as [[hllSketch]]. Like the HLL, every hash is
+  // the engine-portable md5, so the ESTIMATE itself hash-compares against
+  // DuckDB (Spark's own CountMinSketchAgg binary sketch can only ever be
+  // tolerance-checked).
+  //
+  // Scale: the explode is ×depth before a map-side-combined partial agg;
+  // ≤ depth·[[CmsWidth]] rows per group survive the shuffle regardless of
+  // input size. Lookups are probe-sized joins against that bounded table.
+
+  /** Hash rows (independent md5 salts) and counters per row. Width shares
+    * the HLL's 2-hex-char register index; error bound e·N/512 per row at
+    * depth 4 ⇒ overestimate beyond N/64 has probability < e⁻⁴ ≈ 2%.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Row-h counter index of `key`: 2 hex chars of md5("cms<h>|<key>"). */
+  def cmsCol(key: Column, h: Int): Column =
+    conv(substring(md5(concat_ws("|", lit(s"cms$h"), key.cast("string"))),
+      1, B), 16, 10).cast("int")
+
+  private def cmsEntries(key: Column, depth: Int): Column =
+    array((0 until depth).map(h =>
+      struct(lit(h).as("h"), cmsCol(key, h).as("c"))): _*)
+
+  /** The mergeable sketch: one row per (group, hash row, occupied counter)
+    * with the exact occurrence count. ≤ depth·[[CmsWidth]] rows per group —
+    * write it daily, [[cmsMerge]] any range later, point-query for free.
+    */
+  def cmsSketch(df: DataFrame, groupCol: String, key: Column,
+      depth: Int = CmsDepth): DataFrame =
+    df.filter(key.isNotNull)
+      .select(col(groupCol), explode(cmsEntries(key, depth)).as("hc"))
+      .select(col(groupCol), col("hc.h").as("h"), col("hc.c").as("c"))
+      .groupBy(groupCol, "h", "c")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketches over the same layout: union + per-counter SUM (counts
+    * are linear, so the merge is exactly the sketch of the union — unlike
+    * HLL's max-merge this is lossless by construction, not just for
+    * estimates).
+    */
+  def cmsMerge(sketches: Seq[DataFrame], groupCol: String): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(groupCol, "h", "c")
+      .agg(sum("cnt").as("cnt"))
+
+  /** Point-query `key` of each probe row against the sketch: est = min of
+    * the key's depth counters (an untouched counter row is absent from the
+    * sparse sketch table ⇒ count 0 ⇒ the key was never seen). One
+    * probe-keyed left join against the bounded sketch — never a scan of
+    * the sketched corpus.
+    */
+  def cmsLookup(sketch: DataFrame, probes: DataFrame, groupCol: String,
+      key: Column, depth: Int = CmsDepth): DataFrame = {
+    val keyed = probes.select(col(groupCol), key.as("cms_key"),
+        explode(cmsEntries(key, depth)).as("hc"))
+      .select(col(groupCol), col("cms_key"),
+        col("hc.h").as("h"), col("hc.c").as("c"))
+    keyed.join(sketch, Seq(groupCol, "h", "c"), "left")
+      .groupBy(col(groupCol), col("cms_key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

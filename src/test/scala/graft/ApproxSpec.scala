@@ -35,6 +35,43 @@ class ApproxSpec extends SparkSpec {
     info(s"n=$n bound=$bound kept=${sk.size} mustKeep=${mustKeep.size}")
   }
 
+  test("Count-Min sketch never undercounts and merges losslessly") {
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, sfDir)
+    // every (type, user) pair: est >= exact (each of the key's d counters
+    // holds at least its true count), overcount bounded by collisions
+    val exact = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_exact"))
+    val sketch = Sketches.cmsSketch(ev, "event_type", col("user_id"))
+    val report = Sketches.cmsLookup(sketch, exact, "event_type", col("user_id"))
+      .withColumnRenamed("cms_key", "user_id")
+      .join(exact, Seq("event_type", "user_id"))
+      .select(col("n_exact"), col("est"))
+      .as[(Long, Long)].collect()
+    assert(report.nonEmpty)
+    report.foreach { case (n, est) =>
+      assert(est >= n, s"CMS undercounted: est=$est < exact=$n")
+    }
+    val n = ev.count()
+    val worst = report.map { case (tr, est) => est - tr }.max
+    // e·N/w per-key bound holds w.p. 1−e^−4 each; N/16 is far outside it
+    assert(worst <= n / 16, s"overcount $worst implausibly large for N=$n")
+    info(s"pairs=${report.length} worstOvercount=$worst N=$n")
+
+    // merge losslessness: per-day sketches summed == the direct sketch,
+    // REGISTER-exact (counts are linear) — not just estimate-equal
+    val daily = Sketches.cmsSketch(
+      ev.withColumn("event_type", concat_ws("|", col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd"))),
+      "event_type", col("user_id"))
+    val merged = Sketches.cmsMerge(
+      Seq(daily.withColumn("event_type",
+        substring_index(col("event_type"), "|", 1))), "event_type")
+    val direct = sketch
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merged per-day sketch differs from the direct sketch")
+  }
+
   test("approx_count_distinct within 5% of exact on the corpus") {
     val li = Tables.lineitem(spark, sfDir)
     val (approx, exact) = li.agg(
