@@ -32,7 +32,39 @@ object DedupQueries {
       |  SELECT doc_id + 150000 AS doc_id, text, lang, source, n_chars
       |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
 
+  /** Boilerplate lines planted into the markup-line fixture for the
+    * line-level dedup: a "newsletter" footer on every 10th doc and a
+    * "copyright" notice on every 25th (line_no −1/−2 so they sort ahead of
+    * content and never collide with real line numbers). The natural corpus
+    * has no repeated 8-token lines, so keep-first would pass vacuously
+    * without them. SQL twin: the `bl` CTE inside the `dedup_lines` oracle.
+    */
+  private val boiler1 =
+    Seq("subscribe", "to", "our", "newsletter", "now", "click", "here", "today")
+  private val boiler2 =
+    Seq("all", "rights", "reserved", "copyright", "notice", "applies", "to", "page")
+
+  private[graft] def linesWithBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lines = Tables.documentsAsMarkupLines(s, dir)
+    val bl1 = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit(-1).as("line_no"),
+        array(boiler1.map(lit): _*).as("ws"))
+    val bl2 = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), lit(-2).as("line_no"),
+        array(boiler2.map(lit): _*).as("ws"))
+    lines.unionByName(bl1).unionByName(bl2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Line-level exact dedup (CCNet): every repeated line keeps only its
+    // first (doc_id, line_no) occurrence corpus-wide; documents come back
+    // reassembled from surviving lines. Planted newsletter/copyright
+    // boilerplate is what gets cut — the dedup granularity that document-
+    // level fingerprints can't reach.
+    "dedup_lines" -> ((s, dir) =>
+      Dedup.dedupLines(linesWithBoilerplate(s, dir)).orderBy("doc_id")),
+
     // Exact dedup on normalized-content fingerprint; deterministic survivor.
     // Runs on the planted-clone corpus so the collapse path has positive
     // cases (n_copies > 1) — the raw fixture has no exact duplicates.
@@ -352,6 +384,40 @@ object DedupQueries {
     s"$clonedDocsCte,\n${substrChainFrom("documents2", minLen, maxDf)}"
 
   val oracle: Map[String, String] = Map(
+    "dedup_lines" ->
+      s"""WITH ${TextQueries.markupLinesCtes},
+         |bl AS (
+         |  SELECT doc_id, -1 AS line_no,
+         |    ['subscribe', 'to', 'our', 'newsletter', 'now', 'click',
+         |     'here', 'today'] AS ws
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id, -2 AS line_no,
+         |    ['all', 'rights', 'reserved', 'copyright', 'notice',
+         |     'applies', 'to', 'page'] AS ws
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |lall AS (
+         |  SELECT doc_id, line_no, ws FROM mlines
+         |  UNION ALL SELECT doc_id, line_no, ws FROM bl),
+         |lk AS (
+         |  SELECT doc_id, line_no, ws,
+         |    md5(array_to_string(ws, ' ')) AS h,
+         |    doc_id * 1048576 + line_no + 2 AS pos
+         |  FROM lall),
+         |lf AS (SELECT h, MIN(pos) AS first_pos FROM lk GROUP BY h),
+         |lm AS (
+         |  SELECT lk.doc_id, lk.line_no, lk.ws,
+         |    (lk.pos = lf.first_pos) AS kept
+         |  FROM lk JOIN lf USING (h))
+         |SELECT doc_id, COUNT(*) AS n_lines,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  COALESCE(string_agg(CASE WHEN kept
+         |      THEN array_to_string(ws, ' ') END, ' ' ORDER BY line_no),
+         |    '') AS kept_text
+         |FROM lm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_lsh_plan" -> {
       val sr = "1.0" + " * s" * 4
       val qb = "1.0" + " * (1.0 - sr)" * 32

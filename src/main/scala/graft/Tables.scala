@@ -100,6 +100,47 @@ object Tables {
       lit("/Docs/"), col("lang"), lit("/"), ids, trail, query, frag))
   }
 
+  /** `documents` lifted to a (doc_id, line_no, ws) LINE table under a
+    * deterministic markup law — the fixture for line-shaped web-text
+    * operators ([[graft.operators.TextAnalysis.gopherRules]], line-level
+    * dedup). The corpus is a flat word stream with no line structure or
+    * markup noise, so line-fraction rules would pass vacuously; this law
+    * plants every artifact the rules must catch, keyed on (doc_id, line_no)
+    * mods so the twin replays it exactly:
+    *  - lines = consecutive 8-token windows of the whitespace tokens;
+    *  - (3·doc_id + line_no) % 13 == 0 → the line's first word becomes the
+    *    symbol `#` (markup/code noise);
+    *  - (doc_id + line_no) % 7 == 0 → a `-` bullet token is prepended;
+    *  - (doc_id + line_no) % 11 == 0 → a `...` ellipsis token is appended.
+    * SQL twin: [[TextQueries.markupLinesCtes]].
+    */
+  def documentsAsMarkupLines(spark: SparkSession, dir: String): DataFrame =
+    asMarkupLines(documents(spark, dir))
+
+  /** The markup-line law applied to any (doc_id, text) table — split out so
+    * ScaleProbe can line-ify blown-up corpora.
+    */
+  def asMarkupLines(d: DataFrame, lineWidth: Int = 8): DataFrame = {
+    val w = lineWidth
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1).cast("double") / w).cast("int")))
+          .as("line_no"))
+      .select(col("doc_id"), col("line_no"),
+        slice(col("toks"), col("line_no") * w + 1, lit(w)).as("ws"))
+      .withColumn("ws",
+        when((col("doc_id") * 3 + col("line_no")) % 13 === 0,
+          concat(array(lit("#")), slice(col("ws"), 2, w - 1)))
+          .otherwise(col("ws")))
+      .withColumn("ws",
+        when((col("doc_id") + col("line_no")) % 7 === 0,
+          concat(array(lit("-")), col("ws"))).otherwise(col("ws")))
+      .withColumn("ws",
+        when((col("doc_id") + col("line_no")) % 11 === 0,
+          concat(col("ws"), array(lit("...")))).otherwise(col("ws")))
+  }
+
   /** events.parquet has carried TIMESTAMP(NANOS) (older driver fixtures)
     * or micros with isAdjustedToUTC=false, which Spark 4 infers as
     * TIMESTAMP_NTZ; normalized here so downstream operators always see a

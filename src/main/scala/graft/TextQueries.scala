@@ -131,6 +131,16 @@ object TextQueries {
       TextAnalysis.textrankKeywords(Tables.documents(s, dir))
         .orderBy("doc_id", "rn")),
 
+    // Gopher rule suite (Rae et al. 2021): the published heuristic battery
+    // (word count, mean word length, symbol/bullet/ellipsis fractions,
+    // alpha-word share, stopword presence) over the markup-line fixture
+    // law (Tables.documentsAsMarkupLines). Short fixture docs fail the
+    // word-count floor and single-stopword docs fail the gibberish gate,
+    // so `keep` genuinely splits the corpus.
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documentsAsMarkupLines(s, dir))
+        .orderBy("doc_id")),
+
     // Trained Naive Bayes language classifier (fastText-lite): fit on the
     // 80% md5-bucket split, score the held-out 20%, report the confusion
     // matrix — the trained upgrade of the text_langid marker heuristic.
@@ -511,7 +521,96 @@ object TextQueries {
       FROM ${p}kept3)"""
   }
 
+  /** Replay of [[Tables.asMarkupLines]] — the markup-line fixture law
+    * (8-token lines; `#` first-word swap %13, `-` bullet prepend %7, `...`
+    * append %11) — ending in `mlines(doc_id, line_no, ws)`. Shared by the
+    * Gopher-rule and line-dedup twins.
+    */
+  val markupLinesCtes: String =
+    """mtoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |mnums AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range((len(toks)-1)//8 + 1)) AS line_no
+      |  FROM mtoks),
+      |mlines0 AS (
+      |  SELECT doc_id, line_no,
+      |    toks[line_no*8+1 : line_no*8+8] AS ws0
+      |  FROM mnums),
+      |mlines1 AS (
+      |  SELECT doc_id, line_no,
+      |    CASE WHEN (doc_id*3 + line_no) % 13 = 0
+      |         THEN list_prepend('#', ws0[2:8]) ELSE ws0 END AS ws1
+      |  FROM mlines0),
+      |mlines2 AS (
+      |  SELECT doc_id, line_no,
+      |    CASE WHEN (doc_id + line_no) % 7 = 0
+      |         THEN list_prepend('-', ws1) ELSE ws1 END AS ws2
+      |  FROM mlines1),
+      |mlines AS (
+      |  SELECT doc_id, line_no,
+      |    CASE WHEN (doc_id + line_no) % 11 = 0
+      |         THEN list_append(ws2, '...') ELSE ws2 END AS ws
+      |  FROM mlines2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_gopher_rules" ->
+      s"""WITH $markupLinesCtes,
+         |glin AS (
+         |  SELECT doc_id, COUNT(*) AS n_lines,
+         |    CAST(SUM(CASE WHEN ws[1] = '-' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_bullet,
+         |    CAST(SUM(CASE WHEN ws[len(ws)] = '...' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_ellipsis
+         |  FROM mlines GROUP BY doc_id),
+         |gwords AS (SELECT doc_id, unnest(ws) AS w FROM mlines),
+         |gagg AS (
+         |  SELECT doc_id, COUNT(*) AS n_words,
+         |    CAST(SUM(length(w)) AS BIGINT) AS sum_len,
+         |    CAST(SUM(CASE WHEN w IN ('#', '...') THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_sym,
+         |    CAST(SUM(CASE WHEN regexp_matches(w, '[a-zA-Z]') THEN 1
+         |      ELSE 0 END) AS BIGINT) AS n_alpha,
+         |    COUNT(DISTINCT CASE WHEN w IN ('the', 'a', 'of', 'and', 'to')
+         |      THEN w END) AS n_stop
+         |  FROM gwords GROUP BY doc_id),
+         |grat AS (
+         |  SELECT g.doc_id, g.n_words, l.n_lines,
+         |    FLOOR(CAST(sum_len AS DOUBLE) / n_words * 10000.0 + 0.5)
+         |      / 10000.0 AS mean_word_len,
+         |    FLOOR(CAST(n_sym AS DOUBLE) / n_words * 10000.0 + 0.5)
+         |      / 10000.0 AS sym_ratio,
+         |    FLOOR(CAST(n_bullet AS DOUBLE) / n_lines * 10000.0 + 0.5)
+         |      / 10000.0 AS bullet_frac,
+         |    FLOOR(CAST(n_ellipsis AS DOUBLE) / n_lines * 10000.0 + 0.5)
+         |      / 10000.0 AS ellipsis_frac,
+         |    FLOOR(CAST(n_alpha AS DOUBLE) / n_words * 10000.0 + 0.5)
+         |      / 10000.0 AS alpha_frac,
+         |    g.n_stop
+         |  FROM gagg g JOIN glin l USING (doc_id)),
+         |gflag AS (
+         |  SELECT *,
+         |    CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1
+         |      ELSE 0 END AS BIGINT) AS r_wordcount,
+         |    CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |      THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+         |    CAST(CASE WHEN sym_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS r_symbols,
+         |    CAST(CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS r_bullets,
+         |    CAST(CASE WHEN ellipsis_frac <= 0.3 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS r_ellipsis,
+         |    CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS r_alpha,
+         |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS r_stopwords
+         |  FROM grat)
+         |SELECT *,
+         |  CAST(CASE WHEN r_wordcount + r_meanlen + r_symbols + r_bullets
+         |    + r_ellipsis + r_alpha + r_stopwords = 7 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS keep
+         |FROM gflag ORDER BY doc_id""".stripMargin,
+
     "text_unigram_vocab" ->
       s"""WITH $unigramVocabCtes
          SELECT piece, cnt, score_q FROM voc ORDER BY piece""",

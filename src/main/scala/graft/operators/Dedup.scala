@@ -27,6 +27,46 @@ object Dedup {
     df.groupBy(key.as("content_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Line-level exact dedup (the CCNet recipe, Wenzek et al. 2020 §3.1):
+    * across the whole corpus, every LINE occurring more than once keeps
+    * only its first occurrence in (doc_id, line_no) order — the dedup
+    * granularity that removes navigation bars, cookie banners and footer
+    * boilerplate which document-level dedup can't touch (the documents
+    * differ) and n-gram coverage only down-weights.
+    *
+    * Input is a (doc_id, line_no, ws: array<string>) line table; output is
+    * one row per document: kept line count, dropped count, and the
+    * document reassembled from its surviving lines in position order (a
+    * document whose every line was seen earlier comes back empty — that IS
+    * the CCNet behavior for pure-boilerplate pages).
+    *
+    * Scale: lines hash to md5 keys; first occurrence = one (hash)-keyed
+    * partial-agg min of the packed (doc_id, line_no) position, joined back
+    * keyed — never a window over the corpus. Reassembly aggregates lines
+    * per doc (collect bounded by document length, the same bound every
+    * per-doc transform carries). Positions pack as doc_id·2²⁰ + line_no+2,
+    * loudly guarded, so the argmin is a single long min.
+    */
+  def dedupLines(lines: DataFrame): DataFrame = {
+    val guarded = when(col("line_no") >= (1 << 20) - 2 || col("line_no") < -2,
+      raise_error(concat(lit("line_no out of packed range: "),
+        col("line_no").cast("string"))))
+      .otherwise(col("doc_id") * (1L << 20) + col("line_no") + 2L)
+    val keyed = lines.select(col("doc_id"), col("line_no"), col("ws"),
+      md5(array_join(col("ws"), " ")).as("h"), guarded.as("pos"))
+    val firsts = keyed.groupBy("h").agg(min("pos").as("first_pos"))
+    val marked = keyed.join(firsts, "h")
+      .withColumn("kept", col("pos") === col("first_pos"))
+    marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+      array_join(flatten(transform(
+        sort_array(collect_list(when(col("kept"),
+          struct(col("line_no"), col("ws"))))),
+        s => s.getField("ws"))), " ").as("kept_text"))
+  }
+
   /** Distinct n-gram word shingles of `text` (default n=3), the unit of
     * near-dup comparison.
     */

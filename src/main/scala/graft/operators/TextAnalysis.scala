@@ -113,6 +113,66 @@ object TextAnalysis {
       .otherwise((total - distinctN).cast("double") / total)
   }
 
+  /** Gopher-style quality-rule suite (Rae et al. 2021, table A1) over a
+    * LINE table (doc_id, line_no, ws: array<string>) — the published
+    * heuristic battery web-scale pretrain pipelines run before any model
+    * scoring. Per document:
+    *  - `n_words` in [minWords, maxWords] (degenerate/truncated pages);
+    *  - mean word length in [3, 10] (OCR junk, minified code);
+    *  - symbol-to-word ratio (`#`, `...`) ≤ 0.1;
+    *  - fraction of lines starting with a `-` bullet ≤ 0.9;
+    *  - fraction of lines ending in `...` ≤ 0.3 (truncated scrapes);
+    *  - fraction of words with an alphabetic character ≥ 0.8;
+    *  - ≥ 2 distinct English stopwords present (gibberish gate).
+    * Flags are BIGINT 0/1 and every ratio is on the 1e-4 grid from exact
+    * integer counts, so the whole report hash-compares cross-engine.
+    *
+    * Scale: two keyed partial aggs over the line table (one at line grain,
+    * one over the exploded words — map-side combined), joined on doc_id.
+    * No windows, no driver state; at 100 TB this is one linear pass.
+    */
+  def gopherRules(lines: DataFrame, minWords: Int = 50,
+                  maxWords: Int = 100000): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to")
+    val lineStats = lines.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(element_at(col("ws"), 1) === "-", 1L).otherwise(0L))
+        .as("n_bullet"),
+      sum(when(element_at(col("ws"), size(col("ws"))) === "...", 1L)
+        .otherwise(0L)).as("n_ellipsis"))
+    val wordStats = lines
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("sum_len"),
+        sum(when(col("w").isin("#", "..."), 1L).otherwise(0L)).as("n_sym"),
+        sum(when(col("w").rlike("[a-zA-Z]"), 1L).otherwise(0L)).as("n_alpha"),
+        countDistinct(when(col("w").isin(stops: _*), col("w"))).as("n_stop"))
+    val mwl = r4(col("sum_len").cast("double") / col("n_words"))
+    val symR = r4(col("n_sym").cast("double") / col("n_words"))
+    val bulR = r4(col("n_bullet").cast("double") / col("n_lines"))
+    val ellR = r4(col("n_ellipsis").cast("double") / col("n_lines"))
+    val alpR = r4(col("n_alpha").cast("double") / col("n_words"))
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    wordStats.join(lineStats, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        mwl.as("mean_word_len"), symR.as("sym_ratio"),
+        bulR.as("bullet_frac"), ellR.as("ellipsis_frac"),
+        alpR.as("alpha_frac"), col("n_stop"),
+        flag(col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("r_wordcount"),
+        flag(mwl >= 3.0 && mwl <= 10.0).as("r_meanlen"),
+        flag(symR <= 0.1).as("r_symbols"),
+        flag(bulR <= 0.9).as("r_bullets"),
+        flag(ellR <= 0.3).as("r_ellipsis"),
+        flag(alpR >= 0.8).as("r_alpha"),
+        flag(col("n_stop") >= 2).as("r_stopwords"))
+      .withColumn("keep",
+        flag(col("r_wordcount") + col("r_meanlen") + col("r_symbols") +
+          col("r_bullets") + col("r_ellipsis") + col("r_alpha") +
+          col("r_stopwords") === 7L))
+  }
+
   /** Per-document top-k TF-IDF terms — the classic relevance/keyword
     * primitive: tf = in-doc term count, idf = ln(N / df) with df = number
     * of documents containing the term. Emits (doc_id, token, tf, tfidf,

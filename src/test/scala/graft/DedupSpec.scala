@@ -32,6 +32,32 @@ class DedupSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("dedupLines keeps the first occurrence corpus-wide and reaches a fixed point") {
+    // docs 1-3 share a boilerplate line; doc 2 also repeats one of ITS OWN
+    // lines (intra-doc dup — CCNet cuts those too); doc 4 is untouched
+    val lines = Seq(
+      (1L, 0, Seq("subscribe", "now")), (1L, 1, Seq("real", "content", "one")),
+      (2L, 0, Seq("subscribe", "now")), (2L, 1, Seq("real", "content", "two")),
+      (2L, 2, Seq("real", "content", "two")),
+      (3L, 0, Seq("unique", "lead")), (3L, 1, Seq("subscribe", "now")),
+      (4L, 0, Seq("all", "original", "here"))
+    ).toDF("doc_id", "line_no", "ws")
+    val out = Dedup.dedupLines(lines)
+      .select("doc_id", "n_lines", "n_kept", "n_dropped", "kept_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 2L, 0L, "subscribe now real content one")))
+    assert(out(2L) === ((2L, 3L, 1L, 2L, "real content two")))
+    assert(out(3L) === ((3L, 2L, 1L, 1L, "unique lead")))
+    assert(out(4L) === ((4L, 1L, 1L, 0L, "all original here")))
+    // fixed point: dedup of the surviving lines drops nothing
+    val again = Dedup.dedupLines(
+      Dedup.dedupLines(lines).filter($"n_kept" > 0)
+        .select($"doc_id", lit(0).as("line_no"),
+          split($"kept_text", " ").as("ws")))
+    assert(again.agg(sum("n_dropped")).as[Long].head() === 0L)
+  }
+
   test("shingles: 3-grams, distinct, empty for short docs") {
     val out = docs((1L, "a b c d"), (2L, "a b"), (3L, "x y z x y z x y z"))
       .select($"doc_id", Dedup.shingles($"text").as("sh"))

@@ -23,6 +23,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tie === "en") // all-zero scores → first in marker order
   }
 
+  test("gopherRules: hand-checked flags on constructed line tables") {
+    // doc 1: clean prose, 56 words >= 50, all alpha, stopwords present →
+    // every rule passes. doc 2: 8 words (fails word count), no stopwords,
+    // every line bulleted + ellipsis-ended, half symbols → fails 5 rules.
+    val clean = (0 until 7).map(i =>
+      (1L, i, Seq("the", "quick", "brown", "fox", "and", "a", "dog", "ran")))
+    val junk = Seq(
+      (2L, 0, Seq("-", "#", "xx", "...")),
+      (2L, 1, Seq("-", "#", "yy", "...")))
+    val out = TextAnalysis.gopherRules(
+        (clean ++ junk).toDF("doc_id", "line_no", "ws"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "r_wordcount", "r_meanlen", "r_symbols",
+        "r_bullets", "r_ellipsis", "r_alpha", "r_stopwords", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(out(0) === ((1L, 56L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L)))
+    // doc 2: 8 words; mean len (1+1+2+3+1+1+2+3)/8 = 1.75 < 3 fails;
+    // symbols 2/8 = 0.25 > 0.1 fails; bullets 2/2 = 1.0 > 0.9 fails;
+    // ellipsis 2/2 > 0.3 fails; alpha 2/8 = 0.25 < 0.8 fails; stop 0 < 2
+    assert(out(1) === ((2L, 8L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("gopherRules ratios sit on the 1e-4 grid with exact boundary behavior") {
+    // 10 words, exactly 1 symbol → sym_ratio = 0.1 exactly → rule PASSES
+    // (<= is inclusive); 3 of 10 lines... single-line docs: bullet_frac 0/1
+    val rows = Seq(
+      (1L, 0, Seq("#", "two", "three", "four", "five",
+        "six", "seven", "eight", "nine", "ten")))
+    val r = TextAnalysis.gopherRules(rows.toDF("doc_id", "line_no", "ws"))
+      .select("sym_ratio", "r_symbols").as[(Double, Long)].head()
+    assert(r === ((0.1, 1L)))
+  }
+
   test("md5 fingerprint is case/whitespace-normalized") {
     val df = Seq("Hello   World", "hello world", "different").toDF("text")
       .select(TextAnalysis.fingerprintMd5($"text").as("fp"))
