@@ -217,6 +217,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // WordPiece (BERT) vocabulary: position-aware frequency seed — plain
+    // pieces at word starts, ##-continuations elsewhere; all singles +
+    // top-60 multis. The third tokenizer family next to BPE and unigram.
+    "text_wordpiece_vocab" -> ((s, dir) =>
+      operators.Wordpiece.trainVocab(Tables.documents(s, dir))
+        .select(col("piece"), col("cnt")).orderBy("piece")),
+
+    // Greedy longest-match-first segmentation of every distinct corpus
+    // word — BERT's actual WordpieceTokenizer algorithm; the twin replays
+    // all 12 greedy steps as chained CTEs.
+    "text_wordpiece_segs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = operators.Wordpiece.trainVocab(docs)
+      operators.Wordpiece.segmentWords(
+          operators.Bpe.wordFreqs(docs).select("word"), vocab)
+        .orderBy("word")
+    }),
+
+    // Per-document WordPiece token counts — the budget number a
+    // BERT-family training pipeline reads per document.
+    "text_wordpiece_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = operators.Wordpiece.trainVocab(docs)
+      operators.Wordpiece.tokenCounts(docs, vocab).orderBy("doc_id")
+    }),
+
     // One hard-EM prune round over the seed vocabulary (completes Kudo's
     // algorithm beyond the frequency seed): E-step = Viterbi piece-usage
     // counts via backpointer backtrace, prune to the 40 most-used
@@ -553,7 +579,87 @@ object TextQueries {
       |         THEN list_append(ws2, '...') ELSE ws2 END AS ws
       |  FROM mlines2)""".stripMargin
 
+  /** Replay of [[operators.Wordpiece.trainVocab]]: position-aware
+    * substring counts over the word-frequency table (plain at start,
+    * `##`-continuation later), singles + top-60 multis → `wpvoc(piece,
+    * core, is_cont, cnt)`.
+    */
+  private val wpVocabCtes: String =
+    """wpwf AS (
+      |  SELECT word, COUNT(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word),
+      |wppos AS (
+      |  SELECT freq, word, unnest(range(1, length(word) + 1)) AS p
+      |  FROM wpwf),
+      |wplen AS (
+      |  SELECT freq, word, p,
+      |    unnest(range(1, least(4, length(word) - p + 1) + 1)) AS l
+      |  FROM wppos),
+      |wpcnt AS (
+      |  SELECT (p > 1) AS is_cont, substring(word, p, l) AS core,
+      |    CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM wplen GROUP BY 1, 2),
+      |wpmult AS (
+      |  SELECT * FROM wpcnt WHERE length(core) > 1
+      |  ORDER BY cnt DESC, is_cont ASC, core ASC LIMIT 60),
+      |wpvoc AS MATERIALIZED (
+      |  SELECT CASE WHEN is_cont THEN '##' || core ELSE core END AS piece,
+      |    core, is_cont, cnt
+      |  FROM (SELECT * FROM wpcnt WHERE length(core) = 1
+      |        UNION ALL SELECT * FROM wpmult))""".stripMargin
+
+  /** Replay of [[operators.Wordpiece.segmentWords]]: `maxLen` greedy
+    * longest-match steps (each consumes ≥ 1 char; finished words pass
+    * through, surplus steps are no-ops) → `wseg(word, np, seg)`.
+    */
+  private def wordpieceSegCtes(maxLen: Int): String = {
+    val steps = (0 until maxLen).map { k =>
+      s"""wbest$k AS MATERIALIZED (
+         |  SELECT s.word, s.pos, s.np, s.seg, MAX(length(v.core)) AS bl
+         |  FROM wst$k s JOIN wpvoc v
+         |    ON v.is_cont = (s.pos > 1)
+         |   AND v.core = substring(s.word, s.pos, length(v.core))
+         |  WHERE s.pos <= length(s.word)
+         |  GROUP BY 1, 2, 3, 4),
+         |wst${k + 1} AS MATERIALIZED (
+         |  SELECT word, pos, np, seg FROM wst$k WHERE pos > length(word)
+         |  UNION ALL
+  SELECT word, pos + bl AS pos, np + 1 AS np,
+    concat(CASE WHEN seg = '' THEN '' ELSE concat(seg, ' ') END,
+      CASE WHEN pos > 1 THEN '##' ELSE '' END,
+      substring(word, pos, bl)) AS seg
+  FROM wbest$k)"""
+    }
+    s"""wst0 AS MATERIALIZED (
+       |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np,
+       |    '' AS seg
+       |  FROM wpwf),
+       |${steps.mkString(",\n")},
+       |wseg AS (SELECT word, np, seg FROM wst$maxLen)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_wordpiece_vocab" ->
+      s"""WITH $wpVocabCtes
+         |SELECT piece, cnt FROM wpvoc ORDER BY piece""".stripMargin,
+
+    "text_wordpiece_segs" ->
+      s"""WITH $wpVocabCtes,
+         |${wordpieceSegCtes(12)}
+         |SELECT word, np AS n_pieces, seg FROM wseg
+         |ORDER BY word""".stripMargin,
+
+    "text_wordpiece_tokens" ->
+      s"""WITH $wpVocabCtes,
+         |${wordpieceSegCtes(12)},
+         |wocc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |         FROM documents)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(np) AS BIGINT) AS n_pieces
+         |FROM wocc JOIN wseg USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_gopher_rules" ->
       s"""WITH $markupLinesCtes,
          |glin AS (
