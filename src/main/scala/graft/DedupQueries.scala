@@ -150,6 +150,15 @@ object DedupQueries {
       Dedup.nearDupClusters(Dedup.minhashPairs(Tables.documents(s, dir), 0.5))
         .orderBy("doc_id")),
 
+    // The same clustering through large-star/small-star contraction
+    // (Kiveris et al. 2014) — O(log² n) rounds regardless of component
+    // diameter, where min-label propagation pays one shuffle per hop of
+    // the longest duplication chain. Shares dedup_clusters' recursive-
+    // closure oracle: both must produce the identical component table.
+    "dedup_clusters_star" -> ((s, dir) =>
+      Dedup.ccStars(Dedup.minhashPairs(Tables.documents(s, dir), 0.5))
+        .orderBy("doc_id")),
+
     // End-to-end corpus dedup: minhash pairs → clusters → keep the longest
     // doc per cluster (ties → min doc_id), unclustered docs untouched.
     "dedup_collapse" -> ((s, dir) => {
@@ -383,6 +392,23 @@ object DedupQueries {
   private def substrBase(minLen: Int, maxDf: Int): String =
     s"$clonedDocsCte,\n${substrChainFrom("documents2", minLen, maxDf)}"
 
+  /** Recursive-closure component twin shared by `dedup_clusters` (min-label
+    * propagation) and `dedup_clusters_star` (star contraction).
+    */
+  private lazy val clustersSql: String =
+    s"""WITH RECURSIVE $jaccardBase,
+      |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM jp
+      |  UNION ALL
+      |  SELECT doc_b AS s, doc_a AS d FROM jp),
+      |walk(id, label) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, w2.label FROM edges e JOIN walk w2 ON w2.id = e.d)
+      |SELECT id AS doc_id, MIN(label) AS cluster_id
+      |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_lines" ->
       s"""WITH ${TextQueries.markupLinesCtes},
@@ -485,19 +511,11 @@ object DedupQueries {
 
     // Min-reachable-id per component via recursive label walk over the
     // thresholded jaccard pairs (both edge directions + self seed).
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $jaccardBase,
-        |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS s, doc_b AS d FROM jp
-        |  UNION ALL
-        |  SELECT doc_b AS s, doc_a AS d FROM jp),
-        |walk(id, label) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT e.s, w2.label FROM edges e JOIN walk w2 ON w2.id = e.d)
-        |SELECT id AS doc_id, MIN(label) AS cluster_id
-        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> clustersSql,
+
+    // star contraction must land on the identical component table — the
+    // shared recursive-closure twin IS the cross-algorithm parity proof
+    "dedup_clusters_star" -> clustersSql,
 
     // SimHash: rebuild every 64-bit signature from the portable md5 token
     // hash (bit b = sign of Σ±1 over token-hash bits, ties → 0 — matching

@@ -74,6 +74,33 @@ object ScaleProbe {
       return
     }
 
+    if (args.headOption.contains("ccstars")) {
+      // `ccstars [chainLen...]`: star contraction vs min-label propagation
+      // on duplication CHAINS — the diameter shape that separates the two
+      // algorithms (propagation pays one full edge shuffle per hop; star
+      // contraction halves paths per round). Also run at a bushy graph
+      // (corpus pairs) where both are quick, for the constant-factor view.
+      val lens = args.drop(1).map(_.toInt) match {
+        case a if a.nonEmpty => a.toSeq; case _ => Seq(64, 256, 1024)
+      }
+      import spark.implicits._
+      for (len <- lens) {
+        val chain = (0L until len.toLong).map(i => (i, i + 1))
+          .toDF("doc_a", "doc_b")
+        val t0 = System.nanoTime()
+        val nStar = operators.Dedup.ccStars(chain, maxIter = 40).count()
+        val tStar = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nProp = try {
+          operators.Dedup.nearDupClusters(chain, maxIter = 2 * len).count()
+        } finally ()
+        val tProp = (System.nanoTime() - t1) / 1e9
+        println(f"PROBE ccstars chain=$len%-5d star=$tStar%7.2f s  prop=$tProp%8.2f s  rows=$nStar%d/$nProp%d")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("flagidx")) {
       // `flagidx`: stage wall-time table for the cur_pretrain_index
       // corpus→index flagship (gate state → embed → IVF build → SemDeDup

@@ -472,6 +472,77 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the scale path next to [[nearDupClusters]]'s min-label
+    * propagation. Label propagation needs O(component diameter) rounds: a
+    * duplication CHAIN (v1≈v2≈…≈vk, the shape versioned/boilerplate
+    * corpora actually produce) pays one full edge-table shuffle per hop.
+    * Star contraction converges in O(log² n) rounds REGARDLESS of
+    * diameter: large-star points every above-center neighbor at the
+    * neighborhood minimum (halving long paths), small-star then folds each
+    * node's below-it neighborhood onto its minimum. Same contract and
+    * output as [[nearDupClusters]] — (doc_id, cluster_id = component min)
+    * for every node in `pairs` — so the two share an oracle and the spec
+    * proves bit-parity.
+    *
+    * Scale: each round is two keyed partial-agg mins + keyed joins over
+    * the CURRENT edge table, which only shrinks toward one edge per
+    * non-root node; no window, no driver-side state beyond the round
+    * counter, each round's table eagerly lineage-cut (the iterative-DP
+    * discipline). Convergence = empty symmetric difference between
+    * rounds, checked on the distinct edge tables.
+    */
+  def ccStars(pairs: DataFrame, idA: String = "doc_a", idB: String = "doc_b",
+              maxIter: Int = 30,
+              scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val p0 = pairs.select(col(idA).cast("long").as("a"),
+        col(idB).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val nodes = scope.persist(p0.select(col("a").as("id"))
+      .unionByName(p0.select(col("b").as("id"))).distinct())
+    // canonical directed form: u > v throughout
+    var edges = p0.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"ccStars did not converge in $maxIter rounds; raise maxIter")
+      // large-star: center x, m = min(Γ(x) ∪ {x}); every neighbor above x
+      // re-points at m — (y, m) keeps u > v since m ≤ x < y
+      val und = edges.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
+      val lmin = und.groupBy("x").agg(min("y").as("ny"))
+        .select(col("x"), least(col("x"), col("ny")).as("m"))
+      val large = und.join(lmin, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint(true)
+      // small-star: center u over its below-it neighborhood, m = min(Γ⁻(u));
+      // every below-neighbor and u itself fold onto m
+      val smin = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(smin, "u")
+        .select(col("v").as("nu"), col("m").as("nv"))
+        .filter(col("nu") =!= col("nv"))
+        .unionByName(smin.select(col("u").as("nu"), col("m").as("nv")))
+        .select(col("nu").as("u"), col("nv").as("v"))
+        .distinct().localCheckpoint(true)
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      graft.CacheScope.releaseCheckpoint(edges)
+      graft.CacheScope.releaseCheckpoint(large)
+      edges = next
+      iter += 1
+    }
+    // fixed point: every non-root points only at its component min
+    val labeled = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    val roots = nodes.join(edges.select(col("u").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("id").as("cluster_id"))
+    labeled.unionByName(roots)
+  }
+
   /** End-to-end near-dup collapse: given the corpus and its near-dup
     * pairs, keep ONE document per duplicate cluster — the best by `rank`
     * (ties → smallest doc_id) — and every unclustered document unchanged.

@@ -32,6 +32,53 @@ class DedupSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("ccStars equals min-label propagation on the corpus pair table") {
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, sfDir), 0.5)
+      .persist()
+    val star = Dedup.ccStars(pairs).as[(Long, Long)].collect().toMap
+    val prop = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(star === prop)
+    pairs.unpersist()
+  }
+
+  test("ccStars converges on a long chain where per-hop propagation cannot") {
+    // path 0-1-2-…-80: component diameter 80. Min-label propagation moves
+    // labels ONE hop per round, so maxIter=15 must fail loudly; star
+    // contraction halves path lengths per round and finishes comfortably.
+    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(chain, maxIter = 15)
+    }
+    val star = Dedup.ccStars(chain, maxIter = 15).as[(Long, Long)].collect()
+    assert(star.length === 81)
+    assert(star.forall(_._2 === 0L), "every chain node labels to the min")
+  }
+
+  test("ccStars on random graphs matches brute-force components (property)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val es = (1 to 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // brute force: union-find on the driver
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = es.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = inGraph.map(v => v -> {
+        // component min = min over members sharing the root
+        val r = find(v.toInt)
+        inGraph.filter(u => find(u.toInt) == r).min
+      }).toMap
+      val got = Dedup.ccStars(es.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("dedupLines keeps the first occurrence corpus-wide and reaches a fixed point") {
     // docs 1-3 share a boilerplate line; doc 2 also repeats one of ITS OWN
     // lines (intra-doc dup — CCNet cuts those too); doc 4 is untouched
