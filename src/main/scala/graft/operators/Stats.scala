@@ -100,12 +100,23 @@ object Stats {
     * `qi` being the 0-based index into `qs`.
     */
   def exactQuantilesByGrid(df: DataFrame, groupCol: String, valueCol: String,
-                           qs: Seq[Double]): DataFrame = {
+                           qs: Seq[Double]): DataFrame =
+    exactQuantilesFromCounts(
+      df.select(col(groupCol),
+          floor(col(valueCol) * 100.0 + 0.5).cast("long").as("vq"))
+        .groupBy(groupCol, "vq").agg(count(lit(1)).as("cnt")),
+      groupCol, qs)
+
+  /** [[exactQuantilesByGrid]] over a PRE-AGGREGATED (group, vq, cnt)
+    * counts table — the form callers running several walks over the same
+    * values use (e.g. [[madOutlierSummary]]: median, then MAD of the
+    * deviations), so only ONE per-row aggregation ever touches the corpus
+    * and every later stage is value-cardinality-bounded.
+    */
+  def exactQuantilesFromCounts(counts: DataFrame, groupCol: String,
+                               qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q < 1.0),
       "quantiles must satisfy 0 <= q < 1")
-    val counts = df.select(col(groupCol),
-        floor(col(valueCol) * 100.0 + 0.5).cast("long").as("vq"))
-      .groupBy(groupCol, "vq").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy("vq")
     val cum = counts.withColumn("hi", sum("cnt").over(w))
@@ -158,24 +169,33 @@ object Stats {
   def madOutlierSummary(df: DataFrame, groupCol: String, valueCol: String,
                         threshold: Double = 3.5,
                         scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    val med = exactQuantilesByGrid(df, groupCol, valueCol, Seq(0.5))
+    // ONE per-row partial agg; every later stage (both walks, the
+    // deviation re-grid, the outlier count) works on the value-cardinality-
+    // bounded counts table — the per-row deviation pass the old shape paid
+    // twice is gone, and so is its full-corpus persist
+    val counts = scope.persist(df.select(col(groupCol),
+        floor(col(valueCol) * 100.0 + 0.5).cast("long").as("vq"))
+      .groupBy(groupCol, "vq").agg(count(lit(1)).as("cnt")))
+    val med = exactQuantilesFromCounts(counts, groupCol, Seq(0.5))
       .select(col(groupCol), col("quantile").as("med"))
-    // persist: the deviation table feeds the MAD walk AND the final
-    // summary pass — without it the med join + snap runs twice
-    val dev = scope.persist(df.join(broadcast(med), groupCol)
-      .withColumn("v",
-        floor(col(valueCol) * 100.0 + 0.5).cast("long").cast("double") / 100.0)
-      .withColumn("adev",
-        floor(abs(col("v") - col("med")) * 100.0 + 0.5)
-          .cast("long").cast("double") / 100.0))
-    val mad = exactQuantilesByGrid(dev, groupCol, "adev", Seq(0.5))
+    // persist: the deviation table feeds the MAD walk (which reads its
+    // input three times — cum window + both bracket joins) and the final
+    // summary; both tables are counts-sized, so the cache is bounded
+    val dev = scope.persist(counts.join(broadcast(med), groupCol)
+      .withColumn("v", col("vq").cast("double") / 100.0)
+      .withColumn("adevq",
+        floor(abs(col("v") - col("med")) * 100.0 + 0.5).cast("long")))
+    val mad = exactQuantilesFromCounts(
+        scope.persist(dev.groupBy(col(groupCol), col("adevq").as("vq"))
+          .agg(sum("cnt").as("cnt"))),
+        groupCol, Seq(0.5))
       .select(col(groupCol), col("quantile").as("mad"))
     dev.join(broadcast(mad), groupCol)
       .groupBy(groupCol)
-      .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+      .agg(sum("cnt").as("n"), max("med").as("med"), max("mad").as("mad"),
         sum(when(col("mad") > 0.0 &&
             abs(lit(0.6745) * (col("v") - col("med")) / col("mad")) > threshold,
-          1L).otherwise(0L)).as("n_outliers"))
+          col("cnt")).otherwise(0L)).as("n_outliers"))
   }
 
   /** Per-group log₂ histogram sketch: counts per power-of-two bucket of the
