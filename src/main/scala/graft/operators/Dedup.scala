@@ -48,15 +48,53 @@ object Dedup {
     * loudly guarded, so the argmin is a single long min.
     */
   def dedupLines(lines: DataFrame): DataFrame = {
+    val keyed = lineKeyed(lines)
+    val firsts = keyed.groupBy("h").agg(min("pos").as("first_pos"))
+    reassembleLines(keyed.join(firsts, "h")
+      .withColumn("kept", col("pos") === col("first_pos")))
+  }
+
+  /** Stream-static form of [[dedupLines]] — the CCNet gate at INGEST time:
+    * a line of the new batch is kept iff its hash is absent from the
+    * standing corpus line table (the corpus precedes the batch by
+    * definition) AND it is the first (doc_id, line_no) occurrence within
+    * the batch itself. Per-document output depends only on the static
+    * corpus and the batch, so the streaming sink built on this is
+    * stateless (the [[graft.streaming.Streams]] span-decontamination
+    * contract).
+    *
+    * Scale: the corpus side reduces to its DISTINCT line-hash column
+    * before the join — 16 bytes per distinct corpus line, joined keyed
+    * against the batch (batch-sized work, never corpus×batch lines).
+    */
+  def dedupLinesAgainst(newLines: DataFrame, corpusLines: DataFrame): DataFrame = {
+    val corpusHashes = corpusLines
+      .select(md5(array_join(col("ws"), " ")).as("h")).distinct()
+    val keyed = lineKeyed(newLines)
+    val firsts = keyed.groupBy("h").agg(min("pos").as("first_pos"))
+    reassembleLines(keyed.join(firsts, "h")
+      .join(corpusHashes.withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .withColumn("kept",
+        col("pos") === col("first_pos") && col("in_corpus").isNull)
+      .drop("in_corpus"))
+  }
+
+  /** Lines + md5 hash + packed (doc_id, line_no) position (loudly guarded
+    * range) — the shared head of both line-dedup forms.
+    */
+  private def lineKeyed(lines: DataFrame): DataFrame = {
     val guarded = when(col("line_no") >= (1 << 20) - 2 || col("line_no") < -2,
       raise_error(concat(lit("line_no out of packed range: "),
         col("line_no").cast("string"))))
       .otherwise(col("doc_id") * (1L << 20) + col("line_no") + 2L)
-    val keyed = lines.select(col("doc_id"), col("line_no"), col("ws"),
+    lines.select(col("doc_id"), col("line_no"), col("ws"),
       md5(array_join(col("ws"), " ")).as("h"), guarded.as("pos"))
-    val firsts = keyed.groupBy("h").agg(min("pos").as("first_pos"))
-    val marked = keyed.join(firsts, "h")
-      .withColumn("kept", col("pos") === col("first_pos"))
+  }
+
+  /** Per-document reassembly of a kept-marked line table — the shared tail
+    * of both line-dedup forms.
+    */
+  private def reassembleLines(marked: DataFrame): DataFrame =
     marked.groupBy("doc_id").agg(
       count(lit(1)).as("n_lines"),
       sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -65,7 +103,6 @@ object Dedup {
         sort_array(collect_list(when(col("kept"),
           struct(col("line_no"), col("ws"))))),
         s => s.getField("ws"))), " ").as("kept_text"))
-  }
 
   /** Distinct n-gram word shingles of `text` (default n=3), the unit of
     * near-dup comparison.

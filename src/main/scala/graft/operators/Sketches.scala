@@ -137,7 +137,7 @@ object Sketches {
     conv(substring(md5(concat_ws("|", lit(s"cms$h"), key.cast("string"))),
       1, B), 16, 10).cast("int")
 
-  private def cmsEntries(key: Column, depth: Int): Column =
+  private[graft] def cmsEntries(key: Column, depth: Int = CmsDepth): Column =
     array((0 until depth).map(h =>
       struct(lit(h).as("h"), cmsCol(key, h).as("c"))): _*)
 

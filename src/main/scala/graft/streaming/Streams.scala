@@ -131,6 +131,74 @@ object Streams {
         col("n"))
   }
 
+  /** Streaming Count-Min sketch maintenance — the stream twin of
+    * [[graft.operators.Sketches.cmsSketch]] per hourly window: the
+    * watermarked aggregation emits (hour, group, hash row, counter, cnt)
+    * rows as windows finalize. Like the HLL and histogram sketch streams,
+    * the ARTIFACT is the mergeable thing: CMS counters from any set of
+    * hours SUM into that range's sketch ([[graft.operators.Sketches
+    * .cmsMerge]] is plain addition — lossless by construction), so the
+    * stream maintains per-hour sketch tables and readers point-query any
+    * date range later for free. State: ≤ depth·256 counters × open
+    * windows × groups.
+    */
+  def cmsSketchStream(events: DataFrame, groupCol: String, key: Column,
+                      watermark: String = "2 hours"): DataFrame =
+    events
+      .filter(key.isNotNull)
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), "1 hour").as("w"), col(groupCol),
+        explode(graft.operators.Sketches.cmsEntries(key)).as("hc"))
+      .select(col("w"), col(groupCol), col("hc.h").as("h"),
+        col("hc.c").as("c"))
+      .groupBy(col("w"), col(groupCol), col("h"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("hour"), col(groupCol), col("h"), col("c"),
+        col("cnt"))
+
+  /** Streaming Gopher-rule gate — each micro-batch of raw documents is
+    * lifted to a line table by the caller-supplied `liner` (the corpus'
+    * line law; [[graft.Tables.asMarkupLines]] in the fixture world) and
+    * scored by [[graft.operators.TextAnalysis.gopherRules]]. Per-document
+    * output has no cross-batch dependence, so stream ≡ batch bit-for-bit
+    * (the span-decontamination sink contract); deterministic per-batch
+    * file names make crash replays no-ops.
+    */
+  def gopherGateSink(docs: DataFrame, liner: DataFrame => DataFrame,
+                     outDir: String, checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        val report = graft.operators.TextAnalysis.gopherRules(liner(batch))
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          report, outDir, s"batch-$batchId.parquet")
+      })
+
+  /** Streaming line-level dedup — the CCNet gate at ingest: each
+    * micro-batch's documents are lifted to lines and cleaned by
+    * [[graft.operators.Dedup.dedupLinesAgainst]] the STANDING corpus line
+    * table (lines the corpus already has are dropped; batch-internal
+    * repeats keep their first occurrence), landing reassembled documents.
+    * The static corpus' distinct line-hash table is built + persisted
+    * once and reused across batches; per-document output depends only on
+    * the corpus and the batch, so the sink is stateless and exactly-once
+    * per batch file.
+    */
+  def lineDedupSink(docs: DataFrame, corpusLines: DataFrame,
+                    liner: DataFrame => DataFrame,
+                    outDir: String, checkpointDir: String): DataStreamWriter[Row] = {
+    val corpus = graft.CacheScope.global.persist(
+      corpusLines.select(col("doc_id"), col("line_no"), col("ws")))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        val cleaned = graft.operators.Dedup.dedupLinesAgainst(
+          liner(batch), corpus)
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          cleaned, outDir, s"batch-$batchId.parquet")
+      })
+  }
+
   /** Streaming exact dedup on a key column: keeps the first arrival of each
     * key, with state bounded by the event-time watermark
     * (dropDuplicatesWithinWatermark) — keys older than the watermark are

@@ -106,6 +106,98 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(est - 120.0) / 120.0 < 0.13, s"est=$est")
   }
 
+  test("streaming CMS sketch: hour rows sum to the batch sketch; point query served") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val input = MemoryStream[(Timestamp, String, Long)]
+    // users across two hours — the rollup has real work to do
+    val evts = (0 until 300).map(i =>
+      (Timestamp.valueOf(s"2024-01-01 0${i % 2}:${10 + i % 40}:00"), "click",
+        (i % 25).toLong))
+    input.addData(evts)
+    val stream = Streams.cmsSketchStream(
+      input.toDF().toDF("ts", "event_type", "user_id"), "event_type",
+      col("user_id"), "3 hours")
+    val q = stream.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(Seq((Timestamp.valueOf("2024-01-02 00:00:00"), "late", 0L)))
+    q.processAllAvailable()
+    q.stop()
+
+    // per-hour counter rows SUM to the whole-corpus sketch (linear merge)
+    val summed = Sketches.cmsMerge(Seq(
+      spark.table("cms_stream").filter($"event_type" === "click")
+        .select("event_type", "h", "c", "cnt")), "event_type")
+    val batch = Sketches.cmsSketch(
+      evts.toDF("ts", "event_type", "user_id")
+        .filter($"event_type" === "click"),
+      "event_type", $"user_id")
+    assert(summed.exceptAll(batch).isEmpty && batch.exceptAll(summed).isEmpty)
+    // point query off the summed sink: user 0 appears exactly 12 times
+    val probes = Seq(("click", 0L)).toDF("event_type", "user_id")
+    val est = Sketches.cmsLookup(summed, probes, "event_type", $"user_id")
+      .select("est").as[Long].head()
+    assert(est >= 12L, s"CMS undercounted: $est")
+  }
+
+  test("streaming gopher gate equals the batch rule suite") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val outDir = java.nio.file.Files.createTempDirectory("gopher-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gopher-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows.take(rows.length / 2))
+    val q = Streams.gopherGateSink(input.toDF().toDF("doc_id", "text"),
+      Tables.asMarkupLines(_), outDir, ckpt).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir)
+    val batch = graft.operators.TextAnalysis.gopherRules(
+      Tables.documentsAsMarkupLines(spark, sfDir))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    assert(got.filter($"keep" === 0L).count() > 0, "gate never fired")
+  }
+
+  test("streaming line dedup drops corpus-known lines, keeps batch-firsts once") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus owns the newsletter line; the batch repeats it (drop), brings
+    // a new boilerplate repeated across batch docs (keep-first), and
+    // unique content (keep)
+    val corpusLines = Seq(
+      (1L, 0, Seq("subscribe", "now", "fresh", "words")),
+      (1L, 1, Seq("corpus", "content"))
+    ).toDF("doc_id", "line_no", "ws")
+    val batch = Seq(
+      (100L, "subscribe now fresh words here"),
+      (101L, "new footer line plus subscribe now"),
+      (102L, "new footer line plus other text")
+    ).toDF("doc_id", "text")
+    val liner = (d: org.apache.spark.sql.DataFrame) => Tables.asMarkupLines(d, 4)
+    val outDir = java.nio.file.Files.createTempDirectory("linededup-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("linededup-ckpt").toString
+    val rows = batch.as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows)
+    val q = Streams.lineDedupSink(input.toDF().toDF("doc_id", "text"),
+      corpusLines, liner, outDir, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir)
+    val direct = graft.operators.Dedup.dedupLinesAgainst(liner(batch), corpusLines)
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty)
+    val kept = got.select($"doc_id", $"kept_text").as[(Long, String)]
+      .collect().toMap
+    // corpus-known line dropped from 100; batch-internal repeat keeps its
+    // first occurrence (101) and drops the second (102)
+    assert(kept(100L) === "here")
+    assert(kept(101L) === "new footer line plus subscribe now")
+    assert(kept(102L) === "other text")
+  }
+
   test("watermarked hourly agg equals batch hourly agg once all windows close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
