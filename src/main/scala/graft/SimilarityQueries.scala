@@ -58,6 +58,18 @@ object SimilarityQueries {
       operators.Ivf.probe(model, emb, 0L, 10, nprobe = 4)
     }),
 
+    // TWO-STAGE coarse-to-fine retrieval — the hierarchical RAG serving
+    // pattern: doc-level cosine picks the top-20 documents (coarse), then
+    // only THEIR chunks are ranked (fine) — the two prunings compose with
+    // whatever index serves each stage. Twin replays both stages over the
+    // doc-level and chunk-level embed chains.
+    "ann_topk_twostage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val (_, chunkEmb) = chunkIndex(s, dir)
+      Similarity.topKTwoStage(docEmb, chunkEmb, 0L, coarseK = 20, k = 10)
+    }),
+
     // HYBRID retrieval — reciprocal-rank fusion of the dense top-20
     // (hashed-TF cosine) and the sparse top-20 (BM25 over the same
     // corpus), rrf = Σ 1/(60+rank), re-cut to 10. The standard hybrid-RAG
@@ -2293,6 +2305,44 @@ object SimilarityQueries {
          |FROM dots d, qn
          |ORDER BY cosine DESC NULLS LAST, vec_id
          |LIMIT 10""".stripMargin,
+
+    // two-stage twin: doc-level embed chain (d-prefixed) ranks the coarse
+    // top-20 (the ann_topk_embed law), chunk-level chain (shared with the
+    // chunk-index twins) restricted to those parents, exact cosine re-cut
+    "ann_topk_twostage" ->
+      s"""WITH $chunkCorpusCtes,
+         |${TextQueries.embedCntCteFrom("documents", "d")},
+         |tqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM dcnt
+         |        WHERE doc_id = 0),
+         |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
+         |tdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM dcnt e LEFT JOIN tqd q ON e.b = q.b
+         |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
+         |tcoarse AS (
+         |  SELECT doc_id AS parent_id FROM (
+         |    SELECT d.doc_id,
+         |      ROW_NUMBER() OVER (ORDER BY
+         |        d.dot / NULLIF(sqrt(d.n2) * sqrt(tqn.qn2), 0)
+         |        DESC NULLS LAST, d.doc_id) AS rn
+         |    FROM tdots d, tqn)
+         |  WHERE rn <= 20),
+         |tchf AS (
+         |  SELECT e.doc_id AS vec_id, e.doc_id // 1048576 AS parent_id,
+         |    e.b, e.c
+         |  FROM cnt e JOIN tcoarse tc ON e.doc_id // 1048576 = tc.parent_id),
+         |tcd AS (
+         |  SELECT vec_id, MIN(parent_id) AS parent_id,
+         |    SUM(CAST(c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM tchf LEFT JOIN tqd q ON tchf.b = q.b
+         |  GROUP BY vec_id)
+         |SELECT vec_id, parent_id,
+         |  dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
+         |FROM tcd, tqn
+         |ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
 
     "ann_knn_join" -> knnSql,
     "ann_knn_agg" -> knnSql,

@@ -319,6 +319,18 @@ object TextQueries {
           postings = Some(operators.Bm25.materializedPostings(
             dir + "#postings", docs)))
         .orderBy("query_id", "rn")
+    }),
+
+    // Exact phrase retrieval over positional postings — the lexical query
+    // BM25's bag-of-words cannot express. Probes = the corpus' top-3
+    // trigrams (deterministic count-desc/lexicographic cut); each ranked
+    // by occurrence count. Work = Σ df over phrase terms, one keyed join.
+    "text_phrase_topk" -> ((s, dir) => {
+      val pp = CacheScope.global.persist(
+        operators.Bm25.positionalPostings(Tables.documents(s, dir)))
+      val phrases = operators.Bm25.topTrigramPhrases(pp, 3)
+      operators.Bm25.phraseTopKAll(pp, phrases, 10)
+        .orderBy("phrase_id", "rn")
     })
   )
 
@@ -1152,7 +1164,46 @@ object TextQueries {
         |  SELECT doc_id, score_q,
         |    ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
         |  FROM bsc)
-        |WHERE rn <= 10 ORDER BY rn""".stripMargin
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    "text_phrase_topk" ->
+      """WITH ppq AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+        |    unnest(range(0, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |ptri AS (
+        |  SELECT a.t AS t0, b.t AS t1, c.t AS t2, COUNT(*) AS cnt
+        |  FROM ppq a
+        |  JOIN ppq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN ppq c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |  GROUP BY 1, 2, 3
+        |  ORDER BY cnt DESC, t0, t1, t2 LIMIT 3),
+        |pph AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, t0, t1, t2)
+        |    AS BIGINT) AS phrase_id, t0, t1, t2
+        |  FROM ptri),
+        |pterms AS (
+        |  SELECT phrase_id, unnest([t0, t1, t2]) AS term,
+        |    unnest(range(0, 3)) AS ppos, CAST(3 AS BIGINT) AS plen
+        |  FROM pph),
+        |phits AS (
+        |  SELECT p.phrase_id, p.plen, q.doc_id, q.pos - p.ppos AS start
+        |  FROM ppq q JOIN pterms p ON q.t = p.term),
+        |pocc AS (
+        |  SELECT phrase_id, doc_id, COUNT(*) AS n_occurrences
+        |  FROM (
+        |    SELECT phrase_id, plen, doc_id, start, COUNT(*) AS nt
+        |    FROM phits GROUP BY 1, 2, 3, 4)
+        |  WHERE nt = plen
+        |  GROUP BY 1, 2)
+        |SELECT phrase_id, doc_id,
+        |  CAST(n_occurrences AS BIGINT) AS n_occurrences, rn
+        |FROM (
+        |  SELECT phrase_id, doc_id, n_occurrences,
+        |    ROW_NUMBER() OVER (PARTITION BY phrase_id
+        |      ORDER BY n_occurrences DESC, doc_id) AS rn
+        |  FROM pocc)
+        |WHERE rn <= 10 ORDER BY phrase_id, rn""".stripMargin
   )
 
   /** Shared replay of [[graft.operators.Embed.hashedTf]]'s (doc, bucket)
@@ -1269,19 +1320,19 @@ object TextQueries {
   /** [[embedCntCte]] over any (doc_id, text) relation — the corpus→index
     * flagship embeds the pretrain gate's survivors, not raw `documents`.
     */
-  private[graft] def embedCntCteFrom(src: String): String =
-    s"""etoks AS (
+  private[graft] def embedCntCteFrom(src: String, p: String = ""): String =
+    s"""${p}etoks AS (
       |  SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
-      |eocc AS (
+      |${p}eocc AS (
       |  SELECT doc_id,
       |    unnest(list_concat(ts,
       |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))
       |      AS f
-      |  FROM etoks),
-      |cnt AS MATERIALIZED (
+      |  FROM ${p}etoks),
+      |${p}cnt AS MATERIALIZED (
       |  SELECT doc_id,
       |    ('0x' || substring(md5(f), 1, 8))::BIGINT % 64 AS b,
       |    CAST(SUM(CASE WHEN ('0x' || substring(md5(f), 9, 1))::BIGINT % 2 = 0
       |             THEN 1 ELSE -1 END) AS BIGINT) AS c
-      |  FROM eocc GROUP BY doc_id, b)""".stripMargin
+      |  FROM ${p}eocc GROUP BY doc_id, b)""".stripMargin
 }

@@ -61,6 +61,68 @@ object Bm25 {
     spark.read.parquet(path)
   }
 
+  /** Positional postings — (doc_id, pos, t), the phrase-query artifact
+    * next to the (doc_id, t, tf) frequency postings: one posexplode, never
+    * re-tokenized per probe when materialized by the caller.
+    */
+  def positionalPostings(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+
+  /** Exact phrase retrieval over positional postings — the lexical
+    * operator BM25's bag-of-words scoring structurally cannot express
+    * ("data processing engine" as a phrase, not three independent terms).
+    * Set-oriented like every probe in this engine: `phrases` is a
+    * (phrase_id, ppos, term, plen) table; a document position `start`
+    * matches a phrase when ALL plen of its offsets hit — the classic
+    * positional-index intersection, computed as ONE keyed join
+    * (postings ⋈ phrase terms on the term) + a (phrase, doc, start)
+    * count-equals-length gate. Emits (phrase_id, doc_id, n_occurrences,
+    * rn ≤ k) ranked by (occurrences desc, doc_id).
+    *
+    * Scale: candidate work is Σ_t df(t) over the PHRASE terms only (the
+    * inverted-index law); the gate and counts are keyed partial aggs; the
+    * rank window is phrase-keyed (WindowGroupLimit). Nothing scans the
+    * corpus text.
+    */
+  def phraseTopKAll(postings: DataFrame, phrases: DataFrame, k: Int): DataFrame = {
+    val hits = postings.join(phrases, postings("t") === phrases("term"))
+      .select(col("phrase_id"), col("plen"), col("doc_id"),
+        (col("pos") - col("ppos")).as("start"))
+    val occs = hits
+      .groupBy("phrase_id", "plen", "doc_id", "start")
+      .agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === col("plen"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy("phrase_id")
+      .orderBy(desc("n_occurrences"), col("doc_id"))
+    occs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** The corpus' top-`n` trigrams as a phrase table (phrase_id, ppos,
+    * term, plen) — the deterministic probe set for [[phraseTopKAll]]'s
+    * oracle gate (count desc, lexicographic tie). Trigram discovery is
+    * two co-partitioned (doc_id, pos) self-joins of the positional
+    * postings + one map-side-combined count.
+    */
+  def topTrigramPhrases(postings: DataFrame, n: Int): DataFrame = {
+    val tri = postings.select(col("doc_id"), col("pos"), col("t").as("t0"))
+      .join(postings.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("t").as("t1")), Seq("doc_id", "pos"))
+      .join(postings.select(col("doc_id"), (col("pos") - 2).as("pos"),
+        col("t").as("t2")), Seq("doc_id", "pos"))
+      .groupBy("t0", "t1", "t2").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("t0"), col("t1"), col("t2")).limit(n)
+    val w = Window.orderBy(desc("cnt"), col("t0"), col("t1"), col("t2"))
+    tri.withColumn("phrase_id", row_number().over(w).cast("long"))
+      .select(col("phrase_id"), col("t0"), col("t1"), col("t2"))
+      .select(col("phrase_id"),
+        posexplode(array(col("t0"), col("t1"), col("t2")))
+          .as(Seq("ppos", "term")))
+      .withColumn("plen", lit(3L))
+  }
+
   /** Per-(query, document) BM25 top-k over whitespace tokens: queries are
     * corpus documents named by `queryIds` (query_id), their DISTINCT
     * tokens form Q, and every other document containing ≥ 1 query term is

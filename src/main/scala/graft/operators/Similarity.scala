@@ -42,6 +42,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage coarse-to-fine retrieval — the hierarchical RAG serving
+    * pattern: rank DOCUMENTS by the query's doc-level cosine (stage 1,
+    * the coarse cut), then rank only the surviving documents' CHUNKS
+    * (stage 2, the fine cut) — "find the right document cheaply, then the
+    * right passage inside it". Chunking multiplies vector cardinality
+    * ~8–16×; the coarse cut means the fine stage scans coarseK documents'
+    * chunks instead of the whole chunk table, ON TOP of whatever index
+    * serves stage 1 — the two prunings compose. Emits (vec_id = chunk
+    * key, parent_id, cosine) with the zero-norm→NULL ranked-last law.
+    *
+    * Scale: stage 1 is [[topK]] (or any indexed probe upstream); the
+    * chunk restriction is a keyed join against the coarseK-row doc list
+    * (broadcast); stage 2's candidate set is coarseK·chunks-per-doc.
+    */
+  def topKTwoStage(docEmb: DataFrame, chunkEmb: DataFrame, queryVecId: Long,
+                   coarseK: Int, k: Int, chunkShift: Int = 20): DataFrame = {
+    val q = docEmb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val topDocs = topK(docEmb, queryVecId, coarseK)
+      .select(col("vec_id").as("parent_id"))
+    chunkEmb
+      .withColumn("parent_id", shiftright(col("vec_id"), chunkShift))
+      .join(topDocs, "parent_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cosine",
+        nanvl(VectorOps.cosine(col("embedding"), col("q_emb")),
+          lit(null).cast("double")))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .select("vec_id", "parent_id", "cosine")
+      .limit(k)
+  }
+
   /** FILTERED exact top-k — "nearest neighbors WHERE <predicate>", the
     * production retrieval shape (lang/source/date gates composed with
     * vector search). The predicate lands BEFORE the ranking, so it prunes

@@ -21,6 +21,36 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(orth.get) < 1e-12)
   }
 
+  test("topKTwoStage: fine results live inside the coarse cut; exhaustive coarse equals brute force") {
+    import graft.operators.{CorpusIndex, Embed}
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = Embed.hashedTf(docs)
+    val (_, chunkEmb) = CorpusIndex.buildChunkIndex(s"$sfDir#chunks-spec", docs)
+    val out = Similarity.topKTwoStage(docEmb, chunkEmb, 0L, 20, 10).collect()
+    assert(out.length === 10)
+    // every fine result's parent is in the coarse top-20
+    val coarse = Similarity.topK(docEmb, 0L, 20)
+      .select("vec_id").as[Long].collect().toSet
+    out.foreach(r => assert(coarse.contains(r.getLong(1))))
+    // cosines non-increasing
+    val cos = out.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    // exhaustive coarse cut (>= all docs) degenerates to brute force over
+    // every chunk whose parent isn't the query doc
+    val nDocs = docs.count().toInt
+    val exhaustive = Similarity.topKTwoStage(docEmb, chunkEmb, 0L, nDocs + 1, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = chunkEmb
+      .filter(shiftright($"vec_id", 20) =!= 0L)
+      .crossJoin(broadcast(docEmb.filter($"vec_id" === 0L)
+        .select($"embedding".as("q_emb"))))
+      .withColumn("cosine", nanvl(VectorOps.cosine($"embedding", $"q_emb"),
+        lit(null).cast("double")))
+      .orderBy(desc("cosine"), $"vec_id")
+      .select("vec_id").limit(10).as[Long].collect().toSeq
+    assert(exhaustive === brute)
+  }
+
   test("topK agrees with knnJoin's ranking for the same query") {
     val emb = Tables.embeddings(spark, sfDir)
     val top = Similarity.topK(emb, 0L, 5)
