@@ -321,6 +321,27 @@ object TextQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // INCREMENTAL BM25 maintenance: the postings store is built on the
+    // base corpus, the held-out slice lands via the append verb (batch
+    // file, replay no-op), and the probe over the appended store must
+    // score exactly as a from-scratch build over the FULL corpus — the
+    // twin replays the full corpus, so hash equality IS the incremental ≡
+    // full proof (no frozen model: df/dl/idf derive from the table).
+    "text_bm25_incr" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val key = dir + "#postings-incr"
+      operators.Bm25.materializedPostings(key,
+        docs.filter(col("doc_id") % 40 =!= 7))
+      operators.Bm25.appendPostings(key,
+        docs.filter(col("doc_id") % 40 === 7), 0L)
+      val appended = operators.Bm25.materializedPostings(key,
+        docs.filter(col("doc_id") % 40 =!= 7))
+      operators.Bm25.topKAll(docs, Seq(0L).toDF("query_id"), 10,
+          postings = Some(appended))
+        .orderBy("query_id", "rn")
+    }),
+
     // Exact phrase retrieval over positional postings — the lexical query
     // BM25's bag-of-words cannot express. Probes = the corpus' top-3
     // trigrams (deterministic count-desc/lexicographic cut); each ranked
@@ -1159,6 +1180,15 @@ object TextQueries {
 
     // BM25 twin: the full scoring-chain replay (bm25Ctes) + the rank cut.
     "text_bm25_topk" ->
+      s"""WITH ${bm25Ctes()}
+        |SELECT CAST(0 AS BIGINT) AS query_id, doc_id, score_q, rn FROM (
+        |  SELECT doc_id, score_q,
+        |    ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+        |  FROM bsc)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    // the incremental twin IS the full-corpus chain: append ≡ rebuild
+    "text_bm25_incr" ->
       s"""WITH ${bm25Ctes()}
         |SELECT CAST(0 AS BIGINT) AS query_id, doc_id, score_q, rn FROM (
         |  SELECT doc_id, score_q,

@@ -61,6 +61,34 @@ object Bm25 {
     spark.read.parquet(path)
   }
 
+  /** Resolved store path of a materialized postings key (exists only
+    * after [[materializedPostings]] built the base in this JVM).
+    */
+  def storePath(storeKey: String): Option[String] =
+    Option(postingStores.get(storeKey))
+
+  /** Append-only postings maintenance — the lexical analog of the ANN
+    * frozen-model append: the inverted index grows by tokenizing ONLY the
+    * new batch (one explode + map-side-combined partial agg over the
+    * batch, cost ∝ batch never corpus), landed as a deterministic
+    * per-batch file so crash replays no-op. df/dl/idf derive from the
+    * postings TABLE at probe time, so a probe over the appended store
+    * scores exactly as a from-scratch build over the union corpus — there
+    * is no frozen model to drift (the `text_bm25_incr` oracle proves the
+    * equality cross-engine).
+    */
+  def appendPostings(storeKey: String, newDocs: DataFrame, batchId: Long): Unit = {
+    val path = postingStores.get(storeKey)
+    require(path != null, s"no materialized postings store under key " +
+      s"'$storeKey' — build the base with materializedPostings first")
+    graft.MutationGuard.claim(path)
+    val batch = newDocs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    graft.sources.Sinks.appendBatchFileIdempotent(
+      batch, path, s"ingest-$batchId.parquet")
+  }
+
   /** Positional postings — (doc_id, pos, t), the phrase-query artifact
     * next to the (doc_id, t, tf) frequency postings: one posexplode, never
     * re-tokenized per probe when materialized by the caller.

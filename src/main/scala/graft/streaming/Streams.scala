@@ -199,6 +199,28 @@ object Streams {
       })
   }
 
+  /** Streaming BM25 postings ingest — the lexical index's growing-corpus
+    * loop, the sparse twin of the embedding ingest sinks: each
+    * micro-batch of raw documents tokenizes (batch-proportional) and
+    * lands in the materialized postings store via the idempotent append
+    * verb ([[graft.operators.Bm25.appendPostings]]), under the exclusive
+    * writer lease like every index ingest. df/dl/idf derive from the
+    * table at probe time, so a probe after any batch scores exactly as a
+    * from-scratch build over the rows ingested so far (StreamingSpec
+    * parity) — no frozen model, no drift.
+    */
+  def bm25IngestSink(docs: DataFrame, storeKey: String,
+                     checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        val path = graft.operators.Bm25.storePath(storeKey).getOrElse(
+          sys.error(s"no postings store for '$storeKey' — build the base first"))
+        graft.sources.Sinks.withDirLease(batch.sparkSession, path) {
+          graft.operators.Bm25.appendPostings(storeKey, batch, batchId)
+        }
+      })
+
   /** Streaming exact dedup on a key column: keeps the first arrival of each
     * key, with state bounded by the event-time watermark
     * (dropDuplicatesWithinWatermark) — keys older than the watermark are

@@ -106,6 +106,38 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(est - 120.0) / 120.0 < 0.13, s"est=$est")
   }
 
+  test("streamed BM25 postings ingest: probe over the grown store equals from-scratch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter($"doc_id" % 3 === 0)
+    val newRows = docs.filter($"doc_id" % 3 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val key = s"$sfDir#postings-stream-spec"
+    Bm25.materializedPostings(key, base)
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    input.addData(newRows.take(newRows.length / 2))
+    val q = Streams.bm25IngestSink(input.toDF().toDF("doc_id", "text"),
+      key, ckpt).start()
+    q.processAllAvailable()
+    input.addData(newRows.drop(newRows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    // probe over the streamed-in store == from-scratch postings over all
+    // rows ingested so far (df/dl/idf derive from the table — no model)
+    val grown = Bm25.materializedPostings(key, base)
+    val got = Bm25.topKAll(docs, Seq(0L).toDF("query_id"), 10,
+      postings = Some(grown))
+    val scratch = Bm25.topKAll(docs, Seq(0L).toDF("query_id"), 10)
+    assert(got.exceptAll(scratch).isEmpty && scratch.exceptAll(got).isEmpty)
+    // replaying batch 0's file delivery is a no-op (exactly-once)
+    val before = grown.count()
+    graft.operators.Bm25.appendPostings(key,
+      docs.filter($"doc_id" % 3 === 1).limit(5), 0L)
+    assert(Bm25.materializedPostings(key, base).count() === before)
+  }
+
   test("streaming CMS sketch: hour rows sum to the batch sketch; point query served") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sketches
