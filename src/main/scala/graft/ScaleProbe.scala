@@ -74,6 +74,62 @@ object ScaleProbe {
       return
     }
 
+    if (args.headOption.contains("newops")) {
+      // `newops [mults...]`: decade probe for the continuation-session
+      // operators — gopher rules, line dedup, wordpiece, phrase retrieval,
+      // CMS — over the salted-copy corpus (copies share no lines/words/
+      // trigrams, a genuine corpus-size scale-up). Flat s/unit = linear.
+      val mults = args.drop(1).map(_.toInt) match {
+        case a if a.nonEmpty => a.toSeq; case _ => Seq(1, 10)
+      }
+      def blowUpN(mult: Int): DataFrame = {
+        val docs = Tables.documents(spark, dir)
+        (0 until mult).map { i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+            .withColumn("text", regexp_replace(col("text"), "(^| )", s"$$1c$i"))
+        }.reduce(_ unionByName _)
+      }
+      def timeN(name: String, mult: Int, df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        CacheScope.global.release(); spark.catalog.clearCache()
+        println(f"PROBE $name%-18s mult=$mult%-3d ${sec}%8.2f s  ${sec / mult}%8.3f s/unit")
+      }
+      for (m <- mults) {
+        val corpus = blowUpN(m)
+        timeN("gopher_rules", m,
+          operators.TextAnalysis.gopherRules(Tables.asMarkupLines(corpus)))
+        timeN("dedup_lines", m,
+          operators.Dedup.dedupLines(Tables.asMarkupLines(corpus)))
+        timeN("wordpiece_tokens", m, {
+          val vocab = operators.Wordpiece.trainVocab(corpus)
+          operators.Wordpiece.tokenCounts(corpus, vocab)
+        })
+        timeN("phrase_topk", m, {
+          val pp = CacheScope.global.persist(
+            operators.Bm25.positionalPostings(corpus))
+          operators.Bm25.phraseTopKAll(pp,
+            operators.Bm25.topTrigramPhrases(pp, 3), 10)
+        })
+        val ev = Tables.events(spark, dir)
+        val evN = (0 until m).map { i =>
+          ev.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
+        }.reduce(_ unionByName _)
+        timeN("cms_sketch", m, {
+          val sk = operators.Sketches.cmsSketch(evN, "event_type", col("user_id"))
+          operators.Sketches.cmsLookup(sk,
+            evN.groupBy("event_type", "user_id")
+              .agg(count(lit(1)).as("n_exact"))
+              .orderBy(col("n_exact").desc, col("event_type"), col("user_id"))
+              .limit(10),
+            "event_type", col("user_id"))
+        })
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ccstars")) {
       // `ccstars [chainLen...]`: star contraction vs min-label propagation
       // on duplication CHAINS — the diameter shape that separates the two
