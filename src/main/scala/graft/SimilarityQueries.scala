@@ -66,7 +66,8 @@ object SimilarityQueries {
     "ann_topk_twostage" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
-      val (_, chunkEmb) = chunkIndex(s, dir)
+      val chunkEmb = operators.CorpusIndex.materializedChunkEmbeddings(
+        dir + "#chunkstore", docs)
       Similarity.topKTwoStage(docEmb, chunkEmb, 0L, coarseK = 20, k = 10)
     }),
 

@@ -56,6 +56,28 @@ object CorpusIndex {
           col("chunk_text").as("text")),
       dim)
 
+  /** [[chunkEmbeddings]] as a write-once store (the chunk-level analog of
+    * [[Embed.materializedHashedTf]]): a 100 TB deployment never re-chunks
+    * and re-embeds its corpus per probe — retrieval consumers read the
+    * store. Deterministic, so materialization changes cost, never results.
+    */
+  def materializedChunkEmbeddings(storeKey: String, documents: DataFrame,
+                                  chunkTokens: Int = 64, overlap: Int = 8,
+                                  dim: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    val path = chunkStores.computeIfAbsent(storeKey, _ => {
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-chunkstore-" + Ivf.dirToken(storeKey)).getAbsolutePath
+      chunkEmbeddings(documents, chunkTokens, overlap, dim)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  private val chunkStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The chunk-retrieval flagship: chunk → embed → ONE materialized IVF
     * index (memoized under `indexKey`, built once per corpus like every
     * index here) whose probes prune to nprobe/nlist of the chunk table.
