@@ -71,6 +71,22 @@ object SimilarityQueries {
       Similarity.topKTwoStage(docEmb, chunkEmb, 0L, coarseK = 20, k = 10)
     }),
 
+    // RAG context assembly — the last mile: the two-stage top-20 chunks
+    // packed greedily in rank order under a 600-token budget (strict
+    // running-sum prefix over the k-bounded pool). The budget genuinely
+    // binds: 64-token chunks fill ~9 slots of the 20-chunk pool.
+    "ann_rag_context" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val chunkEmb = operators.CorpusIndex.materializedChunkEmbeddings(
+        dir + "#chunkstore", docs)
+      val texts = operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+        .select(operators.CorpusIndex.chunkKey(col("doc_id"), col("chunk_no"))
+          .as("vec_id"), col("chunk_text"))
+      Similarity.ragContext(docEmb, chunkEmb, texts, 0L,
+        coarseK = 20, poolK = 20, tokenBudget = 600L)
+    }),
+
     // HYBRID retrieval — reciprocal-rank fusion of the dense top-20
     // (hashed-TF cosine) and the sparse top-20 (BM25 over the same
     // corpus), rrf = Σ 1/(60+rank), re-cut to 10. The standard hybrid-RAG
@@ -2344,6 +2360,62 @@ object SimilarityQueries {
          |  dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
          |FROM tcd, tqn
          |ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
+
+    // rag-context twin: the two-stage chain cut at 20, ranked, joined to
+    // the chunk texts, running-sum packed under the 600-token budget
+    "ann_rag_context" ->
+      s"""WITH $chunkCorpusCtes,
+         |${TextQueries.embedCntCteFrom("documents", "d")},
+         |tqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM dcnt
+         |        WHERE doc_id = 0),
+         |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
+         |tdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM dcnt e LEFT JOIN tqd q ON e.b = q.b
+         |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
+         |tcoarse AS (
+         |  SELECT doc_id AS parent_id FROM (
+         |    SELECT d.doc_id,
+         |      ROW_NUMBER() OVER (ORDER BY
+         |        d.dot / NULLIF(sqrt(d.n2) * sqrt(tqn.qn2), 0)
+         |        DESC NULLS LAST, d.doc_id) AS rn
+         |    FROM tdots d, tqn)
+         |  WHERE rn <= 20),
+         |tchf AS (
+         |  SELECT e.doc_id AS vec_id, e.doc_id // 1048576 AS parent_id,
+         |    e.b, e.c
+         |  FROM cnt e JOIN tcoarse tc ON e.doc_id // 1048576 = tc.parent_id),
+         |tcd AS (
+         |  SELECT vec_id, MIN(parent_id) AS parent_id,
+         |    SUM(CAST(c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM tchf LEFT JOIN tqd q ON tchf.b = q.b
+         |  GROUP BY vec_id),
+         |trk AS (
+         |  SELECT vec_id, parent_id,
+         |    dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
+         |  FROM tcd, tqn
+         |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
+         |trn AS (
+         |  SELECT vec_id, parent_id, cosine,
+         |    ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+         |      AS rn
+         |  FROM trk),
+         |trt AS (
+         |  SELECT r.rn, r.vec_id, r.parent_id, r.cosine,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+         |    c.text AS chunk_text
+         |  FROM trn r JOIN chunks c ON r.vec_id = c.doc_id),
+         |trc AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM trt)
+         |SELECT rn, vec_id, parent_id, cosine, n_tokens, cum_tokens,
+         |  chunk_text
+         |FROM trc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
 
     "ann_knn_join" -> knnSql,
     "ann_knn_agg" -> knnSql,

@@ -74,6 +74,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** RAG context assembly — the last mile of the retrieval stack: the
+    * two-stage top-`poolK` chunks packed GREEDILY IN RANK ORDER under a
+    * token budget (a strict running-sum prefix: the context window takes
+    * best-ranked chunks until the next one would overflow — the
+    * deterministic law every serving stack needs before it can promise
+    * "fits in N tokens"). Emits (rn, vec_id, parent_id, cosine, n_tokens,
+    * cum_tokens, chunk_text) — the assembled, budget-certified context.
+    *
+    * Scale: the ranked pool is poolK rows (k-bounded), so the global rank
+    * and running-sum windows are metadata-sized; the text join is keyed
+    * on the chunk key against the chunk-text table.
+    */
+  def ragContext(docEmb: DataFrame, chunkEmb: DataFrame, chunkTexts: DataFrame,
+                 queryVecId: Long, coarseK: Int, poolK: Int,
+                 tokenBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.orderBy(desc("cosine"), col("vec_id"))
+    val ranked = topKTwoStage(docEmb, chunkEmb, queryVecId, coarseK, poolK)
+      .withColumn("rn", row_number().over(wRank))
+    val wCum = Window.orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.join(chunkTexts, "vec_id")
+      .withColumn("n_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(wCum))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select("rn", "vec_id", "parent_id", "cosine", "n_tokens",
+        "cum_tokens", "chunk_text")
+      .orderBy("rn")
+  }
+
   /** FILTERED exact top-k — "nearest neighbors WHERE <predicate>", the
     * production retrieval shape (lang/source/date gates composed with
     * vector search). The predicate lands BEFORE the ranking, so it prunes

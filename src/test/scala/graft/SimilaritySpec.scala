@@ -51,6 +51,30 @@ class SimilaritySpec extends SparkSpec {
     assert(exhaustive === brute)
   }
 
+  test("ragContext packs a strict rank-order prefix under the token budget") {
+    import graft.operators.{CorpusIndex, Curation, Embed}
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = Embed.hashedTf(docs)
+    val (_, chunkEmb) = CorpusIndex.buildChunkIndex(s"$sfDir#chunks-spec", docs)
+    val texts = Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+      .select(CorpusIndex.chunkKey($"doc_id", $"chunk_no").as("vec_id"),
+        $"chunk_text")
+    val budget = 400L
+    val out = Similarity.ragContext(docEmb, chunkEmb, texts, 0L, 20, 20, budget)
+      .select("rn", "n_tokens", "cum_tokens")
+      .as[(Int, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // contiguous rank prefix, budget never exceeded, cumsum consistent
+    assert(out.map(_._1).toSeq === (1 to out.length))
+    assert(out.forall(_._3 <= budget))
+    assert(out.map(_._2).sum === out.last._3)
+    // the cut binds: the full 20-chunk pool would overflow the budget
+    val unbounded = Similarity.ragContext(docEmb, chunkEmb, texts, 0L, 20, 20,
+      Long.MaxValue)
+    assert(unbounded.count() > out.length,
+      "budget never bound — raise poolK or lower the budget in this spec")
+  }
+
   test("topK agrees with knnJoin's ranking for the same query") {
     val emb = Tables.embeddings(spark, sfDir)
     val top = Similarity.topK(emb, 0L, 5)
