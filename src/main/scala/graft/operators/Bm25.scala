@@ -135,6 +135,11 @@ object Bm25 {
     * postings + one map-side-combined count.
     */
   def topTrigramPhrases(postings: DataFrame, n: Int): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    // recipe-sized collect (n rows, TakeOrdered — total order): ranks the
+    // phrases WITHOUT a partitionless window, the one plan shape the
+    // PlansSpec sweep bans
     val tri = postings.select(col("doc_id"), col("pos"), col("t").as("t0"))
       .join(postings.select(col("doc_id"), (col("pos") - 1).as("pos"),
         col("t").as("t1")), Seq("doc_id", "pos"))
@@ -142,13 +147,10 @@ object Bm25 {
         col("t").as("t2")), Seq("doc_id", "pos"))
       .groupBy("t0", "t1", "t2").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("t0"), col("t1"), col("t2")).limit(n)
-    val w = Window.orderBy(desc("cnt"), col("t0"), col("t1"), col("t2"))
-    tri.withColumn("phrase_id", row_number().over(w).cast("long"))
-      .select(col("phrase_id"), col("t0"), col("t1"), col("t2"))
-      .select(col("phrase_id"),
-        posexplode(array(col("t0"), col("t1"), col("t2")))
-          .as(Seq("ppos", "term")))
-      .withColumn("plen", lit(3L))
+      .select("t0", "t1", "t2").as[(String, String, String)].collect()
+    tri.zipWithIndex.toSeq.flatMap { case ((a, b, c), i) =>
+      Seq((i + 1L, 0L, a), (i + 1L, 1L, b), (i + 1L, 2L, c))
+    }.toDF("phrase_id", "ppos", "term").withColumn("plen", lit(3L))
   }
 
   /** Per-(query, document) BM25 top-k over whitespace tokens: queries are

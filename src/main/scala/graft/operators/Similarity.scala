@@ -82,23 +82,29 @@ object Similarity {
     * "fits in N tokens"). Emits (rn, vec_id, parent_id, cosine, n_tokens,
     * cum_tokens, chunk_text) — the assembled, budget-certified context.
     *
-    * Scale: the ranked pool is poolK rows (k-bounded), so the global rank
-    * and running-sum windows are metadata-sized; the text join is keyed
-    * on the chunk key against the chunk-text table.
+    * Scale: the ranked pool is poolK rows (k-bounded), so the rank and
+    * running sum are computed by a broadcast self-join over it (≤ poolK²
+    * pairs of a tiny table) — NOT a partitionless window, the banned
+    * single-task plan shape; the text join is keyed on the chunk key.
+    * Null cosines (zero-norm chunks) map to −2 for the ordering, which
+    * ranks them last exactly like the window spelling would.
     */
   def ragContext(docEmb: DataFrame, chunkEmb: DataFrame, chunkTexts: DataFrame,
                  queryVecId: Long, coarseK: Int, poolK: Int,
                  tokenBudget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wRank = Window.orderBy(desc("cosine"), col("vec_id"))
-    val ranked = topKTwoStage(docEmb, chunkEmb, queryVecId, coarseK, poolK)
-      .withColumn("rn", row_number().over(wRank))
-    val wCum = Window.orderBy("rn")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked.join(chunkTexts, "vec_id")
+    val pool = topKTwoStage(docEmb, chunkEmb, queryVecId, coarseK, poolK)
+      .join(chunkTexts, "vec_id")
       .withColumn("n_tokens",
         size(split(col("chunk_text"), " ")).cast("long"))
-      .withColumn("cum_tokens", sum("n_tokens").over(wCum))
+      .withColumn("cos2", coalesce(col("cosine"), lit(-2.0)))
+    val others = pool.select(col("vec_id").as("o_vec"),
+      col("cos2").as("o_cos2"), col("n_tokens").as("o_nt"))
+    val better = col("o_cos2") > col("cos2") ||
+      (col("o_cos2") === col("cos2") && col("o_vec") < col("vec_id"))
+    pool.join(broadcast(others), better, "left")
+      .groupBy("vec_id", "parent_id", "cosine", "n_tokens", "chunk_text")
+      .agg((count(col("o_vec")) + 1L).as("rn"),
+        (coalesce(sum("o_nt"), lit(0L)) + col("n_tokens")).as("cum_tokens"))
       .filter(col("cum_tokens") <= tokenBudget)
       .select("rn", "vec_id", "parent_id", "cosine", "n_tokens",
         "cum_tokens", "chunk_text")

@@ -62,10 +62,10 @@ class SimilaritySpec extends SparkSpec {
     val budget = 400L
     val out = Similarity.ragContext(docEmb, chunkEmb, texts, 0L, 20, 20, budget)
       .select("rn", "n_tokens", "cum_tokens")
-      .as[(Int, Long, Long)].collect()
+      .as[(Long, Long, Long)].collect()
     assert(out.nonEmpty)
     // contiguous rank prefix, budget never exceeded, cumsum consistent
-    assert(out.map(_._1).toSeq === (1 to out.length))
+    assert(out.map(_._1).toSeq === (1L to out.length.toLong))
     assert(out.forall(_._3 <= budget))
     assert(out.map(_._2).sum === out.last._3)
     // the cut binds: the full 20-chunk pool would overflow the budget
