@@ -119,7 +119,7 @@ object CorpusIndex {
     val emb = scope.persist(embed(gated))
     val model = Ivf.buildIndex(indexKey, emb)
     val doomed = Dedup
-      .nearDupClusters(Dedup.semanticDupPairs(emb, threshold, indexKey),
+      .ccStars(Dedup.semanticDupPairs(emb, threshold, indexKey),
         "vec_a", "vec_b", scope = scope)
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id").as("vec_id"))
@@ -235,9 +235,10 @@ object CorpusIndex {
         .select(least(col("fid"), col("oid")).as("vec_a"),
           greatest(col("fid"), col("oid")).as("vec_b"), col("cosine"))
         .distinct()
-      // 4. global closure — metadata-scale
+      // 4. global closure — metadata-scale (ccStars: diameter-robust,
+      // bit-parity with propagation proven in DedupSpec)
       val doomedCur = scope.persist(Dedup
-        .nearDupClusters(kept.unionByName(freshPairs), "vec_a", "vec_b",
+        .ccStars(kept.unionByName(freshPairs), "vec_a", "vec_b",
           scope = scope)
         .filter(col("cluster_id") =!= col("doc_id"))
         .select(col("doc_id").as("vec_id")))

@@ -66,13 +66,14 @@ object Curation {
     * unpaired documents bucket by their own id (identical to the naive
     * split for them — the clustered rows are the only difference).
     *
-    * Scale: one cluster pass ([[graft.operators.Dedup.nearDupClusters]],
-    * keyed label propagation over the pair graph) + one keyed left join +
-    * the stateless hash-bucket filter. Emits (doc_id, split_unit, split).
+    * Scale: one cluster pass ([[graft.operators.Dedup.ccStars]] —
+    * diameter-robust star contraction over the pair graph) + one keyed
+    * left join + the stateless hash-bucket filter. Emits (doc_id,
+    * split_unit, split).
     */
   def leakageSafeSplit(documents: DataFrame, pairs: DataFrame,
                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val clusters = graft.operators.Dedup.nearDupClusters(pairs)
+    val clusters = graft.operators.Dedup.ccStars(pairs)
     val withUnit = documents.select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),

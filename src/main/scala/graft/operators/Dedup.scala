@@ -527,8 +527,15 @@ object Dedup {
     * the CURRENT edge table, which only shrinks toward one edge per
     * non-root node; no window, no driver-side state beyond the round
     * counter, each round's table eagerly lineage-cut (the iterative-DP
-    * discipline). Convergence = empty symmetric difference between
-    * rounds, checked on the distinct edge tables.
+    * discipline). Convergence = zero MOVED edges in the round: each star
+    * step carries a per-edge "did the target change" flag computed inside
+    * its own join (large-star: the neighborhood min differs from the old
+    * center; small-star: the below-neighbor re-points at a smaller min),
+    * so termination costs two filter-counts over the already-materialized
+    * round tables instead of two exceptAll set-difference shuffles. A
+    * round with zero moves reproduces its input edge set exactly (every
+    * center is already its neighborhood min), so this criterion stops at
+    * the same fixed point the set-difference check did.
     */
   def ccStars(pairs: DataFrame, idA: String = "doc_a", idB: String = "doc_b",
               maxIter: Int = 30,
@@ -536,11 +543,16 @@ object Dedup {
     val p0 = pairs.select(col(idA).cast("long").as("a"),
         col(idB).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    val nodes = scope.persist(p0.select(col("a").as("id"))
-      .unionByName(p0.select(col("b").as("id"))).distinct())
     // canonical directed form: u > v throughout
     var edges = p0.select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    // node set pinned EAGERLY off the initial edge checkpoint (one pair
+    // scan total, and no lazy re-read of the pair subtree at result time —
+    // callers like CorpusIndex.refresh mutate the tables the pairs came
+    // from between clustering and consuming the labels)
+    val nodes = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id")))
       .distinct().localCheckpoint(true)
     var iter = 0
     var changed = 1L
@@ -549,28 +561,38 @@ object Dedup {
         throw new IllegalStateException(
           s"ccStars did not converge in $maxIter rounds; raise maxIter")
       // large-star: center x, m = min(Γ(x) ∪ {x}); every neighbor above x
-      // re-points at m — (y, m) keeps u > v since m ≤ x < y
+      // re-points at m — (y, m) keeps u > v since m ≤ x < y. The per-edge
+      // moved flag (m ≠ x: the target actually changed) rides the same
+      // groupBy that dedups the output, so convergence needs no extra
+      // shuffle — just a filter-count over the checkpointed round table.
       val und = edges.select(col("u").as("x"), col("v").as("y"))
         .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
       val lmin = und.groupBy("x").agg(min("y").as("ny"))
         .select(col("x"), least(col("x"), col("ny")).as("m"))
       val large = und.join(lmin, "x")
         .filter(col("y") > col("x"))
-        .select(col("y").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
+        .groupBy(col("y").as("u"), col("m").as("v"))
+        .agg(max(col("m") =!= col("x")).as("moved"))
+        .localCheckpoint(true)
       // small-star: center u over its below-it neighborhood, m = min(Γ⁻(u));
-      // every below-neighbor and u itself fold onto m
+      // every below-neighbor and u itself fold onto m. Moved = a
+      // below-neighbor re-pointed (v ≠ m); the (u, m) branch keeps an edge
+      // large already had, so it never counts as a move.
       val smin = large.groupBy("u").agg(min("v").as("m"))
       val next = large.join(smin, "u")
-        .select(col("v").as("nu"), col("m").as("nv"))
+        .select(col("v").as("nu"), col("m").as("nv"),
+          (col("v") =!= col("m")).as("mv"))
         .filter(col("nu") =!= col("nv"))
-        .unionByName(smin.select(col("u").as("nu"), col("m").as("nv")))
-        .select(col("nu").as("u"), col("nv").as("v"))
-        .distinct().localCheckpoint(true)
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+        .unionByName(smin.select(col("u").as("nu"), col("m").as("nv"),
+          lit(false).as("mv")))
+        .groupBy(col("nu").as("u"), col("nv").as("v"))
+        .agg(max("mv").as("moved"))
+        .localCheckpoint(true)
+      changed = large.filter(col("moved")).count() +
+        next.filter(col("moved")).count()
       graft.CacheScope.releaseCheckpoint(edges)
       graft.CacheScope.releaseCheckpoint(large)
-      edges = next
+      edges = next.select("u", "v")
       iter += 1
     }
     // fixed point: every non-root points only at its component min
@@ -584,7 +606,10 @@ object Dedup {
     * pairs, keep ONE document per duplicate cluster — the best by `rank`
     * (ties → smallest doc_id) — and every unclustered document unchanged.
     * This is the full "dedup the corpus" operation: pair detection
-    * ([[minhashPairs]] at scale) → clustering ([[nearDupClusters]]) →
+    * ([[minhashPairs]] at scale) → clustering ([[ccStars]] — the
+    * diameter-robust default: a mirror-farm duplication CHAIN pays
+    * O(log² n) star rounds instead of one edge shuffle per hop;
+    * bit-parity with [[nearDupClusters]] is proven in DedupSpec) →
     * survivor selection, returning the deduplicated corpus.
     *
     * Scale: one left join of the corpus against the (pair-sized) cluster
@@ -596,7 +621,7 @@ object Dedup {
                        scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
     require(!documents.columns.exists(Set("_cl", "_rn")),
       "collapseNearDups reserves the internal column names _cl and _rn")
-    val clusters = nearDupClusters(pairs, scope = scope)
+    val clusters = ccStars(pairs, scope = scope)
       .withColumnRenamed("doc_id", "_cdoc")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_cl").orderBy(rank.desc, col("doc_id").asc)
