@@ -486,6 +486,40 @@ object ScaleProbe {
       return
     }
 
+    if (args.headOption.contains("twostage")) {
+      // `twostage [mults…]`: the indexed two-stage serving law — doc-IVF
+      // coarse probe + parent-restricted chunk-index probe must stay
+      // near-flat per probe as the corpus grows 10× (both stages scan
+      // nprobe/nlist of their index; the parent cut is coarseK-bounded),
+      // while the exact two-stage (the correctness anchor) is allowed to
+      // track corpus size. Builds timed apart (paid once per corpus).
+      val ms = args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 10)
+        case x => x
+      }
+      for (m <- ms) {
+        val docsPath = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft-probe-ts-docs-$m").getAbsolutePath
+        blowUp(m).select("doc_id", "text")
+          .write.mode("overwrite").parquet(docsPath)
+        val docs = spark.read.parquet(docsPath)
+        val t0 = System.nanoTime()
+        val docEmb = operators.Embed.materializedHashedTf(
+          s"probe-ts-doc-$m", docs)
+        val docModel = operators.Ivf.buildIndex(s"probe-ts-docivf-$m", docEmb)
+        val (chunkModel, chunkEmb) = operators.CorpusIndex.buildChunkIndex(
+          s"probe-ts-chunkidx-$m", docs)
+        println(f"PROBE twostage_build    mult=$m%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        time("twostage_ivf", m,
+          operators.Similarity.topKTwoStageIvf(docModel, docEmb, chunkModel,
+            0L, coarseK = 20, k = 10, nprobeDoc = 4, nprobeChunk = 4))
+        time("twostage_exact", m,
+          operators.Similarity.topKTwoStage(docEmb, chunkEmb, 0L, 20, 10))
+      }
+      spark.stop()
+      return
+    }
+
     if (annMode) {
       // extra args pick the corpus multipliers (default 1 5) — `ann 1 10`
       // on the sf1 fixture is the 2·10⁴ → 2·10⁵-vector decade probe

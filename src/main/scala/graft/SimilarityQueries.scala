@@ -71,20 +71,40 @@ object SimilarityQueries {
       Similarity.topKTwoStage(docEmb, chunkEmb, 0L, coarseK = 20, k = 10)
     }),
 
-    // RAG context assembly — the last mile: the two-stage top-20 chunks
-    // packed greedily in rank order under a 600-token budget (strict
-    // running-sum prefix over the k-bounded pool). The budget genuinely
-    // binds: 64-token chunks fill ~9 slots of the 20-chunk pool.
+    // The two-stage chain SERVED THROUGH THE INDEXES — the 100×-scale
+    // plan the exact ann_topk_twostage anchors: stage 1 probes the
+    // doc-level IVF index (4 of 16 lists — the doc table is never scanned
+    // whole), stage 2 probes the materialized chunk index (4 of 16 lists)
+    // with its candidates ALSO cut to the coarse top-20's chunks. Twin
+    // replays BOTH full IVF chains (doc + chunk Lloyd/assignment/probe
+    // selection) plus the parent restriction and exact sparse re-rank.
+    "ann_topk_twostage_ivf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      val (chunkModel, _) = chunkIndex(s, dir)
+      Similarity.topKTwoStageIvf(docModel, docEmb, chunkModel, 0L,
+        coarseK = 20, k = 10, nprobeDoc = 4, nprobeChunk = 4)
+    }),
+
+    // RAG context assembly — the last mile: the top-20 chunks of the
+    // INDEXED two-stage chain (doc-IVF coarse probe → parent-restricted
+    // chunk-index probe, the serving plan) packed greedily in rank order
+    // under a 600-token budget (strict running-sum prefix over the
+    // k-bounded pool). The budget genuinely binds: 64-token chunks fill
+    // ~9 slots of the 20-chunk pool. Twin = the two-stage-ivf chain plus
+    // the shared packing law.
     "ann_rag_context" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
-      val chunkEmb = operators.CorpusIndex.materializedChunkEmbeddings(
-        dir + "#chunkstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      val (chunkModel, _) = chunkIndex(s, dir)
       val texts = operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
         .select(operators.CorpusIndex.chunkKey(col("doc_id"), col("chunk_no"))
           .as("vec_id"), col("chunk_text"))
-      Similarity.ragContext(docEmb, chunkEmb, texts, 0L,
-        coarseK = 20, poolK = 20, tokenBudget = 600L)
+      Similarity.ragContextIvf(docModel, docEmb, chunkModel, texts, 0L,
+        coarseK = 20, poolK = 20, tokenBudget = 600L,
+        nprobeDoc = 4, nprobeChunk = 4)
     }),
 
     // HYBRID retrieval — reciprocal-rank fusion of the dense top-20
@@ -954,6 +974,103 @@ object SimilarityQueries {
        |  FROM cch),
        |${TextQueries.embedCntCteFrom("chunks")}""".stripMargin
 
+  /** DuckDB replay of the INDEXED two-stage chain
+    * ([[graft.operators.Similarity.topKTwoStageIvf]]): the chunk corpus +
+    * both hashed-TF count tables, a dense doc-vector CTE feeding a
+    * d-prefixed full IVF chain (doc quantizer), probe selection +
+    * pruned-candidate exact re-rank → the coarse top-`coarseK`, then the
+    * unprefixed chunk IVF chain (shadowed `embeddings`), chunk probe
+    * selection scored with the DOC query vector, candidates cut to probed
+    * lists ∩ coarse parents, and the exact sparse re-rank `tsr`
+    * (vec_id, parent_id, cosine — unranked; callers cut and order).
+    */
+  private def twoStageIvfCtes(coarseK: Int, nprobeDoc: Int,
+                              nprobeChunk: Int): String =
+    s"""$chunkCorpusCtes,
+       |${TextQueries.embedCntCteFrom("documents", "d")},
+       |dsgrid AS (
+       |  SELECT doc_id, unnest(range(0, 64)) AS dim
+       |  FROM (SELECT DISTINCT doc_id FROM documents)),
+       |dsemb AS MATERIALIZED (
+       |  SELECT g.doc_id AS vec_id,
+       |    list(CAST(COALESCE(dcnt.c, 0) AS REAL) ORDER BY g.dim)
+       |      AS embedding
+       |  FROM dsgrid g LEFT JOIN dcnt ON g.doc_id = dcnt.doc_id
+       |    AND g.dim = dcnt.b
+       |  GROUP BY g.doc_id),
+       |${ivfCoreCtes(16, "", "", "dsemb", "d")},
+       |dprobe AS (
+       |  SELECT cid FROM (
+       |    SELECT sdc2.cid,
+       |      ROW_NUMBER() OVER (
+       |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+       |          DESC, sdc2.cid) AS rn
+       |    FROM sdc2 JOIN ndc2 USING (cid) WHERE sdc2.vec_id = 0)
+       |  WHERE rn <= $nprobeDoc),
+       |dcand AS (
+       |  SELECT da2.vec_id FROM da2 JOIN dprobe USING (cid)
+       |  WHERE da2.vec_id <> 0),
+       |tqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM dcnt
+       |        WHERE doc_id = 0),
+       |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
+       |tdots AS (
+       |  SELECT e.doc_id,
+       |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+       |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+       |  FROM dcnt e LEFT JOIN tqd q ON e.b = q.b
+       |  SEMI JOIN dcand ON e.doc_id = dcand.vec_id
+       |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
+       |tcoarse AS (
+       |  SELECT doc_id AS parent_id FROM (
+       |    SELECT d.doc_id,
+       |      ROW_NUMBER() OVER (ORDER BY
+       |        d.dot / NULLIF(sqrt(d.n2) * sqrt(tqn.qn2), 0)
+       |        DESC NULLS LAST, d.doc_id) AS rn
+       |    FROM tdots d, tqn)
+       |  WHERE rn <= $coarseK),
+       |cgrid AS (
+       |  SELECT doc_id, unnest(range(0, 64)) AS dim
+       |  FROM (SELECT DISTINCT doc_id FROM chunks)),
+       |embeddings AS MATERIALIZED (
+       |  SELECT g.doc_id AS vec_id,
+       |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
+       |      AS embedding
+       |  FROM cgrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+       |    AND g.dim = cnt.b
+       |  GROUP BY g.doc_id),
+       |${ivfCoreCtes(16)},
+       |qvd AS (SELECT dim, v FROM dvd WHERE vec_id = 0),
+       |qsc AS (
+       |  SELECT c2.cid,
+       |    CAST(SUM(CAST(FLOOR(qvd.v * c2.cq * 1000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS sq
+       |  FROM qvd JOIN c2 USING (dim) GROUP BY 1),
+       |cprobe AS (
+       |  SELECT cid FROM (
+       |    SELECT q.cid,
+       |      ROW_NUMBER() OVER (
+       |        ORDER BY CAST(q.sq AS DOUBLE) / sqrt(CAST(n.norm2q AS DOUBLE))
+       |          DESC, q.cid) AS rn
+       |    FROM qsc q JOIN nc2 n USING (cid))
+       |  WHERE rn <= $nprobeChunk),
+       |ccand AS (
+       |  SELECT a2.vec_id FROM a2 JOIN cprobe USING (cid)
+       |  SEMI JOIN tcoarse ON a2.vec_id // 1048576 = tcoarse.parent_id),
+       |tchf AS (
+       |  SELECT e.doc_id AS vec_id, e.doc_id // 1048576 AS parent_id,
+       |    e.b, e.c
+       |  FROM cnt e SEMI JOIN ccand ON e.doc_id = ccand.vec_id),
+       |tcd AS (
+       |  SELECT vec_id, MIN(parent_id) AS parent_id,
+       |    SUM(CAST(c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+       |    SUM(CAST(c AS DOUBLE) * c) AS n2
+       |  FROM tchf LEFT JOIN tqd q ON tchf.b = q.b
+       |  GROUP BY vec_id),
+       |tsr AS (
+       |  SELECT vec_id, parent_id,
+       |    dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
+       |  FROM tcd, tqn)""".stripMargin
+
   /** The shared IVF core: quantized coordinates, md5 seeds, two Lloyd
     * steps → `c2`, full assignment `a2` (the inverted lists). Prefix for
     * the probe twin, the list-size twin, and DedupQueries' SemDeDup twin.
@@ -962,38 +1079,46 @@ object SimilarityQueries {
     * — seeds and both Lloyd steps — to that subset while `a2` still assigns
     * every vector: exactly Ivf.buildIncremental's semantics (frozen
     * quantizer from the base corpus, batch assigned and appended).
+    *
+    * `src` names the (vec_id, embedding) source table/CTE (default the
+    * `embeddings` fixture, shadowable by a MATERIALIZED CTE — the flagship
+    * trick); `p` prefixes every generated CTE name so TWO independent IVF
+    * chains (doc-level + chunk-level, the indexed two-stage twin) coexist
+    * in one query.
     */
   private[graft] def ivfCoreCtes(nlist: Int, trainWhere: String = "",
-                                 corpusWhere: String = ""): String = {
-    val tvd = if (trainWhere.isEmpty) "vd" else "tvd"
+                                 corpusWhere: String = "",
+                                 src: String = "embeddings",
+                                 p: String = ""): String = {
+    val tvd = if (trainWhere.isEmpty) s"${p}vd" else s"${p}tvd"
     val tvdCte =
       if (trainWhere.isEmpty) ""
-      else s"tvd AS (SELECT * FROM vd WHERE $trainWhere),\n"
+      else s"${p}tvd AS (SELECT * FROM ${p}vd WHERE $trainWhere),\n"
     val seedConds = Seq(corpusWhere, trainWhere).filter(_.nonEmpty)
     val seedWhere =
       if (seedConds.isEmpty) "" else "\n  WHERE " + seedConds.mkString(" AND ")
     val idxWhere = if (corpusWhere.isEmpty) "" else s"\n  WHERE $corpusWhere"
-    s"""idx AS (
+    s"""${p}idx AS (
        |  SELECT vec_id, embedding,
        |    unnest(range(1, len(embedding) + 1)) AS i
-       |  FROM embeddings$idxWhere),
-       |vd AS (
+       |  FROM $src$idxWhere),
+       |${p}vd AS (
        |  SELECT vec_id, i - 1 AS dim,
        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v,
        |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
        |      * 1000000.0 + 0.5) AS BIGINT) AS vq
-       |  FROM idx),
-       |${tvdCte}seed AS (
+       |  FROM ${p}idx),
+       |$tvdCte${p}seed AS (
        |  SELECT (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
        |      % $nlist) AS cid,
        |    MIN(vec_id) AS svid
-       |  FROM embeddings$seedWhere GROUP BY 1),
-       |c0 AS (
+       |  FROM $src$seedWhere GROUP BY 1),
+       |${p}c0 AS (
        |  SELECT s.cid, v.dim, v.vq AS cq
-       |  FROM seed s JOIN $tvd v ON v.vec_id = s.svid),
-       |${lloydStep("c0", "a0", "c1", tvd)},
-       |${lloydStep("c1", "a1", "c2", tvd)},
-       |${assignCte("c2", "a2")}""".stripMargin
+       |  FROM ${p}seed s JOIN $tvd v ON v.vec_id = s.svid),
+       |${lloydStep(s"${p}c0", s"${p}a0", s"${p}c1", tvd)},
+       |${lloydStep(s"${p}c1", s"${p}a1", s"${p}c2", tvd)},
+       |${assignCte(s"${p}c2", s"${p}a2", s"${p}vd")}""".stripMargin
   }
 
   /** Full DuckDB twin of Ivf.buildIndex(nlist=16, iters=2) +
@@ -2361,42 +2486,25 @@ object SimilarityQueries {
          |FROM tcd, tqn
          |ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
 
-    // rag-context twin: the two-stage chain cut at 20, ranked, joined to
-    // the chunk texts, running-sum packed under the 600-token budget
+    // indexed two-stage twin: BOTH IVF chains replayed (doc quantizer
+    // d-prefixed, chunk quantizer over the shadowed embeddings CTE), doc
+    // probe selection + pruned exact coarse cut, chunk probe selection
+    // scored with the DOC query vector, candidates ∩ coarse parents,
+    // exact sparse re-rank
+    "ann_topk_twostage_ivf" ->
+      s"""WITH ${twoStageIvfCtes(20, 4, 4)}
+         |SELECT vec_id, parent_id, cosine
+         |FROM tsr
+         |ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
+
+    // rag-context twin: the INDEXED two-stage chain cut at 20, ranked,
+    // joined to the chunk texts, running-sum packed under the 600-token
+    // budget
     "ann_rag_context" ->
-      s"""WITH $chunkCorpusCtes,
-         |${TextQueries.embedCntCteFrom("documents", "d")},
-         |tqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM dcnt
-         |        WHERE doc_id = 0),
-         |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
-         |tdots AS (
-         |  SELECT e.doc_id,
-         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
-         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
-         |  FROM dcnt e LEFT JOIN tqd q ON e.b = q.b
-         |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
-         |tcoarse AS (
-         |  SELECT doc_id AS parent_id FROM (
-         |    SELECT d.doc_id,
-         |      ROW_NUMBER() OVER (ORDER BY
-         |        d.dot / NULLIF(sqrt(d.n2) * sqrt(tqn.qn2), 0)
-         |        DESC NULLS LAST, d.doc_id) AS rn
-         |    FROM tdots d, tqn)
-         |  WHERE rn <= 20),
-         |tchf AS (
-         |  SELECT e.doc_id AS vec_id, e.doc_id // 1048576 AS parent_id,
-         |    e.b, e.c
-         |  FROM cnt e JOIN tcoarse tc ON e.doc_id // 1048576 = tc.parent_id),
-         |tcd AS (
-         |  SELECT vec_id, MIN(parent_id) AS parent_id,
-         |    SUM(CAST(c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
-         |    SUM(CAST(c AS DOUBLE) * c) AS n2
-         |  FROM tchf LEFT JOIN tqd q ON tchf.b = q.b
-         |  GROUP BY vec_id),
+      s"""WITH ${twoStageIvfCtes(20, 4, 4)},
          |trk AS (
-         |  SELECT vec_id, parent_id,
-         |    dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
-         |  FROM tcd, tqn
+         |  SELECT vec_id, parent_id, cosine
+         |  FROM tsr
          |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
          |trn AS (
          |  SELECT vec_id, parent_id, cosine,

@@ -246,6 +246,24 @@ object Ivf {
     val qVec = embeddings.filter(col("vec_id") === queryVecId)
       .select(transform(col("embedding"), _.cast("double")).as("e"))
       .collect()(0).getSeq[Double](0).toArray
+    probeWithVec(model, embeddings.sparkSession, qVec, k, nprobe,
+      exclude = Some(queryVecId), allowed = allowed)
+  }
+
+  /** [[probe]]'s query-vector form — the composition primitive for chains
+    * whose query does not live in the probed table (two-stage retrieval
+    * probes the CHUNK index with a DOC-level query vector): same centroid
+    * ranking, same pruned list scan, same tombstone mask and exact
+    * re-rank, but the query arrives as a vector and self-exclusion /
+    * allow-listing / an arbitrary index predicate (`indexFilter`, e.g.
+    * "parent doc ∈ coarse cut" on the packed chunk key) are explicit.
+    */
+  private[graft] def probeWithVec(model: IvfModel,
+                                  spark: org.apache.spark.sql.SparkSession,
+                                  qVec: Array[Double], k: Int, nprobe: Int,
+                                  exclude: Option[Long] = None,
+                                  allowed: Option[DataFrame] = None,
+                                  indexFilter: Option[Column] = None): DataFrame = {
     val probes = model.centroids.map { case (cid, cq) =>
       val norm2q = cq.map(c => c * c).sum
       var sq = 0L
@@ -256,15 +274,15 @@ object Ivf {
     }.sortBy { case (cid, s) => (-s, cid) }
       .take(nprobe).map(_._1)
 
-    val q = embeddings.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("q_emb"))
-    val spark = embeddings.sparkSession
-    val idx = spark.read.parquet(model.indexPath)
-      .filter(col("list").isin(probes.toIndexedSeq: _*) &&
-        col("vec_id") =!= queryVecId)
+    import spark.implicits._
+    val q = Seq(qVec.toSeq.map(_.toFloat)).toDF("q_emb")
+    val idx0 = spark.read.parquet(model.indexPath)
+      .filter(col("list").isin(probes.toIndexedSeq: _*))
+    val idx = exclude.fold(idx0)(id => idx0.filter(col("vec_id") =!= id))
+    val filtered = indexFilter.fold(idx)(f => idx.filter(f))
     val live = graft.sources.Sinks.readTombstones(spark,
         tombstonesPath(model.indexPath), Some(probes.toIndexedSeq))
-      .fold(idx)(t => idx.join(t, Seq("vec_id"), "left_anti"))
+      .fold(filtered)(t => filtered.join(t, Seq("vec_id"), "left_anti"))
     // filtered search: the allow-list semi-joins BEFORE the ranking (a
     // keyed distributed join — no broadcast assumption), so excluded
     // vectors never reach the top-k window

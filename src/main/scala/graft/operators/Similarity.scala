@@ -74,6 +74,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[topKTwoStage]] SERVED THROUGH THE INDEXES — the 100×-scale plan:
+    * stage 1 probes the DOC-level IVF index (nprobeDoc of its lists — the
+    * doc table is never scanned whole), the coarse cut's doc ids collect
+    * to the driver (coarseK-bounded, the k-bounded-collect discipline),
+    * and stage 2 probes the CHUNK index with the SAME doc-level query
+    * vector, its candidate set cut twice: nprobeChunk of the chunk lists
+    * (partition pruning on the materialized index) AND parent ∈ the
+    * coarse cut (an `isin` over coarseK ids pushed into the index scan).
+    * With both probes exhaustive this equals [[topKTwoStage]] bit-for-bit
+    * (asserted in IvfSpec); pruned, it is the composition a real serving
+    * stack runs. Same output shape and zero-norm→NULL law.
+    */
+  def topKTwoStageIvf(docModel: Ivf.IvfModel, docEmb: DataFrame,
+                      chunkModel: Ivf.IvfModel, queryVecId: Long,
+                      coarseK: Int, k: Int, nprobeDoc: Int = 4,
+                      nprobeChunk: Int = 4, chunkShift: Int = 20): DataFrame = {
+    val spark = docEmb.sparkSession
+    val qVec = docEmb.filter(col("vec_id") === queryVecId)
+      .select(transform(col("embedding"), _.cast("double")).as("e"))
+      .collect()(0).getSeq[Double](0).toArray
+    val topDocs = Ivf.probe(docModel, docEmb, queryVecId, coarseK, nprobeDoc)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    Ivf.probeWithVec(chunkModel, spark, qVec, k, nprobeChunk,
+        indexFilter = Some(shiftright(col("vec_id"), chunkShift)
+          .isin(topDocs: _*)))
+      .withColumn("parent_id", shiftright(col("vec_id"), chunkShift))
+      .select("vec_id", "parent_id", "cosine")
+  }
+
   /** RAG context assembly — the last mile of the retrieval stack: the
     * two-stage top-`poolK` chunks packed GREEDILY IN RANK ORDER under a
     * token budget (a strict running-sum prefix: the context window takes
@@ -91,8 +120,34 @@ object Similarity {
     */
   def ragContext(docEmb: DataFrame, chunkEmb: DataFrame, chunkTexts: DataFrame,
                  queryVecId: Long, coarseK: Int, poolK: Int,
-                 tokenBudget: Long): DataFrame = {
-    val pool = topKTwoStage(docEmb, chunkEmb, queryVecId, coarseK, poolK)
+                 tokenBudget: Long): DataFrame =
+    ragContextFrom(
+      topKTwoStage(docEmb, chunkEmb, queryVecId, coarseK, poolK),
+      chunkTexts, tokenBudget)
+
+  /** [[ragContext]] over the INDEXED two-stage chain ([[topKTwoStageIvf]])
+    * — the serving form: both retrieval stages run through their
+    * materialized IVF indexes, then the poolK survivors pack under the
+    * budget. Packing is retrieval-agnostic, so correctness reduces to the
+    * two-stage twin plus the shared packing law.
+    */
+  def ragContextIvf(docModel: Ivf.IvfModel, docEmb: DataFrame,
+                    chunkModel: Ivf.IvfModel, chunkTexts: DataFrame,
+                    queryVecId: Long, coarseK: Int, poolK: Int,
+                    tokenBudget: Long, nprobeDoc: Int = 4,
+                    nprobeChunk: Int = 4): DataFrame =
+    ragContextFrom(
+      topKTwoStageIvf(docModel, docEmb, chunkModel, queryVecId, coarseK,
+        poolK, nprobeDoc, nprobeChunk),
+      chunkTexts, tokenBudget)
+
+  /** The shared packing engine behind [[ragContext]]/[[ragContextIvf]]:
+    * any ranked (vec_id, parent_id, cosine) pool joins its chunk texts
+    * and packs greedily in rank order under `tokenBudget`.
+    */
+  def ragContextFrom(rankedPool: DataFrame, chunkTexts: DataFrame,
+                     tokenBudget: Long): DataFrame = {
+    val pool = rankedPool
       .join(chunkTexts, "vec_id")
       .withColumn("n_tokens",
         size(split(col("chunk_text"), " ")).cast("long"))

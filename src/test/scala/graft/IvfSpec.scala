@@ -378,4 +378,38 @@ class IvfSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(after === exactLive)
   }
+
+  test("indexed two-stage with exhaustive probes equals the exact two-stage") {
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = operators.Embed.hashedTf(docs)
+    val docModel = Ivf.buildIndex(sfDir + "#tsdoc", docEmb)
+    val (chunkModel, chunkEmb) = operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#tschunk", docs)
+    val exact = Similarity.topKTwoStage(docEmb, chunkEmb, 0L, 5, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val ivf = Similarity.topKTwoStageIvf(docModel, docEmb, chunkModel, 0L,
+        coarseK = 5, k = 10,
+        nprobeDoc = docModel.centroids.length,
+        nprobeChunk = chunkModel.centroids.length)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(ivf === exact)
+    // pruned probes still deliver useful recall on the fixture
+    val pruned = Similarity.topKTwoStageIvf(docModel, docEmb, chunkModel, 0L,
+        coarseK = 5, k = 10, nprobeDoc = 4, nprobeChunk = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // loose floor: pruning recall is governed by (nprobe, coarseK) and
+    // hash-checked end-to-end by the ann_topk_twostage_ivf oracle; this
+    // only guards against a broken candidate cut returning junk
+    assert(pruned.intersect(exact.map(_._1).toSet).size >= 3)
+    // and the rag packing over the indexed chain obeys the budget law
+    val texts = operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+      .select(operators.CorpusIndex.chunkKey($"doc_id", $"chunk_no")
+        .as("vec_id"), $"chunk_text")
+    val packed = Similarity.ragContextIvf(docModel, docEmb, chunkModel, texts,
+        0L, coarseK = 5, poolK = 10, tokenBudget = 300L)
+      .as[(Long, Long, Long, Option[Double], Long, Long, String)]
+    val rows = packed.collect()
+    assert(rows.nonEmpty && rows.forall(_._6 <= 300L))
+    assert(rows.map(_._1).toSeq === (1L to rows.length))
+  }
 }
