@@ -346,9 +346,32 @@ object TextQueries {
     // BM25's bag-of-words cannot express. Probes = the corpus' top-3
     // trigrams (deterministic count-desc/lexicographic cut); each ranked
     // by occurrence count. Work = Σ df over phrase terms, one keyed join.
+    // Since round 11 the positional table is a MATERIALIZED write-once
+    // store (the frequency-postings treatment): tokenize once, probe many
+    // — identical rows, so the twin is unchanged.
     "text_phrase_topk" -> ((s, dir) => {
-      val pp = CacheScope.global.persist(
-        operators.Bm25.positionalPostings(Tables.documents(s, dir)))
+      val pp = operators.Bm25.materializedPositionalPostings(
+        dir + "#pospostings", Tables.documents(s, dir))
+      val phrases = operators.Bm25.topTrigramPhrases(pp, 3)
+      operators.Bm25.phraseTopKAll(pp, phrases, 10)
+        .orderBy("phrase_id", "rn")
+    }),
+
+    // INCREMENTAL positional-postings maintenance: the store is built on
+    // the base corpus, a held-out slice lands via the append verb (batch
+    // file, replay no-op), and the phrase probe over the appended store
+    // must rank exactly as a from-scratch build over the FULL corpus —
+    // positions are per-document, so append ≡ rebuild holds and the twin
+    // replays the full corpus (the text_bm25_incr law for phrases).
+    "text_phrase_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val key = dir + "#pospostings-incr"
+      operators.Bm25.materializedPositionalPostings(key,
+        docs.filter(col("doc_id") % 40 =!= 7))
+      operators.Bm25.appendPositionalPostings(key,
+        docs.filter(col("doc_id") % 40 === 7), 0L)
+      val pp = operators.Bm25.materializedPositionalPostings(key,
+        docs.filter(col("doc_id") % 40 =!= 7))
       val phrases = operators.Bm25.topTrigramPhrases(pp, 3)
       operators.Bm25.phraseTopKAll(pp, phrases, 10)
         .orderBy("phrase_id", "rn")
@@ -1196,7 +1219,15 @@ object TextQueries {
         |  FROM bsc)
         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
 
-    "text_phrase_topk" ->
+    "text_phrase_topk" -> phraseSql,
+    // the incremental twin IS the full-corpus chain: positions are
+    // per-document, so append ≡ rebuild (the text_bm25_incr law)
+    "text_phrase_incr" -> phraseSql
+  )
+
+  // full-corpus phrase-retrieval replay, shared by the materialized-store
+  // probe and its incremental sibling
+  private def phraseSql: String =
       """WITH ppq AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
         |    unnest(range(0, len(string_split(text, ' ')))) AS pos
@@ -1234,7 +1265,6 @@ object TextQueries {
         |      ORDER BY n_occurrences DESC, doc_id) AS rn
         |  FROM pocc)
         |WHERE rn <= 10 ORDER BY phrase_id, rn""".stripMargin
-  )
 
   /** Shared replay of [[graft.operators.Embed.hashedTf]]'s (doc, bucket)
     * signed-count table — `cnt(doc_id, b, c)` — for text_embed and the

@@ -221,6 +221,28 @@ object Streams {
         }
       })
 
+  /** Streaming positional-postings ingest — the phrase index's
+    * growing-corpus loop ([[bm25IngestSink]]'s positional sibling): each
+    * micro-batch tokenizes positionally (batch-proportional — positions
+    * are per-document offsets, so no cross-batch state exists) and lands
+    * in the materialized positional store via the idempotent append verb.
+    * A phrase probe after any batch ranks exactly as a from-scratch build
+    * over the rows ingested so far (append ≡ rebuild — StreamingSpec
+    * parity, the text_phrase_incr law streamed).
+    */
+  def phraseIngestSink(docs: DataFrame, storeKey: String,
+                       checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        val path = graft.operators.Bm25.posStorePath(storeKey).getOrElse(
+          sys.error(s"no positional-postings store for '$storeKey' — " +
+            "build the base first"))
+        graft.sources.Sinks.withDirLease(batch.sparkSession, path) {
+          graft.operators.Bm25.appendPositionalPostings(storeKey, batch, batchId)
+        }
+      })
+
   /** Streaming exact dedup on a key column: keeps the first arrival of each
     * key, with state bounded by the event-time watermark
     * (dropDuplicatesWithinWatermark) — keys older than the watermark are

@@ -138,6 +138,38 @@ class StreamingSpec extends SparkSpec {
     assert(Bm25.materializedPostings(key, base).count() === before)
   }
 
+  test("streamed positional-postings ingest: phrase probe over the grown store equals from-scratch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter($"doc_id" % 3 === 0)
+    val newRows = docs.filter($"doc_id" % 3 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val key = s"$sfDir#pospostings-stream-spec"
+    Bm25.materializedPositionalPostings(key, base)
+    val ckpt = java.nio.file.Files.createTempDirectory("phrase-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    input.addData(newRows.take(newRows.length / 2))
+    val q = Streams.phraseIngestSink(input.toDF().toDF("doc_id", "text"),
+      key, ckpt).start()
+    q.processAllAvailable()
+    input.addData(newRows.drop(newRows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    // phrase probe over the streamed-in store == from-scratch positional
+    // postings over all rows ingested so far (positions are per-doc)
+    val grown = Bm25.materializedPositionalPostings(key, base)
+    val phrases = Bm25.topTrigramPhrases(grown, 3)
+    val got = Bm25.phraseTopKAll(grown, phrases, 10)
+    val scratch = Bm25.phraseTopKAll(Bm25.positionalPostings(docs), phrases, 10)
+    assert(got.exceptAll(scratch).isEmpty && scratch.exceptAll(got).isEmpty)
+    // replaying batch 0's file delivery is a no-op (exactly-once)
+    val before = grown.count()
+    Bm25.appendPositionalPostings(key,
+      docs.filter($"doc_id" % 3 === 1).limit(5), 0L)
+    assert(Bm25.materializedPositionalPostings(key, base).count() === before)
+  }
+
   test("streaming CMS sketch: hour rows sum to the batch sketch; point query served") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sketches
