@@ -331,6 +331,46 @@ object CurationQueries {
         nprobe = model.centroids.length)
     }),
 
+    // END-TO-END RAG SERVING flagship — the serving twin of
+    // cur_pretrain_index, composed as ONE oracled chain: pretrain gates
+    // (shared #pretrain state) → SemDeDup-tombstoned doc index (shared
+    // #flagidx build — stage 1 probes the SERVED index, tombstones
+    // masking the collapsed near-dups) → chunk index over the LIVE
+    // survivors only (gated ∖ doomed — a deployment never chunks what
+    // curation dropped) → indexed two-stage retrieval (pruned probes both
+    // stages: 4 of 16 doc lists, 4 of 16 chunk lists ∩ coarse parents) →
+    // rank-ordered packing under the 600-token budget. Query = the min-id
+    // live survivor (deterministic from state alone). The twin replays
+    // gates, both embed chains, both Lloyd chains, the SemDeDup closure,
+    // both probe selections and the packing law — any row lost by ANY of
+    // the seven stages breaks the hash.
+    "cur_rag_serve" -> ((s, dir) => {
+      val scope = graft.CacheScope.global
+      val probe = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
+      val docs0 = Tables.documentsWithClones(s, dir)
+      // own index key: build() MUTATES its index (semantic tombstones), so
+      // sharing #flagidx with cur_pretrain_index would race under the
+      // concurrent Verify (MutationGuard enforces the one-writer rule)
+      val b = operators.CorpusIndex.build(docs0, probe, dir + "#pretrain",
+        dir + "#ragidx", scope = scope)
+      val qid = b.emb.join(b.doomed, Seq("vec_id"), "left_anti")
+        .agg(min("vec_id")).head().getLong(0)
+      val st = operators.Pretrain.buildState(dir + "#pretrain", docs0, probe,
+        scope)
+      val liveDocs = scope.persist(st.gated.join(
+        b.doomed.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"),
+        "left_anti"))
+      val (chunkModel, _) = operators.CorpusIndex.buildChunkIndex(
+        dir + "#ragchunks", liveDocs)
+      val texts = operators.Curation.chunk(liveDocs.select("doc_id", "text"),
+          64, 8)
+        .select(operators.CorpusIndex.chunkKey(col("doc_id"), col("chunk_no"))
+          .as("vec_id"), col("chunk_text"))
+      operators.Similarity.ragContextIvf(b.model, b.emb, chunkModel, texts,
+        qid, coarseK = 20, poolK = 20, tokenBudget = 600L,
+        nprobeDoc = 4, nprobeChunk = 4)
+    }),
+
     // Quality-ranked mixture: same per-source budgets, but each source's
     // budget is filled BEST DOCUMENTS FIRST (4-dp quality, doc_id ties)
     // instead of the uniform hash order — the quality-filtered mixing
@@ -358,6 +398,35 @@ object CurationQueries {
         .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
           col("shard"), col("bin"), col("bin_tokens_before"))
         .orderBy("doc_id", "chunk_no")),
+
+    // TOKENIZER-TRUE sequence packing: the bins a real pretraining run
+    // fills are counted in TRAINED-TOKENIZER pieces, not whitespace words
+    // — a code-heavy chunk tokenizes to far more BPE pieces than its word
+    // count suggests. Per-chunk piece counts come from the corpus-trained
+    // BPE vocabulary (the text_bpe_tokens_vocab path: fold once per
+    // distinct word, tokenize by keyed join), then the same
+    // shard-partitioned 256-token bin law as cur_pack. Twin composes the
+    // full 8-round BPE merge replay into the packing chain.
+    "cur_pack_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = operators.Bpe.trainMergesCached(dir, docs)
+      val vocab = operators.Bpe.buildVocab(docs, merges, chunk = 3)
+      val chunks = Curation.chunk(docs, 64, 8)
+      val nbpe = chunks.select(col("doc_id"), col("chunk_no"),
+          explode(split(col("chunk_text"), " ")).as("word"))
+        .join(vocab.select(col("word"),
+          operators.Bpe.symCount(col("syms")).as("nsym")), "word")
+        .groupBy("doc_id", "chunk_no")
+        .agg(sum("nsym").as("n_bpe_tokens"))
+      Curation.packSequences(
+          chunks.select("doc_id", "chunk_no")
+            .join(nbpe, Seq("doc_id", "chunk_no")), 256, 8,
+          tokenCol = "n_bpe_tokens")
+        .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+          col("n_bpe_tokens"), col("shard"), col("bin"),
+          col("bin_tokens_before"))
+        .orderBy("doc_id", "chunk_no")
+    }),
 
     // End-to-end quality gate: the "does this document enter the training
     // set" decision, composing five independently-oracled signals — length/
@@ -1067,6 +1136,154 @@ object CurationQueries {
          |ORDER BY cosine DESC NULLS LAST, vec_id
          |LIMIT 10""".stripMargin,
 
+    // RAG-serving flagship twin: the cur_pretrain_index chain (gates →
+    // doc embed → doc Lloyd → SemDeDup closure → surv) continued through
+    // the SERVING stages — pruned doc probe selection (4 of 16 lists) +
+    // exact coarse re-rank to 20 parents, chunking of the LIVE docs only,
+    // the chunk Lloyd chain (k-prefixed), chunk probe selection scored
+    // with the doc query vector, candidates ∩ coarse parents, exact
+    // sparse re-rank, and the rank-ordered 600-token packing law.
+    "cur_rag_serve" ->
+      s"""WITH RECURSIVE ${pretrainGatedCtes("documents2")},
+         |${TextQueries.embedCntCteFrom("docs6")},
+         |egrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM docs6)),
+         |embeddings AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM egrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+         |    AND g.dim = cnt.b
+         |  GROUP BY g.doc_id),
+         |${SimilarityQueries.ivfCoreCtes(16)},
+         |edot AS (
+         |  SELECT x.doc_id AS va, y.doc_id AS vb,
+         |    SUM(CAST(x.c AS DOUBLE) * y.c) AS dot
+         |  FROM cnt x JOIN cnt y ON x.b = y.b AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |en AS (
+         |  SELECT doc_id, SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM cnt GROUP BY doc_id),
+         |sem AS (
+         |  SELECT aa.vec_id AS va, bb.vec_id AS vb
+         |  FROM a2 aa
+         |  JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+         |  JOIN edot d ON d.va = aa.vec_id AND d.vb = bb.vec_id
+         |  JOIN en na ON na.doc_id = aa.vec_id
+         |  JOIN en nb ON nb.doc_id = bb.vec_id
+         |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.8),
+         |sedges AS (
+         |  SELECT va AS s, vb AS d FROM sem
+         |  UNION ALL
+         |  SELECT vb AS s, va AS d FROM sem),
+         |swalk(id, lbl) AS (
+         |  SELECT s, s FROM sedges
+         |  UNION
+         |  SELECT e.s, w2.lbl FROM sedges e JOIN swalk w2 ON w2.id = e.d),
+         |scl AS (SELECT id, MIN(lbl) AS cluster_id FROM swalk GROUP BY id),
+         |surv AS MATERIALIZED (
+         |  SELECT e.vec_id FROM embeddings e
+         |  LEFT JOIN scl ON scl.id = e.vec_id
+         |  WHERE scl.id IS NULL OR scl.cluster_id = e.vec_id),
+         |fqid AS (SELECT MIN(vec_id) AS q FROM surv),
+         |dprobe AS (
+         |  SELECT cid FROM (
+         |    SELECT sc2.cid,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+         |          DESC, sc2.cid) AS rn
+         |    FROM sc2 JOIN nc2 USING (cid), fqid WHERE sc2.vec_id = fqid.q)
+         |  WHERE rn <= 4),
+         |dcand AS (
+         |  SELECT a2.vec_id FROM a2 JOIN dprobe USING (cid)
+         |  SEMI JOIN surv ON a2.vec_id = surv.vec_id
+         |  WHERE a2.vec_id <> (SELECT q FROM fqid)),
+         |tqd AS (
+         |  SELECT b, CAST(c AS DOUBLE) AS qc
+         |  FROM cnt, fqid WHERE doc_id = fqid.q),
+         |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
+         |tdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e LEFT JOIN tqd q ON e.b = q.b
+         |  SEMI JOIN dcand ON e.doc_id = dcand.vec_id
+         |  GROUP BY e.doc_id),
+         |tcoarse AS (
+         |  SELECT doc_id AS parent_id FROM (
+         |    SELECT d.doc_id,
+         |      ROW_NUMBER() OVER (ORDER BY
+         |        d.dot / NULLIF(sqrt(d.n2) * sqrt(tqn.qn2), 0)
+         |        DESC NULLS LAST, d.doc_id) AS rn
+         |    FROM tdots d, tqn)
+         |  WHERE rn <= 20),
+         |livedocs AS (
+         |  SELECT d.doc_id, d.text FROM docs6 d
+         |  SEMI JOIN surv ON d.doc_id = surv.vec_id),
+         |${SimilarityQueries.chunkCorpusCtesFrom("livedocs", "k")},
+         |kgrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM kchunks)),
+         |kemb AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(COALESCE(kcnt.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM kgrid g LEFT JOIN kcnt ON g.doc_id = kcnt.doc_id
+         |    AND g.dim = kcnt.b
+         |  GROUP BY g.doc_id),
+         |${SimilarityQueries.ivfCoreCtes(16, "", "", "kemb", "k")},
+         |kqvd AS (SELECT dim, v FROM vd, fqid WHERE vec_id = fqid.q),
+         |kqs AS (
+         |  SELECT kc2.cid,
+         |    CAST(SUM(CAST(FLOOR(kqvd.v * kc2.cq * 1000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sq
+         |  FROM kqvd JOIN kc2 USING (dim) GROUP BY 1),
+         |kprobe AS (
+         |  SELECT cid FROM (
+         |    SELECT q.cid,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY CAST(q.sq AS DOUBLE) / sqrt(CAST(n.norm2q AS DOUBLE))
+         |          DESC, q.cid) AS rn
+         |    FROM kqs q JOIN nkc2 n USING (cid))
+         |  WHERE rn <= 4),
+         |kcand AS (
+         |  SELECT ka2.vec_id FROM ka2 JOIN kprobe USING (cid)
+         |  SEMI JOIN tcoarse ON ka2.vec_id // 1048576 = tcoarse.parent_id),
+         |kchf AS (
+         |  SELECT e.doc_id AS vec_id, e.doc_id // 1048576 AS parent_id,
+         |    e.b, e.c
+         |  FROM kcnt e SEMI JOIN kcand ON e.doc_id = kcand.vec_id),
+         |kcd AS (
+         |  SELECT vec_id, MIN(parent_id) AS parent_id,
+         |    SUM(CAST(c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM kchf LEFT JOIN tqd q ON kchf.b = q.b
+         |  GROUP BY vec_id),
+         |trk AS (
+         |  SELECT vec_id, parent_id,
+         |    dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
+         |  FROM kcd, tqn
+         |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
+         |trn AS (
+         |  SELECT vec_id, parent_id, cosine,
+         |    ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+         |      AS rn
+         |  FROM trk),
+         |trt AS (
+         |  SELECT r.rn, r.vec_id, r.parent_id, r.cosine,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+         |    c.text AS chunk_text
+         |  FROM trn r JOIN kchunks c ON r.vec_id = c.doc_id),
+         |trc AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM trt)
+         |SELECT rn, vec_id, parent_id, cosine, n_tokens, cum_tokens,
+         |  chunk_text
+         |FROM trc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
+
     // The idf flagship twin: the SAME gate chain, but the embedding CTEs
     // are the idf-weighted counts (itf/idf/cnt — N = |docs6|) and the
     // embeddings CTE emits c/1024 (the Spark side's 2⁻¹⁰ downscale — an
@@ -1438,6 +1655,47 @@ object CurationQueries {
         |      - n_tok AS prefix
         |  FROM ch)
         |SELECT doc_id, chunk_no, shard,
+        |  CAST(FLOOR(CAST(prefix AS DOUBLE) / 256.0) AS BIGINT) AS bin,
+        |  prefix % 256 AS bin_tokens_before
+        |FROM p ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // BPE-true packing twin: the 8-round merge replay (w8) → per-word
+    // piece counts → per-chunk piece sums → the cur_pack bin law with the
+    // BPE count as the token column.
+    "cur_pack_bpe" ->
+      s"""${TextQueries.bpeCtes},
+        |f AS (
+        |  SELECT word, len(string_split(trim(syms, '~'), '~~')) AS nsym
+        |  FROM w8),
+        |t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE CAST(CEIL((n - 64) / 56.0) AS INT) + 1 END AS n_chunks
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_no FROM c),
+        |chx AS (
+        |  SELECT doc_id, chunk_no,
+        |    list_slice(toks, chunk_no * 56 + 1, chunk_no * 56 + 64) AS ctoks,
+        |    $bucket8 AS shard
+        |  FROM e),
+        |cb AS (
+        |  SELECT doc_id, chunk_no, CAST(SUM(f.nsym) AS BIGINT) AS n_bpe
+        |  FROM (SELECT doc_id, chunk_no, unnest(ctoks) AS word FROM chx) u
+        |  JOIN f USING (word)
+        |  GROUP BY doc_id, chunk_no),
+        |p AS (
+        |  SELECT x.doc_id, x.chunk_no, x.shard, cb.n_bpe,
+        |    CAST(SUM(cb.n_bpe) OVER (PARTITION BY x.shard
+        |      ORDER BY x.doc_id, x.chunk_no ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) - cb.n_bpe AS prefix
+        |  FROM chx x JOIN cb ON x.doc_id = cb.doc_id
+        |    AND x.chunk_no = cb.chunk_no)
+        |SELECT doc_id, chunk_no, n_bpe AS n_bpe_tokens, shard,
         |  CAST(FLOOR(CAST(prefix AS DOUBLE) / 256.0) AS BIGINT) AS bin,
         |  prefix % 256 AS bin_tokens_before
         |FROM p ORDER BY doc_id, chunk_no""".stripMargin,

@@ -261,6 +261,24 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // The sharded COMPOSITE layout under the gate: 4 independent IVF-PQ
+    // shards (per-shard coarse quantizer AND residual codebooks, trained
+    // on each md5 slice only — at 10¹¹ vectors raw float lists are the
+    // scan-budget problem PQ exists for), fan-out set-probe at exhaustive
+    // settings (nprobe = nlist, rerank ≥ slice). The union re-cut must
+    // equal the exact kNN join bit-for-bit — any row lost by shard
+    // routing, per-shard encode, the ADC chain or the global re-cut
+    // breaks the hash. Pruned-settings parity is IvfPqSpec's.
+    "ann_knn_sharded_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val m = operators.IvfPq.buildShardedIndex(dir + "#shardpq", emb,
+        nShards = 4, nlist = 8)
+      operators.IvfPq.probeShardedAll(m, emb, emb.filter(col("vec_id") < 10),
+          3, nprobe = 8, rerank = Int.MaxValue)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .orderBy("query_id", "rn")
+    }),
+
     // PQ (product-quantization) approximate top-10 — the compressed-codes
     // ANN path (4-bit codes, ADC scoring, exact re-rank of 50 candidates).
     // Hash-checked against a DuckDB twin that replays per-subspace seeding,
@@ -957,22 +975,28 @@ object SimilarityQueries {
     * the pack twin), the packed 2²⁰ chunk key, and the hashed-TF
     * (doc, bucket) signed-count table `cnt` over the chunk texts.
     */
-  private def chunkCorpusCtes: String =
-    s"""ctoks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |cch AS (
+  private def chunkCorpusCtes: String = chunkCorpusCtesFrom("documents")
+
+  /** [[chunkCorpusCtes]] over any (doc_id, text) relation with a CTE-name
+    * prefix — the rag-serving flagship chunks the GATE SURVIVORS, and its
+    * twin already spends the unprefixed names on the doc-level chain.
+    */
+  private[graft] def chunkCorpusCtesFrom(src: String, p: String = ""): String =
+    s"""${p}ctoks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
+       |${p}cch AS (
        |  SELECT doc_id, toks,
        |    unnest(range(0,
        |      CASE WHEN len(toks) <= 64 THEN 1
        |           ELSE CAST(CEIL((len(toks) - 64) / 56.0) AS INT) + 1
        |      END)) AS chunk_no
-       |  FROM ctoks),
-       |chunks AS (
+       |  FROM ${p}ctoks),
+       |${p}chunks AS (
        |  SELECT doc_id * 1048576 + chunk_no AS doc_id,
        |    array_to_string(toks[chunk_no * 56 + 1 : chunk_no * 56 + 64],
        |      ' ') AS text
-       |  FROM cch),
-       |${TextQueries.embedCntCteFrom("chunks")}""".stripMargin
+       |  FROM ${p}cch),
+       |${TextQueries.embedCntCteFrom(s"${p}chunks", p)}""".stripMargin
 
   /** DuckDB replay of the INDEXED two-stage chain
     * ([[graft.operators.Similarity.topKTwoStageIvf]]): the chunk corpus +
@@ -2531,6 +2555,9 @@ object SimilarityQueries {
     // any row lost/duplicated by shard routing, per-shard probeAll, or
     // the global re-cut breaks the hash
     "ann_knn_sharded_all" -> knnSql,
+    // sharded IVF-PQ at exhaustive settings IS the exact kNN join — the
+    // content-preservation gate for the whole sharded composite machinery
+    "ann_knn_sharded_pq" -> knnSql,
 
     // hybrid-fusion twin: BM25 chain (shared bm25Ctes) ranked to 20, the
     // sparse-exact cosine ranked to 20 (NULLS LAST — the zero-norm law),

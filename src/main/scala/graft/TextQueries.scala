@@ -428,8 +428,11 @@ object TextQueries {
        |                  '~' || m.l || m.r || '~') AS syms
        |  FROM $prev, $p m)""".stripMargin
 
-  /** CTE chain w0 → … → w8 (+ p1 … p8, the per-round argmax rows). */
-  private val bpeCtes: String = {
+  /** CTE chain w0 → … → w8 (+ p1 … p8, the per-round argmax rows).
+    * private[graft]: the BPE-true packing twin (cur_pack_bpe) composes
+    * the per-word piece counts into the bin law.
+    */
+  private[graft] val bpeCtes: String = {
     val w0 =
       """WITH w0 AS (
         |  SELECT word, COUNT(*) AS freq,
