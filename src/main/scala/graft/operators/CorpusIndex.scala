@@ -134,6 +134,60 @@ object CorpusIndex {
   private val refreshed =
     new java.util.concurrent.ConcurrentHashMap[String, Unit]()
 
+  /** The EMBEDDER-INDEPENDENT half of a refresh: the incrementally-gated
+    * current corpus and its membership diff against the previous gated
+    * set. Everything here depends only on the corpora and the gate — not
+    * on which embedder or index consumes it — so two refresh flagships
+    * over the same corpus version (plain-TF and frozen-idf) share ONE
+    * gate-diff instead of each paying it.
+    */
+  final case class RefreshDiff(gatedCur: DataFrame, gCurIds: DataFrame,
+                               touched: DataFrame, freshIds: DataFrame)
+
+  private val refreshDiffs =
+    new java.util.concurrent.ConcurrentHashMap[String, RefreshDiff]()
+
+  /** Memoized gate-diff for a corpus version — the [[Pretrain.buildState]]
+    * discipline applied to the refresh: `stateKey` must identify the
+    * (prevDocs, curDocs, probe) version pair, and the first caller
+    * MATERIALIZES gatedCur and the diff tables as parquet artifacts (tmp
+    * dir, injective token) that every embedder-specific refresh reads
+    * back. Durable tables, not cached frames, on purpose: harness entry
+    * points release the thread's cache scope after every query, and a
+    * memo handing out released localCheckpoints would fail on reuse —
+    * files survive both release() and concurrent consumer threads.
+    * Deterministic, so sharing changes cost only, never results.
+    */
+  def refreshDiff(stateKey: String, prevDocs: DataFrame, curDocs: DataFrame,
+                  probe: DataFrame,
+                  scope: graft.CacheScope = graft.CacheScope.global): RefreshDiff =
+    refreshDiffs.computeIfAbsent(stateKey, _ => {
+      val st = Pretrain.buildState(stateKey, prevDocs, probe, scope)
+      val gatedCur = scope.checkpoint(
+        Pretrain.gatedIncremental(prevDocs, curDocs, probe, st, scope))
+      val gPrev = st.gated.select(col("doc_id"), md5(col("text")).as("fp_prev"))
+      val gCur = gatedCur.select(col("doc_id"), md5(col("text")).as("fp_cur"))
+      val leaving = gPrev.join(gCur, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+      val entering = gCur.join(gPrev, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+      val changed = gPrev.join(gCur, "doc_id")
+        .filter(col("fp_prev") =!= col("fp_cur")).select("doc_id")
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-refreshdiff-" + Ivf.dirToken(stateKey)).getAbsolutePath
+      gatedCur.write.mode("overwrite").parquet(dir + "/gated_cur")
+      gCur.select("doc_id").write.mode("overwrite").parquet(dir + "/gcur_ids")
+      leaving.unionByName(changed).distinct()
+        .write.mode("overwrite").parquet(dir + "/touched")
+      entering.unionByName(changed).distinct()
+        .write.mode("overwrite").parquet(dir + "/fresh")
+      val spark = curDocs.sparkSession
+      RefreshDiff(spark.read.parquet(dir + "/gated_cur"),
+        spark.read.parquet(dir + "/gcur_ids"),
+        spark.read.parquet(dir + "/touched"),
+        spark.read.parquet(dir + "/fresh"))
+    })
+
   /** INCREMENTAL corpus→index refresh — [[build]]'s nightly sibling. Given
     * the previous corpus (whose state, embeddings, index and semantic
     * tombstones [[build]] materialized under `stateKey`/`indexKey`) and
@@ -187,8 +241,10 @@ object CorpusIndex {
       : (Ivf.IvfModel, DataFrame) = {
     val spark = curDocs.sparkSession
     val st = Pretrain.buildState(stateKey, prevDocs, probe, scope)
-    val gatedCur = scope.checkpoint(
-      Pretrain.gatedIncremental(prevDocs, curDocs, probe, st, scope))
+    // the gate-diff half is embedder-independent and shared across the
+    // refresh flagships (round-10 verdict ask: one diff, two embed legs)
+    val diff = refreshDiff(stateKey, prevDocs, curDocs, probe, scope)
+    val gatedCur = diff.gatedCur
     val embCur = embed(gatedCur)
     var modelOut: Ivf.IvfModel = null
     refreshed.computeIfAbsent(indexKey, _ => {
@@ -199,16 +255,8 @@ object CorpusIndex {
       val pairsPrev = scope.persist(
         Dedup.semanticDupPairs(b.emb, threshold, indexKey))
       val embCurP = scope.persist(embCur)
-      val gPrev = st.gated.select(col("doc_id"), md5(col("text")).as("fp_prev"))
-      val gCur = gatedCur.select(col("doc_id"), md5(col("text")).as("fp_cur"))
-      val leaving = gPrev.join(gCur, Seq("doc_id"), "left_anti")
-        .select("doc_id")
-      val entering = gCur.join(gPrev, Seq("doc_id"), "left_anti")
-        .select("doc_id")
-      val changed = gPrev.join(gCur, "doc_id")
-        .filter(col("fp_prev") =!= col("fp_cur")).select("doc_id")
-      val touched = scope.persist(leaving.unionByName(changed).distinct())
-      val freshIds = scope.persist(entering.unionByName(changed).distinct())
+      val touched = diff.touched
+      val freshIds = diff.freshIds
       // 3. pair maintenance (pre-mutation index rows = prev embeddings)
       val kept = pairsPrev
         .join(touched.select(col("doc_id").as("vec_a")), Seq("vec_a"), "left_anti")
@@ -249,7 +297,8 @@ object CorpusIndex {
       Ivf.compactIndex(spark, model, maxFilesPerList = Int.MaxValue)
       val resurrected = doomedPrev
         .join(doomedCur, Seq("vec_id"), "left_anti")
-        .join(gCur.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        .join(diff.gCurIds.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
       val appendIds = freshIds.withColumnRenamed("doc_id", "vec_id")
         .unionByName(resurrected).distinct()
       Ivf.appendToIndex(model,
