@@ -393,4 +393,96 @@ object IvfPq {
                 indexKey: String = "adhoc"): DataFrame =
     probe(buildIndex(indexKey, embeddings, nlist, m, ksub),
       embeddings, queryVecId, k, nprobe, rerank)
+
+  // ---- sharded composite layout (past the broadcast-cap frontier) ----
+
+  /** The sharded coarse quantizer lifted to the COMPOSITE layout: at the
+    * 10¹¹-vector plan (746 shards × 65 454 lists) raw float lists are the
+    * scan-budget problem PQ exists for — each md5-hash slice gets its own
+    * coarse quantizer AND its own residual codebooks, trained on the slice
+    * only, so no artifact anywhere grows with the corpus. Same shard law
+    * as [[Ivf.buildShardedIndex]] (hashBucket on vec_id), so Flat and PQ
+    * shards of one corpus route identically.
+    */
+  final case class IvfPqShardedModel(nShards: Int, shards: Seq[IvfPqModel])
+
+  private val shardedModels = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int, Int), IvfPqShardedModel]()
+
+  /** Build `nShards` independent IVF-PQ indexes over disjoint md5-hash
+    * slices, concurrently ([[Ivf.buildShardedIndex]]'s thread-pool
+    * discipline — per-shard builds are independent Spark jobs and
+    * hash-seeded exact integer math, so results are byte-identical at any
+    * parallelism).
+    */
+  def buildShardedIndex(indexKey: String, embeddings: DataFrame,
+                        nShards: Int, nlist: Int = 16, m: Int = 8,
+                        ksub: Int = 16, iters: Int = 2,
+                        parallelism: Int = 8): IvfPqShardedModel = {
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    require(parallelism > 0, s"parallelism=$parallelism must be positive")
+    shardedModels.computeIfAbsent((indexKey, nShards, nlist, m, ksub), _ => {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, nShards))
+      try {
+        val futs = (0 until nShards).map { sh =>
+          pool.submit(new java.util.concurrent.Callable[IvfPqModel] {
+            def call(): IvfPqModel =
+              buildIndex(s"$indexKey#shard$sh/$nShards",
+                embeddings.filter(
+                  Curation.hashBucket(col("vec_id"), nShards) === sh),
+                nlist, m, ksub, iters)
+          })
+        }
+        IvfPqShardedModel(nShards, futs.map(_.get()))
+      } finally pool.shutdown()
+    })
+  }
+
+  /** Frozen-model append across the sharded PQ layout — rows route to
+    * their owning shard by the build's hash law and land through the
+    * per-shard idempotent encode-and-append ([[appendToIndexIdempotent]]):
+    * the grown sharded index is indistinguishable from one built on
+    * base ∪ batch under the same per-shard models.
+    */
+  def appendToShardedIndexIdempotent(model: IvfPqShardedModel,
+                                     newBatch: DataFrame,
+                                     batchId: Long): Unit =
+    model.shards.zipWithIndex.foreach { case (m, sh) =>
+      appendToIndexIdempotent(m,
+        newBatch.filter(Curation.hashBucket(col("vec_id"), model.nShards) === sh),
+        batchId)
+    }
+
+  /** DELETE across the sharded PQ layout: ids route by the hash law, land
+    * as per-shard tombstones; probes mask immediately.
+    */
+  def deleteFromShardedIndex(model: IvfPqShardedModel, ids: DataFrame,
+                             batchId: Long): Unit =
+    model.shards.zipWithIndex.foreach { case (m, sh) =>
+      deleteFromIndex(m,
+        ids.filter(Curation.hashBucket(col("vec_id"), model.nShards) === sh),
+        batchId)
+    }
+
+  /** Set-oriented fan-out probe — [[probeAll]] on every shard (each shard
+    * ranks lists with its OWN coarse quantizer, LUTs against its OWN
+    * codebooks, ADC over its codes only) and one query-keyed window
+    * re-cutting the global top-k from the ≤ nShards·k survivors. At
+    * exhaustive settings (nprobe = nlist, rerank ≥ slice) the union is
+    * the exact kNN join — the `ann_knn_sharded_pq` oracle gate.
+    */
+  def probeShardedAll(model: IvfPqShardedModel, corpus: DataFrame,
+                      queries: DataFrame, k: Int, nprobe: Int = 4,
+                      rerank: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col("vec_id"))
+    model.shards
+      .map(m => probeAll(m, corpus, queries, k, nprobe, rerank).drop("rn"))
+      .reduce(_ unionByName _)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cosine", "rn")
+  }
 }

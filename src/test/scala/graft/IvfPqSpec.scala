@@ -124,4 +124,44 @@ class IvfPqSpec extends SparkSpec {
     assert(IvfPq.probe(loaded, emb, 0L, 10)
       .as[(Long, Double)].collect().toSeq === p)
   }
+
+  test("sharded lifecycle: fan-out ≡ per-shard probeAll union; routed append/delete route correctly") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val sm = IvfPq.buildShardedIndex(sfDir + "#shpqspec", base,
+      nShards = 3, nlist = 4)
+    val qs = emb.filter($"vec_id" < 8)
+    // the fan-out set-probe equals the hand-rolled per-shard union re-cut
+    val got = IvfPq.probeShardedAll(sm, emb, qs, 5, nprobe = 2, rerank = 20)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), col("vec_id"))
+    val byHand = sm.shards
+      .map(m => IvfPq.probeAll(m, emb, qs, 5, nprobe = 2, rerank = 20).drop("rn"))
+      .reduce(_ unionByName _)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(got === byHand)
+    // exhaustive fan-out over base+appended batch ≡ brute force: routing,
+    // per-shard frozen-model encode, ADC and the re-cut lose nothing
+    IvfPq.appendToShardedIndexIdempotent(sm, batch, batchId = 5L)
+    IvfPq.appendToShardedIndexIdempotent(sm, batch, batchId = 5L) // replay no-op
+    assert(sm.shards.map(m => spark.read.parquet(m.indexPath).count()).sum
+      === emb.count())
+    val exact = Similarity.knnJoin(emb, qs, 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val exh = IvfPq.probeShardedAll(sm, emb, qs, 5, nprobe = 4,
+        rerank = Int.MaxValue)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(exh === exact)
+    // routed delete masks across shards
+    val doomed = emb.filter($"vec_id" % 7 === 1).select("vec_id")
+    IvfPq.deleteFromShardedIndex(sm, doomed, batchId = 6L)
+    val exactLive = Similarity.knnJoin(emb.filter($"vec_id" % 7 =!= 1), qs, 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val after = IvfPq.probeShardedAll(sm, emb, qs, 5, nprobe = 4,
+        rerank = Int.MaxValue)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(after === exactLive)
+  }
 }
