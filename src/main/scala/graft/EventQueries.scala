@@ -304,14 +304,15 @@ object EventQueries {
     // (write sketches daily, estimate any date range later for free).
     "events_hll_rollup" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
+      // typed-struct daily key — the events_cms_rollup law: no delimiter
+      // packing, so no event_type value can mis-split the unpack
       val daily = operators.Sketches.hllSketch(
-        ev.withColumn("event_type",
-          concat_ws("|", col("event_type"),
-            date_format(col("ts"), "yyyy-MM-dd"))),
-        "event_type", col("user_id"))
+        ev.withColumn("etd", struct(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))),
+        "etd", col("user_id"))
       val merged = operators.Sketches.hllMerge(
-        Seq(daily.withColumn("event_type",
-          substring_index(col("event_type"), "|", 1))), "event_type")
+        Seq(daily.withColumn("event_type", col("etd.event_type"))
+          .drop("etd")), "event_type")
       operators.Sketches.hllEstimate(merged, "event_type")
         .withColumnRenamed("est_2dp", "est_users_2dp")
         .orderBy("event_type")
@@ -354,14 +355,16 @@ object EventQueries {
     // (write sketches daily, point-query any date range later for free).
     "events_cms_rollup" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
+      // the daily group key is a typed STRUCT (event_type, day), not a
+      // delimiter-packed string — an event_type containing the delimiter
+      // would mis-split on unpack and corrupt the rollup
       val daily = operators.Sketches.cmsSketch(
-        ev.withColumn("event_type",
-          concat_ws("|", col("event_type"),
-            date_format(col("ts"), "yyyy-MM-dd"))),
-        "event_type", col("user_id"))
+        ev.withColumn("etd", struct(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))),
+        "etd", col("user_id"))
       val merged = operators.Sketches.cmsMerge(
-        Seq(daily.withColumn("event_type",
-          substring_index(col("event_type"), "|", 1))), "event_type")
+        Seq(daily.withColumn("event_type", col("etd.event_type"))
+          .drop("etd")), "event_type")
       cmsProbeReport(ev, merged)
     })
   )

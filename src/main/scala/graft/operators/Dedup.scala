@@ -67,13 +67,29 @@ object Dedup {
     * before the join — 16 bytes per distinct corpus line, joined keyed
     * against the batch (batch-sized work, never corpus×batch lines).
     */
-  def dedupLinesAgainst(newLines: DataFrame, corpusLines: DataFrame): DataFrame = {
-    val corpusHashes = corpusLines
-      .select(md5(array_join(col("ws"), " ")).as("h")).distinct()
+  def dedupLinesAgainst(newLines: DataFrame, corpusLines: DataFrame): DataFrame =
+    dedupLinesAgainstHashes(newLines, corpusLineHashes(corpusLines))
+
+  /** The standing corpus reduced to its DISTINCT line-hash table — the
+    * artifact a long-lived ingest gate builds ONCE and joins every batch
+    * against (16 bytes per distinct corpus line). [[lineDedupSink]]
+    * persists this, not the raw line table.
+    */
+  def corpusLineHashes(corpusLines: DataFrame): DataFrame =
+    corpusLines.select(md5(array_join(col("ws"), " ")).as("h")).distinct()
+
+  /** [[dedupLinesAgainst]] with the corpus side already reduced to its
+    * distinct hash table ([[corpusLineHashes]]) — per-batch work is then
+    * batch-sized plus one keyed join against the prebuilt hashes, with no
+    * per-batch corpus re-hash.
+    */
+  def dedupLinesAgainstHashes(newLines: DataFrame,
+                              corpusHashes: DataFrame): DataFrame = {
     val keyed = lineKeyed(newLines)
     val firsts = keyed.groupBy("h").agg(min("pos").as("first_pos"))
     reassembleLines(keyed.join(firsts, "h")
-      .join(corpusHashes.withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .join(corpusHashes.select("h").withColumn("in_corpus", lit(true)),
+        Seq("h"), "left")
       .withColumn("kept",
         col("pos") === col("first_pos") && col("in_corpus").isNull)
       .drop("in_corpus"))
@@ -83,9 +99,15 @@ object Dedup {
     * range) — the shared head of both line-dedup forms.
     */
   private def lineKeyed(lines: DataFrame): DataFrame = {
+    // both halves of the packed key are guarded loudly (the chunkKey law):
+    // a negative doc_id — or one past 2⁴³ — would silently alias positions
+    // across documents and corrupt the keep-first argmin
     val guarded = when(col("line_no") >= (1 << 20) - 2 || col("line_no") < -2,
       raise_error(concat(lit("line_no out of packed range: "),
         col("line_no").cast("string"))))
+      .when(col("doc_id") < 0 || col("doc_id") >= (1L << 43),
+        raise_error(concat(lit("doc_id out of packed range [0, 2^43): "),
+          col("doc_id").cast("string"))))
       .otherwise(col("doc_id") * (1L << 20) + col("line_no") + 2L)
     lines.select(col("doc_id"), col("line_no"), col("ws"),
       md5(array_join(col("ws"), " ")).as("h"), guarded.as("pos"))

@@ -73,21 +73,36 @@ object Wordpiece {
                    maxWordLen: Int = 12,
                    scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
     val ws = words.select("word").distinct()
-    val actualMax = ws.agg(max(length(col("word"))).as("m"))
-      .first().getAs[Number](0) match { case null => 0; case n => n.intValue }
+    val v = scope.checkpoint(vocab.select(col("core"), col("is_cont")))
+    // BOTH contract guards in ONE driver action (the round-10 advice): the
+    // max-word-length scan and the missing-character probe (the
+    // Unigram.segmentWords discipline — a character missing from the vocab
+    // in its position kind would strand that word mid-segmentation and
+    // drop it from the inner join) union into a single two-branch job
+    // instead of two eager passes per call.
+    val guardRows = ws
+      .agg(max(length(col("word"))).cast("int").as("maxlen"),
+        lit(null).cast("string").as("miss"))
+      .unionByName(ws
+        .select(col("word"),
+          explode(sequence(lit(1), length(col("word")))).as("p"))
+        .select((col("p") > 1).as("is_cont"),
+          col("word").substr(col("p"), lit(1)).as("core"))
+        .distinct()
+        .join(v.filter(length(col("core")) === 1),
+          Seq("core", "is_cont"), "left_anti")
+        .limit(5)
+        .select(lit(null).cast("int").as("maxlen"),
+          concat(when(col("is_cont"), "##").otherwise(""), col("core"))
+            .as("miss")))
+      .collect()
+    val actualMax = guardRows.iterator
+      .filterNot(_.isNullAt(0)).map(_.getInt(0)).nextOption().getOrElse(0)
     require(actualMax <= maxWordLen,
       s"longest word has $actualMax chars > maxWordLen=$maxWordLen — " +
         "raise it or normalize the corpus")
-    val v = scope.checkpoint(vocab.select(col("core"), col("is_cont")))
-    // loud contract guard (the Unigram.segmentWords discipline): a
-    // character missing from the vocab in its position kind would strand
-    // that word mid-segmentation and drop it from the inner join
-    val missing = ws
-      .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("p"))
-      .select((col("p") > 1).as("is_cont"), col("word").substr(col("p"), lit(1)).as("core"))
-      .distinct()
-      .join(v.filter(length(col("core")) === 1), Seq("core", "is_cont"), "left_anti")
-      .limit(5).collect().map(r => s"${if (r.getBoolean(1)) "##" else ""}${r.getString(0)}")
+    val missing = guardRows.iterator
+      .filterNot(_.isNullAt(1)).map(_.getString(1)).toSeq
     require(missing.isEmpty,
       s"words contain characters missing from the vocabulary: " +
         s"${missing.mkString("'", "', '", "'")} — was the vocab trained on " +

@@ -187,13 +187,16 @@ object Streams {
   def lineDedupSink(docs: DataFrame, corpusLines: DataFrame,
                     liner: DataFrame => DataFrame,
                     outDir: String, checkpointDir: String): DataStreamWriter[Row] = {
-    val corpus = graft.CacheScope.global.persist(
-      corpusLines.select(col("doc_id"), col("line_no"), col("ws")))
+    // persist the DISTINCT line-hash table, not the raw corpus lines: the
+    // per-batch join needs only the 16-byte hashes, and hashing+distinct
+    // over the whole corpus must happen once, not once per micro-batch
+    val corpusHashes = graft.CacheScope.global.persist(
+      graft.operators.Dedup.corpusLineHashes(corpusLines))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
-        val cleaned = graft.operators.Dedup.dedupLinesAgainst(
-          liner(batch), corpus)
+        val cleaned = graft.operators.Dedup.dedupLinesAgainstHashes(
+          liner(batch), corpusHashes)
         graft.sources.Sinks.appendBatchFileIdempotent(
           cleaned, outDir, s"batch-$batchId.parquet")
       })
