@@ -272,9 +272,11 @@ object ScaleProbe {
     val chunkidxMode = args.headOption.contains("chunkidx")
     val shardbuildMode = args.headOption.contains("shardbuild")
     val retrievalMode = args.headOption.contains("retrieval")
+    val twostageMode = args.headOption.contains("twostage")
     val mults =
       if (annMode || webMode || lshMode || embedMode || chunkidxMode ||
-        shardbuildMode || retrievalMode || args.isEmpty) Seq(1, 10)
+        shardbuildMode || retrievalMode || twostageMode || args.isEmpty)
+        Seq(1, 10)
       else args.toSeq.map(_.toInt)
 
     def blowUp(mult: Int): DataFrame = {
