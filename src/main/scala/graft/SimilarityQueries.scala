@@ -123,6 +123,25 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // Hybrid retrieval SERVED THROUGH THE DOC INDEX — the 100×-scale
+    // hybrid plan next to the exact-scan anchor above: the sparse leg is
+    // the postings join (work = Σ df over query terms), the dense leg
+    // probes the materialized doc-level IVF index (4 of 16 lists) instead
+    // of scanning the embedding table. Twin replays the BM25 chain, the
+    // full doc-IVF chain + probe selection, the pruned exact re-rank, and
+    // the RRF fusion.
+    "ann_hybrid_topk_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      operators.Bm25.hybridTopKIvf(docs, docModel, docEmb,
+          Seq(0L).toDF("query_id"), 10, nprobe = 4,
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
+        .orderBy("query_id", "rn")
+    }),
+
     // REBALANCE under the gate: list splits are content-preserving, so an
     // EXHAUSTIVE probe over the rebalanced index must equal brute-force
     // top-k bit-for-bit (shares ann_topk's exact-cosine twin) — the same
@@ -1008,10 +1027,14 @@ object SimilarityQueries {
     * lists ∩ coarse parents, and the exact sparse re-rank `tsr`
     * (vec_id, parent_id, cosine — unranked; callers cut and order).
     */
-  private def twoStageIvfCtes(coarseK: Int, nprobeDoc: Int,
-                              nprobeChunk: Int): String =
-    s"""$chunkCorpusCtes,
-       |${TextQueries.embedCntCteFrom("documents", "d")},
+  /** DuckDB replay of the DOC-LEVEL IVF probe leg shared by the indexed
+    * two-stage and indexed hybrid twins: hashed-TF counts over documents
+    * (d-prefixed), dense doc vectors, the d-prefixed full IVF chain, probe
+    * selection for query-doc 0, and the pruned candidate set `dcand`
+    * (probed lists' members minus the query).
+    */
+  private[graft] def docIvfCtes(nprobeDoc: Int): String =
+    s"""${TextQueries.embedCntCteFrom("documents", "d")},
        |dsgrid AS (
        |  SELECT doc_id, unnest(range(0, 64)) AS dim
        |  FROM (SELECT DISTINCT doc_id FROM documents)),
@@ -1033,7 +1056,12 @@ object SimilarityQueries {
        |  WHERE rn <= $nprobeDoc),
        |dcand AS (
        |  SELECT da2.vec_id FROM da2 JOIN dprobe USING (cid)
-       |  WHERE da2.vec_id <> 0),
+       |  WHERE da2.vec_id <> 0)""".stripMargin
+
+  private def twoStageIvfCtes(coarseK: Int, nprobeDoc: Int,
+                              nprobeChunk: Int): String =
+    s"""$chunkCorpusCtes,
+       |${docIvfCtes(nprobeDoc)},
        |tqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM dcnt
        |        WHERE doc_id = 0),
        |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
@@ -2574,6 +2602,41 @@ object SimilarityQueries {
          |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
          |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
          |  FROM cnt e LEFT JOIN hqd q ON e.b = q.b
+         |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
+         |hqn AS (SELECT SUM(qc * qc) AS qn2 FROM hqd),
+         |hvr AS (SELECT doc_id, ROW_NUMBER() OVER (
+         |    ORDER BY dot / NULLIF(sqrt(n2) * sqrt(qn2), 0) DESC NULLS LAST,
+         |      doc_id) AS vrn
+         |  FROM hdots, hqn),
+         |hv AS (SELECT doc_id, vrn FROM hvr WHERE vrn <= 20),
+         |hf AS (
+         |  SELECT COALESCE(hv.doc_id, hb.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60 + hv.vrn), 0) + COALESCE(1.0 / (60 + hb.brn), 0)
+         |      AS rrf
+         |  FROM hv FULL OUTER JOIN hb ON hv.doc_id = hb.doc_id)
+         |SELECT CAST(0 AS BIGINT) AS query_id, doc_id, rrf, rn FROM (
+         |  SELECT doc_id, rrf,
+         |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+         |  FROM hf)
+         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    // indexed-hybrid twin: the BM25 chain unchanged, the dense leg = the
+    // doc-IVF probe replay (docIvfCtes — probe selection + pruned
+    // candidates) exact-re-ranked over the d-prefixed count table, RRF
+    // fusion and the global re-cut as in the exact-hybrid twin
+    "ann_hybrid_topk_ivf" ->
+      s"""WITH ${docIvfCtes(4)},
+         |${TextQueries.bm25Ctes()},
+         |hbr AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS brn FROM bsc),
+         |hb AS (SELECT doc_id, brn FROM hbr WHERE brn <= 20),
+         |hqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM dcnt WHERE doc_id = 0),
+         |hdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM dcnt e LEFT JOIN hqd q ON e.b = q.b
+         |  SEMI JOIN dcand ON e.doc_id = dcand.vec_id
          |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
          |hqn AS (SELECT SUM(qc * qc) AS qn2 FROM hqd),
          |hvr AS (SELECT doc_id, ROW_NUMBER() OVER (

@@ -259,6 +259,37 @@ object Bm25 {
     * index probes for dense, postings join for sparse) — fusion adds one
     * k-bounded join, nothing corpus-sized.
     */
+  /** [[hybridTopKAll]] with the dense leg SERVED THROUGH the doc-level IVF
+    * index — the 100×-scale hybrid plan: the sparse leg is already the
+    * inverted-index join (work = Σ df over query terms), and this replaces
+    * the dense leg's exact corpus scan with [[Ivf.probeAll]] (nprobe/nlist
+    * of the materialized lists per query). Fusion is unchanged — RRF over
+    * the two k-bounded rank lists. At exhaustive nprobe the dense leg
+    * equals the exact scan, so the two forms share their law; pruned, the
+    * recall trade is the IVF one, priced by the nprobe curve.
+    */
+  def hybridTopKIvf(documents: DataFrame, docModel: Ivf.IvfModel,
+                    docEmb: DataFrame, queryIds: DataFrame, k: Int,
+                    poolK: Int = 20, nprobe: Int = 4,
+                    scope: graft.CacheScope = graft.CacheScope.global,
+                    postings: Option[DataFrame] = None): DataFrame = {
+    val bm = topKAll(documents, queryIds, poolK, scope, postings)
+      .select(col("query_id"), col("doc_id"), col("rn").as("brn"))
+    val qVecs = docEmb.join(queryIds.select(col("query_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val vec = Ivf.probeAll(docModel, qVecs, poolK, nprobe)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rn").as("vrn"))
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf"), col("doc_id"))
+    vec.join(bm, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("vrn")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("brn")), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "doc_id", "rrf", "rn")
+  }
+
   def hybridTopKAll(documents: DataFrame, queryIds: DataFrame, k: Int,
                     poolK: Int = 20,
                     scope: graft.CacheScope = graft.CacheScope.global,

@@ -412,4 +412,17 @@ class IvfSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_._6 <= 300L))
     assert(rows.map(_._1).toSeq === (1L to rows.length))
   }
+
+  test("indexed hybrid with exhaustive probe equals the exact-scan hybrid") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = operators.Embed.hashedTf(docs)
+    val docModel = Ivf.buildIndex(sfDir + "#tsdoc", docEmb)
+    val qids = Seq(0L, 3L).toDF("query_id")
+    val exact = Bm25.hybridTopKAll(docs, qids, 10,
+      embeddings = Some(docEmb))
+    val ivf = Bm25.hybridTopKIvf(docs, docModel, docEmb, qids, 10,
+      nprobe = docModel.centroids.length)
+    assert(ivf.exceptAll(exact).isEmpty && exact.exceptAll(ivf).isEmpty)
+  }
 }
