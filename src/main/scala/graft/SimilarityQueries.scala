@@ -87,6 +87,22 @@ object SimilarityQueries {
         coarseK = 20, k = 10, nprobeDoc = 4, nprobeChunk = 4)
     }),
 
+    // The SET-ORIENTED indexed two-stage under the gate: the micro-batch
+    // serving engine (one keyed fan-out per index, per-query parent cuts
+    // by a keyed join, no driver round-trip) run on the query set {0} so
+    // it shares the single-query chain's full twin with the rank law
+    // added; multi-query parity is IvfSpec/StreamingSpec-bound (the
+    // probeAll discipline).
+    "ann_topk_twostage_all" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      val (chunkModel, _) = chunkIndex(s, dir)
+      Similarity.topKTwoStageIvfAll(docModel, chunkModel,
+          docEmb.filter(col("vec_id") === 0L), coarseK = 20, k = 10)
+        .orderBy("query_id", "rn")
+    }),
+
     // RAG context assembly — the last mile: the top-20 chunks of the
     // INDEXED two-stage chain (doc-IVF coarse probe → parent-restricted
     // chunk-index probe, the serving plan) packed greedily in rank order
@@ -2548,6 +2564,19 @@ object SimilarityQueries {
          |SELECT vec_id, parent_id, cosine
          |FROM tsr
          |ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
+
+    // set-engine twin on the {0} query set: the single-query chain with
+    // the per-query rank law and the constant query_id added
+    "ann_topk_twostage_all" ->
+      s"""WITH ${twoStageIvfCtes(20, 4, 4)}
+         |SELECT CAST(0 AS BIGINT) AS query_id, vec_id, parent_id, cosine,
+         |  rn
+         |FROM (
+         |  SELECT vec_id, parent_id, cosine,
+         |    ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+         |      AS rn
+         |  FROM tsr)
+         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
 
     // rag-context twin: the INDEXED two-stage chain cut at 20, ranked,
     // joined to the chunk texts, running-sum packed under the 600-token

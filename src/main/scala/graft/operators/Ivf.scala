@@ -864,6 +864,11 @@ object Ivf {
     * (negscore, cid) structs and sliced. No shuffle, no driver round-trip
     * — what lets [[probeAll]] select probes for a whole TABLE of queries.
     */
+  private[operators] def probeListsExpr(qEmb: Column,
+                                        cents: Array[(Int, Array[Long])],
+                                        nprobe: Int): Column =
+    probeListsCol(qEmb, cents, nprobe)
+
   private def probeListsCol(qEmb: Column, cents: Array[(Int, Array[Long])],
                             nprobe: Int): Column =
     transform(probeStructsCol(qEmb, cents, nprobe), e => e.getField("cid"))

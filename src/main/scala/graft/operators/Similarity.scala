@@ -103,6 +103,49 @@ object Similarity {
       .select("vec_id", "parent_id", "cosine")
   }
 
+  /** Set-oriented [[topKTwoStageIvf]] — indexed two-stage retrieval for
+    * EVERY row of `queries` (vec_id, embedding) in one plan, the
+    * micro-batch serving engine ([[Ivf.probeAll]]'s discipline): stage 1
+    * fans all queries through the doc index at once (one keyed join
+    * against its probed lists), stage 2 selects each query's chunk lists
+    * via the pure probe-selection expression (no driver round-trip) and
+    * joins the chunk index ONCE on `list`, candidates cut per query to
+    * its own coarse parents by a keyed (query_id, parent) join — never a
+    * per-query collect, so a 10 000-query batch costs one pass of each
+    * index's probed slice. Emits (query_id, vec_id, parent_id, cosine,
+    * rn ≤ k); per-query rows equal [[topKTwoStageIvf]]'s bit-for-bit
+    * (IvfSpec).
+    */
+  def topKTwoStageIvfAll(docModel: Ivf.IvfModel, chunkModel: Ivf.IvfModel,
+                         queries: DataFrame, coarseK: Int, k: Int,
+                         nprobeDoc: Int = 4, nprobeChunk: Int = 4,
+                         chunkShift: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val topDocs = Ivf.probeAll(docModel, queries, coarseK, nprobeDoc)
+      .select(col("query_id"), col("vec_id").as("parent_id"))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("list", explode(
+        Ivf.probeListsExpr(col("q_emb"), chunkModel.centroids, nprobeChunk)))
+    val idx0 = spark.read.parquet(chunkModel.indexPath)
+      .select(col("list"), col("vec_id"), col("embedding"))
+    val idx = graft.sources.Sinks.readTombstones(spark,
+        Ivf.tombstonesPath(chunkModel.indexPath))
+      .fold(idx0)(t => idx0.join(t, Seq("vec_id"), "left_anti"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col("vec_id"))
+    idx.join(q, "list")
+      .withColumn("parent_id", shiftright(col("vec_id"), chunkShift))
+      .join(topDocs, Seq("query_id", "parent_id"), "left_semi")
+      .withColumn("cosine",
+        nanvl(VectorOps.cosine(col("embedding"), col("q_emb")),
+          lit(null).cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "parent_id", "cosine", "rn")
+  }
+
   /** RAG context assembly — the last mile of the retrieval stack: the
     * two-stage top-`poolK` chunks packed GREEDILY IN RANK ORDER under a
     * token budget (a strict running-sum prefix: the context window takes

@@ -567,6 +567,31 @@ object Streams {
           outDir, s"probe-$batchId.parquet")
       })
 
+  /** Streaming INDEXED TWO-STAGE probe — the serving loop streamed: each
+    * micro-batch of doc-level query vectors runs the set-oriented
+    * two-stage engine ([[graft.operators.Similarity.topKTwoStageIvfAll]]
+    * — doc-IVF coarse fan-out, parent-restricted chunk-index fine cut,
+    * zero streaming state) and lands (query_id, vec_id, parent_id,
+    * cosine, rn) exactly-once via the deterministic per-batchId file
+    * contract. Composes with the chunk/doc ingest sinks growing the same
+    * indexes between micro-batches.
+    */
+  def twoStageProbeSink(queries: DataFrame,
+                        docModel: graft.operators.Ivf.IvfModel,
+                        chunkModel: graft.operators.Ivf.IvfModel,
+                        outDir: String, checkpointDir: String,
+                        coarseK: Int = 20, k: Int = 10,
+                        nprobeDoc: Int = 4,
+                        nprobeChunk: Int = 4): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Similarity.topKTwoStageIvfAll(docModel, chunkModel,
+            batch, coarseK, k, nprobeDoc, nprobeChunk),
+          outDir, s"probe-$batchId.parquet")
+      })
+
   /** [[ivfProbeSink]] over the SHARDED layout — the read side of the
     * sharded streaming story ([[ivfShardedIngestSink]] is the write
     * side): each micro-batch of query vectors fans out through

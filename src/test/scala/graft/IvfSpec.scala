@@ -413,6 +413,26 @@ class IvfSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq === (1L to rows.length))
   }
 
+  test("set-oriented indexed two-stage equals the single-query form per query") {
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = operators.Embed.hashedTf(docs)
+    val docModel = Ivf.buildIndex(sfDir + "#tsdoc", docEmb)
+    val (chunkModel, _) = operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#tschunk", docs)
+    val qids = Seq(0L, 2L, 5L)
+    val all = Similarity.topKTwoStageIvfAll(docModel, chunkModel,
+        docEmb.filter(col("vec_id").isin(qids: _*)), coarseK = 5, k = 10)
+      .as[(Long, Long, Long, Option[Double], Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._5).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    qids.foreach { qid =>
+      val single = Similarity.topKTwoStageIvf(docModel, docEmb, chunkModel,
+          qid, coarseK = 5, k = 10)
+        .as[(Long, Long, Option[Double])].collect().toSeq
+      assert(all.getOrElse(qid, Seq.empty) === single, s"query $qid diverged")
+    }
+  }
+
   test("indexed hybrid with exhaustive probe equals the exact-scan hybrid") {
     import graft.operators.Bm25
     val docs = Tables.documents(spark, sfDir)

@@ -1235,6 +1235,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming two-stage probe equals the single-query indexed two-stage per query") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = graft.operators.Embed.hashedTf(docs)
+    val docModel = graft.operators.Ivf.buildIndex(sfDir + "#tsdoc", docEmb)
+    val (chunkModel, _) = graft.operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#tschunk", docs)
+    val out = java.nio.file.Files.createTempDirectory("graft-tsp").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tsp-c").toString
+    val rows = docEmb.filter($"vec_id" < 4)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows.take(2))
+    val q = Streams.twoStageProbeSink(
+      input.toDF().toDF("vec_id", "embedding"), docModel, chunkModel,
+      out, ckpt, coarseK = 5, k = 10).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .select("query_id", "vec_id", "parent_id", "cosine", "rn")
+      .as[(Long, Long, Long, Option[Double], Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._5).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    assert(got.keySet === (0L until 4L).toSet)
+    (0L until 4L).foreach { qid =>
+      val batch = graft.operators.Similarity.topKTwoStageIvf(docModel,
+          docEmb, chunkModel, qid, coarseK = 5, k = 10)
+        .as[(Long, Long, Option[Double])].collect().toSeq
+      assert(got(qid) === batch, s"query $qid diverged from batch two-stage")
+    }
+  }
+
   test("streaming SHARDED probe equals the per-query sharded fan-out") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
