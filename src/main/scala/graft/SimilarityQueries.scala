@@ -123,6 +123,26 @@ object SimilarityQueries {
         nprobeDoc = 4, nprobeChunk = 4)
     }),
 
+    // The SET-ORIENTED RAG packing under the gate: the batch serving
+    // engine's per-query packing (query-keyed running-sum window over the
+    // k-bounded pool) on the query set {0}, sharing the single-query rag
+    // twin with the constant query_id added; multi-query parity is
+    // spec-bound.
+    "ann_rag_context_all" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      val (chunkModel, _) = chunkIndex(s, dir)
+      val texts = operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+        .select(operators.CorpusIndex.chunkKey(col("doc_id"), col("chunk_no"))
+          .as("vec_id"), col("chunk_text"))
+      Similarity.ragContextAll(
+          Similarity.topKTwoStageIvfAll(docModel, chunkModel,
+            docEmb.filter(col("vec_id") === 0L), coarseK = 20, k = 20),
+          texts, 600L)
+        .orderBy("query_id", "rn")
+    }),
+
     // HYBRID retrieval — reciprocal-rank fusion of the dense top-20
     // (hashed-TF cosine) and the sparse top-20 (BM25 over the same
     // corpus), rrf = Σ 1/(60+rank), re-cut to 10. The standard hybrid-RAG
@@ -2604,6 +2624,33 @@ object SimilarityQueries {
          |  FROM trt)
          |SELECT rn, vec_id, parent_id, cosine, n_tokens, cum_tokens,
          |  chunk_text
+         |FROM trc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
+
+    // set-engine rag twin on the {0} query set: the single-query rag
+    // chain with the constant query_id added
+    "ann_rag_context_all" ->
+      s"""WITH ${twoStageIvfCtes(20, 4, 4)},
+         |trk AS (
+         |  SELECT vec_id, parent_id, cosine
+         |  FROM tsr
+         |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
+         |trn AS (
+         |  SELECT vec_id, parent_id, cosine,
+         |    ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+         |      AS rn
+         |  FROM trk),
+         |trt AS (
+         |  SELECT r.rn, r.vec_id, r.parent_id, r.cosine,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+         |    c.text AS chunk_text
+         |  FROM trn r JOIN chunks c ON r.vec_id = c.doc_id),
+         |trc AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM trt)
+         |SELECT CAST(0 AS BIGINT) AS query_id, rn, vec_id, parent_id,
+         |  cosine, n_tokens, cum_tokens, chunk_text
          |FROM trc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
 
     "ann_knn_join" -> knnSql,

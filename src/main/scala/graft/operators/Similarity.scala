@@ -184,6 +184,30 @@ object Similarity {
         poolK, nprobeDoc, nprobeChunk),
       chunkTexts, tokenBudget)
 
+  /** Set-oriented RAG context assembly — greedy rank-ordered packing for
+    * EVERY query of a ranked pool at once: `rankedPool` is
+    * [[topKTwoStageIvfAll]]'s output (query_id, vec_id, parent_id,
+    * cosine, rn ≤ poolK), texts join keyed on the chunk key, and the
+    * running sum is a QUERY-KEYED window over the k-bounded per-query
+    * pool (≤ poolK rows per partition — WindowGroupLimit territory, never
+    * a global sort). Emits (query_id, rn, vec_id, parent_id, cosine,
+    * n_tokens, cum_tokens, chunk_text); per-query rows equal
+    * [[ragContextIvf]]'s bit-for-bit (IvfSpec).
+    */
+  def ragContextAll(rankedPool: DataFrame, chunkTexts: DataFrame,
+                    tokenBudget: Long): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rankedPool.join(chunkTexts, "vec_id")
+      .withColumn("n_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("vec_id"), col("parent_id"), col("cosine"), col("n_tokens"),
+        col("cum_tokens"), col("chunk_text"))
+  }
+
   /** The shared packing engine behind [[ragContext]]/[[ragContextIvf]]:
     * any ranked (vec_id, parent_id, cosine) pool joins its chunk texts
     * and packs greedily in rank order under `tokenBudget`.

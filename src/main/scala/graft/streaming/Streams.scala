@@ -592,6 +592,37 @@ object Streams {
           outDir, s"probe-$batchId.parquet")
       })
 
+  /** Streaming END-TO-END RAG serving — the full loop streamed: each
+    * micro-batch of doc-level query vectors runs indexed two-stage
+    * retrieval ([[graft.operators.Similarity.topKTwoStageIvfAll]]) and
+    * packs each query's top-`poolK` chunks under the token budget
+    * ([[graft.operators.Similarity.ragContextAll]] — query-keyed window
+    * over k-bounded pools), landing budget-certified contexts
+    * exactly-once per batch. Stateless: a context depends only on the
+    * standing indexes and the batch.
+    */
+  def ragServeSink(queries: DataFrame,
+                   docModel: graft.operators.Ivf.IvfModel,
+                   chunkModel: graft.operators.Ivf.IvfModel,
+                   chunkTexts: DataFrame, outDir: String,
+                   checkpointDir: String, coarseK: Int = 20,
+                   poolK: Int = 20, tokenBudget: Long = 600L,
+                   nprobeDoc: Int = 4,
+                   nprobeChunk: Int = 4): DataStreamWriter[Row] = {
+    val texts = graft.CacheScope.global.persist(
+      chunkTexts.select("vec_id", "chunk_text"))
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Similarity.ragContextAll(
+            graft.operators.Similarity.topKTwoStageIvfAll(docModel,
+              chunkModel, batch, coarseK, poolK, nprobeDoc, nprobeChunk),
+            texts, tokenBudget),
+          outDir, s"context-$batchId.parquet")
+      })
+  }
+
   /** [[ivfProbeSink]] over the SHARDED layout — the read side of the
     * sharded streaming story ([[ivfShardedIngestSink]] is the write
     * side): each micro-batch of query vectors fans out through

@@ -1271,6 +1271,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming RAG serve equals the single-query indexed rag per query") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = graft.operators.Embed.hashedTf(docs)
+    val docModel = graft.operators.Ivf.buildIndex(sfDir + "#tsdoc", docEmb)
+    val (chunkModel, _) = graft.operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#tschunk", docs)
+    val texts = graft.operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+      .select(graft.operators.CorpusIndex.chunkKey($"doc_id", $"chunk_no")
+        .as("vec_id"), $"chunk_text")
+    val out = java.nio.file.Files.createTempDirectory("graft-rag").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rag-c").toString
+    val rows = docEmb.filter($"vec_id" < 4)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows.take(2))
+    val q = Streams.ragServeSink(
+      input.toDF().toDF("vec_id", "embedding"), docModel, chunkModel, texts,
+      out, ckpt, coarseK = 5, poolK = 10, tokenBudget = 300L).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long, Option[Double], Long, Long, String)]
+      .collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2)
+        .map(r => (r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toSeq).toMap
+    assert(got.keySet === (0L until 4L).toSet)
+    (0L until 4L).foreach { qid =>
+      val batch = graft.operators.Similarity.ragContextIvf(docModel, docEmb,
+          chunkModel, texts, qid, coarseK = 5, poolK = 10,
+          tokenBudget = 300L)
+        .as[(Long, Long, Long, Option[Double], Long, Long, String)]
+        .collect().toSeq
+      assert(got(qid) === batch, s"query $qid context diverged")
+    }
+  }
+
   test("streaming SHARDED probe equals the per-query sharded fan-out") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sfDir)
