@@ -517,6 +517,11 @@ object ScaleProbe {
             0L, coarseK = 20, k = 10, nprobeDoc = 4, nprobeChunk = 4))
         time("twostage_exact", m,
           operators.Similarity.topKTwoStage(docEmb, chunkEmb, 0L, 20, 10))
+        // the set engine amortizes: 100 queries in ONE plan (one pass of
+        // each index's probed slice) vs 100 driver round-trips
+        time("twostage_all100", m,
+          operators.Similarity.topKTwoStageIvfAll(docModel, chunkModel,
+            docEmb.filter(col("vec_id") < 100), coarseK = 20, k = 10))
       }
       spark.stop()
       return

@@ -48,6 +48,24 @@ class IvfSpec extends SparkSpec {
       s"probe reads ${s.selectedPartitions.partitionCount} list directories (> nprobe)"))
   }
 
+  test("indexed two-stage plan prunes BOTH index scans to their probed lists") {
+    // the serving contract behind ann_topk_twostage_ivf: stage 1's doc
+    // index scan and stage 2's chunk index scan must each carry a
+    // partition filter on `list` and touch at most nprobe directories —
+    // neither table is ever scanned whole
+    val df = SparkEntry.queries("ann_topk_twostage_ivf")(spark, sfDir)
+    val scans = PlansSpec.unwrapped(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val idxScans = scans.filter(_.partitionFilters.exists(
+      _.references.exists(_.name == "list")))
+    assert(idxScans.nonEmpty,
+      s"no pruned index scan in:\n${df.queryExecution.executedPlan}")
+    idxScans.foreach(s => assert(s.selectedPartitions.partitionCount <= 4,
+      s"two-stage scan reads ${s.selectedPartitions.partitionCount} " +
+        "list directories (> nprobe)"))
+  }
+
   test("sampled training (hash-deterministic) still yields a correct index") {
     // warehouse practice: train the quantizer on a sample, assign everyone.
     // Exhaustive probing must still equal brute force (holds for ANY
