@@ -592,6 +592,32 @@ object Streams {
           outDir, s"probe-$batchId.parquet")
       })
 
+  /** Streaming HYBRID retrieval — the fused lexical+dense serving loop:
+    * each micro-batch of query ids runs the indexed hybrid engine
+    * ([[graft.operators.Bm25.hybridTopKIvf]] — postings join sparse leg,
+    * doc-IVF probe dense leg, RRF fusion) against the standing corpus +
+    * stores and lands (query_id, doc_id, rrf, rn) exactly-once per batch.
+    * Stateless like every probe sink; composes with [[bm25IngestSink]]
+    * and the IVF ingest sinks growing the same artifacts between batches.
+    */
+  def hybridProbeSink(queryIds: DataFrame, documents: DataFrame,
+                      docModel: graft.operators.Ivf.IvfModel,
+                      docEmb: DataFrame, postings: DataFrame,
+                      outDir: String, checkpointDir: String,
+                      k: Int = 10, nprobe: Int = 4): DataStreamWriter[Row] = {
+    val emb = graft.CacheScope.global.persist(
+      docEmb.select("vec_id", "embedding"))
+    val post = graft.CacheScope.global.persist(postings)
+    queryIds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Bm25.hybridTopKIvf(documents, docModel, emb,
+            batch, k, nprobe = nprobe, postings = Some(post)),
+          outDir, s"probe-$batchId.parquet")
+      })
+  }
+
   /** Streaming END-TO-END RAG serving — the full loop streamed: each
     * micro-batch of doc-level query vectors runs indexed two-stage
     * retrieval ([[graft.operators.Similarity.topKTwoStageIvfAll]]) and

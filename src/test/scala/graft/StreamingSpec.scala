@@ -1271,6 +1271,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming hybrid probe equals the batch indexed hybrid per query") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = graft.operators.Embed.hashedTf(docs)
+    val docModel = graft.operators.Ivf.buildIndex(sfDir + "#tsdoc", docEmb)
+    val post = Bm25.materializedPostings(sfDir + "#postings-hyb-spec", docs)
+    val out = java.nio.file.Files.createTempDirectory("graft-hyb").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hyb-c").toString
+
+    val input = MemoryStream[Long]
+    input.addData(Seq(0L, 2L))
+    val q = Streams.hybridProbeSink(
+      input.toDF().toDF("query_id"), docs, docModel, docEmb, post,
+      out, ckpt).start()
+    q.processAllAvailable()
+    input.addData(Seq(5L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(got.keySet === Set(0L, 2L, 5L))
+    val batch = Bm25.hybridTopKIvf(docs, docModel, docEmb,
+        Seq(0L, 2L, 5L).toDF("query_id"), 10, postings = Some(post))
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    Seq(0L, 2L, 5L).foreach { qid =>
+      assert(got(qid) === batch(qid), s"query $qid diverged")
+    }
+  }
+
   test("streaming RAG serve equals the single-query indexed rag per query") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sfDir)
