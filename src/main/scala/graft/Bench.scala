@@ -30,11 +30,16 @@ object Bench {
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "1.0").toDouble
     val gateBudgetSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "900").toInt
     var gateWaited = 0
+    // gateWaited is the BUDGET tracker (clamped down on re-queue to reopen a
+    // slice); gateWaitedTotal accumulates every second actually spent waiting
+    // across all gates and retries — the artifact's idle-gate audit number
+    // (round-11 advice: the clamp was silently under-counting it)
+    var gateWaitedTotal = 0
     def gate(tag: String): Unit =
       while (osBean.getSystemLoadAverage > maxLoad && gateWaited < gateBudgetSec) {
         System.err.println(
           f"[bench] $tag: load ${osBean.getSystemLoadAverage}%.2f > $maxLoad%.1f — waiting (${gateWaited}s/${gateBudgetSec}s)")
-        Thread.sleep(30000); gateWaited += 30
+        Thread.sleep(30000); gateWaited += 30; gateWaitedTotal += 30
       }
     gate("start")
     val loadStart = osBean.getSystemLoadAverage
@@ -144,7 +149,7 @@ object Bench {
         s""""pass_loads":${passLoads.mkString("[", ",", "]")},""" +
         s""""pass_loads_discarded":${discardedLoads.mkString("[", ",", "]")},""" +
         s""""pass_attempts":$attempts,""" +
-        s""""load_gate_max":$maxLoad,"load_gate_waited_sec":$gateWaited,""" +
+        s""""load_gate_max":$maxLoad,"load_gate_waited_sec":$gateWaitedTotal,""" +
         s""""ts":"${java.time.Instant.now()}"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"passes":$passes,"host":$host,"queries":$mins,"queries_median":$medians,"errors":$errs,"sf":"$sfDir"}"""

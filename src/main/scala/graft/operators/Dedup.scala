@@ -565,17 +565,23 @@ object Dedup {
     val p0 = pairs.select(col(idA).cast("long").as("a"),
         col(idB).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    // canonical directed form: u > v throughout
-    var edges = p0.select(greatest(col("a"), col("b")).as("u"),
-        least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
+    // canonical directed form: u > v throughout. Registered with the
+    // caller's scope (round-11 advice): the initial edges are released by
+    // the first round's own release, but the NODE pin and the final round's
+    // edge table outlive the loop — scope.release() reclaims them once the
+    // caller has materialized the labels, instead of leaking until RDD GC.
+    var edges = scope.checkpoint(
+      p0.select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct())
     // node set pinned EAGERLY off the initial edge checkpoint (one pair
     // scan total, and no lazy re-read of the pair subtree at result time —
     // callers like CorpusIndex.refresh mutate the tables the pairs came
     // from between clustering and consuming the labels)
-    val nodes = edges.select(col("u").as("id"))
-      .unionByName(edges.select(col("v").as("id")))
-      .distinct().localCheckpoint(true)
+    val nodes = scope.checkpoint(
+      edges.select(col("u").as("id"))
+        .unionByName(edges.select(col("v").as("id")))
+        .distinct())
     var iter = 0
     var changed = 1L
     while (changed > 0) {
@@ -601,15 +607,18 @@ object Dedup {
       // below-neighbor re-pointed (v ≠ m); the (u, m) branch keeps an edge
       // large already had, so it never counts as a move.
       val smin = large.groupBy("u").agg(min("v").as("m"))
-      val next = large.join(smin, "u")
+      // scope-registered like the initial edges: superseded rounds are
+      // released eagerly below, the LAST round's table (the fixed point the
+      // result reads) by the caller's scope.release() — double-release of
+      // the in-loop rounds is a no-op (RDD unpersist is idempotent)
+      val next = scope.checkpoint(large.join(smin, "u")
         .select(col("v").as("nu"), col("m").as("nv"),
           (col("v") =!= col("m")).as("mv"))
         .filter(col("nu") =!= col("nv"))
         .unionByName(smin.select(col("u").as("nu"), col("m").as("nv"),
           lit(false).as("mv")))
         .groupBy(col("nu").as("u"), col("nv").as("v"))
-        .agg(max("mv").as("moved"))
-        .localCheckpoint(true)
+        .agg(max("mv").as("moved")))
       changed = large.filter(col("moved")).count() +
         next.filter(col("moved")).count()
       graft.CacheScope.releaseCheckpoint(edges)

@@ -407,7 +407,7 @@ object IvfPq {
   final case class IvfPqShardedModel(nShards: Int, shards: Seq[IvfPqModel])
 
   private val shardedModels = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int, Int), IvfPqShardedModel]()
+    (String, Int, Int, Int, Int, Int), IvfPqShardedModel]()
 
   /** Build `nShards` independent IVF-PQ indexes over disjoint md5-hash
     * slices, concurrently ([[Ivf.buildShardedIndex]]'s thread-pool
@@ -421,7 +421,10 @@ object IvfPq {
                         parallelism: Int = 8): IvfPqShardedModel = {
     require(nShards > 0, s"nShards=$nShards must be positive")
     require(parallelism > 0, s"parallelism=$parallelism must be positive")
-    shardedModels.computeIfAbsent((indexKey, nShards, nlist, m, ksub), _ => {
+    // iters is part of the key (round-11 advice): the per-shard index dirs
+    // encode it, so a hit under a different iters would hand back a model
+    // whose parameter the caller thinks they changed
+    shardedModels.computeIfAbsent((indexKey, nShards, nlist, m, ksub, iters), _ => {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(parallelism, nShards))
       try {

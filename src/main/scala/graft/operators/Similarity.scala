@@ -196,14 +196,21 @@ object Similarity {
     */
   def ragContextAll(rankedPool: DataFrame, chunkTexts: DataFrame,
                     tokenBudget: Long): DataFrame = {
+    // rank is RECOMPUTED after the (inner) text join — [[ragContextFrom]]'s
+    // law — so a pooled vec_id missing from chunkTexts leaves a contiguous
+    // numbering, not a gap, and the two forms stay bit-parity even on
+    // incomplete text tables (round-11 advice). Pool order is preserved:
+    // the window orders by the pre-join rn, which the join never reorders.
+    val wr = Window.partitionBy("query_id").orderBy("rn")
     val w = Window.partitionBy("query_id").orderBy("rn")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rankedPool.join(chunkTexts, "vec_id")
       .withColumn("n_tokens",
         size(split(col("chunk_text"), " ")).cast("long"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("rn", row_number().over(wr).cast("long"))
       .filter(col("cum_tokens") <= tokenBudget)
-      .select(col("query_id"), col("rn").cast("long").as("rn"),
+      .select(col("query_id"), col("rn"),
         col("vec_id"), col("parent_id"), col("cosine"), col("n_tokens"),
         col("cum_tokens"), col("chunk_text"))
   }
