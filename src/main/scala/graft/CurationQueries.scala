@@ -372,6 +372,42 @@ object CurationQueries {
         nprobeDoc = 4, nprobeChunk = 4)
     }),
 
+    // INCREMENTAL RAG SERVING — the nightly refresh of the whole serving
+    // stack as ONE oracled chain (the round-11 verdict's top ask): the doc
+    // index refreshes under the frozen doc quantizer (cur_pretrain_index_
+    // incr's machinery), and the CHUNK index — the expensive artifact —
+    // is brought to the current corpus by chunk-granular verbs sized by
+    // the LIVE-SET diff: leavers/changed docs tombstone their chunk keys,
+    // entering docs chunk + embed + append under the frozen chunk
+    // quantizer, the text store maintained by the same diff. The query
+    // then serves indexed two-stage + packing from the refreshed stack.
+    // The twin recomputes the ENTIRE target state from scratch — gates on
+    // cur, doc quantizer trained on prev, cur SemDeDup closure, PREV
+    // closure → prev live (the chunk quantizer's training set), chunks of
+    // cur live assigned under that frozen quantizer, both probe
+    // selections, packing — so hash equality proves incremental ≡ full
+    // for the full serving stack.
+    "cur_rag_serve_incr" -> ((s, dir) => {
+      val scope = graft.CacheScope.global
+      val prev = Tables.documentsWithClones(s, dir)
+      val cur = prev.filter(col("doc_id") % 70 =!= 3)
+        .withColumn("text", when(col("doc_id") % 30 === 0,
+          concat(col("text"), lit(" qqedit"))).otherwise(col("text")))
+        .unionByName(prev.filter(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 900000L))
+      val probe = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
+      // own doc index key: refreshServing MUTATES it (MutationGuard's
+      // one-writer rule); shares #pretrain state + the memoized gate-diff
+      val sr = operators.CorpusIndex.refreshServing(prev, cur, probe,
+        dir + "#pretrain", dir + "#rsvidx", dir + "#rsvchunks",
+        scope = scope)
+      operators.Similarity.ragContextIvf(sr.docModel, sr.embCur,
+        sr.chunkModel, sr.chunkTexts,
+        operators.CorpusIndex.minLiveVecId(sr.docModel),
+        coarseK = 20, poolK = 20, tokenBudget = 600L,
+        nprobeDoc = 4, nprobeChunk = 4)
+    }),
+
     // Quality-ranked mixture: same per-source budgets, but each source's
     // budget is filled BEST DOCUMENTS FIRST (4-dp quality, doc_id ties)
     // instead of the uniform hash order — the quality-filtered mixing
@@ -582,6 +618,78 @@ object CurationQueries {
       |  SELECT doc_id + 900000 AS doc_id, text, lang, source, n_chars
       |  FROM documents2 WHERE doc_id % 40 = 0),
       |""".stripMargin
+
+  /** The shared core of every incremental-refresh twin (CTEs only, caller
+    * prepends WITH RECURSIVE): gates on the EDITED corpus (docs6) and on
+    * the PREVIOUS corpus (pv-prefixed → pvdocs6), both hashed-TF count
+    * tables, ONE embeddings CTE holding prev vectors at their original
+    * ids (the quantizer TRAINS on these — trainWhere) and cur vectors
+    * offset by 5·10⁷ (assignment only), the cur assignments remapped
+    * (`a2c`), the full SemDeDup closure over the CUR corpus → `surv`
+    * (live cur doc ids) and `fqid` (the min-id live survivor — the
+    * deterministic serving query). Chains: cur_pretrain_index_incr's
+    * exhaustive probe, cur_rag_serve_incr's serving stages.
+    */
+  private def incrIndexCoreCtes: String =
+    s"""${pretrainGatedCtes("documents2c", curCorpusCte)},
+       |${prefixCtes(pretrainGatedCtes("documents2"), "pv", gatedChainNames)},
+       |${TextQueries.embedCntCteFrom("docs6")},
+       |${prefixCtes(TextQueries.embedCntCteFrom("pvdocs6"), "pv",
+           Seq("etoks", "eocc", "cnt"))},
+       |egrid AS (
+       |  SELECT doc_id, unnest(range(0, 64)) AS dim
+       |  FROM (SELECT DISTINCT doc_id FROM docs6)),
+       |pgrid AS (
+       |  SELECT doc_id, unnest(range(0, 64)) AS dim
+       |  FROM (SELECT DISTINCT doc_id FROM pvdocs6)),
+       |embeddings AS MATERIALIZED (
+       |  SELECT g.doc_id AS vec_id,
+       |    list(CAST(COALESCE(p.c, 0) AS REAL) ORDER BY g.dim)
+       |      AS embedding
+       |  FROM pgrid g LEFT JOIN pvcnt p ON g.doc_id = p.doc_id
+       |    AND g.dim = p.b
+       |  GROUP BY g.doc_id
+       |  UNION ALL
+       |  SELECT g.doc_id + 50000000 AS vec_id,
+       |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
+       |      AS embedding
+       |  FROM egrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+       |    AND g.dim = cnt.b
+       |  GROUP BY g.doc_id),
+       |${SimilarityQueries.ivfCoreCtes(16, "vec_id < 50000000")},
+       |a2c AS MATERIALIZED (
+       |  SELECT vec_id - 50000000 AS vid, cid FROM a2
+       |  WHERE vec_id >= 50000000),
+       |edot AS (
+       |  SELECT x.doc_id AS va, y.doc_id AS vb,
+       |    SUM(CAST(x.c AS DOUBLE) * y.c) AS dot
+       |  FROM cnt x JOIN cnt y ON x.b = y.b AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |en AS (
+       |  SELECT doc_id, SUM(CAST(c AS DOUBLE) * c) AS n2
+       |  FROM cnt GROUP BY doc_id),
+       |sem AS (
+       |  SELECT aa.vid AS va, bb.vid AS vb
+       |  FROM a2c aa
+       |  JOIN a2c bb ON aa.cid = bb.cid AND aa.vid < bb.vid
+       |  JOIN edot d ON d.va = aa.vid AND d.vb = bb.vid
+       |  JOIN en na ON na.doc_id = aa.vid
+       |  JOIN en nb ON nb.doc_id = bb.vid
+       |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.8),
+       |sedges AS (
+       |  SELECT va AS s, vb AS d FROM sem
+       |  UNION ALL
+       |  SELECT vb AS s, va AS d FROM sem),
+       |swalk(id, lbl) AS (
+       |  SELECT s, s FROM sedges
+       |  UNION
+       |  SELECT e.s, w2.lbl FROM sedges e JOIN swalk w2 ON w2.id = e.d),
+       |scl AS (SELECT id, MIN(lbl) AS cluster_id FROM swalk GROUP BY id),
+       |surv AS MATERIALIZED (
+       |  SELECT e.vid AS vec_id FROM a2c e
+       |  LEFT JOIN scl ON scl.id = e.vid
+       |  WHERE scl.id IS NULL OR scl.cluster_id = e.vid),
+       |fqid AS (SELECT MIN(vec_id) AS q FROM surv)""".stripMargin
 
   /** Every CTE name [[pretrainGatedCtes]] introduces, in the order they
     * appear — the rename list for [[prefixCtes]] when two gated chains
@@ -1375,65 +1483,7 @@ object CurationQueries {
     // list-width fresh pairs, delete/compact/append/re-tombstone), so the
     // hash match is the incremental ≡ full proof.
     "cur_pretrain_index_incr" ->
-      s"""WITH RECURSIVE ${pretrainGatedCtes("documents2c", curCorpusCte)},
-         |${prefixCtes(pretrainGatedCtes("documents2"), "pv", gatedChainNames)},
-         |${TextQueries.embedCntCteFrom("docs6")},
-         |${prefixCtes(TextQueries.embedCntCteFrom("pvdocs6"), "pv",
-             Seq("etoks", "eocc", "cnt"))},
-         |egrid AS (
-         |  SELECT doc_id, unnest(range(0, 64)) AS dim
-         |  FROM (SELECT DISTINCT doc_id FROM docs6)),
-         |pgrid AS (
-         |  SELECT doc_id, unnest(range(0, 64)) AS dim
-         |  FROM (SELECT DISTINCT doc_id FROM pvdocs6)),
-         |embeddings AS MATERIALIZED (
-         |  SELECT g.doc_id AS vec_id,
-         |    list(CAST(COALESCE(p.c, 0) AS REAL) ORDER BY g.dim)
-         |      AS embedding
-         |  FROM pgrid g LEFT JOIN pvcnt p ON g.doc_id = p.doc_id
-         |    AND g.dim = p.b
-         |  GROUP BY g.doc_id
-         |  UNION ALL
-         |  SELECT g.doc_id + 50000000 AS vec_id,
-         |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
-         |      AS embedding
-         |  FROM egrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
-         |    AND g.dim = cnt.b
-         |  GROUP BY g.doc_id),
-         |${SimilarityQueries.ivfCoreCtes(16, "vec_id < 50000000")},
-         |a2c AS MATERIALIZED (
-         |  SELECT vec_id - 50000000 AS vid, cid FROM a2
-         |  WHERE vec_id >= 50000000),
-         |edot AS (
-         |  SELECT x.doc_id AS va, y.doc_id AS vb,
-         |    SUM(CAST(x.c AS DOUBLE) * y.c) AS dot
-         |  FROM cnt x JOIN cnt y ON x.b = y.b AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |en AS (
-         |  SELECT doc_id, SUM(CAST(c AS DOUBLE) * c) AS n2
-         |  FROM cnt GROUP BY doc_id),
-         |sem AS (
-         |  SELECT aa.vid AS va, bb.vid AS vb
-         |  FROM a2c aa
-         |  JOIN a2c bb ON aa.cid = bb.cid AND aa.vid < bb.vid
-         |  JOIN edot d ON d.va = aa.vid AND d.vb = bb.vid
-         |  JOIN en na ON na.doc_id = aa.vid
-         |  JOIN en nb ON nb.doc_id = bb.vid
-         |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.8),
-         |sedges AS (
-         |  SELECT va AS s, vb AS d FROM sem
-         |  UNION ALL
-         |  SELECT vb AS s, va AS d FROM sem),
-         |swalk(id, lbl) AS (
-         |  SELECT s, s FROM sedges
-         |  UNION
-         |  SELECT e.s, w2.lbl FROM sedges e JOIN swalk w2 ON w2.id = e.d),
-         |scl AS (SELECT id, MIN(lbl) AS cluster_id FROM swalk GROUP BY id),
-         |surv AS MATERIALIZED (
-         |  SELECT e.vid AS vec_id FROM a2c e
-         |  LEFT JOIN scl ON scl.id = e.vid
-         |  WHERE scl.id IS NULL OR scl.cluster_id = e.vid),
-         |fqid AS (SELECT MIN(vec_id) AS q FROM surv),
+      s"""WITH RECURSIVE $incrIndexCoreCtes,
          |fqd AS (
          |  SELECT b, CAST(c AS DOUBLE) AS qc
          |  FROM cnt, fqid WHERE doc_id = fqid.q),
@@ -1452,6 +1502,167 @@ object CurationQueries {
          |FROM fdots d, fqn
          |ORDER BY cosine DESC NULLS LAST, vec_id
          |LIMIT 10""".stripMargin,
+
+    // Incremental-RAG-serving twin: the ENTIRE target serving state
+    // recomputed from scratch over the edited corpus — the shared incr
+    // core (gates on both corpora, doc quantizer trained on prev, cur
+    // SemDeDup closure → surv/fqid), PLUS the PREV closure → prev live
+    // docs (the chunk quantizer's training corpus — the state last
+    // night's build froze), chunks of BOTH live corpora in one offset-id
+    // embeddings CTE, the chunk quantizer trained on PREV chunks only,
+    // pruned doc probe (4 of 16) → coarse top-20, chunk probe (4 of 16)
+    // ∩ coarse parents, exact sparse re-rank, 600-token packing. The
+    // Spark side produced the same state by chunk-granular diff verbs
+    // (tombstone/compact/append on the chunk index, text-store diff), so
+    // the hash match proves incremental ≡ full for the serving stack.
+    "cur_rag_serve_incr" ->
+      s"""WITH RECURSIVE $incrIndexCoreCtes,
+         |pvedot AS (
+         |  SELECT x.doc_id AS va, y.doc_id AS vb,
+         |    SUM(CAST(x.c AS DOUBLE) * y.c) AS dot
+         |  FROM pvcnt x JOIN pvcnt y ON x.b = y.b AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pven AS (
+         |  SELECT doc_id, SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM pvcnt GROUP BY doc_id),
+         |pvsem AS (
+         |  SELECT aa.vec_id AS va, bb.vec_id AS vb
+         |  FROM a2 aa
+         |  JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+         |  JOIN pvedot d ON d.va = aa.vec_id AND d.vb = bb.vec_id
+         |  JOIN pven na ON na.doc_id = aa.vec_id
+         |  JOIN pven nb ON nb.doc_id = bb.vec_id
+         |  WHERE aa.vec_id < 50000000 AND bb.vec_id < 50000000
+         |    AND d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.8),
+         |pvsedges AS (
+         |  SELECT va AS s, vb AS d FROM pvsem
+         |  UNION ALL
+         |  SELECT vb AS s, va AS d FROM pvsem),
+         |pvswalk(id, lbl) AS (
+         |  SELECT s, s FROM pvsedges
+         |  UNION
+         |  SELECT e.s, w2.lbl FROM pvsedges e JOIN pvswalk w2 ON w2.id = e.d),
+         |pvscl AS (SELECT id, MIN(lbl) AS cluster_id FROM pvswalk GROUP BY id),
+         |psurv AS MATERIALIZED (
+         |  SELECT d.doc_id AS vec_id FROM pvdocs6 d
+         |  LEFT JOIN pvscl ON pvscl.id = d.doc_id
+         |  WHERE pvscl.id IS NULL OR pvscl.cluster_id = d.doc_id),
+         |pvlive AS (
+         |  SELECT d.doc_id, d.text FROM pvdocs6 d
+         |  SEMI JOIN psurv ON d.doc_id = psurv.vec_id),
+         |livedocs AS (
+         |  SELECT d.doc_id, d.text FROM docs6 d
+         |  SEMI JOIN surv ON d.doc_id = surv.vec_id),
+         |${SimilarityQueries.chunkCorpusCtesFrom("pvlive", "pk")},
+         |${SimilarityQueries.chunkCorpusCtesFrom("livedocs", "k")},
+         |pkgrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM pkchunks)),
+         |kgrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM kchunks)),
+         |kemb AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(COALESCE(pkcnt.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM pkgrid g LEFT JOIN pkcnt ON g.doc_id = pkcnt.doc_id
+         |    AND g.dim = pkcnt.b
+         |  GROUP BY g.doc_id
+         |  UNION ALL
+         |  SELECT g.doc_id + 52428800000000 AS vec_id,
+         |    list(CAST(COALESCE(kcnt.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM kgrid g LEFT JOIN kcnt ON g.doc_id = kcnt.doc_id
+         |    AND g.dim = kcnt.b
+         |  GROUP BY g.doc_id),
+         |${SimilarityQueries.ivfCoreCtes(16, "vec_id < 52428800000000", "",
+             "kemb", "k")},
+         |ka2c AS MATERIALIZED (
+         |  SELECT vec_id - 52428800000000 AS vid, cid FROM ka2
+         |  WHERE vec_id >= 52428800000000),
+         |dprobe AS (
+         |  SELECT cid FROM (
+         |    SELECT sc2.cid,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+         |          DESC, sc2.cid) AS rn
+         |    FROM sc2 JOIN nc2 USING (cid), fqid
+         |    WHERE sc2.vec_id = fqid.q + 50000000)
+         |  WHERE rn <= 4),
+         |dcand AS (
+         |  SELECT e.vid AS vec_id FROM a2c e JOIN dprobe USING (cid)
+         |  SEMI JOIN surv ON e.vid = surv.vec_id
+         |  WHERE e.vid <> (SELECT q FROM fqid)),
+         |tqd AS (
+         |  SELECT b, CAST(c AS DOUBLE) AS qc
+         |  FROM cnt, fqid WHERE doc_id = fqid.q),
+         |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
+         |tdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e LEFT JOIN tqd q ON e.b = q.b
+         |  SEMI JOIN dcand ON e.doc_id = dcand.vec_id
+         |  GROUP BY e.doc_id),
+         |tcoarse AS (
+         |  SELECT doc_id AS parent_id FROM (
+         |    SELECT d.doc_id,
+         |      ROW_NUMBER() OVER (ORDER BY
+         |        d.dot / NULLIF(sqrt(d.n2) * sqrt(tqn.qn2), 0)
+         |        DESC NULLS LAST, d.doc_id) AS rn
+         |    FROM tdots d, tqn)
+         |  WHERE rn <= 20),
+         |kqvd AS (SELECT dim, v FROM vd, fqid
+         |  WHERE vec_id = fqid.q + 50000000),
+         |kqs AS (
+         |  SELECT kc2.cid,
+         |    CAST(SUM(CAST(FLOOR(kqvd.v * kc2.cq * 1000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sq
+         |  FROM kqvd JOIN kc2 USING (dim) GROUP BY 1),
+         |kprobe AS (
+         |  SELECT cid FROM (
+         |    SELECT q.cid,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY CAST(q.sq AS DOUBLE) / sqrt(CAST(n.norm2q AS DOUBLE))
+         |          DESC, q.cid) AS rn
+         |    FROM kqs q JOIN nkc2 n USING (cid))
+         |  WHERE rn <= 4),
+         |kcand AS (
+         |  SELECT e.vid AS vec_id FROM ka2c e JOIN kprobe USING (cid)
+         |  SEMI JOIN tcoarse ON e.vid // 1048576 = tcoarse.parent_id),
+         |kchf AS (
+         |  SELECT e.doc_id AS vec_id, e.doc_id // 1048576 AS parent_id,
+         |    e.b, e.c
+         |  FROM kcnt e SEMI JOIN kcand ON e.doc_id = kcand.vec_id),
+         |kcd AS (
+         |  SELECT vec_id, MIN(parent_id) AS parent_id,
+         |    SUM(CAST(c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM kchf LEFT JOIN tqd q ON kchf.b = q.b
+         |  GROUP BY vec_id),
+         |trk AS (
+         |  SELECT vec_id, parent_id,
+         |    dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
+         |  FROM kcd, tqn
+         |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
+         |trn AS (
+         |  SELECT vec_id, parent_id, cosine,
+         |    ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+         |      AS rn
+         |  FROM trk),
+         |trt AS (
+         |  SELECT r.rn, r.vec_id, r.parent_id, r.cosine,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+         |    c.text AS chunk_text
+         |  FROM trn r JOIN kchunks c ON r.vec_id = c.doc_id),
+         |trc AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM trt)
+         |SELECT rn, vec_id, parent_id, cosine, n_tokens, cum_tokens,
+         |  chunk_text
+         |FROM trc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
 
     // Frozen-idf refresh twin: the incr chain with BOTH embedding sides
     // idf-weighted — prev vectors by the prev corpus's OWN idf

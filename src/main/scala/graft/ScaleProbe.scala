@@ -273,9 +273,11 @@ object ScaleProbe {
     val shardbuildMode = args.headOption.contains("shardbuild")
     val retrievalMode = args.headOption.contains("retrieval")
     val twostageMode = args.headOption.contains("twostage")
+    val ragrefreshMode = args.headOption.contains("ragrefresh")
     val mults =
       if (annMode || webMode || lshMode || embedMode || chunkidxMode ||
-        shardbuildMode || retrievalMode || twostageMode || args.isEmpty)
+        shardbuildMode || retrievalMode || twostageMode || ragrefreshMode ||
+        args.isEmpty)
         Seq(1, 10)
       else args.toSeq.map(_.toInt)
 
@@ -522,6 +524,55 @@ object ScaleProbe {
         time("twostage_all100", m,
           operators.Similarity.topKTwoStageIvfAll(docModel, chunkModel,
             docEmb.filter(col("vec_id") < 100), coarseK = 20, k = 10))
+      }
+      spark.stop()
+      return
+    }
+
+    if (ragrefreshMode) {
+      // `ragrefresh [mults…]`: the nightly-serving-refresh law — with the
+      // prev serving state on disk (buildServing, timed apart: a real
+      // nightly already has it), refreshing the WHOLE stack for a
+      // FIXED-SIZE corpus diff (16 docs dropped, 17 edited, 16 added —
+      // absolute counts, not fractions) must stay near-flat as the corpus
+      // grows 10×: the doc refresh re-gates only the diff's frontier,
+      // chunk tombstones resolve by one keyed join, the append
+      // chunks/embeds only entering docs, and the serving probe reads
+      // nprobe/nlist of each index.
+      val ms = args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 10)
+        case x => x
+      }
+      for (m <- ms) {
+        val docsPath = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft-probe-rr-docs-$m").getAbsolutePath
+        blowUp(m).write.mode("overwrite").parquet(docsPath)
+        val prev = spark.read.parquet(docsPath)
+        // fixed absolute diff: only copy-0 ids below 50 are touched, so
+        // the edit set stays constant while the corpus grows with m
+        val cur = prev.filter(col("doc_id") >= 17L || col("doc_id") < 0L)
+          .withColumn("text",
+            when(col("doc_id") >= 17L && col("doc_id") < 34L,
+              concat(col("text"), lit(" zzedit"))).otherwise(col("text")))
+          .unionByName(prev
+            .filter(col("doc_id") >= 34L && col("doc_id") < 50L)
+            .withColumn("doc_id", col("doc_id") + 90000000L)
+            .withColumn("text",
+              regexp_replace(col("text"), "(^| )", "$1zz")))
+        val probeSet = prev.filter(col("doc_id") % 1000 === 0)
+        val t0 = System.nanoTime()
+        operators.CorpusIndex.buildServing(prev, probeSet,
+          s"probe-ragref-$m", s"probe-ragref-doc-$m", s"probe-ragref-chunk-$m")
+        println(f"PROBE ragrefresh_build  mult=$m%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        time("ragrefresh_serve", m, {
+          val sr = operators.CorpusIndex.refreshServing(prev, cur, probeSet,
+            s"probe-ragref-$m", s"probe-ragref-doc-$m", s"probe-ragref-chunk-$m")
+          operators.Similarity.ragContextIvf(sr.docModel, sr.embCur,
+            sr.chunkModel, sr.chunkTexts,
+            operators.CorpusIndex.minLiveVecId(sr.docModel),
+            coarseK = 20, poolK = 20, tokenBudget = 600L,
+            nprobeDoc = 4, nprobeChunk = 4)
+        })
       }
       spark.stop()
       return
