@@ -143,6 +143,83 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // FILTERED RAG serving — "retrieve only docs from source src1", the
+    // production retrieval predicate composed into the indexed serving
+    // chain: the allow-list semi-joins stage 1's candidates BEFORE the
+    // coarse ranking (so the pool fills with the best ALLOWED docs, never
+    // starves on a post-filter), chunks inherit the parent restriction,
+    // and the survivors pack under the 600-token budget. Twin restricts
+    // the same way inside the coarse stage.
+    "ann_rag_context_filtered" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      val (chunkModel, _) = chunkIndex(s, dir)
+      val texts = operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+        .select(operators.CorpusIndex.chunkKey(col("doc_id"), col("chunk_no"))
+          .as("vec_id"), col("chunk_text"))
+      val allowed = docs.filter(col("source") === "src1")
+        .select(col("doc_id").as("vec_id"))
+      Similarity.ragContextIvf(docModel, docEmb, chunkModel, texts, 0L,
+        coarseK = 20, poolK = 20, tokenBudget = 600L,
+        nprobeDoc = 4, nprobeChunk = 4, allowed = Some(allowed))
+    }),
+
+    // Two-stage with the coarse stage through the SHARDED quantizer —
+    // the 10¹¹-doc serving form (past the 65 536-centroid broadcast cap
+    // the single coarse quantizer hits at ~10⁸ vectors): stage 1 fans out
+    // over 4 independent shard indexes, stage 2 is the parent-restricted
+    // chunk probe. Probed EXHAUSTIVELY here so it shares the exact
+    // two-stage twin — any doc lost/duplicated/mis-sliced by shard
+    // routing, per-shard probes, or the global re-cut breaks the hash
+    // (the shared-oracle trick); the pruned production form's parity is
+    // IvfSpec-bound.
+    "ann_topk_twostage_sharded" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val sharded = operators.Ivf.buildShardedIndex(dir + "#tssh", docEmb,
+        nShards = 4)
+      val (chunkModel, _) = chunkIndex(s, dir)
+      Similarity.topKTwoStageSharded(sharded, docEmb, chunkModel, 0L,
+        coarseK = 20, k = 10,
+        nprobeDoc = sharded.shards.map(_.centroids.length).max,
+        nprobeChunk = chunkModel.centroids.length)
+    }),
+
+    // RAW-TEXT serving — the entry point a deployment actually exposes:
+    // the query arrives as TEXT (not a vec_id into the embedding table),
+    // embeds through the corpus's own model-free embedder, and runs the
+    // indexed two-stage chain (doc-IVF coarse probe → parent-restricted
+    // chunk-index probe). Twin embeds the SAME literal text in the
+    // q-prefixed hashed-TF CTEs and replays both IVF chains with the
+    // sparse query scoring (no self-exclusion anywhere — the query is
+    // not a corpus member).
+    "ann_serve_text" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      val (chunkModel, _) = chunkIndex(s, dir)
+      Similarity.topKTwoStageIvfText(s, docModel, chunkModel,
+        "fast vector scan query", coarseK = 20, k = 10,
+        nprobeDoc = 4, nprobeChunk = 4)
+    }),
+
+    // RAW-TEXT hybrid serving: the same literal text drives BOTH legs —
+    // its distinct tokens are the BM25 query set (postings join), its
+    // hashed-TF vector probes the doc IVF index — fused by RRF. Twin
+    // replays the text-terms BM25 chain, the sparse-query probe
+    // selection + pruned dense re-rank, and the fusion.
+    "ann_serve_text_hybrid" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      operators.Bm25.hybridTopKIvfText(docs, docModel,
+          "fast vector scan query", 10, nprobe = 4,
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
+        .orderBy("rn")
+    }),
+
     // HYBRID retrieval — reciprocal-rank fusion of the dense top-20
     // (hashed-TF cosine) and the sparse top-20 (BM25 over the same
     // corpus), rrf = Σ 1/(60+rank), re-cut to 10. The standard hybrid-RAG
@@ -173,6 +250,25 @@ object SimilarityQueries {
       val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
       operators.Bm25.hybridTopKIvf(docs, docModel, docEmb,
           Seq(0L).toDF("query_id"), 10, nprobe = 4,
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
+        .orderBy("query_id", "rn")
+    }),
+
+    // The SET-ORIENTED indexed hybrid under the gate — a genuinely
+    // multi-query run ({0, 5}): the batch engine fans BOTH queries
+    // through the postings join and the doc-IVF probe in one plan
+    // (per-query probe selection, keyed candidate cuts, query-keyed
+    // windows — never a per-query driver round-trip). Twin replays the
+    // whole set machinery: per-query term sets, per-query probed lists,
+    // per-(query, doc) exact sums, per-query RRF re-cut.
+    "ann_hybrid_topk_all" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      operators.Bm25.hybridTopKIvf(docs, docModel, docEmb,
+          Seq(0L, 5L).toDF("query_id"), 10, nprobe = 4,
           postings = Some(operators.Bm25.materializedPostings(
             dir + "#postings", docs)))
         .orderBy("query_id", "rn")
@@ -1094,11 +1190,132 @@ object SimilarityQueries {
        |  SELECT da2.vec_id FROM da2 JOIN dprobe USING (cid)
        |  WHERE da2.vec_id <> 0)""".stripMargin
 
+  /** [[docIvfCtes]]' RAW-TEXT sibling: the query vector is a literal
+    * text's hashed counts (the caller defines `tqd(b, qc)` from q-prefixed
+    * embed CTEs), probe selection scores the SPARSE query against the doc
+    * quantizer (a zero dim's term is FLOOR(0.5) = 0, so the sparse sum
+    * equals the dense driver-side sum exactly), and `dcand` excludes
+    * nothing — the query is not a corpus member.
+    */
+  private[graft] def docIvfTextCtes(nprobeDoc: Int): String =
+    s"""${TextQueries.embedCntCteFrom("documents", "d")},
+       |dsgrid AS (
+       |  SELECT doc_id, unnest(range(0, 64)) AS dim
+       |  FROM (SELECT DISTINCT doc_id FROM documents)),
+       |dsemb AS MATERIALIZED (
+       |  SELECT g.doc_id AS vec_id,
+       |    list(CAST(COALESCE(dcnt.c, 0) AS REAL) ORDER BY g.dim)
+       |      AS embedding
+       |  FROM dsgrid g LEFT JOIN dcnt ON g.doc_id = dcnt.doc_id
+       |    AND g.dim = dcnt.b
+       |  GROUP BY g.doc_id),
+       |${ivfCoreCtes(16, "", "", "dsemb", "d")},
+       |dqs AS (
+       |  SELECT dc2.cid,
+       |    CAST(SUM(CAST(FLOOR(tqd.qc * dc2.cq * 1000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS sq
+       |  FROM tqd JOIN dc2 ON tqd.b = dc2.dim GROUP BY 1),
+       |dprobe AS (
+       |  SELECT cid FROM (
+       |    SELECT q.cid,
+       |      ROW_NUMBER() OVER (
+       |        ORDER BY CAST(q.sq AS DOUBLE) / sqrt(CAST(n.norm2q AS DOUBLE))
+       |          DESC, q.cid) AS rn
+       |    FROM dqs q JOIN ndc2 n USING (cid))
+       |  WHERE rn <= $nprobeDoc),
+       |dcand AS (SELECT da2.vec_id FROM da2 JOIN dprobe USING (cid))""".stripMargin
+
+  /** [[twoStageIvfCtes]]' RAW-TEXT sibling — the `ann_serve_text` replay:
+    * the literal query text embeds through the q-prefixed hashed-TF CTEs
+    * (tokens + bigrams, the corpus embedder exactly), both probe
+    * selections score the sparse query vector, no stage excludes it.
+    * Ends in `tsr` like the vec-id form.
+    */
+  private def twoStageIvfTextCtes(queryTextSql: String, coarseK: Int,
+                                  nprobeDoc: Int, nprobeChunk: Int): String =
+    s"""$chunkCorpusCtes,
+       |qdoc AS (SELECT CAST(-1 AS BIGINT) AS doc_id, $queryTextSql AS text),
+       |${TextQueries.embedCntCteFrom("qdoc", "q")},
+       |tqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM qcnt),
+       |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
+       |${docIvfTextCtes(nprobeDoc)},
+       |tdots AS (
+       |  SELECT e.doc_id,
+       |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+       |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+       |  FROM dcnt e LEFT JOIN tqd q ON e.b = q.b
+       |  SEMI JOIN dcand ON e.doc_id = dcand.vec_id
+       |  GROUP BY e.doc_id),
+       |tcoarse AS (
+       |  SELECT doc_id AS parent_id FROM (
+       |    SELECT d.doc_id,
+       |      ROW_NUMBER() OVER (ORDER BY
+       |        d.dot / NULLIF(sqrt(d.n2) * sqrt(tqn.qn2), 0)
+       |        DESC NULLS LAST, d.doc_id) AS rn
+       |    FROM tdots d, tqn)
+       |  WHERE rn <= $coarseK),
+       |cgrid AS (
+       |  SELECT doc_id, unnest(range(0, 64)) AS dim
+       |  FROM (SELECT DISTINCT doc_id FROM chunks)),
+       |embeddings AS MATERIALIZED (
+       |  SELECT g.doc_id AS vec_id,
+       |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
+       |      AS embedding
+       |  FROM cgrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+       |    AND g.dim = cnt.b
+       |  GROUP BY g.doc_id),
+       |${ivfCoreCtes(16)},
+       |qsc AS (
+       |  SELECT c2.cid,
+       |    CAST(SUM(CAST(FLOOR(tqd.qc * c2.cq * 1000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS sq
+       |  FROM tqd JOIN c2 ON tqd.b = c2.dim GROUP BY 1),
+       |cprobe AS (
+       |  SELECT cid FROM (
+       |    SELECT q.cid,
+       |      ROW_NUMBER() OVER (
+       |        ORDER BY CAST(q.sq AS DOUBLE) / sqrt(CAST(n.norm2q AS DOUBLE))
+       |          DESC, q.cid) AS rn
+       |    FROM qsc q JOIN nc2 n USING (cid))
+       |  WHERE rn <= $nprobeChunk),
+       |ccand AS (
+       |  SELECT a2.vec_id FROM a2 JOIN cprobe USING (cid)
+       |  SEMI JOIN tcoarse ON a2.vec_id // 1048576 = tcoarse.parent_id),
+       |tchf AS (
+       |  SELECT e.doc_id AS vec_id, e.doc_id // 1048576 AS parent_id,
+       |    e.b, e.c
+       |  FROM cnt e SEMI JOIN ccand ON e.doc_id = ccand.vec_id),
+       |tcd AS (
+       |  SELECT vec_id, MIN(parent_id) AS parent_id,
+       |    SUM(CAST(c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+       |    SUM(CAST(c AS DOUBLE) * c) AS n2
+       |  FROM tchf LEFT JOIN tqd q ON tchf.b = q.b
+       |  GROUP BY vec_id),
+       |tsr AS (
+       |  SELECT vec_id, parent_id,
+       |    dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
+       |  FROM tcd, tqn)""".stripMargin
+
+  /** `allowedWhere` (a predicate on the `documents` alias `ad`, e.g.
+    * `ad.source = 'src1'`) replays the FILTERED serving form: stage 1's
+    * candidates semi-join the allow-list BEFORE the coarse ranking —
+    * [[graft.operators.Ivf.probe]]'s `allowed` semantics — so a
+    * starved pool replays under-full exactly like the engine.
+    */
   private def twoStageIvfCtes(coarseK: Int, nprobeDoc: Int,
-                              nprobeChunk: Int): String =
+                              nprobeChunk: Int,
+                              allowedWhere: String = ""): String = {
+    val candFilter =
+      if (allowedWhere.isEmpty) ""
+      else s"""dcandf AS (
+              |  SELECT dc.vec_id FROM dcand dc
+              |  SEMI JOIN documents ad ON dc.vec_id = ad.doc_id
+              |    AND ($allowedWhere)),
+              |""".stripMargin
+    val cand = if (allowedWhere.isEmpty) "dcand" else "dcandf"
     s"""$chunkCorpusCtes,
        |${docIvfCtes(nprobeDoc)},
-       |tqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM dcnt
+       |${candFilter}tqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM dcnt
        |        WHERE doc_id = 0),
        |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
        |tdots AS (
@@ -1106,7 +1323,7 @@ object SimilarityQueries {
        |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
        |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
        |  FROM dcnt e LEFT JOIN tqd q ON e.b = q.b
-       |  SEMI JOIN dcand ON e.doc_id = dcand.vec_id
+       |  SEMI JOIN $cand ON e.doc_id = $cand.vec_id
        |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
        |tcoarse AS (
        |  SELECT doc_id AS parent_id FROM (
@@ -1158,6 +1375,7 @@ object SimilarityQueries {
        |  SELECT vec_id, parent_id,
        |    dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
        |  FROM tcd, tqn)""".stripMargin
+  }
 
   /** The shared IVF core: quantized coordinates, md5 seeds, two Lloyd
     * steps → `c2`, full assignment `a2` (the inverted lists). Prefix for
@@ -2626,6 +2844,34 @@ object SimilarityQueries {
          |  chunk_text
          |FROM trc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
 
+    // filtered-rag twin: the same indexed two-stage + packing chain with
+    // the allow-list (source = 'src1') semi-joined into the coarse
+    // candidates BEFORE ranking — a starved pool replays under-full
+    "ann_rag_context_filtered" ->
+      s"""WITH ${twoStageIvfCtes(20, 4, 4, "ad.source = 'src1'")},
+         |trk AS (
+         |  SELECT vec_id, parent_id, cosine
+         |  FROM tsr
+         |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
+         |trn AS (
+         |  SELECT vec_id, parent_id, cosine,
+         |    ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+         |      AS rn
+         |  FROM trk),
+         |trt AS (
+         |  SELECT r.rn, r.vec_id, r.parent_id, r.cosine,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+         |    c.text AS chunk_text
+         |  FROM trn r JOIN chunks c ON r.vec_id = c.doc_id),
+         |trc AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM trt)
+         |SELECT rn, vec_id, parent_id, cosine, n_tokens, cum_tokens,
+         |  chunk_text
+         |FROM trc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
+
     // set-engine rag twin on the {0} query set: the single-query rag
     // chain with the constant query_id added
     "ann_rag_context_all" ->
@@ -2662,6 +2908,90 @@ object SimilarityQueries {
     // sharded IVF-PQ at exhaustive settings IS the exact kNN join — the
     // content-preservation gate for the whole sharded composite machinery
     "ann_knn_sharded_pq" -> knnSql,
+
+    // the sharded two-stage at exhaustive settings IS the exact two-stage
+    // — shares its twin (the shared-oracle trick)
+    "ann_topk_twostage_sharded" ->
+      s"""WITH $chunkCorpusCtes,
+         |${TextQueries.embedCntCteFrom("documents", "d")},
+         |tqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM dcnt
+         |        WHERE doc_id = 0),
+         |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
+         |tdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM dcnt e LEFT JOIN tqd q ON e.b = q.b
+         |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
+         |tcoarse AS (
+         |  SELECT doc_id AS parent_id FROM (
+         |    SELECT d.doc_id,
+         |      ROW_NUMBER() OVER (ORDER BY
+         |        d.dot / NULLIF(sqrt(d.n2) * sqrt(tqn.qn2), 0)
+         |        DESC NULLS LAST, d.doc_id) AS rn
+         |    FROM tdots d, tqn)
+         |  WHERE rn <= 20),
+         |tchf AS (
+         |  SELECT e.doc_id AS vec_id, e.doc_id // 1048576 AS parent_id,
+         |    e.b, e.c
+         |  FROM cnt e JOIN tcoarse tc ON e.doc_id // 1048576 = tc.parent_id),
+         |tcd AS (
+         |  SELECT vec_id, MIN(parent_id) AS parent_id,
+         |    SUM(CAST(c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM tchf LEFT JOIN tqd q ON tchf.b = q.b
+         |  GROUP BY vec_id)
+         |SELECT vec_id, parent_id,
+         |  dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
+         |FROM tcd, tqn
+         |ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
+
+    // raw-text two-stage twin: the literal query text embedded in the
+    // q-prefixed CTEs, both IVF chains replayed with sparse-query probe
+    // selection, no self-exclusion
+    "ann_serve_text" ->
+      s"""WITH ${twoStageIvfTextCtes("'fast vector scan query'", 20, 4, 4)}
+         |SELECT vec_id, parent_id, cosine
+         |FROM tsr
+         |ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
+
+    // raw-text hybrid twin: text-terms BM25 chain + the sparse-query doc
+    // probe's pruned dense re-rank, RRF-fused, global re-cut to 10
+    "ann_serve_text_hybrid" ->
+      s"""WITH qdoc AS (
+         |  SELECT CAST(-1 AS BIGINT) AS doc_id,
+         |    'fast vector scan query' AS text),
+         |${TextQueries.embedCntCteFrom("qdoc", "q")},
+         |tqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM qcnt),
+         |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
+         |${docIvfTextCtes(4)},
+         |${TextQueries.bm25Ctes(
+             queryTextSql = "'fast vector scan query'")},
+         |hbr AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS brn FROM bsc),
+         |hb AS (SELECT doc_id, brn FROM hbr WHERE brn <= 20),
+         |hdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM dcnt e LEFT JOIN tqd q ON e.b = q.b
+         |  SEMI JOIN dcand ON e.doc_id = dcand.vec_id
+         |  GROUP BY e.doc_id),
+         |hvr AS (SELECT doc_id, ROW_NUMBER() OVER (
+         |    ORDER BY dot / NULLIF(sqrt(n2) * sqrt(qn2), 0) DESC NULLS LAST,
+         |      doc_id) AS vrn
+         |  FROM hdots, tqn),
+         |hv AS (SELECT doc_id, vrn FROM hvr WHERE vrn <= 20),
+         |hf AS (
+         |  SELECT COALESCE(hv.doc_id, hb.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60 + hv.vrn), 0) + COALESCE(1.0 / (60 + hb.brn), 0)
+         |      AS rrf
+         |  FROM hv FULL OUTER JOIN hb ON hv.doc_id = hb.doc_id)
+         |SELECT doc_id, rrf, rn FROM (
+         |  SELECT doc_id, rrf,
+         |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+         |  FROM hf)
+         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
 
     // hybrid-fusion twin: BM25 chain (shared bm25Ctes) ranked to 20, the
     // sparse-exact cosine ranked to 20 (NULLS LAST — the zero-norm law),
@@ -2730,6 +3060,74 @@ object SimilarityQueries {
          |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
          |  FROM hf)
          |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    // set-hybrid twin: the full multi-query machinery replayed — shared
+    // corpus-side BM25 base, per-query distinct terms (bqall/bscall),
+    // per-query probe selection over the shared score table (keyed
+    // window), per-(query, doc) candidate dots, per-query RRF re-cut
+    "ann_hybrid_topk_all" ->
+      s"""WITH ${TextQueries.embedCntCteFrom("documents", "d")},
+         |dsgrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM documents)),
+         |dsemb AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(COALESCE(dcnt.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM dsgrid g LEFT JOIN dcnt ON g.doc_id = dcnt.doc_id
+         |    AND g.dim = dcnt.b
+         |  GROUP BY g.doc_id),
+         |${ivfCoreCtes(16, "", "", "dsemb", "d")},
+         |qset AS (SELECT CAST(unnest([0, 5]) AS BIGINT) AS query_id),
+         |${TextQueries.bm25BaseCtes()},
+         |${TextQueries.bm25AllCtes()},
+         |hbr AS (SELECT query_id, doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score_q DESC, doc_id) AS brn FROM bscall),
+         |hb AS (SELECT query_id, doc_id, brn FROM hbr WHERE brn <= 20),
+         |dprobes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT sdc2.vec_id, sdc2.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY sdc2.vec_id
+         |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+         |          DESC, sdc2.cid) AS rn
+         |    FROM sdc2 JOIN ndc2 USING (cid)
+         |    SEMI JOIN qset ON sdc2.vec_id = qset.query_id)
+         |  WHERE rn <= 4),
+         |dcands AS (
+         |  SELECT p.query_id, da2.vec_id
+         |  FROM da2 JOIN dprobes p USING (cid)
+         |  WHERE da2.vec_id <> p.query_id),
+         |hqd AS (SELECT doc_id AS query_id, b, CAST(c AS DOUBLE) AS qc
+         |  FROM dcnt SEMI JOIN qset ON dcnt.doc_id = qset.query_id),
+         |hqn AS (SELECT query_id, SUM(qc * qc) AS qn2 FROM hqd GROUP BY 1),
+         |hdots AS (
+         |  SELECT c.query_id, e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM dcnt e
+         |  JOIN dcands c ON e.doc_id = c.vec_id
+         |  LEFT JOIN hqd q ON q.query_id = c.query_id AND e.b = q.b
+         |  GROUP BY 1, 2),
+         |hvr AS (SELECT d.query_id, d.doc_id, ROW_NUMBER() OVER (
+         |    PARTITION BY d.query_id
+         |    ORDER BY d.dot / NULLIF(sqrt(d.n2) * sqrt(n.qn2), 0)
+         |      DESC NULLS LAST, d.doc_id) AS vrn
+         |  FROM hdots d JOIN hqn n USING (query_id)),
+         |hv AS (SELECT query_id, doc_id, vrn FROM hvr WHERE vrn <= 20),
+         |hf AS (
+         |  SELECT COALESCE(hv.query_id, hb.query_id) AS query_id,
+         |    COALESCE(hv.doc_id, hb.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60 + hv.vrn), 0) + COALESCE(1.0 / (60 + hb.brn), 0)
+         |      AS rrf
+         |  FROM hv FULL OUTER JOIN hb
+         |    ON hv.query_id = hb.query_id AND hv.doc_id = hb.doc_id)
+         |SELECT query_id, doc_id, rrf, rn FROM (
+         |  SELECT query_id, doc_id, rrf,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS rn
+         |  FROM hf)
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
 
     // range-unnest index twin (this DuckDB lacks WITH ORDINALITY); CAST the
     // integer SUM back to BIGINT (DuckDB SUM → HUGEINT) and mirror the

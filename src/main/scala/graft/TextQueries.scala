@@ -1286,8 +1286,17 @@ object TextQueries {
     * constants are literals on both sides — see the Bm25 scaladoc).
     * Used by text_bm25_topk and the hybrid-fusion twin.
     */
-  private[graft] def bm25Ctes(src: String = "documents",
-                              queryDocId: Long = 0L): String =
+  /** `queryTextSql` (a SQL string literal, e.g. `'fast vector scan'`)
+    * switches the query side to RAW TEXT: Q = the literal's distinct
+    * whitespace tokens and NO self-exclusion (the query is not a corpus
+    * member) — the [[graft.operators.Bm25.topKText]] twin. Empty = the
+    * corpus-doc query form (`queryDocId`).
+    */
+  /** The query-independent half of the BM25 replay — postings, doc
+    * lengths, corpus stats, 1e-3-grid Lucene idf — shared by the
+    * single-query, raw-text, and SET-oriented twins.
+    */
+  private[graft] def bm25BaseCtes(src: String = "documents"): String =
     s"""btf AS MATERIALIZED (
       |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM $src)
@@ -1304,10 +1313,47 @@ object TextQueries {
       |        - CAST(COUNT(*) AS DOUBLE) + 0.5)
       |        / (CAST(COUNT(*) AS DOUBLE) + 0.5))
       |      * 1000.0 + 0.5) AS BIGINT) AS idf_q
-      |  FROM btf GROUP BY t),
-      |bq AS (SELECT DISTINCT t FROM (
-      |  SELECT unnest(string_split(text, ' ')) AS t FROM $src
-      |  WHERE doc_id = $queryDocId)),
+      |  FROM btf GROUP BY t)""".stripMargin
+
+  /** SET-oriented BM25 scoring replay — `bscall(query_id, doc_id,
+    * score_q)` for EVERY query in a caller-defined `qset(query_id)` CTE:
+    * per-query distinct term sets, one keyed scoring join, self excluded
+    * per query. Requires [[bm25BaseCtes]] in scope.
+    */
+  private[graft] def bm25AllCtes(src: String = "documents"): String =
+    s"""bqall AS (
+      |  SELECT DISTINCT query_id, t FROM (
+      |    SELECT d.doc_id AS query_id,
+      |      unnest(string_split(d.text, ' ')) AS t
+      |    FROM $src d SEMI JOIN qset ON d.doc_id = qset.query_id)),
+      |bscall AS MATERIALIZED (
+      |  SELECT bq.query_id, f.doc_id,
+      |    CAST(SUM(CAST(FLOOR(CAST(i.idf_q * f.tf AS DOUBLE) * 2.2
+      |      / (CAST(f.tf AS DOUBLE) + 0.3
+      |         + 0.9 * (CAST(d.dl AS DOUBLE) / (SELECT avgdl FROM bavg)))
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+      |  FROM btf f
+      |  JOIN bqall bq USING (t)
+      |  JOIN bidf i USING (t)
+      |  JOIN bdl d ON d.doc_id = f.doc_id
+      |  WHERE f.doc_id <> bq.query_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private[graft] def bm25Ctes(src: String = "documents",
+                              queryDocId: Long = 0L,
+                              queryTextSql: String = ""): String = {
+    val bq =
+      if (queryTextSql.isEmpty)
+        s"""bq AS (SELECT DISTINCT t FROM (
+           |  SELECT unnest(string_split(text, ' ')) AS t FROM $src
+           |  WHERE doc_id = $queryDocId)),""".stripMargin
+      else
+        s"""bq AS (SELECT DISTINCT unnest(string_split($queryTextSql, ' '))
+           |  AS t),""".stripMargin
+    val excl =
+      if (queryTextSql.isEmpty) s"\n  WHERE f.doc_id <> $queryDocId" else ""
+    s"""${bm25BaseCtes(src)},
+      |$bq
       |bsc AS MATERIALIZED (
       |  SELECT f.doc_id,
       |    CAST(SUM(CAST(FLOOR(CAST(i.idf_q * f.tf AS DOUBLE) * 2.2
@@ -1317,9 +1363,9 @@ object TextQueries {
       |  FROM btf f
       |  JOIN bq USING (t)
       |  JOIN bidf i USING (t)
-      |  JOIN bdl d ON d.doc_id = f.doc_id
-      |  WHERE f.doc_id <> $queryDocId
+      |  JOIN bdl d ON d.doc_id = f.doc_id$excl
       |  GROUP BY f.doc_id)""".stripMargin
+  }
 
   /** [[embedCntCteFrom]]'s idf-weighted sibling — the shared replay of
     * [[graft.operators.Embed.hashedTfIdf]]'s (doc, bucket) table over any

@@ -245,6 +245,78 @@ object Bm25 {
       .select("query_id", "doc_id", "score_q", "rn")
   }
 
+  /** RAW-TEXT BM25 — the query arrives as TEXT (its distinct whitespace
+    * tokens form Q) instead of naming a corpus document: the serving
+    * entry point's sparse leg. Same scoring law, grid, and tie-break as
+    * [[topKAll]]; no self-exclusion (the query is not a corpus member).
+    * Emits (doc_id, score_q, rn ≤ k). Candidate work is Σ_t df(t) over
+    * the query's terms — the inverted-index law; the term set is a
+    * driver-side literal pushed into the postings scan.
+    */
+  def topKText(documents: DataFrame, queryText: String, k: Int,
+               scope: graft.CacheScope = graft.CacheScope.global,
+               postings: Option[DataFrame] = None): DataFrame = {
+    val terms = queryText.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val toks = split(col("text"), " ")
+    val tf = postings.getOrElse(scope.persist(documents
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl")).head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val idf = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .select(col("t"), floor(
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast("double")
+          + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+          * 1000.0 + 0.5).cast("long").as("idf_q"))
+    val scored = tf.filter(col("t").isin(terms: _*))
+      .join(idf, "t")
+      .join(dl, "doc_id")
+      .withColumn("term_q", floor(
+        (col("idf_q") * col("tf")).cast("double") * lit(2.2)
+          / (col("tf").cast("double") + lit(0.3)
+            + lit(0.9) * (col("dl").cast("double") / lit(avgdl))) + 0.5)
+        .cast("long"))
+      .groupBy("doc_id").agg(sum("term_q").as("score_q"))
+    // rank over the k-bounded cut by the broadcast self-join (a single
+    // text query has no key to window on; partitionless windows are the
+    // banned plan shape)
+    Similarity.rankBounded(
+      scored.orderBy(desc("score_q"), col("doc_id")).limit(k),
+      "score_q", "doc_id", "rn")
+  }
+
+  /** RAW-TEXT hybrid serving — [[hybridTopKIvf]] with a text query: the
+    * sparse leg ranks by the text's terms ([[topKText]]), the dense leg
+    * embeds the SAME text ([[Embed.embedTextVec]]) and probes the doc
+    * IVF index, RRF fuses. Emits (doc_id, rrf, rn ≤ k) — no query_id
+    * column: the query is the text itself.
+    */
+  def hybridTopKIvfText(documents: DataFrame, docModel: Ivf.IvfModel,
+                        queryText: String, k: Int, poolK: Int = 20,
+                        nprobe: Int = 4,
+                        scope: graft.CacheScope = graft.CacheScope.global,
+                        postings: Option[DataFrame] = None,
+                        dim: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    val bm = topKText(documents, queryText, poolK, scope, postings)
+      .select(col("doc_id"), col("rn").as("brn"))
+    val qVec = Embed.embedTextVec(spark, queryText, dim)
+    val vec = Similarity.rankBounded(
+        Ivf.probeWithVec(docModel, spark, qVec, poolK, nprobe),
+        "cosine", "vec_id", "vrn")
+      .select(col("vec_id").as("doc_id"), col("vrn"))
+    val fused = vec.join(bm, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("vrn")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("brn")), lit(0.0)))
+      .select("doc_id", "rrf")
+    Similarity.rankBounded(fused, "rrf", "doc_id", "rn")
+      .filter(col("rn") <= k)
+      .select("doc_id", "rrf", "rn")
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion of the BM25 top-`poolK`
     * and the dense-cosine top-`poolK` (over [[Embed.hashedTf]] vectors of
     * the same corpus): rrf = Σ_side 1/(60 + rank), a document absent from

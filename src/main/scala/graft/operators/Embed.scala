@@ -180,6 +180,23 @@ object Embed {
           .as("embedding"))
   }
 
+  /** Embed ONE query text to a dense double vector — the raw-text serving
+    * entry point's first hop (text in, neighbors out; no vec_id into the
+    * embedding table required). Runs [[hashedTf]] on a one-row frame so
+    * the query embeds through EXACTLY the corpus embedder (bit-parity
+    * with the stored vector of an identical corpus text — asserted in
+    * EmbedSpec), then collects the single bounded row. hashedTf is
+    * model-free, so query embedding needs zero coordination with the
+    * corpus — the property that makes text-in serving one expression.
+    */
+  def embedTextVec(spark: org.apache.spark.sql.SparkSession, text: String,
+                   dim: Int = 64): Array[Double] = {
+    import spark.implicits._
+    hashedTf(Seq((0L, text)).toDF("doc_id", "text"), dim)
+      .select(transform(col("embedding"), _.cast("double")).as("e"))
+      .collect()(0).getSeq[Double](0).toArray
+  }
+
   private val stores =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 

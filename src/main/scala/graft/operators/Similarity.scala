@@ -86,15 +86,25 @@ object Similarity {
     * (asserted in IvfSpec); pruned, it is the composition a real serving
     * stack runs. Same output shape and zero-norm→NULL law.
     */
+  /** `allowed` (doc ids) is the FILTERED-serving form — "retrieve only
+    * docs from source X / after date D", the most common production
+    * retrieval predicate: it semi-joins stage 1's candidates BEFORE the
+    * coarse ranking (the starvation-avoiding pattern [[Ivf.probe]]
+    * implements), so the coarse cut is the best coarseK ALLOWED docs —
+    * never a post-filter that starves the pool — and stage 2's chunks
+    * inherit it through the parent restriction.
+    */
   def topKTwoStageIvf(docModel: Ivf.IvfModel, docEmb: DataFrame,
                       chunkModel: Ivf.IvfModel, queryVecId: Long,
                       coarseK: Int, k: Int, nprobeDoc: Int = 4,
-                      nprobeChunk: Int = 4, chunkShift: Int = 20): DataFrame = {
+                      nprobeChunk: Int = 4, chunkShift: Int = 20,
+                      allowed: Option[DataFrame] = None): DataFrame = {
     val spark = docEmb.sparkSession
     val qVec = docEmb.filter(col("vec_id") === queryVecId)
       .select(transform(col("embedding"), _.cast("double")).as("e"))
       .collect()(0).getSeq[Double](0).toArray
-    val topDocs = Ivf.probe(docModel, docEmb, queryVecId, coarseK, nprobeDoc)
+    val topDocs = Ivf.probe(docModel, docEmb, queryVecId, coarseK, nprobeDoc,
+        allowed = allowed)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     Ivf.probeWithVec(chunkModel, spark, qVec, k, nprobeChunk,
         indexFilter = Some(shiftright(col("vec_id"), chunkShift)
@@ -102,6 +112,75 @@ object Similarity {
       .withColumn("parent_id", shiftright(col("vec_id"), chunkShift))
       .select("vec_id", "parent_id", "cosine")
   }
+
+  /** [[topKTwoStageIvf]] with the coarse stage through the SHARDED
+    * quantizer — the 10¹¹-doc form: past [[autoNlist]]'s 65 536-centroid
+    * broadcast cap ([[autoShardPlan]]: 746 shards at 10¹¹), stage 1 is
+    * [[Ivf.probeSharded]]'s fan-out (each shard probes nprobe of its OWN
+    * lists in parallel, global coarseK re-cut), while stage 2 stays on
+    * the single-model chunk index — the chunk side is parent-restricted
+    * to coarseK docs, so its candidate set never needs the sharded
+    * layout. At exhaustive settings this equals [[topKTwoStage]]
+    * bit-for-bit (the `ann_topk_twostage_sharded` oracle + IvfSpec).
+    */
+  def topKTwoStageSharded(docSharded: Ivf.IvfShardedModel, docEmb: DataFrame,
+                          chunkModel: Ivf.IvfModel, queryVecId: Long,
+                          coarseK: Int, k: Int, nprobeDoc: Int = 4,
+                          nprobeChunk: Int = 4,
+                          chunkShift: Int = 20): DataFrame = {
+    val spark = docEmb.sparkSession
+    val qVec = docEmb.filter(col("vec_id") === queryVecId)
+      .select(transform(col("embedding"), _.cast("double")).as("e"))
+      .collect()(0).getSeq[Double](0).toArray
+    val topDocs = Ivf.probeSharded(docSharded, docEmb, queryVecId, coarseK,
+        nprobeDoc)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    Ivf.probeWithVec(chunkModel, spark, qVec, k, nprobeChunk,
+        indexFilter = Some(shiftright(col("vec_id"), chunkShift)
+          .isin(topDocs: _*)))
+      .withColumn("parent_id", shiftright(col("vec_id"), chunkShift))
+      .select("vec_id", "parent_id", "cosine")
+  }
+
+  /** RAW-TEXT two-stage serving — the entry point a real serving stack
+    * exposes: the query arrives as TEXT, embeds through the corpus's own
+    * model-free embedder ([[Embed.embedTextVec]] — one bounded collect),
+    * and runs the same indexed two-stage chain as [[topKTwoStageIvf]]
+    * (doc-IVF coarse probe, parent-restricted chunk-index fine probe).
+    * No self-exclusion anywhere: the query is not a corpus member. With
+    * a query text identical to a stored document's, the produced vector
+    * is bit-identical to that document's stored embedding (EmbedSpec), so
+    * the text path and the vector path share their ranking law.
+    */
+  def topKTwoStageIvfText(spark: org.apache.spark.sql.SparkSession,
+                          docModel: Ivf.IvfModel, chunkModel: Ivf.IvfModel,
+                          queryText: String, coarseK: Int, k: Int,
+                          nprobeDoc: Int = 4, nprobeChunk: Int = 4,
+                          chunkShift: Int = 20, dim: Int = 64): DataFrame = {
+    val qVec = Embed.embedTextVec(spark, queryText, dim)
+    val topDocs = Ivf.probeWithVec(docModel, spark, qVec, coarseK, nprobeDoc)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    Ivf.probeWithVec(chunkModel, spark, qVec, k, nprobeChunk,
+        indexFilter = Some(shiftright(col("vec_id"), chunkShift)
+          .isin(topDocs: _*)))
+      .withColumn("parent_id", shiftright(col("vec_id"), chunkShift))
+      .select("vec_id", "parent_id", "cosine")
+  }
+
+  /** [[ragContextIvf]] with a RAW-TEXT query — text in, budget-certified
+    * context out: the full last-mile serving composition (embed → indexed
+    * two-stage → rank-ordered packing) as one call.
+    */
+  def ragContextIvfText(spark: org.apache.spark.sql.SparkSession,
+                        docModel: Ivf.IvfModel, chunkModel: Ivf.IvfModel,
+                        chunkTexts: DataFrame, queryText: String,
+                        coarseK: Int, poolK: Int, tokenBudget: Long,
+                        nprobeDoc: Int = 4, nprobeChunk: Int = 4,
+                        dim: Int = 64): DataFrame =
+    ragContextFrom(
+      topKTwoStageIvfText(spark, docModel, chunkModel, queryText, coarseK,
+        poolK, nprobeDoc, nprobeChunk, dim = dim),
+      chunkTexts, tokenBudget)
 
   /** Set-oriented [[topKTwoStageIvf]] — indexed two-stage retrieval for
     * EVERY row of `queries` (vec_id, embedding) in one plan, the
@@ -178,10 +257,11 @@ object Similarity {
                     chunkModel: Ivf.IvfModel, chunkTexts: DataFrame,
                     queryVecId: Long, coarseK: Int, poolK: Int,
                     tokenBudget: Long, nprobeDoc: Int = 4,
-                    nprobeChunk: Int = 4): DataFrame =
+                    nprobeChunk: Int = 4,
+                    allowed: Option[DataFrame] = None): DataFrame =
     ragContextFrom(
       topKTwoStageIvf(docModel, docEmb, chunkModel, queryVecId, coarseK,
-        poolK, nprobeDoc, nprobeChunk),
+        poolK, nprobeDoc, nprobeChunk, allowed = allowed),
       chunkTexts, tokenBudget)
 
   /** Set-oriented RAG context assembly — greedy rank-ordered packing for
@@ -213,6 +293,25 @@ object Similarity {
       .select(col("query_id"), col("rn"),
         col("vec_id"), col("parent_id"), col("cosine"), col("n_tokens"),
         col("cum_tokens"), col("chunk_text"))
+  }
+
+  /** 1-based rank over a K-BOUNDED pool by (score desc NULLS LAST, id) —
+    * the broadcast self-join spelling of row_number for pools too small
+    * to justify a shuffle and too global for a keyed window (a
+    * partitionless window is the banned single-task plan shape; this is
+    * ≤ |pool|² pairs of a tiny table). NULL scores rank last, ties break
+    * toward the smaller id — the repo's ranking law.
+    */
+  private[operators] def rankBounded(pool: DataFrame, score: String,
+                                     id: String, rnName: String): DataFrame = {
+    val s = coalesce(col(score).cast("double"), lit(Double.MinValue))
+    val others = pool.select(col(id).as("__oid"),
+      coalesce(col(score).cast("double"), lit(Double.MinValue)).as("__os"))
+    val better = col("__os") > s ||
+      (col("__os") === s && col("__oid") < col(id))
+    pool.join(broadcast(others), better, "left")
+      .groupBy(pool.columns.toSeq.map(col): _*)
+      .agg((count(col("__oid")) + 1L).cast("int").as(rnName))
   }
 
   /** The shared packing engine behind [[ragContext]]/[[ragContextIvf]]:

@@ -592,6 +592,56 @@ object Streams {
           outDir, s"probe-$batchId.parquet")
       })
 
+  /** Streaming PHRASE retrieval — the positional-index serving loop:
+    * each micro-batch of phrase rows (phrase_id, ppos, term, plen) runs
+    * the set-oriented positional intersection
+    * ([[graft.operators.Bm25.phraseTopKAll]]) against the standing
+    * materialized positional-postings store and lands (phrase_id,
+    * doc_id, n_occurrences, rn) exactly-once per batch. Stateless;
+    * composes with the phrase-ingest sink growing the same store.
+    */
+  def phraseProbeSink(phrases: DataFrame, postings: DataFrame,
+                      outDir: String, checkpointDir: String,
+                      k: Int = 10): DataStreamWriter[Row] = {
+    val post = graft.CacheScope.global.persist(postings)
+    phrases.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Bm25.phraseTopKAll(post, batch, k),
+          outDir, s"probe-$batchId.parquet")
+      })
+  }
+
+  /** RAW-TEXT streaming retrieval — the serving entry point streamed:
+    * queries arrive as (doc_id, text), each micro-batch embeds them
+    * IN-FLIGHT through the corpus's own model-free embedder
+    * ([[graft.operators.Embed.hashedTf]] — zero coordination with the
+    * corpus, the property that makes text-in serving stateless) and runs
+    * the set-oriented indexed two-stage engine. Lands (query_id = the
+    * incoming doc_id, vec_id, parent_id, cosine, rn) exactly-once via
+    * the deterministic per-batchId file contract. A streamed text query
+    * whose text equals a stored document's produces that document's
+    * exact vector, so parity with the vector-probe sink is spec-testable
+    * (StreamingSpec).
+    */
+  def textProbeSink(queries: DataFrame,
+                    docModel: graft.operators.Ivf.IvfModel,
+                    chunkModel: graft.operators.Ivf.IvfModel,
+                    outDir: String, checkpointDir: String,
+                    coarseK: Int = 20, k: Int = 10,
+                    nprobeDoc: Int = 4,
+                    nprobeChunk: Int = 4): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Similarity.topKTwoStageIvfAll(docModel, chunkModel,
+            graft.operators.Embed.hashedTf(batch), coarseK, k, nprobeDoc,
+            nprobeChunk),
+          outDir, s"probe-$batchId.parquet")
+      })
+
   /** Streaming HYBRID retrieval — the fused lexical+dense serving loop:
     * each micro-batch of query ids runs the indexed hybrid engine
     * ([[graft.operators.Bm25.hybridTopKIvf]] — postings join sparse leg,

@@ -138,4 +138,19 @@ class EmbedSpec extends SparkSpec {
     val exact = Similarity.topK(emb, 0L, 10).as[(Long, Double)].collect().toSeq
     assert(probed === exact)
   }
+
+  test("embedTextVec: a query text identical to a stored document's " +
+      "produces that document's exact vector") {
+    // the raw-text serving law: text → embedTextVec ≡ the corpus
+    // embedder's stored row, bit for bit (hashedTf is model-free and
+    // per-document, so the one-row frame changes nothing)
+    val text0 = docs.filter($"doc_id" === 0L)
+      .select($"text").as[String].head()
+    val fromText = Embed.embedTextVec(spark, text0, dim = 64).toSeq
+    val stored = Embed.hashedTf(docs, dim = 64)
+      .filter($"vec_id" === 0L)
+      .select(transform($"embedding", _.cast("double")))
+      .as[Seq[Double]].head()
+    assert(fromText === stored)
+  }
 }

@@ -431,6 +431,29 @@ class IvfSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq === (1L to rows.length))
   }
 
+  test("sharded two-stage with exhaustive probes equals the exact two-stage") {
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = operators.Embed.hashedTf(docs)
+    val sharded = Ivf.buildShardedIndex(sfDir + "#tsshspec", docEmb,
+      nShards = 3, nlist = 4)
+    val (chunkModel, chunkEmb) = operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#tschunk", docs)
+    val exact = Similarity.topKTwoStage(docEmb, chunkEmb, 0L, 5, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val got = Similarity.topKTwoStageSharded(sharded, docEmb, chunkModel, 0L,
+        coarseK = 5, k = 10,
+        nprobeDoc = sharded.shards.map(_.centroids.length).max,
+        nprobeChunk = chunkModel.centroids.length)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === exact)
+    // pruned per-shard probes still deliver useful recall (the production
+    // setting; exhaustive equality above is the correctness anchor)
+    val pruned = Similarity.topKTwoStageSharded(sharded, docEmb, chunkModel,
+        0L, coarseK = 5, k = 10, nprobeDoc = 2, nprobeChunk = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pruned.intersect(exact.map(_._1).toSet).size >= 3)
+  }
+
   test("set-oriented indexed two-stage equals the single-query form per query") {
     val docs = Tables.documents(spark, sfDir)
     val docEmb = operators.Embed.hashedTf(docs)

@@ -408,6 +408,31 @@ class SimilaritySpec extends SparkSpec {
     assert(d1.matches("[A-Za-z0-9._-]+"))
   }
 
+  test("raw-text two-stage equals the vector set engine on the same vector") {
+    // the text-in serving law, single-query form: a text query runs the
+    // identical ranking as a vector query carrying the same embedding —
+    // checked against the INDEPENDENT set engine (keyed joins, no driver
+    // collects), whose query id -1 matches no corpus row so neither path
+    // excludes anything
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = graft.operators.Embed.hashedTf(docs)
+    val docModel = graft.operators.Ivf.buildIndex(sfDir + "#txtdoc", docEmb)
+    val (chunkModel, _) = graft.operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#txtchunk", docs)
+    val text7 = docs.filter($"doc_id" === 7L).select($"text").as[String].head()
+    val viaText = Similarity.topKTwoStageIvfText(spark, docModel, chunkModel,
+        text7, coarseK = 5, k = 10)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    val qRow = docEmb.filter($"vec_id" === 7L)
+      .select(lit(-1L).as("vec_id"), $"embedding")
+    val viaVec = Similarity.topKTwoStageIvfAll(docModel, chunkModel, qRow,
+        coarseK = 5, k = 10)
+      .orderBy("rn")
+      .select("vec_id", "parent_id", "cosine")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(viaText === viaVec)
+  }
+
   test("JL-prefiltered top-k keeps useful recall vs exact") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.topK(emb, 0L, 10)

@@ -1271,6 +1271,83 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming phrase probe equals the batch positional intersection per phrase") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val post = Bm25.materializedPositionalPostings(
+      sfDir + "#pospost-sink-spec", docs)
+    val phrases = Bm25.topTrigramPhrases(post, 3)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val out = java.nio.file.Files.createTempDirectory("graft-php").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-php-c").toString
+
+    val input = MemoryStream[(Long, Long, String, Long)]
+    input.addData(phrases.filter(_._1 <= 2L)) // phrases 1-2 in batch 0
+    val q = Streams.phraseProbeSink(
+      input.toDF().toDF("phrase_id", "ppos", "term", "plen"), post,
+      out, ckpt, k = 5).start()
+    q.processAllAvailable()
+    input.addData(phrases.filter(_._1 === 3L)) // phrase 3 in batch 1
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .select("phrase_id", "doc_id", "n_occurrences", "rn")
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    val batch = Bm25.phraseTopKAll(post,
+        Bm25.topTrigramPhrases(post, 3), 5)
+      .select("phrase_id", "doc_id", "n_occurrences", "rn")
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    (1L to 3L).foreach { pid =>
+      assert(got(pid) === batch(pid), s"phrase $pid diverged from batch")
+    }
+  }
+
+  test("streaming raw-text probe equals the vector two-stage per query") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = graft.operators.Embed.hashedTf(docs)
+    val docModel = graft.operators.Ivf.buildIndex(sfDir + "#tsdoc", docEmb)
+    val (chunkModel, _) = graft.operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#tschunk", docs)
+    val out = java.nio.file.Files.createTempDirectory("graft-txp").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-txp-c").toString
+    // queries arrive as TEXT — corpus docs' texts, so the in-flight embed
+    // must reproduce the stored vectors and the results must equal the
+    // vector path's bit-for-bit (the raw-text serving law, streamed)
+    val rows = docs.filter($"doc_id" < 4)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows.take(2))
+    val q = Streams.textProbeSink(
+      input.toDF().toDF("doc_id", "text"), docModel, chunkModel,
+      out, ckpt, coarseK = 5, k = 10).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .select("query_id", "vec_id", "parent_id", "cosine", "rn")
+      .as[(Long, Long, Long, Option[Double], Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._5).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    assert(got.keySet === (0L until 4L).toSet)
+    (0L until 4L).foreach { qid =>
+      val batch = graft.operators.Similarity.topKTwoStageIvf(docModel,
+          docEmb, chunkModel, qid, coarseK = 5, k = 10)
+        .as[(Long, Long, Option[Double])].collect().toSeq
+      assert(got(qid) === batch, s"text query $qid diverged from vector path")
+    }
+  }
+
   test("streaming hybrid probe equals the batch indexed hybrid per query") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Bm25
