@@ -372,6 +372,39 @@ object CurationQueries {
         nprobeDoc = 4, nprobeChunk = 4)
     }),
 
+    // HYBRID RAG SERVING flagship — cur_rag_serve with the doc stage
+    // FUSED: the coarse parents come from reciprocal-rank fusion of the
+    // BM25 postings leg (over the live corpus) and the doc-IVF probe
+    // (tombstones masking the collapsed near-dups), then the chunk index
+    // refines within them and the pool packs under the 600-token budget.
+    // The twin composes the bm25 chain over livedocs, the pruned doc
+    // probe's dense re-rank, the RRF law, the chunk probe ∩ fused
+    // parents, and the packing law — the full production hybrid-RAG
+    // serving stack under ONE hash.
+    "cur_rag_serve_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val scope = graft.CacheScope.global
+      val probe = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
+      val docs0 = Tables.documentsWithClones(s, dir)
+      // own index key: build() mutates (semantic tombstones)
+      val b = operators.CorpusIndex.build(docs0, probe, dir + "#pretrain",
+        dir + "#raghidx", scope = scope)
+      val qid = b.emb.join(b.doomed, Seq("vec_id"), "left_anti")
+        .agg(min("vec_id")).head().getLong(0)
+      val st = operators.Pretrain.buildState(dir + "#pretrain", docs0, probe,
+        scope)
+      val liveDocs = scope.persist(st.gated.join(
+        b.doomed.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"),
+        "left_anti"))
+      val chunks = operators.CorpusIndex.materializedChunks(
+        dir + "#raghchunkstore", liveDocs)
+      val (chunkModel, _) = operators.CorpusIndex.buildChunkIndexFrom(
+        dir + "#raghchunks", chunks)
+      operators.Bm25.ragContextHybrid(liveDocs, b.model, b.emb, chunkModel,
+        chunks, qid, coarseK = 20, poolK = 20, tokenBudget = 600L,
+        nprobeDoc = 4, nprobeChunk = 4, scope = scope)
+    }),
+
     // INCREMENTAL RAG SERVING — the nightly refresh of the whole serving
     // stack as ONE oracled chain (the round-11 verdict's top ask): the doc
     // index refreshes under the frozen doc quantizer (cur_pretrain_index_
@@ -618,6 +651,59 @@ object CurationQueries {
       |  SELECT doc_id + 900000 AS doc_id, text, lang, source, n_chars
       |  FROM documents2 WHERE doc_id % 40 = 0),
       |""".stripMargin
+
+  /** The shared core of the corpus→index flagship twins (CTEs only,
+    * caller prepends WITH RECURSIVE): pretrain gates → hashed-TF counts →
+    * the shadowed `embeddings` CTE → the doc IVF chain → SemDeDup pairs
+    * restricted to co-assigned lists → recursive closure → `surv` (live
+    * doc ids) and `fqid` (the min-id live survivor). Chains:
+    * cur_pretrain_index's exhaustive probe, cur_rag_serve's indexed
+    * serving stages, cur_rag_serve_hybrid's fused doc stage.
+    */
+  private def flagshipIndexCoreCtes: String =
+    s"""${pretrainGatedCtes("documents2")},
+       |${TextQueries.embedCntCteFrom("docs6")},
+       |egrid AS (
+       |  SELECT doc_id, unnest(range(0, 64)) AS dim
+       |  FROM (SELECT DISTINCT doc_id FROM docs6)),
+       |embeddings AS MATERIALIZED (
+       |  SELECT g.doc_id AS vec_id,
+       |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
+       |      AS embedding
+       |  FROM egrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+       |    AND g.dim = cnt.b
+       |  GROUP BY g.doc_id),
+       |${SimilarityQueries.ivfCoreCtes(16)},
+       |edot AS (
+       |  SELECT x.doc_id AS va, y.doc_id AS vb,
+       |    SUM(CAST(x.c AS DOUBLE) * y.c) AS dot
+       |  FROM cnt x JOIN cnt y ON x.b = y.b AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |en AS (
+       |  SELECT doc_id, SUM(CAST(c AS DOUBLE) * c) AS n2
+       |  FROM cnt GROUP BY doc_id),
+       |sem AS (
+       |  SELECT aa.vec_id AS va, bb.vec_id AS vb
+       |  FROM a2 aa
+       |  JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+       |  JOIN edot d ON d.va = aa.vec_id AND d.vb = bb.vec_id
+       |  JOIN en na ON na.doc_id = aa.vec_id
+       |  JOIN en nb ON nb.doc_id = bb.vec_id
+       |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.8),
+       |sedges AS (
+       |  SELECT va AS s, vb AS d FROM sem
+       |  UNION ALL
+       |  SELECT vb AS s, va AS d FROM sem),
+       |swalk(id, lbl) AS (
+       |  SELECT s, s FROM sedges
+       |  UNION
+       |  SELECT e.s, w2.lbl FROM sedges e JOIN swalk w2 ON w2.id = e.d),
+       |scl AS (SELECT id, MIN(lbl) AS cluster_id FROM swalk GROUP BY id),
+       |surv AS MATERIALIZED (
+       |  SELECT e.vec_id FROM embeddings e
+       |  LEFT JOIN scl ON scl.id = e.vec_id
+       |  WHERE scl.id IS NULL OR scl.cluster_id = e.vec_id),
+       |fqid AS (SELECT MIN(vec_id) AS q FROM surv)""".stripMargin
 
   /** The shared core of every incremental-refresh twin (CTEs only, caller
     * prepends WITH RECURSIVE): gates on the EDITED corpus (docs6) and on
@@ -1183,49 +1269,7 @@ object CurationQueries {
     // over survivors only (the Spark side's exhaustive tombstone-aware
     // probe ≡ brute force).
     "cur_pretrain_index" ->
-      s"""WITH RECURSIVE ${pretrainGatedCtes("documents2")},
-         |${TextQueries.embedCntCteFrom("docs6")},
-         |egrid AS (
-         |  SELECT doc_id, unnest(range(0, 64)) AS dim
-         |  FROM (SELECT DISTINCT doc_id FROM docs6)),
-         |embeddings AS MATERIALIZED (
-         |  SELECT g.doc_id AS vec_id,
-         |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
-         |      AS embedding
-         |  FROM egrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
-         |    AND g.dim = cnt.b
-         |  GROUP BY g.doc_id),
-         |${SimilarityQueries.ivfCoreCtes(16)},
-         |edot AS (
-         |  SELECT x.doc_id AS va, y.doc_id AS vb,
-         |    SUM(CAST(x.c AS DOUBLE) * y.c) AS dot
-         |  FROM cnt x JOIN cnt y ON x.b = y.b AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |en AS (
-         |  SELECT doc_id, SUM(CAST(c AS DOUBLE) * c) AS n2
-         |  FROM cnt GROUP BY doc_id),
-         |sem AS (
-         |  SELECT aa.vec_id AS va, bb.vec_id AS vb
-         |  FROM a2 aa
-         |  JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
-         |  JOIN edot d ON d.va = aa.vec_id AND d.vb = bb.vec_id
-         |  JOIN en na ON na.doc_id = aa.vec_id
-         |  JOIN en nb ON nb.doc_id = bb.vec_id
-         |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.8),
-         |sedges AS (
-         |  SELECT va AS s, vb AS d FROM sem
-         |  UNION ALL
-         |  SELECT vb AS s, va AS d FROM sem),
-         |swalk(id, lbl) AS (
-         |  SELECT s, s FROM sedges
-         |  UNION
-         |  SELECT e.s, w2.lbl FROM sedges e JOIN swalk w2 ON w2.id = e.d),
-         |scl AS (SELECT id, MIN(lbl) AS cluster_id FROM swalk GROUP BY id),
-         |surv AS MATERIALIZED (
-         |  SELECT e.vec_id FROM embeddings e
-         |  LEFT JOIN scl ON scl.id = e.vec_id
-         |  WHERE scl.id IS NULL OR scl.cluster_id = e.vec_id),
-         |fqid AS (SELECT MIN(vec_id) AS q FROM surv),
+      s"""WITH RECURSIVE $flagshipIndexCoreCtes,
          |fqd AS (
          |  SELECT b, CAST(c AS DOUBLE) AS qc
          |  FROM cnt, fqid WHERE doc_id = fqid.q),
@@ -1253,49 +1297,7 @@ object CurationQueries {
     // with the doc query vector, candidates ∩ coarse parents, exact
     // sparse re-rank, and the rank-ordered 600-token packing law.
     "cur_rag_serve" ->
-      s"""WITH RECURSIVE ${pretrainGatedCtes("documents2")},
-         |${TextQueries.embedCntCteFrom("docs6")},
-         |egrid AS (
-         |  SELECT doc_id, unnest(range(0, 64)) AS dim
-         |  FROM (SELECT DISTINCT doc_id FROM docs6)),
-         |embeddings AS MATERIALIZED (
-         |  SELECT g.doc_id AS vec_id,
-         |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
-         |      AS embedding
-         |  FROM egrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
-         |    AND g.dim = cnt.b
-         |  GROUP BY g.doc_id),
-         |${SimilarityQueries.ivfCoreCtes(16)},
-         |edot AS (
-         |  SELECT x.doc_id AS va, y.doc_id AS vb,
-         |    SUM(CAST(x.c AS DOUBLE) * y.c) AS dot
-         |  FROM cnt x JOIN cnt y ON x.b = y.b AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |en AS (
-         |  SELECT doc_id, SUM(CAST(c AS DOUBLE) * c) AS n2
-         |  FROM cnt GROUP BY doc_id),
-         |sem AS (
-         |  SELECT aa.vec_id AS va, bb.vec_id AS vb
-         |  FROM a2 aa
-         |  JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
-         |  JOIN edot d ON d.va = aa.vec_id AND d.vb = bb.vec_id
-         |  JOIN en na ON na.doc_id = aa.vec_id
-         |  JOIN en nb ON nb.doc_id = bb.vec_id
-         |  WHERE d.dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0) >= 0.8),
-         |sedges AS (
-         |  SELECT va AS s, vb AS d FROM sem
-         |  UNION ALL
-         |  SELECT vb AS s, va AS d FROM sem),
-         |swalk(id, lbl) AS (
-         |  SELECT s, s FROM sedges
-         |  UNION
-         |  SELECT e.s, w2.lbl FROM sedges e JOIN swalk w2 ON w2.id = e.d),
-         |scl AS (SELECT id, MIN(lbl) AS cluster_id FROM swalk GROUP BY id),
-         |surv AS MATERIALIZED (
-         |  SELECT e.vec_id FROM embeddings e
-         |  LEFT JOIN scl ON scl.id = e.vec_id
-         |  WHERE scl.id IS NULL OR scl.cluster_id = e.vec_id),
-         |fqid AS (SELECT MIN(vec_id) AS q FROM surv),
+      s"""WITH RECURSIVE $flagshipIndexCoreCtes,
          |dprobe AS (
          |  SELECT cid FROM (
          |    SELECT sc2.cid,
@@ -1330,6 +1332,138 @@ object CurationQueries {
          |livedocs AS (
          |  SELECT d.doc_id, d.text FROM docs6 d
          |  SEMI JOIN surv ON d.doc_id = surv.vec_id),
+         |${SimilarityQueries.chunkCorpusCtesFrom("livedocs", "k")},
+         |kgrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM kchunks)),
+         |kemb AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(COALESCE(kcnt.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM kgrid g LEFT JOIN kcnt ON g.doc_id = kcnt.doc_id
+         |    AND g.dim = kcnt.b
+         |  GROUP BY g.doc_id),
+         |${SimilarityQueries.ivfCoreCtes(16, "", "", "kemb", "k")},
+         |kqvd AS (SELECT dim, v FROM vd, fqid WHERE vec_id = fqid.q),
+         |kqs AS (
+         |  SELECT kc2.cid,
+         |    CAST(SUM(CAST(FLOOR(kqvd.v * kc2.cq * 1000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sq
+         |  FROM kqvd JOIN kc2 USING (dim) GROUP BY 1),
+         |kprobe AS (
+         |  SELECT cid FROM (
+         |    SELECT q.cid,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY CAST(q.sq AS DOUBLE) / sqrt(CAST(n.norm2q AS DOUBLE))
+         |          DESC, q.cid) AS rn
+         |    FROM kqs q JOIN nkc2 n USING (cid))
+         |  WHERE rn <= 4),
+         |kcand AS (
+         |  SELECT ka2.vec_id FROM ka2 JOIN kprobe USING (cid)
+         |  SEMI JOIN tcoarse ON ka2.vec_id // 1048576 = tcoarse.parent_id),
+         |kchf AS (
+         |  SELECT e.doc_id AS vec_id, e.doc_id // 1048576 AS parent_id,
+         |    e.b, e.c
+         |  FROM kcnt e SEMI JOIN kcand ON e.doc_id = kcand.vec_id),
+         |kcd AS (
+         |  SELECT vec_id, MIN(parent_id) AS parent_id,
+         |    SUM(CAST(c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM kchf LEFT JOIN tqd q ON kchf.b = q.b
+         |  GROUP BY vec_id),
+         |trk AS (
+         |  SELECT vec_id, parent_id,
+         |    dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
+         |  FROM kcd, tqn
+         |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
+         |trn AS (
+         |  SELECT vec_id, parent_id, cosine,
+         |    ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+         |      AS rn
+         |  FROM trk),
+         |trt AS (
+         |  SELECT r.rn, r.vec_id, r.parent_id, r.cosine,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+         |    c.text AS chunk_text
+         |  FROM trn r JOIN kchunks c ON r.vec_id = c.doc_id),
+         |trc AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM trt)
+         |SELECT rn, vec_id, parent_id, cosine, n_tokens, cum_tokens,
+         |  chunk_text
+         |FROM trc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
+
+    // Hybrid-RAG-serving twin: the flagship core (gates → doc IVF →
+    // SemDeDup closure → surv/fqid) continued through the FUSED doc
+    // stage — bm25 chain over livedocs (query = the min-id live
+    // survivor, self excluded), pruned doc probe + dense exact re-rank
+    // over the live candidates, RRF fusion → the top-20 fused parents —
+    // then the chunk probe ∩ fused parents and the packing law.
+    "cur_rag_serve_hybrid" ->
+      s"""WITH RECURSIVE $flagshipIndexCoreCtes,
+         |livedocs AS (
+         |  SELECT d.doc_id, d.text FROM docs6 d
+         |  SEMI JOIN surv ON d.doc_id = surv.vec_id),
+         |${TextQueries.bm25BaseCtes("livedocs")},
+         |bq AS (SELECT DISTINCT t FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS t
+         |  FROM livedocs, fqid WHERE doc_id = fqid.q)),
+         |bsc AS MATERIALIZED (
+         |  SELECT f.doc_id,
+         |    CAST(SUM(CAST(FLOOR(CAST(i.idf_q * f.tf AS DOUBLE) * 2.2
+         |      / (CAST(f.tf AS DOUBLE) + 0.3
+         |         + 0.9 * (CAST(d.dl AS DOUBLE) / (SELECT avgdl FROM bavg)))
+         |      + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+         |  FROM btf f
+         |  JOIN bq USING (t)
+         |  JOIN bidf i USING (t)
+         |  JOIN bdl d ON d.doc_id = f.doc_id
+         |  WHERE f.doc_id <> (SELECT q FROM fqid)
+         |  GROUP BY f.doc_id),
+         |hbr AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS brn FROM bsc),
+         |hb AS (SELECT doc_id, brn FROM hbr WHERE brn <= 20),
+         |dprobe AS (
+         |  SELECT cid FROM (
+         |    SELECT sc2.cid,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+         |          DESC, sc2.cid) AS rn
+         |    FROM sc2 JOIN nc2 USING (cid), fqid WHERE sc2.vec_id = fqid.q)
+         |  WHERE rn <= 4),
+         |dcand AS (
+         |  SELECT a2.vec_id FROM a2 JOIN dprobe USING (cid)
+         |  SEMI JOIN surv ON a2.vec_id = surv.vec_id
+         |  WHERE a2.vec_id <> (SELECT q FROM fqid)),
+         |tqd AS (
+         |  SELECT b, CAST(c AS DOUBLE) AS qc
+         |  FROM cnt, fqid WHERE doc_id = fqid.q),
+         |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
+         |hdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e LEFT JOIN tqd q ON e.b = q.b
+         |  SEMI JOIN dcand ON e.doc_id = dcand.vec_id
+         |  GROUP BY e.doc_id),
+         |hvr AS (SELECT doc_id, ROW_NUMBER() OVER (
+         |    ORDER BY dot / NULLIF(sqrt(n2) * sqrt(qn2), 0) DESC NULLS LAST,
+         |      doc_id) AS vrn
+         |  FROM hdots, tqn),
+         |hv AS (SELECT doc_id, vrn FROM hvr WHERE vrn <= 20),
+         |hf AS (
+         |  SELECT COALESCE(hv.doc_id, hb.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60 + hv.vrn), 0) + COALESCE(1.0 / (60 + hb.brn), 0)
+         |      AS rrf
+         |  FROM hv FULL OUTER JOIN hb ON hv.doc_id = hb.doc_id),
+         |tcoarse AS (
+         |  SELECT doc_id AS parent_id FROM (
+         |    SELECT doc_id,
+         |      ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+         |    FROM hf)
+         |  WHERE rn <= 20),
          |${SimilarityQueries.chunkCorpusCtesFrom("livedocs", "k")},
          |kgrid AS (
          |  SELECT doc_id, unnest(range(0, 64)) AS dim

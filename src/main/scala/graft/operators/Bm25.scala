@@ -362,6 +362,42 @@ object Bm25 {
       .select("query_id", "doc_id", "rrf", "rn")
   }
 
+  /** END-TO-END HYBRID RAG serving — the fused-retrieval form of
+    * [[graft.operators.Similarity.ragContextIvf]]: the DOC stage is the
+    * hybrid RRF fusion ([[hybridTopKIvf]] — BM25 postings join + doc-IVF
+    * probe, both over the live corpus), its top-`coarseK` docs by rrf
+    * become the coarse parents, the CHUNK index refines within them
+    * (same pruned probe, same parent restriction), and the pool packs
+    * under the token budget. This closes the serving composition matrix:
+    * every retrieval leg a production RAG stack fuses — lexical, dense,
+    * two-stage — now feeds one packing law.
+    */
+  def ragContextHybrid(documents: DataFrame, docModel: Ivf.IvfModel,
+                       docEmb: DataFrame, chunkModel: Ivf.IvfModel,
+                       chunkTexts: DataFrame, queryVecId: Long,
+                       coarseK: Int, poolK: Int, tokenBudget: Long,
+                       nprobeDoc: Int = 4, nprobeChunk: Int = 4,
+                       rrfPoolK: Int = 20, chunkShift: Int = 20,
+                       scope: graft.CacheScope = graft.CacheScope.global,
+                       postings: Option[DataFrame] = None): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val topDocs = hybridTopKIvf(documents, docModel, docEmb,
+        Seq(queryVecId).toDF("query_id"), coarseK, rrfPoolK, nprobeDoc,
+        scope, postings)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val qVec = docEmb.filter(col("vec_id") === queryVecId)
+      .select(transform(col("embedding"), _.cast("double")).as("e"))
+      .collect()(0).getSeq[Double](0).toArray
+    Similarity.ragContextFrom(
+      Ivf.probeWithVec(chunkModel, spark, qVec, poolK, nprobeChunk,
+          indexFilter = Some(shiftright(col("vec_id"), chunkShift)
+            .isin(topDocs: _*)))
+        .withColumn("parent_id", shiftright(col("vec_id"), chunkShift))
+        .select("vec_id", "parent_id", "cosine"),
+      chunkTexts, tokenBudget)
+  }
+
   def hybridTopKAll(documents: DataFrame, queryIds: DataFrame, k: Int,
                     poolK: Int = 20,
                     scope: graft.CacheScope = graft.CacheScope.global,

@@ -165,7 +165,7 @@ object CorpusIndex {
     val emb = scope.persist(embed(gated))
     val model = Ivf.buildIndex(indexKey, emb)
     val doomed = Dedup
-      .ccStars(Dedup.semanticDupPairs(emb, threshold, indexKey),
+      .ccAuto(Dedup.semanticDupPairs(emb, threshold, indexKey),
         "vec_a", "vec_b", scope = scope)
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id").as("vec_id"))
@@ -329,10 +329,11 @@ object CorpusIndex {
         .select(least(col("fid"), col("oid")).as("vec_a"),
           greatest(col("fid"), col("oid")).as("vec_b"), col("cosine"))
         .distinct()
-      // 4. global closure — metadata-scale (ccStars: diameter-robust,
-      // bit-parity with propagation proven in DedupSpec)
+      // 4. global closure — metadata-scale (ccAuto: propagation-cheap on
+      // the shallow corpus shape, star-robust past the cutover;
+      // bit-parity with both parents proven in DedupSpec)
       val doomedCur = scope.persist(Dedup
-        .ccStars(kept.unionByName(freshPairs), "vec_a", "vec_b",
+        .ccAuto(kept.unionByName(freshPairs), "vec_a", "vec_b",
           scope = scope)
         .filter(col("cluster_id") =!= col("doc_id"))
         .select(col("doc_id").as("vec_id")))

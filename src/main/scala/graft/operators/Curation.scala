@@ -73,7 +73,7 @@ object Curation {
     */
   def leakageSafeSplit(documents: DataFrame, pairs: DataFrame,
                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val clusters = graft.operators.Dedup.ccStars(pairs)
+    val clusters = graft.operators.Dedup.ccAuto(pairs)
     val withUnit = documents.select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),

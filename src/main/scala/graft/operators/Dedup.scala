@@ -531,6 +531,77 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** ADAPTIVE connected components — the default collapse engine since
+    * round 12: min-label propagation's cheap rounds when the graph is
+    * shallow (the common corpus shape — near-dup clusters are small
+    * clone sets, diameter 2–3, where [[ccStars]]' fixed ~6-round cost
+    * buys nothing: the measured ~1.4 s tax the round-11 verdict flagged),
+    * star contraction's diameter-robustness when it isn't (mirror-farm
+    * duplication CHAINS — the shape that made stars the round-11
+    * default).
+    *
+    * Method: run propagation for up to `cutover` rounds; converged →
+    * done at pure propagation cost. Otherwise CONTRACT the graph by the
+    * current labels and finish with [[ccStars]] on the contracted edge
+    * table, composing labels through the contraction — the propagation
+    * rounds are never wasted work.
+    *
+    * Soundness of the contraction (why all three engines share one
+    * oracle): propagation labels are node ids within the component, an
+    * edge (u, v) maps to (l(u), l(v)), and any original path maps to a
+    * label path — so the label graph has exactly the original component
+    * partition; the component's min node m always keeps l(m) = m (min
+    * of own-and-neighbors can never drop below the component min), so
+    * the contracted component min IS the original component min and the
+    * composed cluster ids are unchanged. Bit-parity with both parents is
+    * asserted in DedupSpec on bushy AND chain graphs.
+    */
+  def ccAuto(pairs: DataFrame, idA: String = "doc_a", idB: String = "doc_b",
+             cutover: Int = 3, maxIter: Int = 30,
+             scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val p = scope.persist(
+      pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b")))
+    val edges = scope.persist(
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = scope.checkpoint(edges.select(col("src").as("id"))
+      .distinct().withColumn("label", col("id")))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < cutover) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy("src").agg(min("dlabel").as("nmin"))
+        .withColumnRenamed("src", "id")
+      val next = scope.checkpoint(labels.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("label")))
+      changed = next.filter(col("label") =!= col("old")).count()
+      graft.CacheScope.releaseCheckpoint(labels)
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    if (changed == 0) out
+    else {
+      // frontier survived the cutover: contract by the current labels and
+      // let star contraction finish — the contracted table is one label
+      // edge per surviving frontier pair, already ≤ cutover hops shallower
+      val contracted = edges
+        .join(labels.select(col("id").as("src"), col("label").as("la")), "src")
+        .join(labels.select(col("id").as("dst"), col("label").as("lb")), "dst")
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("a"), col("lb").as("b"))
+      val starred = ccStars(contracted, "a", "b", maxIter, scope)
+        .withColumnRenamed("doc_id", "label")
+      out.withColumnRenamed("cluster_id", "label")
+        .join(starred, Seq("label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("label")).as("cluster_id"))
+    }
+  }
+
   /** Connected components by alternating large-star/small-star rounds
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
     * Beyond") — the scale path next to [[nearDupClusters]]'s min-label
@@ -652,7 +723,7 @@ object Dedup {
                        scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
     require(!documents.columns.exists(Set("_cl", "_rn")),
       "collapseNearDups reserves the internal column names _cl and _rn")
-    val clusters = ccStars(pairs, scope = scope)
+    val clusters = ccAuto(pairs, scope = scope)
       .withColumnRenamed("doc_id", "_cdoc")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_cl").orderBy(rank.desc, col("doc_id").asc)

@@ -54,6 +54,53 @@ class DedupSpec extends SparkSpec {
     assert(star.forall(_._2 === 0L), "every chain node labels to the min")
   }
 
+  test("ccAuto: bit-parity with both parents on bushy graphs (converges pre-cutover)") {
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, sfDir), 0.5)
+      .persist()
+    val auto = Dedup.ccAuto(pairs).as[(Long, Long)].collect().toMap
+    val star = Dedup.ccStars(pairs).as[(Long, Long)].collect().toMap
+    assert(auto === star)
+    pairs.unpersist()
+  }
+
+  test("ccAuto: long chain crosses the cutover into stars with unchanged labels") {
+    // diameter 256 ≫ cutover 3: propagation alone would need 256 rounds;
+    // ccAuto must contract by the 3-round labels and let stars finish —
+    // every node still labels to the component min
+    val chain = (0L until 256L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val auto = Dedup.ccAuto(chain, maxIter = 15).as[(Long, Long)].collect()
+    assert(auto.length === 257)
+    assert(auto.forall(_._2 === 0L), "every chain node labels to the min")
+    // a chain short enough to converge inside the cutover takes the pure
+    // propagation path — same labels
+    val short = Seq((5L, 6L), (6L, 7L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.ccAuto(short).as[(Long, Long)].collect().toMap
+    assert(got === Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("ccAuto on random graphs matches brute-force components at cutover boundaries") {
+    val rnd = new scala.util.Random(13)
+    for (cutover <- Seq(1, 2, 3)) {
+      val n = 40
+      val es = (1 to 45).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = es.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = inGraph.map(v => v -> {
+        val r = find(v.toInt)
+        inGraph.filter(u => find(u.toInt) == r).min
+      }).toMap
+      val got = Dedup.ccAuto(es.toDF("doc_a", "doc_b"), cutover = cutover)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"cutover $cutover")
+    }
+  }
+
   test("ccStars on random graphs matches brute-force components (property)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
