@@ -86,6 +86,12 @@ object Similarity {
     * (asserted in IvfSpec); pruned, it is the composition a real serving
     * stack runs. Same output shape and zero-norm→NULL law.
     */
+  /** SERVING NOTE: this single-query form carries ~1–1.4 s of fixed
+    * driver overhead (two bounded collects + two probe plans — measured,
+    * BASELINE.md round-11); batch callers should use
+    * [[topKTwoStageIvfAll]], which amortizes it to ~0.026 s/query by
+    * fanning every query through one keyed plan.
+    */
   /** `allowed` (doc ids) is the FILTERED-serving form — "retrieve only
     * docs from source X / after date D", the most common production
     * retrieval predicate: it semi-joins stage 1's candidates BEFORE the
