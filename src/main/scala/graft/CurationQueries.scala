@@ -396,10 +396,16 @@ object CurationQueries {
       val liveDocs = scope.persist(st.gated.join(
         b.doomed.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"),
         "left_anti"))
+      // the chunk store + chunk index are SHARED with cur_rag_serve: the
+      // live set is identical (both doomed sets derive from the same
+      // corpus/threshold under deterministic quantizers) and neither
+      // query MUTATES the chunk index, so the one-writer rule doesn't
+      // apply — only the doc index (batch-0 semantic tombstones) needs
+      // its own key
       val chunks = operators.CorpusIndex.materializedChunks(
-        dir + "#raghchunkstore", liveDocs)
+        dir + "#ragchunkstore", liveDocs)
       val (chunkModel, _) = operators.CorpusIndex.buildChunkIndexFrom(
-        dir + "#raghchunks", chunks)
+        dir + "#ragchunks", chunks)
       operators.Bm25.ragContextHybrid(liveDocs, b.model, b.emb, chunkModel,
         chunks, qid, coarseK = 20, poolK = 20, tokenBudget = 600L,
         nprobeDoc = 4, nprobeChunk = 4, scope = scope)

@@ -123,6 +123,27 @@ object SimilarityQueries {
         nprobeDoc = 4, nprobeChunk = 4)
     }),
 
+    // MMR-DIVERSIFIED context assembly — diversity-aware packing: the
+    // indexed two-stage pool (top-20) is re-ordered by greedy maximal
+    // marginal relevance (0.7·rel − 0.3·max-sim-to-selected, exact
+    // integer-count sims, NULL rel → −2, ties → lower vec_id), the top-8
+    // MMR picks pack under the 600-token budget in SELECTION order. Twin
+    // unrolls the greedy argmax as 8 selection CTEs over the same
+    // pairwise-sim table — the weights are the same literals on both
+    // sides (never a computed 1−λ).
+    "ann_rag_context_mmr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      val (chunkModel, _) = chunkIndex(s, dir)
+      val texts = operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+        .select(operators.CorpusIndex.chunkKey(col("doc_id"), col("chunk_no"))
+          .as("vec_id"), col("chunk_text"))
+      Similarity.ragContextMmr(docModel, docEmb, chunkModel, texts, 0L,
+        coarseK = 20, poolK = 20, selectK = 8, tokenBudget = 600L,
+        nprobeDoc = 4, nprobeChunk = 4)
+    }),
+
     // The SET-ORIENTED RAG packing under the gate: the batch serving
     // engine's per-query packing (query-keyed running-sum window over the
     // k-bounded pool) on the query set {0}, sharing the single-query rag
@@ -1375,6 +1396,44 @@ object SimilarityQueries {
        |  SELECT vec_id, parent_id,
        |    dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
        |  FROM tcd, tqn)""".stripMargin
+  }
+
+  /** The MMR greedy selection, unrolled as `selectK` argmax CTEs (the
+    * lloydStep textual-repetition pattern — sequential selection can't be
+    * one aggregation): `rel(vec_id, parent_id, cosine, rel2)` and
+    * `psim(a, b2, s)` must be in scope; emits `selall(rn, vec_id)`.
+    * Steps past pool exhaustion yield zero rows, so rn stays contiguous.
+    */
+  private def mmrSelectCtes(selectK: Int, lambdaRel: String = "0.7",
+                            lambdaDiv: String = "0.3"): String = {
+    // every step CTE is MATERIALIZED: cand_i references seld_{i-1} twice
+    // and seld_i chains on it, so inlined evaluation would re-run the
+    // whole upstream pool/sim chain 2^selectK times (measured: the
+    // un-materialized form never finished at sf0.01)
+    val steps = (2 to selectK).map { i =>
+      s"""cand$i AS MATERIALIZED (
+         |  SELECT r.vec_id, r.rel2, MAX(COALESCE(p.s, 0)) AS ms
+         |  FROM rel r
+         |  CROSS JOIN seld${i - 1} sd
+         |  LEFT JOIN psim p ON p.a = r.vec_id AND p.b2 = sd.vec_id
+         |  WHERE r.vec_id NOT IN (SELECT vec_id FROM seld${i - 1})
+         |  GROUP BY r.vec_id, r.rel2),
+         |sel$i AS MATERIALIZED (
+         |  SELECT vec_id FROM cand$i
+         |  ORDER BY $lambdaRel * rel2 - $lambdaDiv * ms DESC, vec_id
+         |  LIMIT 1),
+         |seld$i AS MATERIALIZED (SELECT vec_id FROM seld${i - 1}
+         |  UNION ALL SELECT vec_id FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    val selall = (1 to selectK)
+      .map(i => s"SELECT $i AS rn, vec_id FROM sel$i")
+      .mkString("\n  UNION ALL ")
+    s"""sel1 AS MATERIALIZED (
+       |  SELECT vec_id FROM rel ORDER BY rel2 DESC, vec_id LIMIT 1),
+       |seld1 AS MATERIALIZED (SELECT vec_id FROM sel1),
+       |$steps,
+       |selall AS (
+       |  $selall)""".stripMargin
   }
 
   /** The shared IVF core: quantized coordinates, md5 seeds, two Lloyd
@@ -2843,6 +2902,50 @@ object SimilarityQueries {
          |SELECT rn, vec_id, parent_id, cosine, n_tokens, cum_tokens,
          |  chunk_text
          |FROM trc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
+
+    // mmr twin: the indexed two-stage pool (trk), exact-integer pairwise
+    // sims over the pool's chunk counts (zero-norm pairs pinned to 0),
+    // the 8-step unrolled greedy selection, and packing in selection order
+    "ann_rag_context_mmr" ->
+      s"""WITH ${twoStageIvfCtes(20, 4, 4)},
+         |trk AS (
+         |  SELECT vec_id, parent_id, cosine
+         |  FROM tsr
+         |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
+         |rel AS MATERIALIZED (
+         |  SELECT vec_id, parent_id, cosine,
+         |    COALESCE(cosine, -2.0) AS rel2
+         |  FROM trk),
+         |pcv AS MATERIALIZED (
+         |  SELECT e.doc_id AS vec_id, e.b, CAST(e.c AS DOUBLE) AS c
+         |  FROM cnt e SEMI JOIN rel ON e.doc_id = rel.vec_id),
+         |pnorm AS (SELECT vec_id, SUM(c * c) AS n2 FROM pcv GROUP BY vec_id),
+         |pdot AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b2, SUM(x.c * y.c) AS dot
+         |  FROM pcv x JOIN pcv y ON x.b = y.b AND x.vec_id <> y.vec_id
+         |  GROUP BY 1, 2),
+         |psim AS MATERIALIZED (
+         |  SELECT a, b2,
+         |    COALESCE(dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0), 0) AS s
+         |  FROM pdot
+         |  JOIN pnorm na ON na.vec_id = pdot.a
+         |  JOIN pnorm nb ON nb.vec_id = pdot.b2),
+         |${mmrSelectCtes(8)},
+         |mmrt AS (
+         |  SELECT s.rn, s.vec_id, r.parent_id, r.cosine,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+         |    c.text AS chunk_text
+         |  FROM selall s
+         |  JOIN rel r USING (vec_id)
+         |  JOIN chunks c ON s.vec_id = c.doc_id),
+         |mmrc AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM mmrt)
+         |SELECT CAST(rn AS BIGINT) AS rn, vec_id, parent_id, cosine,
+         |  n_tokens, cum_tokens, chunk_text
+         |FROM mmrc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
 
     // filtered-rag twin: the same indexed two-stage + packing chain with
     // the allow-list (source = 'src1') semi-joined into the coarse

@@ -321,6 +321,38 @@ object TextQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // PSEUDO-RELEVANCE-FEEDBACK query expansion (RM3, exact integer
+    // form): round-1 BM25 picks 5 feedback docs, their terms weighted by
+    // Σ tf·idf_q nominate 10 expansion terms (originals excluded), and
+    // round 2 re-scores with the expanded set — the classic lexical fix
+    // for vocabulary mismatch, both rounds served from the postings
+    // store. Twin replays both scoring rounds, the feedback cut, and the
+    // expansion-term cut with identical grids and ties.
+    "text_bm25_rm3" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Bm25.topKRm3(docs, 0L, 10,
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
+        .orderBy("rn")
+    }),
+
+    // LATE-INTERACTION MaxSim reranking (the ColBERT serving shape):
+    // every token position carries the hashed-TF vector of its 3-word
+    // context window, and each of BM25's top-10 candidates scores
+    // Σ_qpos max_dpos cosine — local phrasing aligns position-to-position
+    // where one pooled document vector would blur it. Per-position maxes
+    // clamp at 0 and quantize to the 1e-6 grid; the doc score is an
+    // exact long sum. Twin replays the window construction, both
+    // window-embed chains, the sparse pairwise sims, the clamped maxes,
+    // and the quantized sum.
+    "text_maxsim_rerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Bm25.maxSimRerank(docs, 0L, 5,
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
+        .orderBy("rn")
+    }),
+
     // INCREMENTAL BM25 maintenance: the postings store is built on the
     // base corpus, the held-out slice lands via the append verb (batch
     // file, replay no-op), and the probe over the appended store must
@@ -1211,6 +1243,108 @@ object TextQueries {
         |  SELECT doc_id, score_q,
         |    ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
         |  FROM bsc)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    // maxsim twin: bm25 first stage → candidate cut → per-position
+    // 3-word windows for query + candidates (1-based slice bounds) →
+    // window hashed-TF counts → sparse shared-bucket pairwise cosines →
+    // clamped per-(doc, qpos) max → 1e-6-grid quantized sum → rank,
+    // anchored on the candidate set (zero-overlap candidates score 0)
+    "text_maxsim_rerank" ->
+      s"""WITH ${bm25Ctes()},
+        |mcand AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+        |    FROM bsc)
+        |  WHERE rn <= 10),
+        |qtk AS (SELECT string_split(text, ' ') AS ts FROM documents
+        |  WHERE doc_id = 0),
+        |qwin AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS doc_id,
+        |    array_to_string(ts[greatest(i - 1, 1) : least(i + 1, len(ts))],
+        |      ' ') AS text
+        |  FROM (SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM qtk)),
+        |${embedCntCteFrom("qwin", "wq")},
+        |dtk AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS ts
+        |  FROM documents d SEMI JOIN mcand ON d.doc_id = mcand.doc_id),
+        |dwin AS (
+        |  SELECT doc_id * 1048576 + i - 1 AS doc_id,
+        |    array_to_string(ts[greatest(i - 1, 1) : least(i + 1, len(ts))],
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM dtk)),
+        |${embedCntCteFrom("dwin", "wd")},
+        |wqn AS (SELECT doc_id AS q_id, SUM(CAST(c AS DOUBLE) * c) AS n2
+        |  FROM wqcnt GROUP BY 1),
+        |wdn AS (SELECT doc_id AS d_key, SUM(CAST(c AS DOUBLE) * c) AS n2
+        |  FROM wdcnt GROUP BY 1),
+        |wdot AS (
+        |  SELECT q.doc_id AS q_id, d.doc_id AS d_key,
+        |    SUM(CAST(q.c AS DOUBLE) * d.c) AS dot
+        |  FROM wqcnt q JOIN wdcnt d ON q.b = d.b
+        |  GROUP BY 1, 2),
+        |wsim AS (
+        |  SELECT w.q_id, w.d_key // 1048576 AS doc_id,
+        |    w.dot / NULLIF(sqrt(qn.n2) * sqrt(dn.n2), 0) AS cos
+        |  FROM wdot w
+        |  JOIN wqn qn ON qn.q_id = w.q_id
+        |  JOIN wdn dn ON dn.d_key = w.d_key),
+        |wmax AS (
+        |  SELECT doc_id, q_id, GREATEST(COALESCE(MAX(cos), 0), 0) AS ms
+        |  FROM wsim GROUP BY doc_id, q_id),
+        |wscore AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(FLOOR(ms * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS score_ms
+        |  FROM wmax GROUP BY doc_id),
+        |wanch AS (
+        |  SELECT m.doc_id, COALESCE(w.score_ms, 0) AS score_ms
+        |  FROM mcand m LEFT JOIN wscore w ON m.doc_id = w.doc_id)
+        |SELECT doc_id, score_ms, rn FROM (
+        |  SELECT doc_id, score_ms,
+        |    ROW_NUMBER() OVER (ORDER BY score_ms DESC, doc_id) AS rn
+        |  FROM wanch)
+        |WHERE rn <= 5 ORDER BY rn""".stripMargin,
+
+    // RM3 twin: round-1 chain (bm25Ctes), the 5-doc feedback cut, the
+    // Σ tf·idf_q expansion-term cut (originals anti-joined away), the
+    // expanded term set, and the round-2 scoring replay
+    "text_bm25_rm3" ->
+      s"""WITH ${bm25Ctes()},
+        |fb AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+        |    FROM bsc)
+        |  WHERE rn <= 5),
+        |expt AS (
+        |  SELECT t FROM (
+        |    SELECT f.t, CAST(SUM(f.tf * i.idf_q) AS BIGINT) AS w
+        |    FROM btf f
+        |    SEMI JOIN fb ON f.doc_id = fb.doc_id
+        |    JOIN bidf i USING (t)
+        |    ANTI JOIN bq ON f.t = bq.t
+        |    GROUP BY f.t
+        |    ORDER BY w DESC, t LIMIT 10)),
+        |bq2 AS (SELECT t FROM bq UNION SELECT t FROM expt),
+        |bsc2 AS (
+        |  SELECT f.doc_id,
+        |    CAST(SUM(CAST(FLOOR(CAST(i.idf_q * f.tf AS DOUBLE) * 2.2
+        |      / (CAST(f.tf AS DOUBLE) + 0.3
+        |         + 0.9 * (CAST(d.dl AS DOUBLE) / (SELECT avgdl FROM bavg)))
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+        |  FROM btf f
+        |  JOIN bq2 ON f.t = bq2.t
+        |  JOIN bidf i ON f.t = i.t
+        |  JOIN bdl d ON d.doc_id = f.doc_id
+        |  WHERE f.doc_id <> 0
+        |  GROUP BY f.doc_id)
+        |SELECT doc_id, score_q, rn FROM (
+        |  SELECT doc_id, score_q,
+        |    ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+        |  FROM bsc2)
         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
 
     // the incremental twin IS the full-corpus chain: append ≡ rebuild

@@ -362,6 +362,140 @@ object Bm25 {
       .select("query_id", "doc_id", "rrf", "rn")
   }
 
+  /** PSEUDO-RELEVANCE-FEEDBACK query expansion (the RM3 recipe, exact
+    * integer form) — the classic lexical fix for vocabulary mismatch: a
+    * query about "vector scan" should also surface docs that say "index
+    * probe". Round 1 ranks by plain BM25; the top-`fbDocs` feedback docs
+    * nominate expansion terms weighted by Σ_d tf(t, d) · idf_q(t) (an
+    * exact long — high-idf terms concentrated in the feedback set), the
+    * top-`fbTerms` of them (excluding the original query's terms) join
+    * the query, and round 2 re-scores with the EXPANDED term set. Same
+    * grid, tie, and exclusion laws as [[topKAll]]; emits
+    * (doc_id, score_q, rn ≤ k).
+    *
+    * Scale: both rounds are postings joins (work = Σ df over the term
+    * set — the inverted-index law; expansion adds ≤ fbTerms terms); the
+    * feedback cut and term cut are k-bounded. Nothing scans the corpus
+    * text.
+    */
+  def topKRm3(documents: DataFrame, queryDocId: Long, k: Int,
+              fbDocs: Int = 5, fbTerms: Int = 10,
+              scope: graft.CacheScope = graft.CacheScope.global,
+              postings: Option[DataFrame] = None): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tf = postings.getOrElse(scope.persist(documents
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl")).head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val idf = scope.persist(tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .select(col("t"), floor(
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast("double")
+          + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+          * 1000.0 + 0.5).cast("long").as("idf_q")))
+    val qterms = scope.persist(documents
+      .filter(col("doc_id") === queryDocId)
+      .select(explode(toks).as("t")).distinct())
+    def scoreWith(terms: DataFrame): DataFrame = tf
+      .join(terms, "t")
+      .filter(col("doc_id") =!= queryDocId)
+      .join(idf, "t")
+      .join(dl, "doc_id")
+      .withColumn("term_q", floor(
+        (col("idf_q") * col("tf")).cast("double") * lit(2.2)
+          / (col("tf").cast("double") + lit(0.3)
+            + lit(0.9) * (col("dl").cast("double") / lit(avgdl))) + 0.5)
+        .cast("long"))
+      .groupBy("doc_id").agg(sum("term_q").as("score_q"))
+    val fb = scoreWith(qterms)
+      .orderBy(desc("score_q"), col("doc_id")).limit(fbDocs)
+      .select("doc_id")
+    val exp = tf.join(fb, Seq("doc_id"), "left_semi")
+      .join(idf, "t")
+      .join(qterms, Seq("t"), "left_anti")
+      .groupBy("t").agg(sum(col("tf") * col("idf_q")).as("w"))
+      .orderBy(desc("w"), col("t")).limit(fbTerms)
+      .select("t")
+    val expanded = qterms.unionByName(exp).distinct()
+    Similarity.rankBounded(
+      scoreWith(expanded).orderBy(desc("score_q"), col("doc_id")).limit(k),
+      "score_q", "doc_id", "rn")
+  }
+
+  /** LATE-INTERACTION MaxSim reranking (the ColBERT serving shape,
+    * Khattab & Zaharia 2020, with the repo's model-free embedder): every
+    * token POSITION gets its own vector — the hashed-TF embedding of its
+    * 3-word context window (prev, token, next; tokens + bigrams, the
+    * corpus feature law) — and a candidate document scores
+    * Σ_{q pos} max_{d pos} cosine(q vec, d vec): each query position
+    * finds its best-matching document position, so local phrasing aligns
+    * where one pooled document vector would blur it. Deployed exactly as
+    * late interaction is in production: a cheap first stage
+    * ([[topKAll]] — the postings join) nominates `firstStageK`
+    * candidates, MaxSim reranks ONLY those.
+    *
+    * Determinism: window counts are exact integers, cosines exact-value
+    * doubles (zero-norm → NULL, ignored by the max), per-position maxes
+    * are CLAMPED AT 0 (a query position with no positive match
+    * contributes nothing — which also makes the twin's sparse
+    * shared-bucket join equal to the dense max: absent pairs are 0), each
+    * max quantizes to the 1e-6 long grid, and the document score is an
+    * exact integer sum. Emits (doc_id, score_ms, rn ≤ k).
+    *
+    * Scale: cost is firstStageK × |q positions| × |d positions| pairwise
+    * sims — the late-interaction rerank budget, independent of corpus
+    * size; the query-position vectors broadcast (one document's worth).
+    */
+  def maxSimRerank(documents: DataFrame, queryDocId: Long, k: Int,
+                   firstStageK: Int = 10, dim: Int = 64,
+                   scope: graft.CacheScope = graft.CacheScope.global,
+                   postings: Option[DataFrame] = None): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val cand = scope.persist(
+      topKAll(documents, Seq(queryDocId).toDF("query_id"), firstStageK,
+          scope, postings)
+        .select("doc_id"))
+    // (packed (doc, pos) key, 3-word window text) for every position
+    def windows(src: DataFrame): DataFrame = {
+      val pp = src.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      val prev = pp.select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("t").as("tp"))
+      val next = pp.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("t").as("tn"))
+      pp.join(prev, Seq("doc_id", "pos"), "left")
+        .join(next, Seq("doc_id", "pos"), "left")
+        .select(CorpusIndex.chunkKey(col("doc_id"), col("pos")).as("doc_id"),
+          concat_ws(" ", col("tp"), col("t"), col("tn")).as("text"))
+    }
+    val qv = Embed.hashedTf(
+        windows(documents.filter(col("doc_id") === queryDocId)), dim)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dv = Embed.hashedTf(
+        windows(documents.join(cand, Seq("doc_id"), "left_semi")), dim)
+      .select(col("vec_id").as("d_key"), col("embedding").as("d_emb"))
+    val scored = dv.crossJoin(broadcast(qv))
+      .withColumn("cos",
+        nanvl(VectorOps.cosine(col("d_emb"), col("q_emb")),
+          lit(null).cast("double")))
+      .withColumn("doc_id", shiftright(col("d_key"), 20))
+      .groupBy("doc_id", "q_id")
+      .agg(greatest(coalesce(max(col("cos")), lit(0.0)), lit(0.0)).as("ms"))
+      .withColumn("msq", floor(col("ms") * 1000000.0 + 0.5).cast("long"))
+      .groupBy("doc_id").agg(sum("msq").as("score_ms"))
+    // anchor on the candidate set: a candidate with zero bucket overlap
+    // anywhere still ranks (score 0), exactly like the sparse twin's
+    // left join
+    val anchored = cand.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("score_ms"), lit(0L)).as("score_ms"))
+    Similarity.rankBounded(
+      anchored.orderBy(desc("score_ms"), col("doc_id")).limit(k),
+      "score_ms", "doc_id", "rn")
+  }
+
   /** END-TO-END HYBRID RAG serving — the fused-retrieval form of
     * [[graft.operators.Similarity.ragContextIvf]]: the DOC stage is the
     * hybrid RRF fusion ([[hybridTopKIvf]] — BM25 postings join + doc-IVF

@@ -301,6 +301,92 @@ object Similarity {
         col("cum_tokens"), col("chunk_text"))
   }
 
+  /** MMR-DIVERSIFIED context assembly — maximal marginal relevance
+    * (Carbonell & Goldstein 1998) applied to the RAG pool: near-dup
+    * chunks in a retrieval pool waste context budget on repetition, so
+    * instead of packing in pure rank order, chunks are selected GREEDILY
+    * by `lambdaRel·rel − lambdaDiv·max_{s∈selected} sim(c, s)` — each
+    * pick trades relevance against similarity to what the context
+    * already holds — and the selection packs under the token budget in
+    * SELECTION order. Emits the rag-context shape (rn = selection order).
+    *
+    * Determinism: rel is the probe cosine (NULL → −2, the packing law);
+    * sim is the exact-integer-count cosine with zero-norm pairs pinned
+    * to 0; the two weights are LITERALS on both engine sides (never
+    * compute 1−λ — `1 - 0.7` is not the double `0.3`; the bm25
+    * 2.2/0.3/0.9 precedent). The greedy argmax ties break toward the
+    * smaller vec_id. The DuckDB twin replays the selection as `selectK`
+    * unrolled argmax CTEs (the lloydStep textual-repetition pattern).
+    *
+    * Scale: retrieval is the indexed two-stage chain; the greedy loop
+    * runs on the COLLECTED pool — poolK-bounded (≤ 20 rows), the
+    * k-bounded-collect discipline, with the pool's chunk vectors read
+    * from the materialized index pruned by a keyed semi-join. Nothing
+    * here grows with the corpus.
+    */
+  def ragContextMmr(docModel: Ivf.IvfModel, docEmb: DataFrame,
+                    chunkModel: Ivf.IvfModel, chunkTexts: DataFrame,
+                    queryVecId: Long, coarseK: Int, poolK: Int,
+                    selectK: Int, tokenBudget: Long,
+                    nprobeDoc: Int = 4, nprobeChunk: Int = 4,
+                    lambdaRel: Double = 0.7,
+                    lambdaDiv: Double = 0.3): DataFrame = {
+    val spark = docEmb.sparkSession
+    import spark.implicits._
+    val pool = topKTwoStageIvf(docModel, docEmb, chunkModel, queryVecId,
+      coarseK, poolK, nprobeDoc, nprobeChunk)
+    val raw = spark.read.parquet(chunkModel.indexPath)
+      .select(col("vec_id"), col("embedding"))
+    val vecs = graft.sources.Sinks.readTombstones(spark,
+        Ivf.tombstonesPath(chunkModel.indexPath))
+      .fold(raw)(t => raw.join(t, Seq("vec_id"), "left_anti"))
+    val rows = pool.join(vecs, Seq("vec_id"))
+      .select("vec_id", "parent_id", "cosine", "embedding")
+      .collect() // ≤ poolK rows — the k-bounded collect discipline
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getSeq[Float](3).map(_.toDouble).toArray))
+    def rel2(p: (Long, Long, Option[Double], Array[Double])): Double =
+      p._3.getOrElse(-2.0)
+    // exact-integer cosine: counts are integer-valued doubles, so the
+    // fixed-index-order sums are exact and match DuckDB's any-order SUM
+    def sim(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Double], Array[Double])]
+    val remaining = scala.collection.mutable.ArrayBuffer(rows.toIndexedSeq: _*)
+    while (selected.length < math.min(selectK, rows.length)) {
+      val pick = remaining.minBy { p =>
+        val score =
+          if (selected.isEmpty) rel2(p)
+          else lambdaRel * rel2(p) -
+            lambdaDiv * selected.iterator.map(s => sim(p._4, s._4)).max
+        (-score, p._1)
+      }
+      selected += pick
+      remaining -= pick
+    }
+    val selDf = selected.toSeq.zipWithIndex
+      .map { case ((vid, pid, cos, _), i) => (i + 1, vid, pid, cos) }
+      .toDF("rn", "vec_id", "parent_id", "cosine")
+    val p2 = selDf.join(chunkTexts, "vec_id")
+      .withColumn("n_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+    val others = p2.select(col("rn").as("o_rn"), col("n_tokens").as("o_nt"))
+    p2.join(broadcast(others), col("o_rn") <= col("rn"))
+      .groupBy("rn", "vec_id", "parent_id", "cosine", "n_tokens", "chunk_text")
+      .agg(sum("o_nt").as("cum_tokens"))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col("rn").cast("long").as("rn"), col("vec_id"),
+        col("parent_id"), col("cosine"), col("n_tokens"),
+        col("cum_tokens"), col("chunk_text"))
+      .orderBy("rn")
+  }
+
   /** 1-based rank over a K-BOUNDED pool by (score desc NULLS LAST, id) —
     * the broadcast self-join spelling of row_number for pools too small
     * to justify a shuffle and too global for a keyed window (a
