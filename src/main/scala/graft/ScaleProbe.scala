@@ -274,10 +274,11 @@ object ScaleProbe {
     val retrievalMode = args.headOption.contains("retrieval")
     val twostageMode = args.headOption.contains("twostage")
     val ragrefreshMode = args.headOption.contains("ragrefresh")
+    val rerankMode = args.headOption.contains("rerank")
     val mults =
       if (annMode || webMode || lshMode || embedMode || chunkidxMode ||
         shardbuildMode || retrievalMode || twostageMode || ragrefreshMode ||
-        args.isEmpty)
+        rerankMode || args.isEmpty)
         Seq(1, 10)
       else args.toSeq.map(_.toInt)
 
@@ -524,6 +525,45 @@ object ScaleProbe {
         time("twostage_all100", m,
           operators.Similarity.topKTwoStageIvfAll(docModel, chunkModel,
             docEmb.filter(col("vec_id") < 100), coarseK = 20, k = 10))
+      }
+      spark.stop()
+      return
+    }
+
+    if (rerankMode) {
+      // `rerank [mults…]`: the serving-quality layer's decade law — RM3
+      // (two postings-join rounds: work ∝ Σ df over the term set, flat
+      // per unit), late-interaction MaxSim (stage 1 ∝ df; the rerank
+      // itself is candidate-bounded — firstStageK × positions², corpus-
+      // independent), and MMR packing (indexed two-stage probes flat;
+      // the greedy loop is poolK-bounded). Stores/builds timed apart.
+      val ms = args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 10)
+        case x => x
+      }
+      for (m <- ms) {
+        val docsPath = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft-probe-rr2-docs-$m").getAbsolutePath
+        blowUp(m).select("doc_id", "text")
+          .write.mode("overwrite").parquet(docsPath)
+        val docs = spark.read.parquet(docsPath)
+        val t0 = System.nanoTime()
+        val post = operators.Bm25.materializedPostings(s"probe-rrk-post-$m", docs)
+        val docEmb = operators.Embed.materializedHashedTf(s"probe-rrk-emb-$m", docs)
+        val docModel = operators.Ivf.buildIndex(s"probe-rrk-docivf-$m", docEmb)
+        val chunks = operators.CorpusIndex.materializedChunks(
+          s"probe-rrk-chunks-$m", docs)
+        val (chunkModel, _) = operators.CorpusIndex.buildChunkIndexFrom(
+          s"probe-rrk-chunkivf-$m", chunks)
+        println(f"PROBE rerank_build      mult=$m%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        time("rm3", m,
+          operators.Bm25.topKRm3(docs, 0L, 10, postings = Some(post)))
+        time("maxsim_rerank", m,
+          operators.Bm25.maxSimRerank(docs, 0L, 5, postings = Some(post)))
+        time("mmr_context", m,
+          operators.Similarity.ragContextMmr(docModel, docEmb, chunkModel,
+            chunks, 0L, coarseK = 20, poolK = 20, selectK = 8,
+            tokenBudget = 600L))
       }
       spark.stop()
       return
