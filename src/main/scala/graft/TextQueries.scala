@@ -353,6 +353,34 @@ object TextQueries {
         .orderBy("rn")
     }),
 
+    // SET-oriented RM3 ({0, 5}): every query's two scoring rounds,
+    // feedback cut, and expansion-term cut run as query-keyed joins and
+    // windows in ONE plan — the batch-serving form of text_bm25_rm3.
+    // Twin replays the whole per-query machinery over the same set.
+    "text_bm25_rm3_all" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      operators.Bm25.topKRm3All(docs, Seq(0L, 5L).toDF("query_id"), 10,
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
+        .orderBy("query_id", "rn")
+    }),
+
+    // SET-oriented MaxSim rerank ({0, 5}): the batch first stage
+    // nominates per-query candidates, candidate doc windows embed once
+    // per DISTINCT doc (shared across queries), query windows broadcast,
+    // and the late-interaction scoring runs keyed — one plan for the
+    // whole query set. Twin replays per-query candidates, both window
+    // chains, and the keyed clamped-max/quantized-sum scoring.
+    "text_maxsim_rerank_all" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      operators.Bm25.maxSimRerankAll(docs, Seq(0L, 5L).toDF("query_id"), 5,
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
+        .orderBy("query_id", "rn")
+    }),
+
     // INCREMENTAL BM25 maintenance: the postings store is built on the
     // base corpus, the held-out slice lands via the append verb (batch
     // file, replay no-op), and the probe over the appended store must
@@ -1346,6 +1374,128 @@ object TextQueries {
         |    ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
         |  FROM bsc2)
         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    // set RM3 twin: the shared base tables, the SET round-1 chain
+    // (bm25AllCtes), per-query feedback and expansion cuts (query-keyed
+    // windows), per-query expanded term sets, and the keyed round-2
+    // scoring replay
+    "text_bm25_rm3_all" ->
+      s"""WITH qset AS (SELECT CAST(unnest([0, 5]) AS BIGINT) AS query_id),
+        |${bm25BaseCtes()},
+        |${bm25AllCtes()},
+        |fball AS (
+        |  SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score_q DESC, doc_id) AS rn
+        |    FROM bscall)
+        |  WHERE rn <= 5),
+        |expw AS (
+        |  SELECT fb.query_id, f.t, CAST(SUM(f.tf * i.idf_q) AS BIGINT) AS w
+        |  FROM btf f
+        |  JOIN fball fb ON f.doc_id = fb.doc_id
+        |  JOIN bidf i ON f.t = i.t
+        |  ANTI JOIN bqall q ON q.query_id = fb.query_id AND q.t = f.t
+        |  GROUP BY 1, 2),
+        |expall AS (
+        |  SELECT query_id, t FROM (
+        |    SELECT query_id, t,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY w DESC, t) AS rn
+        |    FROM expw)
+        |  WHERE rn <= 10),
+        |bq2all AS (SELECT query_id, t FROM bqall
+        |  UNION SELECT query_id, t FROM expall),
+        |bsc2all AS (
+        |  SELECT bq.query_id, f.doc_id,
+        |    CAST(SUM(CAST(FLOOR(CAST(i.idf_q * f.tf AS DOUBLE) * 2.2
+        |      / (CAST(f.tf AS DOUBLE) + 0.3
+        |         + 0.9 * (CAST(d.dl AS DOUBLE) / (SELECT avgdl FROM bavg)))
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+        |  FROM btf f
+        |  JOIN bq2all bq ON f.t = bq.t
+        |  JOIN bidf i ON f.t = i.t
+        |  JOIN bdl d ON d.doc_id = f.doc_id
+        |  WHERE f.doc_id <> bq.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score_q, rn FROM (
+        |  SELECT query_id, doc_id, score_q,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id) AS rn
+        |  FROM bsc2all)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    // set MaxSim twin: per-query first-stage candidates from the SET
+    // round-1 chain, packed (query, pos) window keys on BOTH sides, the
+    // sparse shared-bucket pairwise sims, per-(query, doc, q pos)
+    // clamped maxes, the quantized per-(query, doc) sum, and the
+    // candidate-anchored per-query re-rank
+    "text_maxsim_rerank_all" ->
+      s"""WITH qset AS (SELECT CAST(unnest([0, 5]) AS BIGINT) AS query_id),
+        |${bm25BaseCtes()},
+        |${bm25AllCtes()},
+        |mcand AS (
+        |  SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score_q DESC, doc_id) AS rn
+        |    FROM bscall)
+        |  WHERE rn <= 10),
+        |qtk AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS ts
+        |  FROM documents d SEMI JOIN qset ON d.doc_id = qset.query_id),
+        |qwin AS (
+        |  SELECT doc_id * 1048576 + i - 1 AS doc_id,
+        |    array_to_string(ts[greatest(i - 1, 1) : least(i + 1, len(ts))],
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM qtk)),
+        |${embedCntCteFrom("qwin", "wq")},
+        |dtk AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS ts
+        |  FROM documents d
+        |  SEMI JOIN (SELECT DISTINCT doc_id FROM mcand) c
+        |    ON d.doc_id = c.doc_id),
+        |dwin AS (
+        |  SELECT doc_id * 1048576 + i - 1 AS doc_id,
+        |    array_to_string(ts[greatest(i - 1, 1) : least(i + 1, len(ts))],
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM dtk)),
+        |${embedCntCteFrom("dwin", "wd")},
+        |wqn AS (SELECT doc_id AS q_id, SUM(CAST(c AS DOUBLE) * c) AS n2
+        |  FROM wqcnt GROUP BY 1),
+        |wdn AS (SELECT doc_id AS d_key, SUM(CAST(c AS DOUBLE) * c) AS n2
+        |  FROM wdcnt GROUP BY 1),
+        |wdot AS (
+        |  SELECT q.doc_id AS q_id, d.doc_id AS d_key,
+        |    SUM(CAST(q.c AS DOUBLE) * d.c) AS dot
+        |  FROM wqcnt q JOIN wdcnt d ON q.b = d.b
+        |  GROUP BY 1, 2),
+        |wsim AS (
+        |  SELECT w.q_id, w.d_key // 1048576 AS doc_id,
+        |    w.dot / NULLIF(sqrt(qn.n2) * sqrt(dn.n2), 0) AS cos
+        |  FROM wdot w
+        |  JOIN wqn qn ON qn.q_id = w.q_id
+        |  JOIN wdn dn ON dn.d_key = w.d_key),
+        |wmax AS (
+        |  SELECT doc_id, q_id, GREATEST(COALESCE(MAX(cos), 0), 0) AS ms
+        |  FROM wsim GROUP BY doc_id, q_id),
+        |wscore AS (
+        |  SELECT q_id // 1048576 AS query_id, doc_id,
+        |    CAST(SUM(CAST(FLOOR(ms * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS score_ms
+        |  FROM wmax GROUP BY 1, 2),
+        |wanch AS (
+        |  SELECT m.query_id, m.doc_id, COALESCE(w.score_ms, 0) AS score_ms
+        |  FROM mcand m LEFT JOIN wscore w
+        |    ON m.query_id = w.query_id AND m.doc_id = w.doc_id)
+        |SELECT query_id, doc_id, score_ms, rn FROM (
+        |  SELECT query_id, doc_id, score_ms,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_ms DESC, doc_id) AS rn
+        |  FROM wanch)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     // the incremental twin IS the full-corpus chain: append ≡ rebuild
     "text_bm25_incr" ->

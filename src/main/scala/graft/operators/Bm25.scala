@@ -458,24 +458,11 @@ object Bm25 {
       topKAll(documents, Seq(queryDocId).toDF("query_id"), firstStageK,
           scope, postings)
         .select("doc_id"))
-    // (packed (doc, pos) key, 3-word window text) for every position
-    def windows(src: DataFrame): DataFrame = {
-      val pp = src.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      val prev = pp.select(col("doc_id"), (col("pos") + 1).as("pos"),
-        col("t").as("tp"))
-      val next = pp.select(col("doc_id"), (col("pos") - 1).as("pos"),
-        col("t").as("tn"))
-      pp.join(prev, Seq("doc_id", "pos"), "left")
-        .join(next, Seq("doc_id", "pos"), "left")
-        .select(CorpusIndex.chunkKey(col("doc_id"), col("pos")).as("doc_id"),
-          concat_ws(" ", col("tp"), col("t"), col("tn")).as("text"))
-    }
     val qv = Embed.hashedTf(
-        windows(documents.filter(col("doc_id") === queryDocId)), dim)
+        positionWindows(documents.filter(col("doc_id") === queryDocId)), dim)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val dv = Embed.hashedTf(
-        windows(documents.join(cand, Seq("doc_id"), "left_semi")), dim)
+        positionWindows(documents.join(cand, Seq("doc_id"), "left_semi")), dim)
       .select(col("vec_id").as("d_key"), col("embedding").as("d_emb"))
     val scored = dv.crossJoin(broadcast(qv))
       .withColumn("cos",
@@ -494,6 +481,144 @@ object Bm25 {
     Similarity.rankBounded(
       anchored.orderBy(desc("score_ms"), col("doc_id")).limit(k),
       "score_ms", "doc_id", "rn")
+  }
+
+  /** (packed (doc, pos) key, 3-word window text) for every token
+    * position — the late-interaction vector unit shared by the single
+    * and set rerank forms: each position's text is its (prev, token,
+    * next) context window, keyed by [[CorpusIndex.chunkKey]] so the
+    * owning doc recovers by a shift.
+    */
+  private def positionWindows(src: DataFrame): DataFrame = {
+    val pp = src.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+    val prev = pp.select(col("doc_id"), (col("pos") + 1).as("pos"),
+      col("t").as("tp"))
+    val next = pp.select(col("doc_id"), (col("pos") - 1).as("pos"),
+      col("t").as("tn"))
+    pp.join(prev, Seq("doc_id", "pos"), "left")
+      .join(next, Seq("doc_id", "pos"), "left")
+      .select(CorpusIndex.chunkKey(col("doc_id"), col("pos")).as("doc_id"),
+        concat_ws(" ", col("tp"), col("t"), col("tn")).as("text"))
+  }
+
+  /** SET-oriented [[maxSimRerank]] — every query in `queryIds` reranks
+    * its own BM25 top-`firstStageK` in ONE plan: the first stage is the
+    * batch postings join ([[topKAll]]), candidate doc windows embed once
+    * per DISTINCT candidate doc (shared across queries that nominate
+    * it), query windows broadcast (a few documents' worth of
+    * positions), and the pairwise-sim work runs as keyed joins — never
+    * a per-query driver round-trip. Same grids, clamps, and ties as the
+    * single form (which it equals per query — spec-proven). Emits
+    * (query_id, doc_id, score_ms, rn ≤ k).
+    *
+    * Scale: Σ_q firstStageK × |q positions| × |d positions| pairwise
+    * sims — the rerank budget scales with the QUERY SET, not the
+    * corpus; the ranking window is query-keyed.
+    */
+  def maxSimRerankAll(documents: DataFrame, queryIds: DataFrame, k: Int,
+                      firstStageK: Int = 10, dim: Int = 64,
+                      scope: graft.CacheScope = graft.CacheScope.global,
+                      postings: Option[DataFrame] = None): DataFrame = {
+    val cand = scope.persist(
+      topKAll(documents, queryIds, firstStageK, scope, postings)
+        .select("query_id", "doc_id"))
+    val qv = Embed.hashedTf(
+        positionWindows(documents
+          .join(queryIds.select(col("query_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")), dim)
+      .select(shiftright(col("vec_id"), 20).as("query_id"),
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dv = Embed.hashedTf(
+        positionWindows(documents
+          .join(cand.select("doc_id").distinct(), Seq("doc_id"),
+            "left_semi")), dim)
+      .select(shiftright(col("vec_id"), 20).as("doc_id"),
+        col("vec_id").as("d_key"), col("embedding").as("d_emb"))
+    val scored = cand
+      .join(dv, Seq("doc_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos",
+        nanvl(VectorOps.cosine(col("d_emb"), col("q_emb")),
+          lit(null).cast("double")))
+      .groupBy("query_id", "doc_id", "q_id")
+      .agg(greatest(coalesce(max(col("cos")), lit(0.0)), lit(0.0)).as("ms"))
+      .withColumn("msq", floor(col("ms") * 1000000.0 + 0.5).cast("long"))
+      .groupBy("query_id", "doc_id").agg(sum("msq").as("score_ms"))
+    val anchored = cand.join(scored, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("score_ms"), lit(0L)).as("score_ms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score_ms"), col("doc_id"))
+    anchored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "doc_id", "score_ms", "rn")
+  }
+
+  /** SET-oriented [[topKRm3]] — pseudo-relevance feedback for every
+    * query in `queryIds` in ONE plan: the shared postings/idf/dl tables
+    * feed a query-keyed round 1, per-query feedback and expansion-term
+    * cuts are query-keyed windows, and round 2 re-scores each query
+    * with ITS OWN expanded term set through the same keyed join. Same
+    * grids and ties as the single form (which it equals per query).
+    * Emits (query_id, doc_id, score_q, rn ≤ k).
+    *
+    * Scale: candidate work stays Σ_t df(t) over each query's (expanded)
+    * term set — the inverted-index law, amortized across the set; both
+    * ranking windows are query-keyed.
+    */
+  def topKRm3All(documents: DataFrame, queryIds: DataFrame, k: Int,
+                 fbDocs: Int = 5, fbTerms: Int = 10,
+                 scope: graft.CacheScope = graft.CacheScope.global,
+                 postings: Option[DataFrame] = None): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tf = postings.getOrElse(scope.persist(documents
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl")).head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val idf = scope.persist(tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .select(col("t"), floor(
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast("double")
+          + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+          * 1000.0 + 0.5).cast("long").as("idf_q")))
+    val qterms = scope.persist(documents
+      .select(col("doc_id").as("query_id"), explode(toks).as("t"))
+      .join(queryIds.select("query_id"), "query_id")
+      .select("query_id", "t").distinct())
+    def scoreWith(terms: DataFrame): DataFrame = tf
+      .join(terms, "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(idf, "t")
+      .join(dl, "doc_id")
+      .withColumn("term_q", floor(
+        (col("idf_q") * col("tf")).cast("double") * lit(2.2)
+          / (col("tf").cast("double") + lit(0.3)
+            + lit(0.9) * (col("dl").cast("double") / lit(avgdl))) + 0.5)
+        .cast("long"))
+      .groupBy("query_id", "doc_id").agg(sum("term_q").as("score_q"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(desc("score_q"), col("doc_id"))
+    val fb = scoreWith(qterms)
+      .withColumn("frn", row_number().over(wq))
+      .filter(col("frn") <= fbDocs)
+      .select("query_id", "doc_id")
+    val wt = Window.partitionBy("query_id")
+      .orderBy(desc("w"), col("t"))
+    val exp = tf.join(fb, Seq("doc_id"))
+      .join(idf, "t")
+      .join(qterms, Seq("query_id", "t"), "left_anti")
+      .groupBy("query_id", "t").agg(sum(col("tf") * col("idf_q")).as("w"))
+      .withColumn("trn", row_number().over(wt))
+      .filter(col("trn") <= fbTerms)
+      .select("query_id", "t")
+    val expanded = qterms.unionByName(exp).distinct()
+    scoreWith(expanded)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select("query_id", "doc_id", "score_q", "rn")
   }
 
   /** END-TO-END HYBRID RAG serving — the fused-retrieval form of

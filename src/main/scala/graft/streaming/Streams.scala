@@ -668,6 +668,31 @@ object Streams {
       })
   }
 
+  /** Streaming LATE-INTERACTION rerank — the two-stage lexical serving
+    * loop streamed: each micro-batch of query ids runs the set-oriented
+    * MaxSim engine ([[graft.operators.Bm25.maxSimRerankAll]] — batch
+    * BM25 first stage, per-position context-window embeddings, keyed
+    * clamped-max/quantized-sum scoring) against the standing corpus +
+    * postings store and lands (query_id, doc_id, score_ms, rn)
+    * exactly-once per batch. Stateless like every probe sink; the
+    * rerank cost is candidate-bounded per query, so batch cost scales
+    * with the batch, never the corpus.
+    */
+  def rerankProbeSink(queryIds: DataFrame, documents: DataFrame,
+                      postings: DataFrame, outDir: String,
+                      checkpointDir: String, k: Int = 5,
+                      firstStageK: Int = 10): DataStreamWriter[Row] = {
+    val post = graft.CacheScope.global.persist(postings)
+    queryIds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Bm25.maxSimRerankAll(documents, batch, k,
+            firstStageK, postings = Some(post)),
+          outDir, s"probe-$batchId.parquet")
+      })
+  }
+
   /** Streaming END-TO-END RAG serving — the full loop streamed: each
     * micro-batch of doc-level query vectors runs indexed two-stage
     * retrieval ([[graft.operators.Similarity.topKTwoStageIvfAll]]) and

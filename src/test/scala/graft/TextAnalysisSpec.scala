@@ -206,4 +206,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(conf.nonEmpty)
     assert(conf.forall(_._2 === "maj"), s"expected all-maj predictions: ${conf.toSeq}")
   }
+
+  test("topKRm3All restricted to one query equals the single-query topKRm3") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val all = Bm25.topKRm3All(docs, Seq(0L, 5L).toDF("query_id"), 10)
+      .as[(Long, Long, Long, Int)].collect().groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(r => (r._2, r._3, r._4)).toSeq.sortBy(_._3) }
+    for (qid <- Seq(0L, 5L)) {
+      val single = Bm25.topKRm3(docs, qid, 10)
+        .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+      assert(all.getOrElse(qid, Seq.empty) === single, s"query $qid diverged")
+    }
+  }
+
+  test("maxSimRerankAll restricted to one query equals the single-query form") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val all = Bm25.maxSimRerankAll(docs, Seq(0L, 5L).toDF("query_id"), 5)
+      .as[(Long, Long, Long, Int)].collect().groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(r => (r._2, r._3, r._4)).toSeq.sortBy(_._3) }
+    for (qid <- Seq(0L, 5L)) {
+      val single = Bm25.maxSimRerank(docs, qid, 5)
+        .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+      assert(all.getOrElse(qid, Seq.empty) === single, s"query $qid diverged")
+    }
+  }
 }
