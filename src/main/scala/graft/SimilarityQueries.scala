@@ -144,6 +144,28 @@ object SimilarityQueries {
         nprobeDoc = 4, nprobeChunk = 4)
     }),
 
+    // SET-oriented MMR packing under the gate: one batch two-stage
+    // retrieval fills all per-query pools, the greedy selection runs per
+    // query over the collected pools (one driver round-trip for the
+    // set), and packing is the query-keyed selection-order window. Query
+    // set {0} shares the single-query mmr twin with the constant
+    // query_id added (the ann_rag_context_all precedent); multi-query
+    // parity is spec-bound (SimilaritySpec).
+    "ann_rag_context_mmr_all" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      val (chunkModel, _) = chunkIndex(s, dir)
+      val texts = operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+        .select(operators.CorpusIndex.chunkKey(col("doc_id"), col("chunk_no"))
+          .as("vec_id"), col("chunk_text"))
+      Similarity.ragContextMmrAll(docModel, docEmb, chunkModel, texts,
+          Seq(0L).toDF("query_id"), coarseK = 20, poolK = 20, selectK = 8,
+          tokenBudget = 600L)
+        .orderBy("query_id", "rn")
+    }),
+
     // The SET-ORIENTED RAG packing under the gate: the batch serving
     // engine's per-query packing (query-keyed running-sum window over the
     // k-bounded pool) on the query set {0}, sharing the single-query rag
@@ -2946,6 +2968,49 @@ object SimilarityQueries {
          |SELECT CAST(rn AS BIGINT) AS rn, vec_id, parent_id, cosine,
          |  n_tokens, cum_tokens, chunk_text
          |FROM mmrc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
+
+    // set-mmr twin on {0}: the single-query mmr chain with the constant
+    // query_id added (the ann_rag_context_all precedent)
+    "ann_rag_context_mmr_all" ->
+      s"""WITH ${twoStageIvfCtes(20, 4, 4)},
+         |trk AS (
+         |  SELECT vec_id, parent_id, cosine
+         |  FROM tsr
+         |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
+         |rel AS MATERIALIZED (
+         |  SELECT vec_id, parent_id, cosine,
+         |    COALESCE(cosine, -2.0) AS rel2
+         |  FROM trk),
+         |pcv AS MATERIALIZED (
+         |  SELECT e.doc_id AS vec_id, e.b, CAST(e.c AS DOUBLE) AS c
+         |  FROM cnt e SEMI JOIN rel ON e.doc_id = rel.vec_id),
+         |pnorm AS (SELECT vec_id, SUM(c * c) AS n2 FROM pcv GROUP BY vec_id),
+         |pdot AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b2, SUM(x.c * y.c) AS dot
+         |  FROM pcv x JOIN pcv y ON x.b = y.b AND x.vec_id <> y.vec_id
+         |  GROUP BY 1, 2),
+         |psim AS MATERIALIZED (
+         |  SELECT a, b2,
+         |    COALESCE(dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0), 0) AS s
+         |  FROM pdot
+         |  JOIN pnorm na ON na.vec_id = pdot.a
+         |  JOIN pnorm nb ON nb.vec_id = pdot.b2),
+         |${mmrSelectCtes(8)},
+         |mmrt AS (
+         |  SELECT s.rn, s.vec_id, r.parent_id, r.cosine,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+         |    c.text AS chunk_text
+         |  FROM selall s
+         |  JOIN rel r USING (vec_id)
+         |  JOIN chunks c ON s.vec_id = c.doc_id),
+         |mmrc AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM mmrt)
+         |SELECT CAST(0 AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rn,
+         |  vec_id, parent_id, cosine, n_tokens, cum_tokens, chunk_text
+         |FROM mmrc WHERE cum_tokens <= 600 ORDER BY query_id, rn""".stripMargin,
 
     // filtered-rag twin: the same indexed two-stage + packing chain with
     // the allow-list (source = 'src1') semi-joined into the coarse

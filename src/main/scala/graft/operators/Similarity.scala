@@ -346,6 +346,32 @@ object Similarity {
       .map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)),
         r.getSeq[Float](3).map(_.toDouble).toArray))
+    val selDf = mmrSelect(rows.toSeq, selectK, lambdaRel, lambdaDiv)
+      .toDF("rn", "vec_id", "parent_id", "cosine")
+    val p2 = selDf.join(chunkTexts, "vec_id")
+      .withColumn("n_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+    val others = p2.select(col("rn").as("o_rn"), col("n_tokens").as("o_nt"))
+    p2.join(broadcast(others), col("o_rn") <= col("rn"))
+      .groupBy("rn", "vec_id", "parent_id", "cosine", "n_tokens", "chunk_text")
+      .agg(sum("o_nt").as("cum_tokens"))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col("rn").cast("long").as("rn"), col("vec_id"),
+        col("parent_id"), col("cosine"), col("n_tokens"),
+        col("cum_tokens"), col("chunk_text"))
+      .orderBy("rn")
+  }
+
+  /** The MMR greedy selection shared by the single and set forms: rows
+    * are (vec_id, parent_id, cosine, embedding); returns (rn = selection
+    * order, vec_id, parent_id, cosine) for the top `selectK` picks.
+    * rel is the probe cosine (NULL → −2), sim the exact-integer-count
+    * cosine with zero-norm pairs pinned to 0, argmax ties break toward
+    * the smaller vec_id — the documented MMR law.
+    */
+  private def mmrSelect(rows: Seq[(Long, Long, Option[Double], Array[Double])],
+                        selectK: Int, lambdaRel: Double,
+                        lambdaDiv: Double): Seq[(Int, Long, Long, Option[Double])] = {
     def rel2(p: (Long, Long, Option[Double], Array[Double])): Double =
       p._3.getOrElse(-2.0)
     // exact-integer cosine: counts are integer-valued doubles, so the
@@ -370,21 +396,61 @@ object Similarity {
       selected += pick
       remaining -= pick
     }
-    val selDf = selected.toSeq.zipWithIndex
+    selected.toSeq.zipWithIndex
       .map { case ((vid, pid, cos, _), i) => (i + 1, vid, pid, cos) }
-      .toDF("rn", "vec_id", "parent_id", "cosine")
-    val p2 = selDf.join(chunkTexts, "vec_id")
+  }
+
+  /** SET-oriented [[ragContextMmr]] — MMR-diversified context assembly
+    * for every query in `queryIds` at once: ONE two-stage batch
+    * retrieval ([[topKTwoStageIvfAll]]) fills all per-query pools, the
+    * pools' chunk vectors read from the materialized index in one keyed
+    * semi-join, and the greedy selection runs per query over the
+    * COLLECTED pools (≤ |queries| × poolK rows — the k-bounded-collect
+    * discipline, one driver round-trip for the whole set). Packing is
+    * the query-keyed running-sum window in SELECTION order. Per-query
+    * rows equal [[ragContextMmr]]'s bit-for-bit (SimilaritySpec).
+    */
+  def ragContextMmrAll(docModel: Ivf.IvfModel, docEmb: DataFrame,
+                       chunkModel: Ivf.IvfModel, chunkTexts: DataFrame,
+                       queryIds: DataFrame, coarseK: Int, poolK: Int,
+                       selectK: Int, tokenBudget: Long,
+                       nprobeDoc: Int = 4, nprobeChunk: Int = 4,
+                       lambdaRel: Double = 0.7,
+                       lambdaDiv: Double = 0.3): DataFrame = {
+    val spark = docEmb.sparkSession
+    import spark.implicits._
+    val pool = topKTwoStageIvfAll(docModel, chunkModel,
+      docEmb.join(queryIds.select(col("query_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"),
+      coarseK, poolK, nprobeDoc, nprobeChunk)
+    val raw = spark.read.parquet(chunkModel.indexPath)
+      .select(col("vec_id"), col("embedding"))
+    val vecs = graft.sources.Sinks.readTombstones(spark,
+        Ivf.tombstonesPath(chunkModel.indexPath))
+      .fold(raw)(t => raw.join(t, Seq("vec_id"), "left_anti"))
+    val rows = pool.join(vecs, Seq("vec_id"))
+      .select("query_id", "vec_id", "parent_id", "cosine", "embedding")
+      .collect() // ≤ |queries| × poolK rows — k-bounded per query
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getSeq[Float](4).map(_.toDouble).toArray)))
+    val selDf = rows.groupBy(_._1).toSeq.flatMap { case (qid, qrows) =>
+      mmrSelect(qrows.map(_._2).toSeq, selectK, lambdaRel, lambdaDiv)
+        .map { case (rn, vid, pid, cos) => (qid, rn, vid, pid, cos) }
+    }.toDF("query_id", "rn", "vec_id", "parent_id", "cosine")
+    // query-keyed packing in SELECTION order: cum_tokens sums the
+    // selected-and-texted rows with rn ≤ current (the single form's
+    // broadcast-self-join law, spelled as a keyed window)
+    val w = Window.partitionBy("query_id").orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    selDf.join(chunkTexts, "vec_id")
       .withColumn("n_tokens",
         size(split(col("chunk_text"), " ")).cast("long"))
-    val others = p2.select(col("rn").as("o_rn"), col("n_tokens").as("o_nt"))
-    p2.join(broadcast(others), col("o_rn") <= col("rn"))
-      .groupBy("rn", "vec_id", "parent_id", "cosine", "n_tokens", "chunk_text")
-      .agg(sum("o_nt").as("cum_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
       .filter(col("cum_tokens") <= tokenBudget)
-      .select(col("rn").cast("long").as("rn"), col("vec_id"),
-        col("parent_id"), col("cosine"), col("n_tokens"),
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("vec_id"), col("parent_id"), col("cosine"), col("n_tokens"),
         col("cum_tokens"), col("chunk_text"))
-      .orderBy("rn")
   }
 
   /** 1-based rank over a K-BOUNDED pool by (score desc NULLS LAST, id) —
