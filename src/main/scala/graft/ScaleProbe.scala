@@ -275,10 +275,11 @@ object ScaleProbe {
     val twostageMode = args.headOption.contains("twostage")
     val ragrefreshMode = args.headOption.contains("ragrefresh")
     val rerankMode = args.headOption.contains("rerank")
+    val rerankallMode = args.headOption.contains("rerankall")
     val mults =
       if (annMode || webMode || lshMode || embedMode || chunkidxMode ||
         shardbuildMode || retrievalMode || twostageMode || ragrefreshMode ||
-        rerankMode || args.isEmpty)
+        rerankMode || rerankallMode || args.isEmpty)
         Seq(1, 10)
       else args.toSeq.map(_.toInt)
 
@@ -564,6 +565,49 @@ object ScaleProbe {
           operators.Similarity.ragContextMmr(docModel, docEmb, chunkModel,
             chunks, 0L, coarseK = 20, poolK = 20, selectK = 8,
             tokenBudget = 600L))
+      }
+      spark.stop()
+      return
+    }
+
+    if (rerankallMode) {
+      // `rerankall [mults…]`: the set-engine amortization law across a
+      // corpus decade — a 20-query set through each serving-quality set
+      // engine in ONE plan. The claim: per-query cost falls well below
+      // the single-query forms (the corpus-side stages — postings, idf,
+      // candidate windows, pool retrieval — are shared; per-query work
+      // is the increment), and the amortized cost stays flat-or-near as
+      // the corpus grows 10×. Stores/builds timed apart.
+      val ms = args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 10)
+        case x => x
+      }
+      import spark.implicits._
+      val qids = (0L until 20L).toDF("query_id")
+      for (m <- ms) {
+        val docsPath = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft-probe-rra-docs-$m").getAbsolutePath
+        blowUp(m).select("doc_id", "text")
+          .write.mode("overwrite").parquet(docsPath)
+        val docs = spark.read.parquet(docsPath)
+        val t0 = System.nanoTime()
+        val post = operators.Bm25.materializedPostings(s"probe-rra-post-$m", docs)
+        val docEmb = operators.Embed.materializedHashedTf(s"probe-rra-emb-$m", docs)
+        val docModel = operators.Ivf.buildIndex(s"probe-rra-docivf-$m", docEmb)
+        val chunks = operators.CorpusIndex.materializedChunks(
+          s"probe-rra-chunks-$m", docs)
+        val (chunkModel, _) = operators.CorpusIndex.buildChunkIndexFrom(
+          s"probe-rra-chunkivf-$m", chunks)
+        println(f"PROBE rerankall_build   mult=$m%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        time("rm3_all20", m,
+          operators.Bm25.topKRm3All(docs, qids, 10, postings = Some(post)))
+        time("maxsim_all20", m,
+          operators.Bm25.maxSimRerankAll(docs, qids, 5,
+            postings = Some(post)))
+        time("mmr_all20", m,
+          operators.Similarity.ragContextMmrAll(docModel, docEmb,
+            chunkModel, chunks, qids, coarseK = 20, poolK = 20,
+            selectK = 8, tokenBudget = 600L))
       }
       spark.stop()
       return

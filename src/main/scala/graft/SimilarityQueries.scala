@@ -247,6 +247,27 @@ object SimilarityQueries {
         nprobeDoc = 4, nprobeChunk = 4)
     }),
 
+    // RAW-TEXT set serving under the gate: the batch body of the
+    // streamed text sink — queries embed IN-FLIGHT (Embed.hashedTf over
+    // the (query_id, text) rows) and fan through the set-oriented
+    // two-stage engine in one plan. Query set = one text with the
+    // sentinel id −1 sharing the single raw-text twin with query_id and
+    // the per-query rank added (the ann_rag_context_all precedent);
+    // multi-text parity is spec-bound (StreamingSpec's textProbeSink
+    // parity run drives 4 streamed texts against the vector path).
+    "ann_serve_text_all" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      val (chunkModel, _) = chunkIndex(s, dir)
+      Similarity.topKTwoStageIvfAll(docModel, chunkModel,
+          operators.Embed.hashedTf(
+            Seq((-1L, "fast vector scan query")).toDF("doc_id", "text")),
+          coarseK = 20, k = 10)
+        .orderBy("query_id", "rn")
+    }),
+
     // RAW-TEXT hybrid serving: the same literal text drives BOTH legs —
     // its distinct tokens are the BM25 query set (postings join), its
     // hashed-TF vector probes the doc IVF index — fused by RRF. Twin
@@ -3122,6 +3143,19 @@ object SimilarityQueries {
          |SELECT vec_id, parent_id, cosine
          |FROM tsr
          |ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
+
+    // raw-text SET twin on the sentinel −1: the single text chain with
+    // query_id and the per-query rank added
+    "ann_serve_text_all" ->
+      s"""WITH ${twoStageIvfTextCtes("'fast vector scan query'", 20, 4, 4)}
+         |SELECT CAST(-1 AS BIGINT) AS query_id, vec_id, parent_id,
+         |  cosine, rn
+         |FROM (
+         |  SELECT vec_id, parent_id, cosine,
+         |    ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+         |      AS rn
+         |  FROM tsr)
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
 
     // raw-text hybrid twin: text-terms BM25 chain + the sparse-query doc
     // probe's pruned dense re-rank, RRF-fused, global re-cut to 10

@@ -502,6 +502,28 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("batch raw-text serving equals the single-text two-stage per text") {
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = operators.Embed.hashedTf(docs)
+    val docModel = Ivf.buildIndex(sfDir + "#tsdoc", docEmb)
+    val (chunkModel, _) = operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#tschunk", docs)
+    val texts = Seq((-1L, "fast vector scan query"),
+      (-2L, "columnar storage layout"))
+    val all = Similarity.topKTwoStageIvfAll(docModel, chunkModel,
+        operators.Embed.hashedTf(texts.toDF("doc_id", "text")),
+        coarseK = 5, k = 10)
+      .as[(Long, Long, Long, Option[Double], Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._5).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    texts.foreach { case (qid, text) =>
+      val single = Similarity.topKTwoStageIvfText(spark, docModel,
+          chunkModel, text, coarseK = 5, k = 10)
+        .as[(Long, Long, Option[Double])].collect().toSeq
+      assert(all.getOrElse(qid, Seq.empty) === single, s"text $qid diverged")
+    }
+  }
+
   test("set-oriented MMR packing equals the single-query MMR per query") {
     val docs = Tables.documents(spark, sfDir)
     val docEmb = operators.Embed.hashedTf(docs)
