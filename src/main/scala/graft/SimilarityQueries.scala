@@ -268,6 +268,33 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // RAW-TEXT RM3: the pseudo-relevance-feedback chain with the query
+    // arriving as text — Q = the literal's distinct tokens, no
+    // self-exclusion anywhere, feedback/expansion/round-2 identical to
+    // the doc-query form. Twin replays both rounds and both cuts from
+    // the text-terms chain.
+    "ann_serve_text_rm3" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Bm25.topKRm3Text(docs, "fast vector scan query", 10,
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
+        .orderBy("rn")
+    }),
+
+    // RAW-TEXT MaxSim rerank: the late-interaction serving shape with a
+    // text query — first stage is the text-terms BM25 cut, the query's
+    // position vectors embed the literal's own 3-word context windows
+    // under the sentinel doc id −1, scoring core shared with the
+    // doc-query form. Twin replays the text first stage, both window
+    // chains, and the clamped-max/quantized-sum scoring.
+    "ann_serve_text_maxsim" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Bm25.maxSimRerankText(docs, "fast vector scan query", 5,
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
+        .orderBy("rn")
+    }),
+
     // RAW-TEXT hybrid serving: the same literal text drives BOTH legs —
     // its distinct tokens are the BM25 query set (postings join), its
     // hashed-TF vector probes the doc IVF index — fused by RRF. Twin
@@ -3143,6 +3170,108 @@ object SimilarityQueries {
          |SELECT vec_id, parent_id, cosine
          |FROM tsr
          |ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
+
+    // raw-text RM3 twin: the text-terms round-1 chain (bm25Ctes with the
+    // literal — no self-exclusion), the feedback cut, the expansion cut
+    // (the literal's terms anti-joined away), and the round-2 replay
+    "ann_serve_text_rm3" ->
+      s"""WITH ${TextQueries.bm25Ctes(
+             queryTextSql = "'fast vector scan query'")},
+        |fb AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+        |    FROM bsc)
+        |  WHERE rn <= 5),
+        |expt AS (
+        |  SELECT t FROM (
+        |    SELECT f.t, CAST(SUM(f.tf * i.idf_q) AS BIGINT) AS w
+        |    FROM btf f
+        |    SEMI JOIN fb ON f.doc_id = fb.doc_id
+        |    JOIN bidf i USING (t)
+        |    ANTI JOIN bq ON f.t = bq.t
+        |    GROUP BY f.t
+        |    ORDER BY w DESC, t LIMIT 10)),
+        |bq2 AS (SELECT t FROM bq UNION SELECT t FROM expt),
+        |bsc2 AS (
+        |  SELECT f.doc_id,
+        |    CAST(SUM(CAST(FLOOR(CAST(i.idf_q * f.tf AS DOUBLE) * 2.2
+        |      / (CAST(f.tf AS DOUBLE) + 0.3
+        |         + 0.9 * (CAST(d.dl AS DOUBLE) / (SELECT avgdl FROM bavg)))
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+        |  FROM btf f
+        |  JOIN bq2 ON f.t = bq2.t
+        |  JOIN bidf i ON f.t = i.t
+        |  JOIN bdl d ON d.doc_id = f.doc_id
+        |  GROUP BY f.doc_id)
+        |SELECT doc_id, score_q, rn FROM (
+        |  SELECT doc_id, score_q,
+        |    ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+        |  FROM bsc2)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    // raw-text MaxSim twin: the text-terms first stage, the literal's
+    // windows under the sentinel −1 packed keys, the candidate window
+    // chain, and the clamped-max/quantized-sum replay
+    "ann_serve_text_maxsim" ->
+      s"""WITH ${TextQueries.bm25Ctes(
+             queryTextSql = "'fast vector scan query'")},
+        |mcand AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+        |    FROM bsc)
+        |  WHERE rn <= 10),
+        |qtk AS (SELECT CAST(-1 AS BIGINT) AS doc_id,
+        |  string_split('fast vector scan query', ' ') AS ts),
+        |qwin AS (
+        |  SELECT doc_id * 1048576 + i - 1 AS doc_id,
+        |    array_to_string(ts[greatest(i - 1, 1) : least(i + 1, len(ts))],
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM qtk)),
+        |${TextQueries.embedCntCteFrom("qwin", "wq")},
+        |dtk AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS ts
+        |  FROM documents d SEMI JOIN mcand ON d.doc_id = mcand.doc_id),
+        |dwin AS (
+        |  SELECT doc_id * 1048576 + i - 1 AS doc_id,
+        |    array_to_string(ts[greatest(i - 1, 1) : least(i + 1, len(ts))],
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM dtk)),
+        |${TextQueries.embedCntCteFrom("dwin", "wd")},
+        |wqn AS (SELECT doc_id AS q_id, SUM(CAST(c AS DOUBLE) * c) AS n2
+        |  FROM wqcnt GROUP BY 1),
+        |wdn AS (SELECT doc_id AS d_key, SUM(CAST(c AS DOUBLE) * c) AS n2
+        |  FROM wdcnt GROUP BY 1),
+        |wdot AS (
+        |  SELECT q.doc_id AS q_id, d.doc_id AS d_key,
+        |    SUM(CAST(q.c AS DOUBLE) * d.c) AS dot
+        |  FROM wqcnt q JOIN wdcnt d ON q.b = d.b
+        |  GROUP BY 1, 2),
+        |wsim AS (
+        |  SELECT w.q_id, w.d_key // 1048576 AS doc_id,
+        |    w.dot / NULLIF(sqrt(qn.n2) * sqrt(dn.n2), 0) AS cos
+        |  FROM wdot w
+        |  JOIN wqn qn ON qn.q_id = w.q_id
+        |  JOIN wdn dn ON dn.d_key = w.d_key),
+        |wmax AS (
+        |  SELECT doc_id, q_id, GREATEST(COALESCE(MAX(cos), 0), 0) AS ms
+        |  FROM wsim GROUP BY doc_id, q_id),
+        |wscore AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(FLOOR(ms * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS score_ms
+        |  FROM wmax GROUP BY doc_id),
+        |wanch AS (
+        |  SELECT m.doc_id, COALESCE(w.score_ms, 0) AS score_ms
+        |  FROM mcand m LEFT JOIN wscore w ON m.doc_id = w.doc_id)
+        |SELECT doc_id, score_ms, rn FROM (
+        |  SELECT doc_id, score_ms,
+        |    ROW_NUMBER() OVER (ORDER BY score_ms DESC, doc_id) AS rn
+        |  FROM wanch)
+        |WHERE rn <= 5 ORDER BY rn""".stripMargin,
 
     // raw-text SET twin on the sentinel −1: the single text chain with
     // query_id and the per-query rank added

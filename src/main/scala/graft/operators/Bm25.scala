@@ -461,6 +461,21 @@ object Bm25 {
     val qv = Embed.hashedTf(
         positionWindows(documents.filter(col("doc_id") === queryDocId)), dim)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    maxSimRerankFrom(documents, cand, qv, k, dim)
+  }
+
+  /** The late-interaction scoring core shared by the doc-query and
+    * raw-text MaxSim forms: `cand(doc_id)` is the first-stage nominee
+    * set, `qv(q_id, q_emb)` the query's per-position window vectors;
+    * candidates embed their windows, every (q pos, d pos) pair scores
+    * the exact cosine, per-q-position maxes clamp at 0 and quantize to
+    * the 1e-6 long grid, and candidates rank by the exact integer sum
+    * (zero-overlap candidates anchor at score 0 — the sparse twin's
+    * left-join law).
+    */
+  private def maxSimRerankFrom(documents: DataFrame, cand: DataFrame,
+                               qv: DataFrame, k: Int,
+                               dim: Int): DataFrame = {
     val dv = Embed.hashedTf(
         positionWindows(documents.join(cand, Seq("doc_id"), "left_semi")), dim)
       .select(col("vec_id").as("d_key"), col("embedding").as("d_emb"))
@@ -473,14 +488,89 @@ object Bm25 {
       .agg(greatest(coalesce(max(col("cos")), lit(0.0)), lit(0.0)).as("ms"))
       .withColumn("msq", floor(col("ms") * 1000000.0 + 0.5).cast("long"))
       .groupBy("doc_id").agg(sum("msq").as("score_ms"))
-    // anchor on the candidate set: a candidate with zero bucket overlap
-    // anywhere still ranks (score 0), exactly like the sparse twin's
-    // left join
     val anchored = cand.join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("score_ms"), lit(0L)).as("score_ms"))
     Similarity.rankBounded(
       anchored.orderBy(desc("score_ms"), col("doc_id")).limit(k),
       "score_ms", "doc_id", "rn")
+  }
+
+  /** RAW-TEXT late-interaction rerank — [[maxSimRerank]] with the query
+    * arriving as TEXT: the first stage is the text-terms BM25 cut
+    * ([[topKText]] — no self-exclusion, the query is not a corpus
+    * member), the query-side position vectors embed the literal's own
+    * 3-word context windows under the sentinel doc id −1 (the packed
+    * (−1, pos) keys never collide with corpus keys), and the scoring
+    * core is shared. Emits (doc_id, score_ms, rn ≤ k).
+    */
+  def maxSimRerankText(documents: DataFrame, queryText: String, k: Int,
+                       firstStageK: Int = 10, dim: Int = 64,
+                       scope: graft.CacheScope = graft.CacheScope.global,
+                       postings: Option[DataFrame] = None): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val cand = scope.persist(
+      topKText(documents, queryText, firstStageK, scope, postings)
+        .select("doc_id"))
+    val qv = Embed.hashedTf(
+        positionWindows(Seq((-1L, queryText)).toDF("doc_id", "text")), dim)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    maxSimRerankFrom(documents, cand, qv, k, dim)
+  }
+
+  /** RAW-TEXT RM3 — [[topKRm3]] with the query arriving as TEXT: Q = the
+    * literal's distinct whitespace tokens, round 1 is the text-terms
+    * scoring chain (no self-exclusion anywhere — the query is not a
+    * corpus member), the top-`fbDocs` feedback docs nominate
+    * `fbTerms` expansion terms by exact Σ tf·idf_q (the literal's own
+    * terms excluded), and round 2 re-scores with the expanded set. Same
+    * grids and ties as the doc-query form. Emits (doc_id, score_q,
+    * rn ≤ k).
+    */
+  def topKRm3Text(documents: DataFrame, queryText: String, k: Int,
+                  fbDocs: Int = 5, fbTerms: Int = 10,
+                  scope: graft.CacheScope = graft.CacheScope.global,
+                  postings: Option[DataFrame] = None): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val terms = queryText.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val toks = split(col("text"), " ")
+    val tf = postings.getOrElse(scope.persist(documents
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl")).head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val idf = scope.persist(tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .select(col("t"), floor(
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast("double")
+          + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+          * 1000.0 + 0.5).cast("long").as("idf_q")))
+    def scoreWith(termsDf: DataFrame): DataFrame = tf
+      .join(broadcast(termsDf), "t")
+      .join(idf, "t")
+      .join(dl, "doc_id")
+      .withColumn("term_q", floor(
+        (col("idf_q") * col("tf")).cast("double") * lit(2.2)
+          / (col("tf").cast("double") + lit(0.3)
+            + lit(0.9) * (col("dl").cast("double") / lit(avgdl))) + 0.5)
+        .cast("long"))
+      .groupBy("doc_id").agg(sum("term_q").as("score_q"))
+    val qterms = terms.toDF("t")
+    val fb = scoreWith(qterms)
+      .orderBy(desc("score_q"), col("doc_id")).limit(fbDocs)
+      .select("doc_id")
+    val exp = tf.join(fb, Seq("doc_id"), "left_semi")
+      .filter(!col("t").isin(terms: _*))
+      .join(idf, "t")
+      .groupBy("t").agg(sum(col("tf") * col("idf_q")).as("w"))
+      .orderBy(desc("w"), col("t")).limit(fbTerms)
+      .select("t")
+    val expanded = qterms.unionByName(exp).distinct()
+    Similarity.rankBounded(
+      scoreWith(expanded).orderBy(desc("score_q"), col("doc_id")).limit(k),
+      "score_q", "doc_id", "rn")
   }
 
   /** (packed (doc, pos) key, 3-word window text) for every token

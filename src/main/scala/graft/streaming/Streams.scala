@@ -693,6 +693,29 @@ object Streams {
       })
   }
 
+  /** Streaming RM3 retrieval — pseudo-relevance feedback streamed: each
+    * micro-batch of query ids runs the set-oriented two-round RM3 engine
+    * ([[graft.operators.Bm25.topKRm3All]] — query-keyed feedback and
+    * expansion cuts, both scoring rounds postings joins) against the
+    * standing corpus + postings store and lands (query_id, doc_id,
+    * score_q, rn) exactly-once per batch. Completes the streamed
+    * serving-quality symmetry next to [[rerankProbeSink]].
+    */
+  def rm3ProbeSink(queryIds: DataFrame, documents: DataFrame,
+                   postings: DataFrame, outDir: String,
+                   checkpointDir: String, k: Int = 10,
+                   fbDocs: Int = 5, fbTerms: Int = 10): DataStreamWriter[Row] = {
+    val post = graft.CacheScope.global.persist(postings)
+    queryIds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Bm25.topKRm3All(documents, batch, k,
+            fbDocs, fbTerms, postings = Some(post)),
+          outDir, s"probe-$batchId.parquet")
+      })
+  }
+
   /** Streaming END-TO-END RAG serving — the full loop streamed: each
     * micro-batch of doc-level query vectors runs indexed two-stage
     * retrieval ([[graft.operators.Similarity.topKTwoStageIvfAll]]) and

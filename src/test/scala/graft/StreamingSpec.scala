@@ -1413,6 +1413,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming RM3 probe equals the single-query RM3 per query") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val post = Bm25.materializedPostings(sfDir + "#postings-rm3-spec", docs)
+    val out = java.nio.file.Files.createTempDirectory("graft-rm3").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rm3-c").toString
+
+    val input = MemoryStream[Long]
+    input.addData(Seq(0L))
+    val q = Streams.rm3ProbeSink(
+      input.toDF().toDF("query_id"), docs, post, out, ckpt).start()
+    q.processAllAvailable()
+    input.addData(Seq(5L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(got.keySet === Set(0L, 5L))
+    Seq(0L, 5L).foreach { qid =>
+      val single = Bm25.topKRm3(docs, qid, 10, postings = Some(post))
+        .as[(Long, Long, Int)].collect().toSeq
+        .sortBy(_._3).map(r => (r._1, r._2))
+      assert(got(qid) === single, s"query $qid diverged")
+    }
+  }
+
   test("streaming RAG serve equals the single-query indexed rag per query") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sfDir)

@@ -220,6 +220,17 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("topKRm3Text with zero expansion terms reduces to topKText exactly") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val qt = "fast vector scan query"
+    val rm3 = Bm25.topKRm3Text(docs, qt, 10, fbTerms = 0)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+    val plain = Bm25.topKText(docs, qt, 10)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+    assert(rm3 === plain)
+  }
+
   test("maxSimRerankAll restricted to one query equals the single-query form") {
     import graft.operators.Bm25
     val docs = Tables.documents(spark, sfDir)
