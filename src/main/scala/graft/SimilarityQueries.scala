@@ -268,6 +268,24 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // RAW-TEXT RAG context: the full last-mile serving composition with
+    // a text query — embed the literal, indexed two-stage, rank-ordered
+    // packing under the budget. Twin replays the text two-stage chain
+    // and the packing law over the same pool.
+    "ann_rag_context_text" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      val (chunkModel, _) = chunkIndex(s, dir)
+      val texts = operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+        .select(operators.CorpusIndex.chunkKey(col("doc_id"), col("chunk_no"))
+          .as("vec_id"), col("chunk_text"))
+      Similarity.ragContextIvfText(s, docModel, chunkModel, texts,
+          "fast vector scan query", coarseK = 20, poolK = 20,
+          tokenBudget = 600L)
+        .orderBy("rn")
+    }),
+
     // RAW-TEXT RM3: the pseudo-relevance-feedback chain with the query
     // arriving as text — Q = the literal's distinct tokens, no
     // self-exclusion anywhere, feedback/expansion/round-2 identical to
@@ -3170,6 +3188,33 @@ object SimilarityQueries {
          |SELECT vec_id, parent_id, cosine
          |FROM tsr
          |ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
+
+    // raw-text RAG twin: the text two-stage chain's pool through the
+    // shared packing replay (rank, token counts, running sum, budget cut)
+    "ann_rag_context_text" ->
+      s"""WITH ${twoStageIvfTextCtes("'fast vector scan query'", 20, 4, 4)},
+         |trk AS (
+         |  SELECT vec_id, parent_id, cosine
+         |  FROM tsr
+         |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
+         |trn AS (
+         |  SELECT vec_id, parent_id, cosine,
+         |    ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+         |      AS rn
+         |  FROM trk),
+         |trt AS (
+         |  SELECT r.rn, r.vec_id, r.parent_id, r.cosine,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+         |    c.text AS chunk_text
+         |  FROM trn r JOIN chunks c ON r.vec_id = c.doc_id),
+         |trc AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM trt)
+         |SELECT rn, vec_id, parent_id, cosine, n_tokens, cum_tokens,
+         |  chunk_text
+         |FROM trc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
 
     // raw-text RM3 twin: the text-terms round-1 chain (bm25Ctes with the
     // literal — no self-exclusion), the feedback cut, the expansion cut

@@ -693,6 +693,38 @@ object Streams {
       })
   }
 
+  /** RAW-TEXT streaming RAG serving — the full serving loop with text
+    * queries: each micro-batch of (doc_id, text) queries embeds
+    * IN-FLIGHT ([[graft.operators.Embed.hashedTf]] — the model-free
+    * property that keeps text serving stateless), runs the set-oriented
+    * indexed two-stage engine, and packs each query's pool under the
+    * token budget, landing budget-certified contexts exactly-once per
+    * batch. The text twin of [[ragServeSink]]; per-query parity with
+    * [[graft.operators.Similarity.ragContextIvfText]] is spec-bound.
+    */
+  def ragServeTextSink(queries: DataFrame,
+                       docModel: graft.operators.Ivf.IvfModel,
+                       chunkModel: graft.operators.Ivf.IvfModel,
+                       chunkTexts: DataFrame, outDir: String,
+                       checkpointDir: String, coarseK: Int = 20,
+                       poolK: Int = 20, tokenBudget: Long = 600L,
+                       nprobeDoc: Int = 4,
+                       nprobeChunk: Int = 4): DataStreamWriter[Row] = {
+    val texts = graft.CacheScope.global.persist(
+      chunkTexts.select("vec_id", "chunk_text"))
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Similarity.ragContextAll(
+            graft.operators.Similarity.topKTwoStageIvfAll(docModel,
+              chunkModel, graft.operators.Embed.hashedTf(batch), coarseK,
+              poolK, nprobeDoc, nprobeChunk),
+            texts, tokenBudget),
+          outDir, s"context-$batchId.parquet")
+      })
+  }
+
   /** Streaming RM3 retrieval — pseudo-relevance feedback streamed: each
     * micro-batch of query ids runs the set-oriented two-round RM3 engine
     * ([[graft.operators.Bm25.topKRm3All]] — query-keyed feedback and

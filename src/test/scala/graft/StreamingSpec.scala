@@ -1413,6 +1413,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming raw-text RAG serve equals the single-text rag per query") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = graft.operators.Embed.hashedTf(docs)
+    val docModel = graft.operators.Ivf.buildIndex(sfDir + "#tsdoc", docEmb)
+    val (chunkModel, _) = graft.operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#tschunk", docs)
+    val texts = graft.operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+      .select(graft.operators.CorpusIndex.chunkKey($"doc_id", $"chunk_no")
+        .as("vec_id"), $"chunk_text")
+    val out = java.nio.file.Files.createTempDirectory("graft-rgt").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rgt-c").toString
+    val qs = Seq((-1L, "fast vector scan query"),
+      (-2L, "columnar storage layout"))
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(Seq(qs.head))
+    val q = Streams.ragServeTextSink(
+      input.toDF().toDF("doc_id", "text"), docModel, chunkModel, texts,
+      out, ckpt, coarseK = 5, poolK = 10, tokenBudget = 300L).start()
+    q.processAllAvailable()
+    input.addData(Seq(qs(1)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .select("query_id", "rn", "vec_id", "parent_id", "cosine",
+        "n_tokens", "cum_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, Option[Double], Long, Long, String)]
+      .collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2)
+        .map(r => (r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toSeq).toMap
+    assert(got.keySet === Set(-1L, -2L))
+    qs.foreach { case (qid, text) =>
+      val single = graft.operators.Similarity.ragContextIvfText(spark,
+          docModel, chunkModel, texts, text, coarseK = 5, poolK = 10,
+          tokenBudget = 300L)
+        .as[(Long, Long, Long, Option[Double], Long, Long, String)]
+        .collect().toSeq
+      assert(got.getOrElse(qid, Seq.empty) === single, s"text $qid diverged")
+    }
+  }
+
   test("streaming RM3 probe equals the single-query RM3 per query") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Bm25
