@@ -372,6 +372,39 @@ object CurationQueries {
         nprobeDoc = 4, nprobeChunk = 4)
     }),
 
+    // MMR-PACKED RAG SERVING flagship — cur_rag_serve with the packing
+    // stage DIVERSIFIED: the same gates → served doc index → live-chunk
+    // store + index → indexed two-stage pool, but the context packs by
+    // maximal marginal relevance (0.7·rel − 0.3·max-sim-to-selected over
+    // the pool's own chunk vectors) instead of pure rank order — the
+    // production serving shape when retrieval pools carry near-dup
+    // chunks. Own DOC index key (build() mutates); the chunk store +
+    // index are SHARED read-only with the other serving flagships (the
+    // cur_rag_serve_hybrid contract). Twin = the flagship chain through
+    // the pool, then the pairwise-sim + unrolled-argmax MMR replay and
+    // the selection-order packing law.
+    "cur_rag_serve_mmr" -> ((s, dir) => {
+      val scope = graft.CacheScope.global
+      val probe = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
+      val docs0 = Tables.documentsWithClones(s, dir)
+      // own index key: build() mutates (semantic tombstones)
+      val b = operators.CorpusIndex.build(docs0, probe, dir + "#pretrain",
+        dir + "#ragmidx", scope = scope)
+      val qid = b.emb.join(b.doomed, Seq("vec_id"), "left_anti")
+        .agg(min("vec_id")).head().getLong(0)
+      val st = operators.Pretrain.buildState(dir + "#pretrain", docs0, probe,
+        scope)
+      val liveDocs = scope.persist(st.gated.join(
+        b.doomed.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"),
+        "left_anti"))
+      val chunks = operators.CorpusIndex.materializedChunks(
+        dir + "#ragchunkstore", liveDocs)
+      val (chunkModel, _) = operators.CorpusIndex.buildChunkIndexFrom(
+        dir + "#ragchunks", chunks)
+      operators.Similarity.ragContextMmr(b.model, b.emb, chunkModel, chunks,
+        qid, coarseK = 20, poolK = 20, selectK = 8, tokenBudget = 600L)
+    }),
+
     // HYBRID RAG SERVING flagship — cur_rag_serve with the doc stage
     // FUSED: the coarse parents come from reciprocal-rank fusion of the
     // BM25 postings leg (over the live corpus) and the doc-IVF probe
@@ -1400,6 +1433,125 @@ object CurationQueries {
          |SELECT rn, vec_id, parent_id, cosine, n_tokens, cum_tokens,
          |  chunk_text
          |FROM trc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
+
+    // MMR-serving twin: the flagship chain through the pool (trk), then
+    // the pool's pairwise chunk-vector sims, the unrolled greedy argmax
+    // (mmrSelectCtes — the same literal weights), and the
+    // selection-order packing law
+    "cur_rag_serve_mmr" ->
+      s"""WITH RECURSIVE $flagshipIndexCoreCtes,
+         |dprobe AS (
+         |  SELECT cid FROM (
+         |    SELECT sc2.cid,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY CAST(sq AS DOUBLE) / sqrt(CAST(norm2q AS DOUBLE))
+         |          DESC, sc2.cid) AS rn
+         |    FROM sc2 JOIN nc2 USING (cid), fqid WHERE sc2.vec_id = fqid.q)
+         |  WHERE rn <= 4),
+         |dcand AS (
+         |  SELECT a2.vec_id FROM a2 JOIN dprobe USING (cid)
+         |  SEMI JOIN surv ON a2.vec_id = surv.vec_id
+         |  WHERE a2.vec_id <> (SELECT q FROM fqid)),
+         |tqd AS (
+         |  SELECT b, CAST(c AS DOUBLE) AS qc
+         |  FROM cnt, fqid WHERE doc_id = fqid.q),
+         |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
+         |tdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM cnt e LEFT JOIN tqd q ON e.b = q.b
+         |  SEMI JOIN dcand ON e.doc_id = dcand.vec_id
+         |  GROUP BY e.doc_id),
+         |tcoarse AS (
+         |  SELECT doc_id AS parent_id FROM (
+         |    SELECT d.doc_id,
+         |      ROW_NUMBER() OVER (ORDER BY
+         |        d.dot / NULLIF(sqrt(d.n2) * sqrt(tqn.qn2), 0)
+         |        DESC NULLS LAST, d.doc_id) AS rn
+         |    FROM tdots d, tqn)
+         |  WHERE rn <= 20),
+         |livedocs AS (
+         |  SELECT d.doc_id, d.text FROM docs6 d
+         |  SEMI JOIN surv ON d.doc_id = surv.vec_id),
+         |${SimilarityQueries.chunkCorpusCtesFrom("livedocs", "k")},
+         |kgrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM kchunks)),
+         |kemb AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(COALESCE(kcnt.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM kgrid g LEFT JOIN kcnt ON g.doc_id = kcnt.doc_id
+         |    AND g.dim = kcnt.b
+         |  GROUP BY g.doc_id),
+         |${SimilarityQueries.ivfCoreCtes(16, "", "", "kemb", "k")},
+         |kqvd AS (SELECT dim, v FROM vd, fqid WHERE vec_id = fqid.q),
+         |kqs AS (
+         |  SELECT kc2.cid,
+         |    CAST(SUM(CAST(FLOOR(kqvd.v * kc2.cq * 1000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sq
+         |  FROM kqvd JOIN kc2 USING (dim) GROUP BY 1),
+         |kprobe AS (
+         |  SELECT cid FROM (
+         |    SELECT q.cid,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY CAST(q.sq AS DOUBLE) / sqrt(CAST(n.norm2q AS DOUBLE))
+         |          DESC, q.cid) AS rn
+         |    FROM kqs q JOIN nkc2 n USING (cid))
+         |  WHERE rn <= 4),
+         |kcand AS (
+         |  SELECT ka2.vec_id FROM ka2 JOIN kprobe USING (cid)
+         |  SEMI JOIN tcoarse ON ka2.vec_id // 1048576 = tcoarse.parent_id),
+         |kchf AS (
+         |  SELECT e.doc_id AS vec_id, e.doc_id // 1048576 AS parent_id,
+         |    e.b, e.c
+         |  FROM kcnt e SEMI JOIN kcand ON e.doc_id = kcand.vec_id),
+         |kcd AS (
+         |  SELECT vec_id, MIN(parent_id) AS parent_id,
+         |    SUM(CAST(c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM kchf LEFT JOIN tqd q ON kchf.b = q.b
+         |  GROUP BY vec_id),
+         |trk AS (
+         |  SELECT vec_id, parent_id,
+         |    dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
+         |  FROM kcd, tqn
+         |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
+         |rel AS MATERIALIZED (
+         |  SELECT vec_id, parent_id, cosine,
+         |    COALESCE(cosine, -2.0) AS rel2
+         |  FROM trk),
+         |pcv AS MATERIALIZED (
+         |  SELECT e.doc_id AS vec_id, e.b, CAST(e.c AS DOUBLE) AS c
+         |  FROM kcnt e SEMI JOIN rel ON e.doc_id = rel.vec_id),
+         |pnorm AS (SELECT vec_id, SUM(c * c) AS n2 FROM pcv GROUP BY vec_id),
+         |pdot AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b2, SUM(x.c * y.c) AS dot
+         |  FROM pcv x JOIN pcv y ON x.b = y.b AND x.vec_id <> y.vec_id
+         |  GROUP BY 1, 2),
+         |psim AS MATERIALIZED (
+         |  SELECT a, b2,
+         |    COALESCE(dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0), 0) AS s
+         |  FROM pdot
+         |  JOIN pnorm na ON na.vec_id = pdot.a
+         |  JOIN pnorm nb ON nb.vec_id = pdot.b2),
+         |${SimilarityQueries.mmrSelectCtes(8)},
+         |mmrt AS (
+         |  SELECT s.rn, s.vec_id, r.parent_id, r.cosine,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+         |    c.text AS chunk_text
+         |  FROM selall s
+         |  JOIN rel r USING (vec_id)
+         |  JOIN kchunks c ON s.vec_id = c.doc_id),
+         |mmrc AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM mmrt)
+         |SELECT CAST(rn AS BIGINT) AS rn, vec_id, parent_id, cosine,
+         |  n_tokens, cum_tokens, chunk_text
+         |FROM mmrc WHERE cum_tokens <= 600 ORDER BY rn""".stripMargin,
 
     // Hybrid-RAG-serving twin: the flagship core (gates → doc IVF →
     // SemDeDup closure → surv/fqid) continued through the FUSED doc

@@ -1492,8 +1492,8 @@ object SimilarityQueries {
     * `psim(a, b2, s)` must be in scope; emits `selall(rn, vec_id)`.
     * Steps past pool exhaustion yield zero rows, so rn stays contiguous.
     */
-  private def mmrSelectCtes(selectK: Int, lambdaRel: String = "0.7",
-                            lambdaDiv: String = "0.3"): String = {
+  private[graft] def mmrSelectCtes(selectK: Int, lambdaRel: String = "0.7",
+                                   lambdaDiv: String = "0.3"): String = {
     // every step CTE is MATERIALIZED: cand_i references seld_{i-1} twice
     // and seld_i chains on it, so inlined evaluation would re-run the
     // whole upstream pool/sim chain 2^selectK times (measured: the
