@@ -268,6 +268,30 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // SET-oriented HYBRID RAG packing under the gate: the batch hybrid
+    // fusion's per-query fused parents restrict the keyed chunk probe —
+    // ZERO driver round-trips where the single form collects the
+    // parents and the query vector. Query set {0} with the standalone
+    // twin composing the hybrid-fusion chain + the chunk probe ∩ fused
+    // parents + the packing law; multi-query parity is spec-bound
+    // (IvfSpec).
+    "ann_rag_context_hybrid_all" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val docEmb = operators.Embed.materializedHashedTf(dir + "#embstore", docs)
+      val docModel = operators.Ivf.buildIndex(dir + "#docivf", docEmb)
+      val (chunkModel, _) = chunkIndex(s, dir)
+      val texts = operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+        .select(operators.CorpusIndex.chunkKey(col("doc_id"), col("chunk_no"))
+          .as("vec_id"), col("chunk_text"))
+      operators.Bm25.ragContextHybridAll(docs, docModel, docEmb, chunkModel,
+          texts, Seq(0L).toDF("query_id"), coarseK = 20, poolK = 20,
+          tokenBudget = 600L,
+          postings = Some(operators.Bm25.materializedPostings(
+            dir + "#postings", docs)))
+        .orderBy("query_id", "rn")
+    }),
+
     // RAW-TEXT RAG context: the full last-mile serving composition with
     // a text query — embed the literal, indexed two-stage, rank-ordered
     // packing under the budget. Twin replays the text two-stage chain
@@ -3188,6 +3212,109 @@ object SimilarityQueries {
          |SELECT vec_id, parent_id, cosine
          |FROM tsr
          |ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
+
+    // set-hybrid-RAG twin on {0}: the hybrid-fusion chain (bm25 ranks +
+    // pruned dense re-rank + RRF), the fused top-20 as the chunk stage's
+    // parents, the pruned chunk probe, and the packing law — the
+    // standalone spelling of the flagship's fused serving stages
+    "ann_rag_context_hybrid_all" ->
+      s"""WITH $chunkCorpusCtes,
+         |${docIvfCtes(4)},
+         |${TextQueries.bm25Ctes()},
+         |hbr AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS brn FROM bsc),
+         |hb AS (SELECT doc_id, brn FROM hbr WHERE brn <= 20),
+         |hqd AS (SELECT b, CAST(c AS DOUBLE) AS qc FROM dcnt WHERE doc_id = 0),
+         |hdots AS (
+         |  SELECT e.doc_id,
+         |    SUM(CAST(e.c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(e.c AS DOUBLE) * e.c) AS n2
+         |  FROM dcnt e LEFT JOIN hqd q ON e.b = q.b
+         |  SEMI JOIN dcand ON e.doc_id = dcand.vec_id
+         |  WHERE e.doc_id <> 0 GROUP BY e.doc_id),
+         |hqn AS (SELECT SUM(qc * qc) AS qn2 FROM hqd),
+         |hvr AS (SELECT doc_id, ROW_NUMBER() OVER (
+         |    ORDER BY dot / NULLIF(sqrt(n2) * sqrt(qn2), 0) DESC NULLS LAST,
+         |      doc_id) AS vrn
+         |  FROM hdots, hqn),
+         |hv AS (SELECT doc_id, vrn FROM hvr WHERE vrn <= 20),
+         |hf AS (
+         |  SELECT COALESCE(hv.doc_id, hb.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60 + hv.vrn), 0) + COALESCE(1.0 / (60 + hb.brn), 0)
+         |      AS rrf
+         |  FROM hv FULL OUTER JOIN hb ON hv.doc_id = hb.doc_id),
+         |tcoarse AS (
+         |  SELECT doc_id AS parent_id FROM (
+         |    SELECT doc_id, rrf,
+         |      ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+         |    FROM hf)
+         |  WHERE rn <= 20),
+         |tqd AS (SELECT b, qc FROM hqd),
+         |tqn AS (SELECT SUM(qc * qc) AS qn2 FROM tqd),
+         |cgrid AS (
+         |  SELECT doc_id, unnest(range(0, 64)) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM chunks)),
+         |embeddings AS MATERIALIZED (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(COALESCE(cnt.c, 0) AS REAL) ORDER BY g.dim)
+         |      AS embedding
+         |  FROM cgrid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+         |    AND g.dim = cnt.b
+         |  GROUP BY g.doc_id),
+         |${ivfCoreCtes(16)},
+         |qvd AS (SELECT dim, v FROM dvd WHERE vec_id = 0),
+         |qsc AS (
+         |  SELECT c2.cid,
+         |    CAST(SUM(CAST(FLOOR(qvd.v * c2.cq * 1000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sq
+         |  FROM qvd JOIN c2 USING (dim) GROUP BY 1),
+         |cprobe AS (
+         |  SELECT cid FROM (
+         |    SELECT q.cid,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY CAST(q.sq AS DOUBLE) / sqrt(CAST(n.norm2q AS DOUBLE))
+         |          DESC, q.cid) AS rn
+         |    FROM qsc q JOIN nc2 n USING (cid))
+         |  WHERE rn <= 4),
+         |ccand AS (
+         |  SELECT a2.vec_id FROM a2 JOIN cprobe USING (cid)
+         |  SEMI JOIN tcoarse ON a2.vec_id // 1048576 = tcoarse.parent_id),
+         |tchf AS (
+         |  SELECT e.doc_id AS vec_id, e.doc_id // 1048576 AS parent_id,
+         |    e.b, e.c
+         |  FROM cnt e SEMI JOIN ccand ON e.doc_id = ccand.vec_id),
+         |tcd AS (
+         |  SELECT vec_id, MIN(parent_id) AS parent_id,
+         |    SUM(CAST(c AS DOUBLE) * COALESCE(q.qc, 0)) AS dot,
+         |    SUM(CAST(c AS DOUBLE) * c) AS n2
+         |  FROM tchf LEFT JOIN tqd q ON tchf.b = q.b
+         |  GROUP BY vec_id),
+         |tsr AS (
+         |  SELECT vec_id, parent_id,
+         |    dot / NULLIF(sqrt(n2) * sqrt(tqn.qn2), 0) AS cosine
+         |  FROM tcd, tqn),
+         |trk AS (
+         |  SELECT vec_id, parent_id, cosine
+         |  FROM tsr
+         |  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 20),
+         |trn AS (
+         |  SELECT vec_id, parent_id, cosine,
+         |    ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+         |      AS rn
+         |  FROM trk),
+         |trt AS (
+         |  SELECT r.rn, r.vec_id, r.parent_id, r.cosine,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+         |    c.text AS chunk_text
+         |  FROM trn r JOIN chunks c ON r.vec_id = c.doc_id),
+         |trc AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM trt)
+         |SELECT CAST(0 AS BIGINT) AS query_id, rn, vec_id, parent_id,
+         |  cosine, n_tokens, cum_tokens, chunk_text
+         |FROM trc WHERE cum_tokens <= 600 ORDER BY query_id, rn""".stripMargin,
 
     // raw-text RAG twin: the text two-stage chain's pool through the
     // shared packing replay (rank, token counts, running sum, budget cut)

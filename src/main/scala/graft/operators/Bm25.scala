@@ -747,6 +747,54 @@ object Bm25 {
       chunkTexts, tokenBudget)
   }
 
+  /** SET-oriented [[ragContextHybrid]] — hybrid-RAG context assembly for
+    * every query in `queryIds` in ONE plan, with ZERO driver
+    * round-trips: the doc stage is the batch hybrid fusion
+    * ([[hybridTopKIvf]] — already set-oriented), its per-query fused
+    * top-`coarseK` become the parents as a KEYED semi-join (where the
+    * single form collects them to the driver), the chunk stage is the
+    * pruned keyed probe ([[graft.operators.Similarity.topKTwoStageIvfAll]]'s
+    * shape with the hybrid parents swapped in), and packing is the
+    * query-keyed running-sum window. Per-query rows equal
+    * [[ragContextHybrid]]'s bit-for-bit (IvfSpec).
+    */
+  def ragContextHybridAll(documents: DataFrame, docModel: Ivf.IvfModel,
+                          docEmb: DataFrame, chunkModel: Ivf.IvfModel,
+                          chunkTexts: DataFrame, queryIds: DataFrame,
+                          coarseK: Int, poolK: Int, tokenBudget: Long,
+                          nprobeDoc: Int = 4, nprobeChunk: Int = 4,
+                          rrfPoolK: Int = 20, chunkShift: Int = 20,
+                          scope: graft.CacheScope = graft.CacheScope.global,
+                          postings: Option[DataFrame] = None): DataFrame = {
+    val spark = documents.sparkSession
+    val topDocs = hybridTopKIvf(documents, docModel, docEmb, queryIds,
+        coarseK, rrfPoolK, nprobeDoc, scope, postings)
+      .select(col("query_id"), col("doc_id").as("parent_id"))
+    val q = docEmb
+      .join(queryIds.select(col("query_id").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("list", explode(
+        Ivf.probeListsExpr(col("q_emb"), chunkModel.centroids, nprobeChunk)))
+    val idx0 = spark.read.parquet(chunkModel.indexPath)
+      .select(col("list"), col("vec_id"), col("embedding"))
+    val idx = graft.sources.Sinks.readTombstones(spark,
+        Ivf.tombstonesPath(chunkModel.indexPath))
+      .fold(idx0)(t => idx0.join(t, Seq("vec_id"), "left_anti"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col("vec_id"))
+    val pool = idx.join(q, "list")
+      .withColumn("parent_id", shiftright(col("vec_id"), chunkShift))
+      .join(topDocs, Seq("query_id", "parent_id"), "left_semi")
+      .withColumn("cosine",
+        nanvl(VectorOps.cosine(col("embedding"), col("q_emb")),
+          lit(null).cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= poolK)
+      .select("query_id", "vec_id", "parent_id", "cosine", "rn")
+    Similarity.ragContextAll(pool, chunkTexts, tokenBudget)
+  }
+
   def hybridTopKAll(documents: DataFrame, queryIds: DataFrame, k: Int,
                     poolK: Int = 20,
                     scope: graft.CacheScope = graft.CacheScope.global,

@@ -524,6 +524,34 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("set-oriented hybrid RAG packing equals the single-query form per query") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = operators.Embed.hashedTf(docs)
+    val docModel = Ivf.buildIndex(sfDir + "#tsdoc", docEmb)
+    val (chunkModel, _) = operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#tschunk", docs)
+    val texts = operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+      .select(operators.CorpusIndex.chunkKey($"doc_id", $"chunk_no")
+        .as("vec_id"), $"chunk_text")
+    val qids = Seq(0L, 5L)
+    val all = Bm25.ragContextHybridAll(docs, docModel, docEmb, chunkModel,
+        texts, qids.toDF("query_id"), coarseK = 5, poolK = 10,
+        tokenBudget = 300L)
+      .as[(Long, Long, Long, Long, Option[Double], Long, Long, String)]
+      .collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2)
+        .map(r => (r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toSeq).toMap
+    qids.foreach { qid =>
+      val single = Bm25.ragContextHybrid(docs, docModel, docEmb, chunkModel,
+          texts, qid, coarseK = 5, poolK = 10, tokenBudget = 300L)
+        .as[(Long, Long, Long, Option[Double], Long, Long, String)]
+        .collect().toSeq
+      assert(all.getOrElse(qid, Seq.empty) === single, s"query $qid diverged")
+    }
+  }
+
   test("set-oriented MMR packing equals the single-query MMR per query") {
     val docs = Tables.documents(spark, sfDir)
     val docEmb = operators.Embed.hashedTf(docs)
