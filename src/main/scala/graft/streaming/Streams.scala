@@ -693,6 +693,40 @@ object Streams {
       })
   }
 
+  /** Streaming HYBRID RAG serving — the fused-retrieval serving loop
+    * streamed end-to-end: each micro-batch of query ids runs the
+    * set-oriented hybrid-RAG engine
+    * ([[graft.operators.Bm25.ragContextHybridAll]] — batch RRF fusion of
+    * the BM25 postings leg and the doc-IVF probe, fused parents
+    * restricting the keyed chunk probe, query-keyed packing) and lands
+    * budget-certified contexts exactly-once per batch. Stateless; the
+    * lexical+dense twin of [[ragServeSink]].
+    */
+  def hybridRagServeSink(queryIds: DataFrame, documents: DataFrame,
+                         docModel: graft.operators.Ivf.IvfModel,
+                         docEmb: DataFrame,
+                         chunkModel: graft.operators.Ivf.IvfModel,
+                         chunkTexts: DataFrame, postings: DataFrame,
+                         outDir: String, checkpointDir: String,
+                         coarseK: Int = 20, poolK: Int = 20,
+                         tokenBudget: Long = 600L, nprobeDoc: Int = 4,
+                         nprobeChunk: Int = 4): DataStreamWriter[Row] = {
+    val emb = graft.CacheScope.global.persist(
+      docEmb.select("vec_id", "embedding"))
+    val texts = graft.CacheScope.global.persist(
+      chunkTexts.select("vec_id", "chunk_text"))
+    val post = graft.CacheScope.global.persist(postings)
+    queryIds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(scopedBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.appendBatchFileIdempotent(
+          graft.operators.Bm25.ragContextHybridAll(documents, docModel,
+            emb, chunkModel, texts, batch, coarseK, poolK, tokenBudget,
+            nprobeDoc, nprobeChunk, postings = Some(post)),
+          outDir, s"context-$batchId.parquet")
+      })
+  }
+
   /** RAW-TEXT streaming RAG serving — the full serving loop with text
     * queries: each micro-batch of (doc_id, text) queries embeds
     * IN-FLIGHT ([[graft.operators.Embed.hashedTf]] — the model-free

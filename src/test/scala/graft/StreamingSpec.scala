@@ -1413,6 +1413,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming hybrid RAG serve equals the single-query hybrid rag per query") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val docEmb = graft.operators.Embed.hashedTf(docs)
+    val docModel = graft.operators.Ivf.buildIndex(sfDir + "#tsdoc", docEmb)
+    val (chunkModel, _) = graft.operators.CorpusIndex.buildChunkIndex(
+      sfDir + "#tschunk", docs)
+    val texts = graft.operators.Curation.chunk(docs.select("doc_id", "text"), 64, 8)
+      .select(graft.operators.CorpusIndex.chunkKey($"doc_id", $"chunk_no")
+        .as("vec_id"), $"chunk_text")
+    val post = Bm25.materializedPostings(sfDir + "#postings-hrs-spec", docs)
+    val out = java.nio.file.Files.createTempDirectory("graft-hrs").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hrs-c").toString
+
+    val input = MemoryStream[Long]
+    input.addData(Seq(0L))
+    val q = Streams.hybridRagServeSink(
+      input.toDF().toDF("query_id"), docs, docModel, docEmb, chunkModel,
+      texts, post, out, ckpt, coarseK = 5, poolK = 10,
+      tokenBudget = 300L).start()
+    q.processAllAvailable()
+    input.addData(Seq(5L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .select("query_id", "rn", "vec_id", "parent_id", "cosine",
+        "n_tokens", "cum_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, Option[Double], Long, Long, String)]
+      .collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2)
+        .map(r => (r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toSeq).toMap
+    assert(got.keySet === Set(0L, 5L))
+    Seq(0L, 5L).foreach { qid =>
+      val single = Bm25.ragContextHybrid(docs, docModel, docEmb, chunkModel,
+          texts, qid, coarseK = 5, poolK = 10, tokenBudget = 300L,
+          postings = Some(post))
+        .as[(Long, Long, Long, Option[Double], Long, Long, String)]
+        .collect().toSeq
+      assert(got.getOrElse(qid, Seq.empty) === single, s"query $qid diverged")
+    }
+  }
+
   test("streaming raw-text RAG serve equals the single-text rag per query") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sfDir)
