@@ -949,30 +949,46 @@ object Similarity {
     */
   def contrastiveTriplesLsh(embeddings: DataFrame, k: Int,
                             ceil: Double = 0.95, tables: Int = 8,
-                            bits: Int = 4): DataFrame = {
-    // prune before indexing (see knnJoinLsh): only the mining columns ride
+                            bits: Int = 4,
+                            scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    // prune before indexing (see knnJoinLsh): only the mining columns ride.
+    // ONE bucket self-join feeds BOTH mining branches: the positive (top-1
+    // same-label) and the negatives (top-k other-label under the ceiling)
+    // read the same co-bucketed pair table — the previous form indexed the
+    // corpus twice and ran the Σ|bucket|² self-join (with its per-pair
+    // cosine) twice, once here and once inside hardNegativesLsh (measured
+    // 4.1 s at sf0.1, the join being the dominant stage). The persisted
+    // pair table carries ids, labels and the cosine — never embeddings.
     val idx = lshIndex(
         embeddings.select(col("vec_id"), col("embedding"), col("label")),
         tables, bits)
       .repartition(col("table"), col("bucket"))
-    val pos = idx.select(col("vec_id").as("anchor_id"),
+    val pairs = scope.persist(idx.select(col("vec_id").as("anchor_id"),
         col("embedding").as("a_emb"), col("label").as("a_label"),
         col("table"), col("bucket"))
-      .join(idx.select(col("vec_id").as("pos_id"),
-          col("embedding").as("p_emb"), col("label").as("p_label"),
+      .join(idx.select(col("vec_id").as("other_id"),
+          col("embedding").as("o_emb"), col("label").as("o_label"),
           col("table"), col("bucket")),
         Seq("table", "bucket"))
-      .filter(col("a_label") === col("p_label") &&
-        col("anchor_id") =!= col("pos_id"))
-      .select(col("anchor_id"), col("pos_id"),
-        VectorOps.cosine(col("a_emb"), col("p_emb")).as("pc"))
+      .filter(col("anchor_id") =!= col("other_id"))
+      .select(col("anchor_id"), col("other_id"), col("a_label"),
+        col("o_label"),
+        VectorOps.cosine(col("a_emb"), col("o_emb")).as("cosine")))
+    val pos = pairs
+      .filter(col("a_label") === col("o_label"))
       .groupBy("anchor_id")
-      .agg(graft.functions.TopK.topKDistinct(1)(col("pos_id"), col("pc")).as("top"))
+      .agg(graft.functions.TopK.topKDistinct(1)(col("other_id"), col("cosine")).as("top"))
       .select(col("anchor_id"), element_at(col("top"), 1).as("s"))
       .select(col("anchor_id"), col("s.id").as("pos_id"),
         col("s.score").as("pos_cosine"))
-    pos.join(hardNegativesLsh(embeddings, k, ceil, tables, bits)
-        .withColumnRenamed("cosine", "neg_cosine"), "anchor_id")
+    val neg = pairs
+      .filter(col("a_label") =!= col("o_label") && col("cosine") < ceil)
+      .groupBy("anchor_id")
+      .agg(graft.functions.TopK.topKDistinct(k)(col("other_id"), col("cosine")).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("anchor_id"), col("s.id").as("neg_id"),
+        col("s.score").as("neg_cosine"), (col("i") + 1).cast("int").as("rn"))
+    pos.join(neg, "anchor_id")
   }
 
   /** Approximate top-k via LSH: probe the query's bucket in each table,

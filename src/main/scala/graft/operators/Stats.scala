@@ -131,15 +131,22 @@ object Stats {
         ((col("n") - 1).cast("double") * col("t.q")).as("tpos"))
       .withColumn("k", floor(col("tpos")).cast("long"))
       .withColumn("frac", col("tpos") - floor(col("tpos")))
-    val vk = t.join(cum, col(groupCol) === col("_g") &&
-        col("lo") <= col("k") && col("k") < col("hi"))
-      .select(col(groupCol), col("qi"), col("frac"), col("vq").as("vqk"))
-    val vk1 = t.join(cum, col(groupCol) === col("_g") &&
-        col("lo") <= col("k") + 1 && col("k") + 1 < col("hi"))
-      .select(col(groupCol), col("qi"), col("vq").as("vqk1"))
-    // left join + coalesce: a single-row group has no k+1 bracket, and then
-    // frac is exactly 0 — the interpolation degenerates to vqk
-    vk.join(vk1, Seq(groupCol, "qi"), "left")
+    // ONE range join finds BOTH brackets: (lo ≤ k+1 AND k < hi) is exactly
+    // the union of the k bracket (lo ≤ k < hi) and the k+1 bracket
+    // (lo ≤ k+1 < hi) given lo < hi, so the 1–2 bracketing rows per
+    // (group, qi) arrive in one pass over the cumulative table and a
+    // conditional agg splits them — the previous form walked `cum` twice
+    // (two joins) and re-joined the results. A rank beyond the last value
+    // (single-row group) has no k+1 bracket and frac is exactly 0 — the
+    // coalesce degenerates the interpolation to vqk, as before.
+    t.join(cum, col(groupCol) === col("_g") &&
+        col("lo") <= col("k") + 1 && col("k") < col("hi"))
+      .groupBy(col(groupCol), col("qi"))
+      .agg(max("frac").as("frac"),
+        max(when(col("lo") <= col("k") && col("k") < col("hi"), col("vq")))
+          .as("vqk"),
+        max(when(col("lo") <= col("k") + 1 && col("k") + 1 < col("hi"),
+          col("vq"))).as("vqk1"))
       .withColumn("vqk1", coalesce(col("vqk1"), col("vqk")))
       .select(col(groupCol), col("qi"),
         (col("vqk").cast("double") / 100.0

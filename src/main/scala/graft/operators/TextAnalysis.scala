@@ -259,20 +259,33 @@ object TextAnalysis {
     */
   def lmScore(documents: DataFrame,
               scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    // (doc_id, bigram b, prefix word w1) occurrences; persist: feeds the
-    // two count tables AND the scoring join
+    // (doc_id, bigram b) occurrences; persist: feeds the count table AND
+    // the scoring join. (A (doc_id, b, tf) pre-aggregation — the
+    // hashedTfIdf discipline — was MEASURED NEGATIVE here and reverted:
+    // bigrams are mostly unique within a document, so tf ≈ 1 and the
+    // pre-agg only added a (doc, b)-keyed shuffle: 2.60 → 3.22 s at
+    // sf0.1. Don't re-try without checking the tf distribution first.)
     val occ = scope.persist(documents
-      .select(col("doc_id"), explode(bigrams(col("text"))).as("b"))
-      .withColumn("w1", substring_index(col("b"), " ", 1)))
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("b")))
     val c2 = occ.groupBy("b").agg(count(lit(1)).as("c2"))
-    val c1 = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // c1 derives from c2 by prefix (exact long sums), and the per-bigram
+    // score term folds into ONE vocab table — the occurrence stream then
+    // shuffles ONCE (by b) instead of twice (by b, then by w1): the
+    // self-trained model makes both lookups total, so keying c1's value
+    // by b loses nothing (the cross-corpus form can't do this — an unseen
+    // bigram may still have a seen prefix — which is why lmScoreCross
+    // keeps its two left joins)
+    val c1 = c2.select(substring_index(col("b"), " ", 1).as("w1"), col("c2"))
+      .groupBy("w1").agg(sum("c2").as("c1"))
     val v = documents.select(explode(tokens(col("text"))).as("t"))
       .agg(countDistinct("t").as("v"))
-    occ.join(c2, "b").join(c1, "w1")
+    val bstats = c2.withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(c1, "w1")
       .crossJoin(broadcast(v))
-      .withColumn("lnpq", floor(
+      .select(col("b"), floor(
         log((col("c2").cast("double") + 1.0) / (col("c1").cast("double") + col("v")))
-          * 1000000000.0 + 0.5).cast("long"))
+          * 1000000000.0 + 0.5).cast("long").as("lnpq"))
+    occ.join(bstats, "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("lnpq").as("sq"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -295,12 +308,22 @@ object TextAnalysis {
     */
   def lmScoreCross(documents: DataFrame, train: DataFrame,
                    scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    // the train side aggregates once to per-bigram counts (c1 derived
+    // from c2 by prefix — exact long sums, never a second occurrence
+    // pass); the scored side keeps its per-occurrence LEFT joins: an
+    // unseen bigram may still have a seen prefix, so the two lookups are
+    // independent and can't fold into one per-bigram table the way the
+    // self-trained [[lmScore]] does. (A (doc_id, b, tf) pre-aggregation
+    // of the scored side was MEASURED NEGATIVE — tf ≈ 1 for bigrams —
+    // and reverted.)
     val prep = (d: DataFrame) => d
       .select(col("doc_id"), explode(bigrams(col("text"))).as("b"))
       .withColumn("w1", substring_index(col("b"), " ", 1))
-    val tr = scope.persist(prep(train)) // feeds both count tables
-    val c2 = tr.groupBy("b").agg(count(lit(1)).as("c2"))
-    val c1 = tr.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = scope.persist(train
+      .select(explode(bigrams(col("text"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2")))
+    val c1 = c2.select(substring_index(col("b"), " ", 1).as("w1"), col("c2"))
+      .groupBy("w1").agg(sum("c2").as("c1"))
     val v = train.select(explode(tokens(col("text"))).as("t"))
       .agg(countDistinct("t").as("v"))
     prep(documents)
@@ -419,63 +442,31 @@ object TextAnalysis {
     * bit-for-bit in the DuckDB twin's chained r1/r2/r3 CTEs, the same
     * framework as the BPE merge rounds and the Lloyd quantizer.
     *
-    * Scale: the edge list is one positional explode + equi-join on
-    * (doc_id, position) — linear, never a token×token product; each
-    * iteration is one (doc_id, src)-keyed join + one (doc_id, dst)-keyed
-    * partial agg; the top-k window is keyed by doc_id. Graphs are
-    * per-document, so iteration state is edge-list-sized — no global
-    * graph, no driver state. Single-token documents have no edges and
-    * emit no keywords (documented).
+    * Scale: the graph is PER DOCUMENT and bounded by the document's token
+    * count, so the whole computation — graph build, `iters` damped
+    * rounds, top-k selection — runs as ONE fused codegen kernel per
+    * document ([[graft.plans.TextRankTopK]]), embarrassingly parallel
+    * over documents with no global graph and no driver state. (The
+    * previous DataFrame formulation — positional equi-join edge build +
+    * 2 keyed shuffles per iteration + a ranking window, ~8 exchanges for
+    * work that never crosses document boundaries — measured 5.9–6.9 s at
+    * sf0.1 against the kernel's ~1 s; its integer/double spelling is
+    * replayed verbatim, so the DuckDB twin's chained r1/r2/r3 CTEs still
+    * match bit-for-bit, asserted by the oracle gate and the TextAnalysis
+    * parity spec.) Single-token documents have no edges and emit no
+    * keywords (documented).
     */
   def textrankKeywords(documents: DataFrame, k: Int = 3, window: Int = 2,
                        iters: Int = 3, damping: Double = 0.85,
-                       scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    val Scale = 1000000000.0
-    val pos = documents.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("p", "t")))
-    val probes = pos.select(col("doc_id"), col("t").as("src"),
-      explode(array((1 to window).map(o => col("p") + o): _*)).as("p2"))
-    val pairs = probes
-      .join(pos.select(col("doc_id"), col("p").as("p2"), col("t").as("dst")),
-        Seq("doc_id", "p2"))
-      .filter(col("src") =!= col("dst"))
-      .select("doc_id", "src", "dst")
-    val und = pairs.unionAll(pairs.select(col("doc_id"),
-      col("dst").as("src"), col("src").as("dst")))
-    // persist: the weighted edge list (with source degrees folded in) is
-    // re-joined every iteration — without it the whole graph build reruns.
-    // MEASURED NEGATIVE, kept on record: repartitioning this by doc_id
-    // before the persist (hoping HashPartitioning(doc_id), a subset of
-    // both the per-iteration join and agg keys, would be reused through
-    // the loop and save two exchanges per iteration) showed NO win in an
-    // 8-run A/B at sf0.1 (old 2.7–4.4 s vs new 3.6–8.2 s warm) — the
-    // iteration joins re-shuffle anyway because the ranks side's
-    // partitioning changes shape each round, so the extra exchange only
-    // added cost. Don't re-try without checking the exchange count first.
-    val edges = scope.persist {
-      val e = und.groupBy("doc_id", "src", "dst").agg(count(lit(1)).as("wt"))
-      val deg = e.groupBy("doc_id", "src").agg(sum("wt").as("deg"))
-      e.join(deg, Seq("doc_id", "src"))
-    }
-    var ranks = edges.select(col("doc_id"), col("src").as("node"))
-      .distinct().withColumn("rq", lit(1000000000L))
-    for (_ <- 1 to iters) {
-      ranks = edges
-        .join(ranks.withColumnRenamed("node", "src"), Seq("doc_id", "src"))
-        .withColumn("contrib", floor(
-          col("rq").cast("double") * col("wt") / col("deg") + 0.5).cast("long"))
-        .groupBy(col("doc_id"), col("dst").as("node"))
-        .agg((lit(math.round((1 - damping) * Scale)) +
-          floor(lit(damping) * sum("contrib") + 0.5).cast("long")).as("rq"))
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(desc("rq"), col("node"))
-    ranks.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("doc_id"), col("node").as("token"),
-        (floor(col("rq").cast("double") / 100000.0 + 0.5) / 10000.0)
-          .as("rank_4dp"), col("rn"))
-  }
+                       scope: graft.CacheScope = graft.CacheScope.global): DataFrame =
+    documents
+      .select(col("doc_id"),
+        posexplode(graft.plans.GraphKernels.textrankTopK(tokens(col("text")),
+          k, window, iters, damping)).as(Seq("i", "s")))
+      .select(col("doc_id"), col("s.token").as("token"),
+        (floor(col("s.rq").cast("double") / 100000.0 + 0.5) / 10000.0)
+          .as("rank_4dp"),
+        (col("i") + 1).as("rn"))
 
   // ---- Trained Naive Bayes text classifier (fastText-lite) ----
 

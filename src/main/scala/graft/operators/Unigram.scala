@@ -24,10 +24,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (the [[Bpe]] discipline throughout): the piece table is
   * one explode + partial agg over DISTINCT words (vocab-bounded, never
-  * per-occurrence); Viterbi runs once per distinct word as `maxWordLen`
-  * chained keyed argmax steps over the word table joined to the
-  * broadcast-small vocabulary; documents then pay one word-level join —
-  * segmentation cost is per distinct word, token counting per occurrence.
+  * per-occurrence); the vocabulary is DRIVER-BOUNDED BY CONSTRUCTION
+  * (every single corpus character + topMulti ≤ 60 multis — the same size
+  * class as the IVF quantizer and the BPE merge table, both collected),
+  * so segmentation runs once per distinct word as ONE fused codegen
+  * kernel over the collected vocab
+  * ([[graft.plans.TokenizerKernels]] — replacing the previous
+  * `maxWordLen` chained keyed argmax steps: 12 checkpointed shuffle
+  * rounds per call, measured 4.8 s/query at sf0.1, became one narrow
+  * pass); documents then pay one word-level join — segmentation cost is
+  * per distinct word, token counting per occurrence.
   */
 object Unigram {
 
@@ -63,13 +69,67 @@ object Unigram {
         .cast("long"))
   }
 
-  /** Maximum-likelihood segmentation of every distinct word — Viterbi as
-    * `maxWordLen` chained argmax steps: state(j) = the best quantized
-    * score over decompositions of the word's first j characters, each
-    * step extending the previous ≤ [[MaxPiece]] states by one vocabulary
-    * piece, ties broken toward the LONGER final piece (smaller split
-    * point), which is a total order because the split point determines
-    * the candidate. Returns (word, n_pieces, score_q). Requires every
+  /** Collect the bounded vocabulary to driver arrays — the quantizer-
+    * collect discipline: the table is every single corpus character +
+    * ≤ topMulti multis by construction, the same driver-size class as the
+    * IVF centroid and BPE merge tables. One bounded collect per call.
+    */
+  private def vocabArrays(vocab: DataFrame): (Array[String], Array[Long]) = {
+    val rows = vocab.select(col("piece"), col("score_q")).collect()
+    (rows.map(_.getString(0)), rows.map(_.getLong(1)))
+  }
+
+  /** Single characters among the collected pieces — code-point semantics,
+    * matching `length(piece) === 1` on the DataFrame side.
+    */
+  private def singleChars(pieces: Array[String]): Array[String] =
+    pieces.filter(p => p.nonEmpty && p.codePointCount(0, p.length) == 1)
+
+  /** BOTH contract guards in ONE driver action (the [[Wordpiece]]
+    * discipline): the max-word-length scan and the missing-character probe
+    * — a character absent from the vocabulary would previously strand its
+    * word in the DP's inner joins and silently drop it from every
+    * downstream count; the fused kernels throw instead, but the guard
+    * keeps the failure at the call site with the bounded example list.
+    * Returns the longest word length (0 when `words` is empty).
+    */
+  private def guard(ws: DataFrame, pieces: Array[String],
+                    maxWordLen: Int): Int = {
+    val singles = singleChars(pieces).toSeq
+    val guardRows = ws
+      .agg(max(length(col("word"))).cast("int").as("maxlen"),
+        lit(null).cast("string").as("miss"))
+      .unionByName(ws
+        .select(explode(
+          graft.plans.NativeKernels.allSubstrings(col("word"), 1)).as("piece"))
+        .distinct()
+        .filter(if (singles.isEmpty) lit(true)
+          else !col("piece").isin(singles: _*))
+        .limit(5)
+        .select(lit(null).cast("int").as("maxlen"), col("piece").as("miss")))
+      .collect()
+    val actualMax = guardRows.iterator
+      .filterNot(_.isNullAt(0)).map(_.getInt(0)).nextOption().getOrElse(0)
+    require(actualMax <= maxWordLen,
+      s"longest word has $actualMax chars > maxWordLen=$maxWordLen — " +
+        "raise it or normalize the corpus")
+    val missing = guardRows.iterator
+      .filterNot(_.isNullAt(1)).map(_.getString(1)).toSeq
+    require(missing.isEmpty,
+      s"words contain characters missing from the vocabulary: " +
+        s"${missing.mkString("'", "', '", "'")} — was the vocab trained on " +
+        "this corpus? (segmentation would silently drop those words)")
+    actualMax
+  }
+
+  /** Maximum-likelihood segmentation of every distinct word — Viterbi with
+    * state(j) = the best quantized score over decompositions of the word's
+    * first j characters, ties broken toward the LONGER final piece
+    * (smaller split point), which is a total order because the split point
+    * determines the candidate. Returns (word, n_pieces, score_q). Runs as
+    * ONE fused per-word kernel over the driver-collected vocabulary
+    * ([[graft.plans.UnigramViterbiStats]]) — same DP, same tie law,
+    * formerly `maxWordLen` chained keyed argmax rounds. Requires every
     * word ≤ `maxWordLen` chars (the corpus-normalization contract —
     * SentencePiece's max_sentencepiece_length plays the same role) and
     * every character in the vocabulary (guaranteed when `vocab` was
@@ -78,111 +138,32 @@ object Unigram {
   def segmentWords(words: DataFrame, vocab: DataFrame,
                    maxWordLen: Int = 12,
                    scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    val (ws, states, actualMax) = viterbiStates(words, vocab, maxWordLen, scope)
-    if (actualMax == 0)
-      return ws.select(col("word"), lit(0L).as("n_pieces"), lit(0L).as("score_q"))
-        .limit(0)
-    (1 to actualMax).map { j =>
-      states(j).filter(length(col("word")) === j)
-    }.reduce(_ unionByName _)
-      .select(col("word"), col("np").as("n_pieces"), col("sq").as("score_q"))
-  }
-
-  /** The shared Viterbi DP: distinct words, per-prefix-length states with
-    * BACKPOINTERS. Returns (distinct words, states 0..actualMax, actualMax);
-    * state j holds (word, sq, np, bi) — best quantized score, piece count,
-    * and chosen split point for the word's first j characters.
-    */
-  private def viterbiStates(words: DataFrame, vocab: DataFrame,
-                            maxWordLen: Int, scope: graft.CacheScope)
-      : (DataFrame, Vector[DataFrame], Int) = {
-    val ws = words.select("word").distinct()
-    // one pass answers both the contract check and the loop depth: steps
-    // beyond the longest actual word would compute empty states (the SQL
-    // twin keeps its fixed-depth chain — its surplus CTEs are empty, so
-    // the outputs agree)
-    val actualMax = ws.agg(max(length(col("word"))).as("m"))
-      .first().getAs[Number](0) match { case null => 0; case n => n.intValue }
-    require(actualMax <= maxWordLen,
-      s"longest word has $actualMax chars > maxWordLen=$maxWordLen — " +
-        "raise it or normalize the corpus")
-    // checkpoint, not persist: state(j) reads the previous FOUR states,
-    // so the uncut lineage branches 4-way per step — a 4^maxWordLen-node
-    // tree the analyzer would walk per downstream job (the measured
-    // pretrain stage-5/6 disease; this one hangs outright at 12 steps).
-    // Each state is word-table-sized, so the eager cut is cheap.
-    val v = scope.checkpoint(vocab.select(col("piece"), col("score_q")))
-    // loud contract guard (was a silent inner-join drop): a word containing
-    // a character absent from the vocabulary — possible when vocab was
-    // trained on a DIFFERENT corpus — would lose all its states and vanish
-    // from every downstream count. One cheap distinct-char anti-join pass
-    // over the (already distinct) word table catches it before the DP runs.
-    val missing = ws
-      .select(explode(graft.plans.NativeKernels.allSubstrings(col("word"), 1)).as("piece"))
-      .distinct()
-      .join(v.filter(length(col("piece")) === 1), Seq("piece"), "left_anti")
-      .limit(5).collect().map(_.getString(0))
-    require(missing.isEmpty,
-      s"words contain characters missing from the vocabulary: " +
-        s"${missing.mkString("'", "', '", "'")} — was the vocab trained on " +
-        "this corpus? (segmentation would silently drop those words)")
-    // states(j): (word, sq, np, bi) for words with length ≥ j; state 0 is
-    // the empty prefix of every word
-    var states = Vector(scope.checkpoint(ws.select(col("word"),
-      lit(0L).as("sq"), lit(0L).as("np"), lit(-1L).as("bi"))))
-    for (j <- 1 to actualMax) {
-      val cands = (math.max(0, j - MaxPiece) until j).map { i =>
-        states(i)
-          .filter(length(col("word")) >= j)
-          .select(col("word"), lit(i.toLong).as("i"),
-            col("word").substr(i + 1, j - i).as("piece"),
-            col("sq"), col("np"))
-      }.reduce(_ unionByName _)
-      // argmax by (sq desc, i asc) as a max_by PARTIAL aggregate — the
-      // (sq, −i) key is unique per candidate (one candidate per split
-      // point), so the tie law is total and map-side combine replaces the
-      // window's sort shuffle
-      val scored = cands.join(v, "piece")
-        .select(col("word"), col("i"),
-          (col("sq") + col("score_q")).as("sq"), (col("np") + 1).as("np"))
-      states = states :+ scope.checkpoint(scored
-        .groupBy("word")
-        .agg(max_by(struct(col("sq"), col("np"), col("i").as("bi")),
-          struct(col("sq"), (-col("i")).as("ni"))).as("m"))
-        .select(col("word"), col("m.sq").as("sq"), col("m.np").as("np"),
-          col("m.bi").as("bi")))
-    }
-    (ws, states, actualMax)
+    val (ps, ss) = vocabArrays(vocab)
+    // persisted: feeds the guard job AND the result pass
+    val ws = scope.persist(words.select("word").distinct())
+    guard(ws, ps, maxWordLen)
+    ws.filter(length(col("word")) > 0)
+      .select(col("word"),
+        graft.plans.TokenizerKernels.unigramViterbiStats(col("word"), ps, ss,
+          MaxPiece, maxWordLen).as("st"))
+      .select(col("word"), col("st.n_pieces").as("n_pieces"),
+        col("st.score_q").as("score_q"))
   }
 
   /** The Viterbi-best segmentation PATH of every distinct word, one row per
-    * used piece WITH multiplicity: (word, piece). Backtrace over the DP's
-    * backpointers as ≤ maxWordLen frontier-join steps — each step j→bi
-    * emits the piece word[bi+1..j] and moves the frontier to bi; the
-    * frontier only shrinks, and every word terminates at state 0 because
-    * the DP guarantees each kept state was reached from state 0.
+    * used piece WITH multiplicity: (word, piece) — the fused-kernel form of
+    * the DP + backpointer backtrace ([[graft.plans.UnigramViterbiPieces]]).
     */
   def segmentPieces(words: DataFrame, vocab: DataFrame,
                     maxWordLen: Int = 12,
                     scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    val (ws, states, actualMax) = viterbiStates(words, vocab, maxWordLen, scope)
-    if (actualMax == 0)
-      return ws.select(col("word"), col("word").as("piece")).limit(0)
-    val bp = scope.checkpoint((1 to actualMax).map { j =>
-      states(j).filter(length(col("word")) >= j)
-        .select(col("word"), lit(j.toLong).as("j"), col("bi"))
-    }.reduce(_ unionByName _))
-    var frontier = ws.select(col("word"), length(col("word")).cast("long").as("j"))
-    val emitted = Vector.newBuilder[DataFrame]
-    for (_ <- 1 to actualMax) {
-      // linear lineage (bp is checkpointed), so no per-step cut is needed
-      val step = frontier.filter(col("j") > 0).join(bp, Seq("word", "j"))
-      emitted += step.select(col("word"),
-        col("word").substr((col("bi") + 1).cast("int"),
-          (col("j") - col("bi")).cast("int")).as("piece"))
-      frontier = step.select(col("word"), col("bi").as("j"))
-    }
-    emitted.result().reduce(_ unionByName _)
+    val (ps, ss) = vocabArrays(vocab)
+    val ws = scope.persist(words.select("word").distinct())
+    guard(ws, ps, maxWordLen)
+    ws.filter(length(col("word")) > 0)
+      .select(col("word"),
+        explode(graft.plans.TokenizerKernels.unigramViterbiPieces(col("word"),
+          ps, ss, MaxPiece, maxWordLen)).as("piece"))
   }
 
   /** One hard-EM round of Kudo's prune loop over a seed vocabulary
@@ -193,7 +174,9 @@ object Unigram {
     *
     *   - E-step: usage(piece) = Σ over words of freq(word) × times the
     *     piece appears in the word's Viterbi-best segmentation under the
-    *     CURRENT scores ([[segmentPieces]]).
+    *     CURRENT scores (the [[graft.plans.UnigramViterbiPieces]] kernel —
+    *     [[Bpe.wordFreqs]] is one row per DISTINCT word, so the kernel
+    *     output weights by `freq` directly, no word-level join).
     *   - Prune: multi-char pieces the best segmentations never or rarely
     *     use are dropped — keep the top `keepMulti` by (usage desc, piece
     *     asc); zero-usage multis are gone by construction. Single chars
@@ -209,11 +192,18 @@ object Unigram {
   def emRound(documents: DataFrame, vocab: DataFrame, keepMulti: Int = 40,
               maxWordLen: Int = 12,
               scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    val wf = scope.checkpoint(Bpe.wordFreqs(documents))
-    val paths = segmentPieces(wf.select("word"), vocab, maxWordLen, scope)
-    val usage = paths.join(wf, "word")
+    val (ps, ss) = vocabArrays(vocab)
+    val wf = scope.persist(Bpe.wordFreqs(documents))
+    guard(wf.select("word"), ps, maxWordLen)
+    val usage = wf.filter(length(col("word")) > 0)
+      .select(col("freq"),
+        explode(graft.plans.TokenizerKernels.unigramViterbiPieces(col("word"),
+          ps, ss, MaxPiece, maxWordLen)).as("piece"))
       .groupBy("piece").agg(sum("freq").as("use_cnt"))
-    val singles = vocab.filter(length(col("piece")) === 1).select("piece")
+    val spark = documents.sparkSession
+    val singles = spark
+      .createDataset(singleChars(ps).toSeq)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("piece")
       .join(usage, Seq("piece"), "left")
       .select(col("piece"), coalesce(col("use_cnt"), lit(0L)).as("use_cnt"))
     val multis = usage.filter(length(col("piece")) > 1)
@@ -234,10 +224,10 @@ object Unigram {
     * Determinism strategy (every cross-engine hazard quantized away):
     * a word of ≤ `maxWordLen` chars over ≤ [[MaxPiece]]-char pieces has a
     * BOUNDED segmentation lattice (≤ 2^11 paths at 12 chars), so the
-    * E-step ENUMERATES paths with a frontier-join DP instead of running
-    * scaled forward-backward — float α/β recurrences would need a
-    * deterministic per-step rescale, while per-path log-weights are plain
-    * integer sums of the vocabulary's 1e-9-grid scores. Per word:
+    * E-step ENUMERATES paths instead of running scaled forward-backward —
+    * float α/β recurrences would need a deterministic per-step rescale,
+    * while per-path log-weights are plain integer sums of the vocabulary's
+    * 1e-9-grid scores. Per word:
     * relative path weight r = ⌊exp((logwq − max logwq)/10⁹)·10⁹ + 0.5⌋
     * (one transcendental per path, grid-absorbed — the lmScore/dsir
     * discipline), Z = Σr exactly in longs, and each piece's expected
@@ -253,77 +243,30 @@ object Unigram {
     * ln re-score on the 1e-9 grid.
     *
     * Scale: cost is per DISTINCT word × its path count (lattice-bounded,
-    * never per occurrence); the 12-step expansion is keyed equi-joins
-    * against the broadcast-small vocabulary with checkpointed frontiers —
-    * the [[segmentWords]] shape with states kept instead of argmax'd.
+    * never per occurrence); the whole enumeration runs as ONE fused
+    * per-word kernel over the driver-collected vocabulary
+    * ([[graft.plans.UnigramSoftUsage]] — formerly 12 checkpointed
+    * frontier-join expansions per call).
     */
   def emRoundSoft(documents: DataFrame, vocab: DataFrame, keepMulti: Int = 40,
                   maxWordLen: Int = 12,
                   scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    val wf = scope.checkpoint(Bpe.wordFreqs(documents))
-    val ws = wf.select("word").distinct()
-    val actualMax = ws.agg(max(length(col("word"))).as("m"))
-      .first().getAs[Number](0) match { case null => 0; case n => n.intValue }
-    require(actualMax <= maxWordLen,
-      s"longest word has $actualMax chars > maxWordLen=$maxWordLen — " +
-        "raise it or normalize the corpus")
-    val v = scope.checkpoint(vocab.select(col("piece"), col("score_q")))
-    // same loud missing-char contract as viterbiStates: a word whose
-    // character is absent from the vocab has NO complete path and would
-    // silently vanish from the expectations
-    val missing = ws
-      .select(explode(graft.plans.NativeKernels.allSubstrings(col("word"), 1)).as("piece"))
-      .distinct()
-      .join(v.filter(length(col("piece")) === 1), Seq("piece"), "left_anti")
-      .limit(5).collect().map(_.getString(0))
-    require(missing.isEmpty,
-      s"words contain characters missing from the vocabulary: " +
-        s"${missing.mkString("'", "', '", "'")} — was the vocab trained on " +
-        "this corpus?")
-
-    // path expansion: frontier rows (word, j, lw, ps) = a partial
-    // segmentation of the first j chars with integer log-weight lw and
-    // piece list ps; each step extends by every vocab piece of length
-    // 1..MaxPiece via an EQUI-join on the extracted substring
-    var frontier = scope.checkpoint(ws.select(col("word"),
-      lit(0L).as("j"), lit(0L).as("lw"),
-      array().cast("array<string>").as("ps")))
-    val done = Vector.newBuilder[DataFrame]
-    for (_ <- 1 to actualMax) {
-      val cand = frontier
-        .filter(col("j") < length(col("word")))
-        .select(col("word"), col("j"), col("lw"), col("ps"),
-          explode(sequence(lit(1L),
-            least(lit(MaxPiece.toLong), length(col("word")) - col("j"))))
-            .as("pl"))
-        .withColumn("piece",
-          col("word").substr((col("j") + 1).cast("int"), col("pl").cast("int")))
-      val step = scope.checkpoint(cand.join(v, "piece")
-        .select(col("word"), (col("j") + col("pl")).as("j"),
-          (col("lw") + col("score_q")).as("lw"),
-          concat(col("ps"), array(col("piece"))).as("ps")))
-      done += step.filter(col("j") === length(col("word")))
-        .select("word", "lw", "ps")
-      frontier = step
-    }
+    val (ps, ss) = vocabArrays(vocab)
+    val wf = scope.persist(Bpe.wordFreqs(documents))
+    val actualMax = guard(wf.select("word"), ps, maxWordLen)
     if (actualMax == 0)
       return vocab.select(col("piece"), lit(0L).as("use_q"),
         lit(0L).as("score_q")).limit(0)
-    val allp = done.result().reduce(_ unionByName _)
-
-    val mx = allp.groupBy("word").agg(max("lw").as("m"))
-    val rw = scope.persist(allp.join(mx, "word")
-      .withColumn("r", floor(
-        exp((col("lw") - col("m")).cast("double") / 1000000000.0)
-          * 1000000000.0 + 0.5).cast("long")))
-    val z = rw.groupBy("word").agg(sum("r").as("z"))
-    val n = rw.select(col("word"), explode(col("ps")).as("piece"), col("r"))
-      .groupBy("word", "piece").agg(sum("r").as("n"))
-    val eq = n.join(z, "word")
-      .withColumn("e", expr("(n * 100000 + z div 2) div z"))
-    val usage = eq.join(wf, "word")
-      .groupBy("piece").agg(sum(col("freq") * col("e")).as("use_q"))
-    val singles = vocab.filter(length(col("piece")) === 1).select("piece")
+    val usage = wf.filter(length(col("word")) > 0)
+      .select(col("freq"),
+        explode(graft.plans.TokenizerKernels.unigramSoftUsage(col("word"),
+          ps, ss, MaxPiece, maxWordLen)).as("pe"))
+      .groupBy(col("pe.piece").as("piece"))
+      .agg(sum(col("freq") * col("pe.e")).as("use_q"))
+    val spark = documents.sparkSession
+    val singles = spark
+      .createDataset(singleChars(ps).toSeq)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("piece")
       .join(usage, Seq("piece"), "left")
       .select(col("piece"), coalesce(col("use_q"), lit(0L)).as("use_q"))
     val multis = usage.filter(length(col("piece")) > 1)

@@ -19,14 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (the [[Bpe]] discipline): vocabulary counting is one
   * positions×(≤[[MaxPiece]] lengths) explode + partial agg over DISTINCT
-  * words — vocab-bounded, never per-occurrence. Segmentation runs once
-  * per distinct word as ≤ maxWordLen chained keyed equi-joins against the
-  * checkpointed vocabulary (candidate = (is_cont, substring) key — a hash
-  * join, no prefix scan), each step consuming ≥ 1 character; documents
-  * then pay one word-level join. Greedy needs no backpointers, so the
-  * state is a single evolving (word, pos, np, seg) table, eagerly
-  * lineage-cut per step like the Viterbi DP (the uncut self-referential
-  * chain is the measured analyzer disease).
+  * words — vocab-bounded, never per-occurrence. The vocabulary is
+  * driver-bounded by construction (every single character of each
+  * position kind + topMulti ≤ 60 multis), so segmentation runs once per
+  * distinct word as ONE fused codegen kernel over the collected sets
+  * ([[graft.plans.WordpieceGreedy]] — replacing the previous ≤ maxWordLen
+  * chained join+agg rounds, each a checkpointed shuffle); documents then
+  * pay one word-level join.
   */
 object Wordpiece {
 
@@ -72,14 +71,31 @@ object Wordpiece {
   def segmentWords(words: DataFrame, vocab: DataFrame,
                    maxWordLen: Int = 12,
                    scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    val ws = words.select("word").distinct()
-    val v = scope.checkpoint(vocab.select(col("core"), col("is_cont")))
+    // the vocabulary is driver-bounded by construction (every single
+    // character of each position kind + topMulti ≤ 60 multis — the
+    // quantizer-collect size class), so the greedy matcher runs as ONE
+    // fused per-word kernel over the collected sets
+    // ([[graft.plans.WordpieceGreedy]] — formerly maxWordLen chained
+    // join+agg rounds, each a checkpointed shuffle)
+    val rows = vocab.select(col("core"), col("is_cont")).collect()
+    val cores = rows.map(_.getString(0))
+    val isCont = rows.map(_.getBoolean(1))
+    // persisted: feeds the guard job AND the result pass
+    val ws = scope.persist(words.select("word").distinct())
+    def single(c: String) = c.nonEmpty && c.codePointCount(0, c.length) == 1
+    val initSingles = cores.iterator.zip(isCont.iterator)
+      .collect { case (c, false) if single(c) => c }.toSeq
+    val contSingles = cores.iterator.zip(isCont.iterator)
+      .collect { case (c, true) if single(c) => c }.toSeq
+    def inSet(c: org.apache.spark.sql.Column, s: Seq[String]) =
+      if (s.isEmpty) lit(false) else c.isin(s: _*)
     // BOTH contract guards in ONE driver action (the round-10 advice): the
     // max-word-length scan and the missing-character probe (the
     // Unigram.segmentWords discipline — a character missing from the vocab
-    // in its position kind would strand that word mid-segmentation and
-    // drop it from the inner join) union into a single two-branch job
-    // instead of two eager passes per call.
+    // in its position kind would previously strand that word
+    // mid-segmentation and silently drop it; the kernel throws instead,
+    // and the guard keeps the failure at the call site with the bounded
+    // example list) union into a single two-branch job.
     val guardRows = ws
       .agg(max(length(col("word"))).cast("int").as("maxlen"),
         lit(null).cast("string").as("miss"))
@@ -89,8 +105,8 @@ object Wordpiece {
         .select((col("p") > 1).as("is_cont"),
           col("word").substr(col("p"), lit(1)).as("core"))
         .distinct()
-        .join(v.filter(length(col("core")) === 1),
-          Seq("core", "is_cont"), "left_anti")
+        .filter(!((col("is_cont") && inSet(col("core"), contSingles)) ||
+          (!col("is_cont") && inSet(col("core"), initSingles))))
         .limit(5)
         .select(lit(null).cast("int").as("maxlen"),
           concat(when(col("is_cont"), "##").otherwise(""), col("core"))
@@ -107,30 +123,11 @@ object Wordpiece {
       s"words contain characters missing from the vocabulary: " +
         s"${missing.mkString("'", "', '", "'")} — was the vocab trained on " +
         "this corpus? (segmentation would silently drop those words)")
-    var state = scope.checkpoint(ws.select(col("word"),
-      lit(1).as("pos"), lit(0L).as("np"), lit("").as("seg")))
-    for (_ <- 1 to actualMax) {
-      val finished = state.filter(col("pos") > length(col("word")))
-      val best = state.filter(col("pos") <= length(col("word")))
-        .select(col("word"), col("pos"), col("np"), col("seg"),
-          explode(sequence(lit(1),
-            least(lit(MaxPiece), length(col("word")) - col("pos") + 1)))
-            .as("l"))
-        .select(col("word"), col("pos"), col("np"), col("seg"),
-          (col("pos") > 1).as("is_cont"),
-          col("word").substr(col("pos"), col("l")).as("core"))
-        .join(v, Seq("core", "is_cont"))
-        .groupBy("word", "pos", "np", "seg")
-        .agg(max(length(col("core"))).as("bl"))
-      val piece = concat(when(col("pos") > 1, "##").otherwise(""),
-        col("word").substr(col("pos"), col("bl")))
-      val advanced = best.select(col("word"),
-        (col("pos") + col("bl")).as("pos"), (col("np") + 1L).as("np"),
-        when(col("seg") === "", piece)
-          .otherwise(concat(col("seg"), lit(" "), piece)).as("seg"))
-      state = scope.checkpoint(finished.unionByName(advanced))
-    }
-    state.select(col("word"), col("np").as("n_pieces"), col("seg"))
+    ws.select(col("word"),
+        graft.plans.TokenizerKernels.wordpieceGreedy(col("word"), cores,
+          isCont, MaxPiece, maxWordLen).as("st"))
+      .select(col("word"), col("st.n_pieces").as("n_pieces"),
+        col("st.seg").as("seg"))
   }
 
   /** Per-document WordPiece token counts under the trained vocabulary —

@@ -162,6 +162,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0)._3 > out(2)._3)
   }
 
+  test("textrank kernel equals the iterative reference on every corpus doc") {
+    // driver reference replaying the pre-kernel DataFrame formulation's
+    // exact arithmetic: undirected window-2 co-occurrence counts, 3 damped
+    // rounds of contrib = floor(rq·wt/deg + 0.5) then
+    // rq = round(0.15e9) + floor(0.85·Σ + 0.5), top-3 by (rq desc, token)
+    def ref(text: String, k: Int = 3, window: Int = 2, iters: Int = 3,
+            damping: Double = 0.85): Seq[(String, Double)] = {
+      val toks = text.split(" ", -1)
+      val wt = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for (p <- toks.indices; o <- 1 to window if p + o < toks.length
+           if toks(p) != toks(p + o)) {
+        wt((toks(p), toks(p + o))) += 1L
+        wt((toks(p + o), toks(p))) += 1L
+      }
+      if (wt.isEmpty) return Seq.empty
+      val deg = wt.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+      var rq = deg.keys.map(_ -> 1000000000L).toMap
+      val base = math.round((1 - damping) * 1e9)
+      for (_ <- 1 to iters) {
+        val acc = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        for (((s, d), w) <- wt)
+          acc(d) += math.floor(rq(s).toDouble * w.toDouble / deg(s).toDouble + 0.5).toLong
+        rq = acc.map { case (n, a) =>
+          n -> (base + math.floor(damping * a.toDouble + 0.5).toLong) }.toMap
+      }
+      rq.toSeq.sortBy { case (n, r) => (-r, n) }.take(k)
+        .map { case (n, r) =>
+          n -> math.floor(r.toDouble / 100000.0 + 0.5) / 10000.0 }
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextAnalysis.textrankKeywords(docs)
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => r._2 -> r._3).toSeq)
+      .toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    assert(texts.nonEmpty)
+    for ((id, text) <- texts) {
+      assert(got.getOrElse(id, Seq.empty) === ref(text), s"doc $id")
+    }
+  }
+
   test("textrank: a regular (complete) graph keeps every rank at 1.0") {
     // every token neighbors every other with equal weights -> the damped
     // update is a fixed point at exactly 1.0 on the grid
