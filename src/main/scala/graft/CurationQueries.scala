@@ -263,7 +263,8 @@ object CurationQueries {
         probe, dir + "#pretrain", dir + "#flagidxi", threshold = 0.65,
         scope = scope,
         embed = d => operators.Embed.hashedTfIdf(d, scope = scope,
-          downscaleBits = 10))
+          downscaleBits = 10),
+        embedTag = "tfidf10")
       val qid = b.emb.join(b.doomed, Seq("vec_id"), "left_anti")
         .agg(min("vec_id")).head().getLong(0)
       operators.Ivf.probe(b.model, b.emb, qid, 10,
@@ -321,11 +322,15 @@ object CurationQueries {
       val st = operators.Pretrain.buildState(dir + "#pretrain", prev, probe,
         scope)
       val frozenIdf = scope.persist(operators.Embed.idfTable(st.gated))
+      // embedTag: frozen-against-own-idf ≡ the direct idf embedder on the
+      // prev corpus (EmbedSpec identity), so the internal prev-build shares
+      // cur_pretrain_index_idf's content artifacts
       val (model, embCur) = operators.CorpusIndex.refresh(prev, cur, probe,
         dir + "#pretrain", dir + "#flagidxri", threshold = 0.65,
         scope = scope,
         embed = d => operators.Embed.hashedTfIdfFrozen(d, frozenIdf,
-          downscaleBits = 10))
+          downscaleBits = 10),
+        embedTag = "tfidf10")
       operators.Ivf.probe(model, embCur,
         operators.CorpusIndex.minLiveVecId(model), 10,
         nprobe = model.centroids.length)
@@ -490,12 +495,10 @@ object CurationQueries {
         .select("doc_id", "quality")
         .join(docs.select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
-      val budgets = Seq("src0" -> 800L, "src1" -> 1000L, "src2" -> 600L,
+      val budgets = Map("src0" -> 800L, "src1" -> 1000L, "src2" -> 600L,
         "src3" -> 2000L)
-      budgets.map { case (src, b) =>
-        Curation.selectUnderBudget(scored.filter(col("source") === src),
-          col("quality"), col("doc_id"), col("n_tokens"), b)
-      }.reduce(_ unionByName _)
+      Curation.selectUnderBudgetAll(scored, "source", col("quality"),
+          col("doc_id"), col("n_tokens"), budgets)
         .select("doc_id", "source", "quality", "n_tokens")
         .orderBy("doc_id")
     }),

@@ -212,6 +212,101 @@ object Curation {
     out.select(outCols: _*)
   }
 
+  /** [[selectUnderBudget]] for MANY groups in one pass: fills each group's
+    * budget with its best-ranked prefix, exactly as running the
+    * single-group form once per budget entry — but the per-group driver
+    * loop collapses into two bounded driver actions (rank ranges, bucket
+    * totals — both ≤ groups × `buckets` rows, recipe-sized) and ONE
+    * whole/edge plan, instead of 2 jobs + 3 sub-plans per group (the
+    * previous [[mixtureSample]] shape: measured ~3 s of driver planning in
+    * `cur_pretrain`'s 629-row mixture stage). Groups absent from `budgets`
+    * are dropped; a group whose ranks are all null contributes nothing —
+    * both the single-group contracts. Bit-identical output set: the
+    * bucket/offset/frontier arithmetic runs per group on the same numbers.
+    */
+  def selectUnderBudgetAll(df: DataFrame, groupCol: String, rank: Column,
+                           key: Column, cost: Column,
+                           budgets: Map[String, Long], buckets: Int = 64,
+                           scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    require(budgets.nonEmpty, "selectUnderBudgetAll needs at least one budget")
+    val outCols = df.columns.toSeq.map(col)
+    val srcs = budgets.keys.toSeq.sorted
+    // persist: feeds the two bounded collects AND the whole/edge filters
+    val base = scope.persist(df
+      .filter(col(groupCol).isin(srcs: _*))
+      .withColumn("_rank_d", rank.cast("double"))
+      .withColumn("_cost_l", cost.cast("long")))
+    // per-group rank ranges in ONE pass (min(null-only group) → null →
+    // group skipped, the single-group mm.isNullAt contract)
+    val mm = base.groupBy(col(groupCol).as("_g"))
+      .agg(min("_rank_d").as("_lo"), max("_rank_d").as("_hi"))
+      .collect()
+      .filterNot(_.isNullAt(1))
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val live = srcs.filter(mm.contains)
+    if (live.isEmpty) return df.filter(lit(false))
+    // best rank → bucket 0, per group's own (lo, hi) — a recipe-sized
+    // when-chain (the driver loop the per-group form ran, as an expression)
+    val bucketCol = live.foldLeft(lit(null).cast("int")) { (acc, s) =>
+      val (lo, hi) = mm(s)
+      val e =
+        if (hi == lo) lit(0)
+        else least(lit(buckets - 1),
+          floor((lit(hi) - col("_rank_d")) / ((hi - lo) / buckets)).cast("int"))
+      when(col(groupCol) === s, e).otherwise(acc)
+    }
+    val bucketed = base.withColumn("_bucket", bucketCol)
+    val totals = bucketed.groupBy(col(groupCol).as("_g"), col("_bucket"))
+      .agg(sum("_cost_l").as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // per group: offsets(b) = total cost of better-ranked buckets, the
+    // last fully-passing bucket, and the frontier bucket (if any)
+    val plan = live.map { s =>
+      val budget = budgets(s)
+      val offsets = (0 until buckets)
+        .scanLeft(0L)((acc, b) => acc + totals.getOrElse((s, b), 0L))
+      val lastAllPass = (0 until buckets)
+        .filter(b => offsets(b) + totals.getOrElse((s, b), 0L) <= budget)
+        .lastOption.getOrElse(-1)
+      val frontier = (0 until buckets).find(b =>
+        offsets(b) <= budget && offsets(b) + totals.getOrElse((s, b), 0L) > budget)
+      (s, lastAllPass, frontier, offsets)
+    }
+    val wholeCond = plan.foldLeft(lit(false)) { case (acc, (s, lap, _, _)) =>
+      when(col(groupCol) === s, col("_bucket") <= lap).otherwise(acc)
+    }
+    val whole = bucketed.filter(wholeCond)
+    val fr = plan.collect { case (s, _, Some(fb), offsets) =>
+      (s, fb, offsets(fb), budgets(s)) }
+    val out =
+      if (fr.isEmpty) whole
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol), col("_bucket"))
+          .orderBy(col("_rank_d").desc, key.asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val edgeCond = fr.foldLeft(lit(false)) { case (acc, (s, fb, _, _)) =>
+          when(col(groupCol) === s, col("_bucket") === fb).otherwise(acc)
+        }
+        val offsetCol = fr.foldLeft(lit(null).cast("long")) {
+          case (acc, (s, _, off, _)) =>
+            when(col(groupCol) === s, lit(off)).otherwise(acc)
+        }
+        val budgetCol = fr.foldLeft(lit(null).cast("long")) {
+          case (acc, (s, _, _, b)) =>
+            when(col(groupCol) === s, lit(b)).otherwise(acc)
+        }
+        val edge = bucketed.filter(edgeCond)
+          .withColumn("_running", sum(col("_cost_l")).over(w) + offsetCol)
+          .filter(col("_running") <= budgetCol)
+          .drop("_running")
+        whole.unionByName(edge)
+      }
+    out.select(outCols: _*)
+  }
+
   /** Data-mixture construction: per-source token budgets ("40% web, 20%
     * code, …" × total token count) filled by the hash-ordered prefix of
     * each source — [[hashUnit]] ordering is a deterministic uniform
@@ -233,10 +328,11 @@ object Curation {
                     buckets: Int = 64,
                     scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
     require(budgets.nonEmpty, "mixtureSample needs at least one source budget")
-    budgets.toSeq.sortBy(_._1).map { case (src, b) =>
-      selectUnderBudget(df.filter(col(sourceCol) === src),
-        lit(0.0) - hashUnit(key), key, cost, b, buckets, scope)
-    }.reduce(_ unionByName _)
+    // one multi-group pass (see [[selectUnderBudgetAll]]) — the per-source
+    // loop of two-phase walks produced the same set with 2 driver jobs + 3
+    // sub-plans per source
+    selectUnderBudgetAll(df, sourceCol, lit(0.0) - hashUnit(key), key, cost,
+      budgets, buckets, scope)
   }
 
   /** Temperature-scaled mixture budgets (the multilingual/source-balancing
