@@ -455,8 +455,9 @@ object Curation {
   private def dsirWeightsQ(documents: DataFrame, isTarget: Column,
                            buckets: Int,
                            scope: graft.CacheScope): DataFrame = {
-    val feats = concat(TextAnalysis.tokens(col("text")),
-      TextAnalysis.bigrams(col("text")))
+    // fused unigram+bigram feature pass (graft.plans.TokenBigramFeats —
+    // the Embed.hashedTf spelling, same values)
+    val feats = graft.plans.TokenizerKernels.tokenBigramFeats(col("text"))
     // persist: the occurrence table feeds the bucket-count aggregation AND
     // the per-doc scoring join. (A (doc_id, tgt, b, tf) pre-aggregation —
     // the hashedTfIdf discipline — was MEASURED NEGATIVE here and
@@ -542,12 +543,15 @@ object Curation {
   def chunk(documents: DataFrame, chunkTokens: Int, overlap: Int = 0): DataFrame = {
     require(overlap < chunkTokens, "overlap must be smaller than the chunk")
     val stride = chunkTokens - overlap
-    val toks = split(col("text"), " ")
+    // nChunks reads the MATERIALIZED toks column — spelling it over the
+    // split(text) expression re-evaluated the split per reference in the
+    // generator (the TokenBigramFeats lesson)
+    val toks = col("toks")
     val nChunks = when(size(toks) <= chunkTokens, lit(1))
       .otherwise(ceil((size(toks) - lit(chunkTokens)).cast("double") / stride)
         .cast("int") + 1)
     documents
-      .withColumn("toks", toks)
+      .withColumn("toks", split(col("text"), " "))
       .select(col("*"), posexplode(transform(sequence(lit(0), nChunks - 1),
         i => slice(col("toks"), i * stride + 1, lit(chunkTokens))))
         .as(Seq("chunk_no", "chunk_toks")))

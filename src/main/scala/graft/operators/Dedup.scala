@@ -1070,16 +1070,8 @@ object Dedup {
           col("b_start") + col("span_len") - 1)).as("pl"))
       .select(col("doc_id"), col("pl").cast("int").as("p"))
       .distinct()
-    // same split-on-space positions the span table was built from
-    val toks = documents.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("p", "token")))
-    val kept = toks.join(cut, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("p"), col("token")))),
-          x => x.getField("token")), " ").as("clean_text"))
-    documents.select("doc_id").join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+    // touched-only fused rebuild; untouched docs pass through verbatim
+    TextAnalysis.rebuildWithoutPositions(documents, cut, scope)
   }
 
   /** [[cutSubstrSpans]] restricted to a TARGET doc set — the incremental
@@ -1126,16 +1118,8 @@ object Dedup {
           col("b_start") + col("span_len") - 1)).as("pl"))
       .select(col("doc_id"), col("pl").cast("int").as("p"))
       .distinct()
-    val toks = documents.join(tids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("p", "token")))
-    val kept = toks.join(cut, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("p"), col("token")))),
-          x => x.getField("token")), " ").as("clean_text"))
-    tids.join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+    TextAnalysis.rebuildWithoutPositions(
+      documents.join(tids, Seq("doc_id"), "left_semi"), cut, scope)
   }
 
   /** Span-level decontamination — the surgical form of benchmark
@@ -1189,9 +1173,7 @@ object Dedup {
       posexplode(gramHashes(col("text"), minLen)).as(Seq("pos_b", "h")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id", "bench_id", "d").orderBy("pos_b")
-    // persist: cut positions feed the touched-doc semi-join AND the
-    // anti-join below — uncached, the gram join runs twice
-    val cut = scope.persist(occD.join(occB, "h")
+    val cut = occD.join(occB, "h")
       .withColumn("d", col("pos_b") - col("pos_a"))
       .withColumn("isl", col("pos_b") - row_number().over(w))
       .groupBy("doc_id", "bench_id", "d", "isl")
@@ -1201,25 +1183,10 @@ object Dedup {
         explode(sequence(col("b_start"),
           col("b_start") + col("span_len") - 1)).as("pl"))
       .select(col("doc_id"), col("pl").cast("int").as("p"))
-      .distinct())
-    val toks = documents.join(cut.select("doc_id").distinct(),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("p", "token")))
-    val rebuilt = toks.join(cut, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("p"), col("token")))),
-          x => x.getField("token")), " ").as("clean_text"))
-    val untouched = documents.join(cut.select("doc_id").distinct(),
-        Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("text").as("clean_text"))
-    // a fully-cut doc drops out of `rebuilt`'s groupBy — restore as ''
-    val emptied = documents.select("doc_id")
-      .join(cut.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-      .join(rebuilt.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit("").as("clean_text"))
-    untouched.unionByName(rebuilt).unionByName(emptied)
+      .distinct()
+    // touched-only fused rebuild (the shared helper now carries the
+    // untouched-verbatim and fully-cut-to-'' branches)
+    TextAnalysis.rebuildWithoutPositions(documents, cut, scope)
   }
 
   /** All pairs of rows carrying IDENTICAL vectors — the exact-dup shape

@@ -44,8 +44,10 @@ object Embed {
     */
   def hashedTf(documents: DataFrame, dim: Int = 64): DataFrame = {
     require(dim > 0, s"dim=$dim must be positive")
-    val feats = concat(TextAnalysis.tokens(col("text")),
-      TextAnalysis.bigrams(col("text")))
+    // fused unigram+bigram feature pass (graft.plans.TokenBigramFeats):
+    // the concat(tokens, bigrams) spelling re-evaluated the split child per
+    // reference and built bigrams via interpreted HOF closures
+    val feats = graft.plans.TokenizerKernels.tokenBigramFeats(col("text"))
     documents
       .select(col("doc_id"), explode(feats).as("f"))
       .select(col("doc_id"),
@@ -96,8 +98,10 @@ object Embed {
     require(downscaleBits >= 0 && downscaleBits < 30,
       s"downscaleBits=$downscaleBits out of [0, 30)")
     val n = documents.count()
-    val feats = concat(TextAnalysis.tokens(col("text")),
-      TextAnalysis.bigrams(col("text")))
+    // fused unigram+bigram feature pass (graft.plans.TokenBigramFeats):
+    // the concat(tokens, bigrams) spelling re-evaluated the split child per
+    // reference and built bigrams via interpreted HOF closures
+    val feats = graft.plans.TokenizerKernels.tokenBigramFeats(col("text"))
     // pre-aggregate occurrences to (doc, f, tf) FIRST: one map-side-
     // combined shuffle replaces both the (doc,f) distinct pass and a join
     // against the full per-occurrence stream (measured 7.1 → ~5 s at
@@ -137,8 +141,10 @@ object Embed {
     */
   def idfTable(documents: DataFrame): DataFrame = {
     val n = documents.count()
-    val feats = concat(TextAnalysis.tokens(col("text")),
-      TextAnalysis.bigrams(col("text")))
+    // fused unigram+bigram feature pass (graft.plans.TokenBigramFeats):
+    // the concat(tokens, bigrams) spelling re-evaluated the split child per
+    // reference and built bigrams via interpreted HOF closures
+    val feats = graft.plans.TokenizerKernels.tokenBigramFeats(col("text"))
     documents
       .select(col("doc_id"), explode(feats).as("f"))
       .groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
@@ -160,8 +166,10 @@ object Embed {
     require(dim > 0, s"dim=$dim must be positive")
     require(downscaleBits >= 0 && downscaleBits < 30,
       s"downscaleBits=$downscaleBits out of [0, 30)")
-    val feats = concat(TextAnalysis.tokens(col("text")),
-      TextAnalysis.bigrams(col("text")))
+    // fused unigram+bigram feature pass (graft.plans.TokenBigramFeats):
+    // the concat(tokens, bigrams) spelling re-evaluated the split child per
+    // reference and built bigrams via interpreted HOF closures
+    val feats = graft.plans.TokenizerKernels.tokenBigramFeats(col("text"))
     documents
       .select(col("doc_id"), explode(feats).as("f"))
       .groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))

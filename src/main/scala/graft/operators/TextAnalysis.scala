@@ -266,7 +266,7 @@ object TextAnalysis {
     // pre-agg only added a (doc, b)-keyed shuffle: 2.60 → 3.22 s at
     // sf0.1. Don't re-try without checking the tf distribution first.)
     val occ = scope.persist(documents
-      .select(col("doc_id"), explode(bigrams(col("text"))).as("b")))
+      .select(col("doc_id"), explode(graft.plans.TokenizerKernels.bigramsOnly(col("text"))).as("b")))
     val c2 = occ.groupBy("b").agg(count(lit(1)).as("c2"))
     // c1 derives from c2 by prefix (exact long sums), and the per-bigram
     // score term folds into ONE vocab table — the occurrence stream then
@@ -317,10 +317,10 @@ object TextAnalysis {
     // of the scored side was MEASURED NEGATIVE — tf ≈ 1 for bigrams —
     // and reverted.)
     val prep = (d: DataFrame) => d
-      .select(col("doc_id"), explode(bigrams(col("text"))).as("b"))
+      .select(col("doc_id"), explode(graft.plans.TokenizerKernels.bigramsOnly(col("text"))).as("b"))
       .withColumn("w1", substring_index(col("b"), " ", 1))
     val c2 = scope.persist(train
-      .select(explode(bigrams(col("text"))).as("b"))
+      .select(explode(graft.plans.TokenizerKernels.bigramsOnly(col("text"))).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c2")))
     val c1 = c2.select(substring_index(col("b"), " ", 1).as("w1"), col("c2"))
       .groupBy("w1").agg(sum("c2").as("c1"))
@@ -410,17 +410,37 @@ object TextAnalysis {
     * deterministic.
     */
   def stripBoilerplate(documents: DataFrame, n: Int = 3, minDocs: Int = 4,
-                       scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    val covered = coveredPositions(documents, n, minDocs, scope)
-    val toks = documents.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("p", "token")))
-    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("p"), col("token")))),
-          x => x.getField("token")), " ").as("clean_text"))
-    documents.select("doc_id").join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+                       scope: graft.CacheScope = graft.CacheScope.global): DataFrame =
+    rebuildWithoutPositions(documents,
+      coveredPositions(documents, n, minDocs, scope), scope)
+
+  /** Shared span-cut text rebuild: given the corpus and a cut-position
+    * table (doc_id, p), emit (doc_id, clean_text) for EVERY document —
+    * touched docs through the fused [[graft.plans.RemoveTokenPositions]]
+    * kernel (cut positions gathered per doc: spans are bounded by the
+    * document's own length, so the per-doc list is row-sized state),
+    * untouched docs VERBATIM (space-rejoined tokens reproduce the original
+    * string exactly, empties included). Replaces the strip operators'
+    * posexplode → anti-join → per-doc sort reconstruct, which re-built
+    * every document even though most carry no cuts.
+    */
+  private[operators] def rebuildWithoutPositions(documents: DataFrame,
+                                                 cut: DataFrame,
+                                                 scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    // persist: the gathered positions feed BOTH the touched join and the
+    // untouched anti-join — uncached, the whole span-detection subtree
+    // (the expensive part) would run twice (measured +2.1 s on
+    // cur_pretrain's stage 2)
+    val cutPos = scope.persist(cut.groupBy("doc_id")
+      .agg(collect_list(col("p").cast("int")).as("_ps")))
+    val touched = documents.join(cutPos, "doc_id")
+      .select(col("doc_id"),
+        graft.plans.TokenizerKernels.removeTokenPositions(col("text"),
+          col("_ps")).as("clean_text"))
+    val untouched = documents.join(cutPos.select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text").as("clean_text"))
+    touched.unionByName(untouched)
   }
 
   // ---- TextRank keyword extraction (Mihalcea & Tarau 2004) ----

@@ -67,6 +67,17 @@ object TokenizerKernels {
     ColumnBridge.column(WordpieceGreedy(ColumnBridge.expression(word),
       cores, isCont, maxPiece, maxWordLen))
 
+  def tokenBigramFeats(text: Column): Column =
+    ColumnBridge.column(TokenBigramFeats(ColumnBridge.expression(text)))
+
+  def bigramsOnly(text: Column): Column =
+    ColumnBridge.column(TokenBigramFeats(ColumnBridge.expression(text),
+      bigramsOnly = true))
+
+  def removeTokenPositions(text: Column, positions: Column): Column =
+    ColumnBridge.column(RemoveTokenPositions(
+      ColumnBridge.expression(text), ColumnBridge.expression(positions)))
+
   private[plans] def buildVocabMap(pieces: Array[String], scores: Array[Long])
       : java.util.HashMap[UTF8String, java.lang.Long] = {
     val m = new java.util.HashMap[UTF8String, java.lang.Long](pieces.length * 2)
@@ -123,6 +134,133 @@ object TokenizerKernels {
       j += 1
     }
     (sq, np, bi)
+  }
+}
+
+/** The unigram+bigram feature array of one document in ONE string pass:
+  * `split(text, " ", -1)` tokens followed by their adjacent bigrams
+  * ("tok[i] tok[i+1]") — bit-identical to
+  * `concat(split(text, " "), transform(sequence(0, n−2), i =>
+  * concat_ws(" ", slice(toks, i+1, 2))))`, the [[graft.operators.Embed]] /
+  * dsir feature spelling, but fused: that form re-evaluates the `split`
+  * child per reference inside the generator and builds each bigram through
+  * interpreted transform/slice/concat_ws closures. With `bigramsOnly` it
+  * emits just the bigrams ([[graft.operators.TextAnalysis.bigrams]]'
+  * spelling: fewer than 2 tokens → empty array). The split mirrors Java's
+  * `split(" ", -1)`: single-space separator, empties preserved everywhere,
+  * empty input → one empty token.
+  */
+case class TokenBigramFeats(child: Expression, bigramsOnly: Boolean = false)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    if (bigramsOnly) "bigram_feats" else "token_bigram_feats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenBigramFeats.compute(input.asInstanceOf[UTF8String], bigramsOnly)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TokenBigramFeats.compute($c, $bigramsOnly);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenBigramFeats =
+    copy(child = newChild)
+}
+
+object TokenBigramFeats {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String, bigramsOnly: Boolean): GenericArrayData = {
+    // UTF8String.split with a one-char non-regex-special pattern matches
+    // Spark's StringSplit(" ", -1): empties kept, empty input → [""]
+    val toks = text.split(Space, -1)
+    val n = toks.length
+    val nBi = math.max(0, n - 1)
+    val out = new Array[Any](if (bigramsOnly) nBi else n + nBi)
+    var i = 0
+    if (!bigramsOnly) {
+      while (i < n) { out(i) = toks(i); i += 1 }
+    }
+    val base = if (bigramsOnly) 0 else n
+    i = 0
+    while (i < nBi) {
+      out(base + i) = UTF8String.concat(toks(i), Space, toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** The span-cut text rebuild of one document in ONE pass: split the text
+  * on single spaces (empties preserved — the positions the span tables
+  * were built from), drop the token positions listed in `positions`
+  * (array<int>, any order, duplicates/out-of-range ignored), re-join the
+  * survivors with single spaces — bit-identical to the
+  * posexplode → anti-join → per-doc `array_sort(collect_list(struct(p,
+  * token)))` → `array_join` reconstruct the strip operators ran, because
+  * the rebuild preserves position order and a doc whose every position is
+  * cut yields "". Callers pass only TOUCHED documents (an untouched doc's
+  * space-rejoined tokens equal its original text verbatim, so it passes
+  * through with no work at all).
+  */
+case class RemoveTokenPositions(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "remove_token_positions"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (string, array<int>), got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(text: Any, positions: Any): Any =
+    RemoveTokenPositions.compute(text.asInstanceOf[UTF8String],
+      positions.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"${ev.value} = graft.plans.RemoveTokenPositions.compute($t, $p);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveTokenPositions =
+    copy(left = newLeft, right = newRight)
+}
+
+object RemoveTokenPositions {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String,
+              positions: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val toks = text.split(Space, -1)
+    val drop = new java.util.HashSet[Integer](positions.numElements() * 2)
+    var i = 0
+    while (i < positions.numElements()) {
+      drop.add(Integer.valueOf(positions.getInt(i))); i += 1
+    }
+    val keep = new java.util.ArrayList[UTF8String](toks.length)
+    i = 0
+    while (i < toks.length) {
+      if (!drop.contains(Integer.valueOf(i))) keep.add(toks(i))
+      i += 1
+    }
+    UTF8String.concatWs(Space, keep.toArray(new Array[UTF8String](keep.size())): _*)
   }
 }
 
