@@ -24,7 +24,8 @@ object CurationQueries {
     // asserted in CurationSpec).
     "cur_split_safe" -> ((s, dir) => {
       val docs = Tables.documentsWithClones(s, dir)
-      Curation.leakageSafeSplit(docs, Dedup.minhashPairs(docs, 0.5))
+      Curation.leakageSafeSplit(docs,
+        Dedup.materializedMinhashPairs(dir + "#pairsclones", docs, 0.5))
         .orderBy("doc_id")
     }),
 

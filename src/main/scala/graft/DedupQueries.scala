@@ -147,7 +147,8 @@ object DedupQueries {
     // on this corpus for the same reason dedup_minhash_lsh shares the
     // jaccard oracle (planted near-dups sit at j ≥ 0.9).
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(Dedup.minhashPairs(Tables.documents(s, dir), 0.5))
+      Dedup.nearDupClusters(Dedup.materializedMinhashPairs(dir + "#pairs",
+          Tables.documents(s, dir), 0.5))
         .orderBy("doc_id")),
 
     // The same clustering through large-star/small-star contraction
@@ -156,14 +157,16 @@ object DedupQueries {
     // the longest duplication chain. Shares dedup_clusters' recursive-
     // closure oracle: both must produce the identical component table.
     "dedup_clusters_star" -> ((s, dir) =>
-      Dedup.ccStars(Dedup.minhashPairs(Tables.documents(s, dir), 0.5))
+      Dedup.ccStars(Dedup.materializedMinhashPairs(dir + "#pairs",
+          Tables.documents(s, dir), 0.5))
         .orderBy("doc_id")),
 
     // End-to-end corpus dedup: minhash pairs → clusters → keep the longest
     // doc per cluster (ties → min doc_id), unclustered docs untouched.
     "dedup_collapse" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.collapseNearDups(docs, Dedup.minhashPairs(docs, 0.5), col("n_chars"))
+      Dedup.collapseNearDups(docs,
+        Dedup.materializedMinhashPairs(dir + "#pairs", docs, 0.5), col("n_chars"))
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),

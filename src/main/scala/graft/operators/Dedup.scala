@@ -374,6 +374,35 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  private val pairStores =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), String]()
+
+  /** [[minhashPairs]] as a write-once store — the "materialized signature
+    * table" the scaladoc above names, promoted to a first-class artifact
+    * (the [[Embed.materializedHashedTf]] / postings-store discipline): a
+    * warehouse deployment computes its near-dup pair table once per corpus
+    * version and serves every clustering/collapse/split consumer from it,
+    * instead of re-hashing + re-banding the corpus per consumer (three
+    * registered queries ran the identical pair build back to back).
+    * Memoized per (storeKey, threshold) within a process; a fresh process
+    * rewrites (mode overwrite). Deterministic, so materialization changes
+    * COST only, never results — consumers keep their compute twins.
+    */
+  def materializedMinhashPairs(storeKey: String, documents: DataFrame,
+                               threshold: Double,
+                               scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val spark = documents.sparkSession
+    val path = pairStores.computeIfAbsent((storeKey, threshold), _ => {
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-pairstore-" + Ivf.dirToken(f"$storeKey%s#$threshold%.3f"))
+        .getAbsolutePath
+      minhashPairs(documents, threshold, scope = scope)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** Incremental near-dup check: a NEW batch against the EXISTING corpus —
     * the production dedup shape. When a crawl lands you don't re-pair the
     * corpus with itself; you ask "which of these new documents already

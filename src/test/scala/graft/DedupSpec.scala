@@ -427,4 +427,20 @@ class DedupSpec extends SparkSpec {
     assert(scope.size === 0)
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("materializedMinhashPairs equals the compute form, row for row") {
+    val d = Tables.documents(spark, sfDir)
+    val compute = graft.operators.Dedup.minhashPairs(d, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val stored = graft.operators.Dedup.materializedMinhashPairs(
+        sfDir + "#pairspec", d, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stored === compute)
+    // second read serves the store (same values, no recompute asserted by
+    // the memo contract)
+    val again = graft.operators.Dedup.materializedMinhashPairs(
+        sfDir + "#pairspec", d, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again === compute)
+  }
 }
