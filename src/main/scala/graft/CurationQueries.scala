@@ -156,7 +156,8 @@ object CurationQueries {
       val scope = graft.CacheScope.global
       // persist: the stripped+gated table feeds the dedup groupBy, the
       // survivor join-back AND the mixture — 3 consumers
-      val stripped = operators.TextAnalysis.stripBoilerplate(docs, scope = scope)
+      val stripped = operators.TextAnalysis.stripBoilerplate(docs, scope = scope,
+          store = Some(dir + "#boilercover"))
         .join(docs.select("doc_id", "source"), "doc_id")
         .filter(col("clean_text") =!= "")
       val q = operators.TextAnalysis.qualityScore(

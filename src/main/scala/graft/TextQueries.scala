@@ -116,12 +116,14 @@ object TextQueries {
     // C4-style cross-document boilerplate: per-doc share of token positions
     // covered by a 3-gram occurring in >= 4 distinct docs.
     "text_boilerplate" -> ((s, dir) =>
-      TextAnalysis.boilerplateCoverage(Tables.documents(s, dir))
+      TextAnalysis.boilerplateCoverage(Tables.documents(s, dir),
+          store = Some(dir + "#boilercover"))
         .orderBy("doc_id")),
 
     // ... and the corpus with those covered tokens removed.
     "text_boilerplate_strip" -> ((s, dir) =>
-      TextAnalysis.stripBoilerplate(Tables.documents(s, dir))
+      TextAnalysis.stripBoilerplate(Tables.documents(s, dir),
+          store = Some(dir + "#boilercover"))
         .orderBy("doc_id")),
 
     // TextRank keywords: top-3 tokens per document by damped PageRank over

@@ -382,13 +382,43 @@ object TextAnalysis {
       .distinct()
   }
 
+  private val coverStores =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
+
+  /** [[coveredPositions]] as a write-once store (the materialized-pair-
+    * store discipline): the cross-document 3-gram df pass and cover
+    * explode depend only on (corpus, n, minDocs), and three registered
+    * queries (coverage report, strip, the pipeline flagship's strip
+    * stage) each re-ran it. Deterministic — materialization changes cost
+    * only, never results.
+    */
+  def materializedCoveredPositions(storeKey: String, documents: DataFrame,
+                                   n: Int = 3, minDocs: Int = 4,
+                                   scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
+    val spark = documents.sparkSession
+    val path = coverStores.computeIfAbsent((storeKey, n, minDocs), _ => {
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-coverstore-" + graft.operators.Ivf.dirToken(s"$storeKey#$n#$minDocs"))
+        .getAbsolutePath
+      coveredPositions(documents, n, minDocs, scope)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** Per-document boilerplate coverage report: (doc_id, n_tokens, covered,
     * boiler_ratio) — the audit view a data team reads before choosing the
     * removal threshold. Every document gets a row (covered = 0 when clean).
+    * `store` (optional corpus key) serves the covered-position set from
+    * [[materializedCoveredPositions]].
     */
   def boilerplateCoverage(documents: DataFrame, n: Int = 3, minDocs: Int = 4,
-                          scope: graft.CacheScope = graft.CacheScope.global): DataFrame = {
-    val covered = coveredPositions(documents, n, minDocs, scope)
+                          scope: graft.CacheScope = graft.CacheScope.global,
+                          store: Option[String] = None): DataFrame = {
+    val covered = store
+      .map(k => materializedCoveredPositions(k, documents, n, minDocs, scope))
+      .getOrElse(coveredPositions(documents, n, minDocs, scope))
       .groupBy("doc_id").agg(count(lit(1)).as("covered"))
     documents
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
@@ -410,9 +440,11 @@ object TextAnalysis {
     * deterministic.
     */
   def stripBoilerplate(documents: DataFrame, n: Int = 3, minDocs: Int = 4,
-                       scope: graft.CacheScope = graft.CacheScope.global): DataFrame =
+                       scope: graft.CacheScope = graft.CacheScope.global,
+                       store: Option[String] = None): DataFrame =
     rebuildWithoutPositions(documents,
-      coveredPositions(documents, n, minDocs, scope), scope)
+      store.map(k => materializedCoveredPositions(k, documents, n, minDocs, scope))
+        .getOrElse(coveredPositions(documents, n, minDocs, scope)), scope)
 
   /** Shared span-cut text rebuild: given the corpus and a cut-position
     * table (doc_id, p), emit (doc_id, clean_text) for EVERY document —
